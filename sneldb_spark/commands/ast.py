@@ -1,0 +1,199 @@
+"""Command AST.
+
+Mirrors the reference's `Command` / `Expr` / `AggSpec` shapes
+(reference: src/command/types.rs:17-75, 246-279) as plain dataclasses. The
+AST is the contract between the parser and the DataFrame compiler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+# ---------------------------------------------------------------------------
+# WHERE expression tree
+# ---------------------------------------------------------------------------
+
+Value = Union[str, int, float, bool, None]
+
+
+@dataclass(frozen=True)
+class Compare:
+    field: str
+    op: str  # one of = != > >= < <=
+    value: Value
+
+
+@dataclass(frozen=True)
+class In:
+    field: str
+    values: tuple
+
+
+@dataclass(frozen=True)
+class And:
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class Or:
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class Not:
+    expr: "Expr"
+
+
+Expr = Union[Compare, In, And, Or, Not]
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """op in {count, count_field, count_unique, total, avg, min, max}."""
+
+    op: str
+    field: Optional[str] = None
+
+    @property
+    def output_name(self) -> str:
+        # Output naming per reference (SURVEY §2.4 A11).
+        if self.op == "count":
+            return "count"
+        if self.op == "count_field":
+            return f"count_{self.field}"
+        if self.op == "count_unique":
+            return f"count_unique_{self.field}"
+        return f"{self.op}_{self.field}"
+
+
+# ---------------------------------------------------------------------------
+# Sequences
+# ---------------------------------------------------------------------------
+
+FOLLOWED_BY = "followed_by"
+PRECEDED_BY = "preceded_by"
+
+
+@dataclass(frozen=True)
+class EventSequence:
+    head: str
+    links: tuple = ()  # tuple[(kind, event_type), ...]
+
+    @property
+    def is_sequence(self) -> bool:
+        return bool(self.links)
+
+    @property
+    def event_types(self) -> list[str]:
+        return [self.head] + [ev for _, ev in self.links]
+
+
+# ---------------------------------------------------------------------------
+# Commands
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QueryCommand:
+    sequence: EventSequence
+    context_id: Optional[str] = None
+    since: Optional[str] = None
+    where: Optional[Expr] = None
+    return_fields: Optional[list[str]] = None  # None = all; [] = all (parity)
+    link_field: Optional[str] = None
+    aggs: list[AggSpec] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    time_bucket: Optional[str] = None  # hour|day|week|month|year
+    time_field: Optional[str] = None  # USING <f> / USING TIME <f>
+    order_by: Optional[tuple[str, bool]] = None  # (field, desc)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+    @property
+    def event_type(self) -> str:
+        return self.sequence.head
+
+    @property
+    def is_aggregate(self) -> bool:
+        return bool(self.aggs)
+
+    @property
+    def is_sequence(self) -> bool:
+        return self.sequence.is_sequence
+
+
+@dataclass
+class DefineCommand:
+    event_type: str
+    fields: dict  # raw specs (str | list)
+    version: Optional[int] = None
+
+
+@dataclass
+class StoreCommand:
+    event_type: str
+    context_id: str
+    payload: dict
+
+
+@dataclass
+class ReplayCommand:
+    context_id: str
+    event_type: Optional[str] = None  # None = all types
+    since: Optional[str] = None
+    time_field: Optional[str] = None
+    return_fields: Optional[list[str]] = None
+
+
+@dataclass
+class CompareCommand:
+    queries: list[QueryCommand]
+    labels: Optional[list[str]] = None
+
+
+@dataclass
+class RememberCommand:
+    name: str
+    query: QueryCommand
+
+
+@dataclass
+class ShowCommand:
+    name: str
+
+
+@dataclass
+class FlushCommand:
+    pass
+
+
+@dataclass
+class PingCommand:
+    pass
+
+
+@dataclass
+class BatchCommand:
+    commands: list
+
+
+Command = Union[
+    QueryCommand,
+    DefineCommand,
+    StoreCommand,
+    ReplayCommand,
+    CompareCommand,
+    RememberCommand,
+    ShowCommand,
+    FlushCommand,
+    PingCommand,
+    BatchCommand,
+]

@@ -1,0 +1,661 @@
+"""Command-language parser.
+
+Accepts the reference's command surface (grammar studied at
+reference: src/command/parser/commands/{query,define,store,replay,remember,
+show,plotql}.rs) and produces the AST in `sneldb_spark.commands.ast`:
+
+    DEFINE <type> [AS <n>] FIELDS { "field": "type", ... }
+    STORE <type> FOR <ctx> PAYLOAD { ... }
+    QUERY|FIND <type> [FOLLOWED BY|PRECEDED BY <type>]* [FOR ctx]
+        [SINCE "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
+        [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f, ...]
+        [PER HOUR|DAY|WEEK|MONTH|YEAR [USING f]] [BY f1,f2 [USING f]]
+        [USING [TIME] f] [ORDER BY f [ASC|DESC]] [LIMIT n] [OFFSET n]
+    REPLAY [<type>] FOR <ctx> [SINCE "ts"] [USING f] [RETURN [f,...]]
+    REMEMBER <query> AS <name>  /  SHOW <name>
+    PLOT <metric> OF <a[->b]> [FILTER e] [TOP n [BY m]]
+        [VS <metric> OF <seq> [FILTER e]]* [BREAKDOWN BY f,...]
+        [OVER <gran>(f)] [TOP n [BY m]]
+    FLUSH / PING / BATCH <cmd>; <cmd>; ...
+
+Whole-word keywords are case-insensitive; identifiers, string literals and
+enum values are case-sensitive.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from sneldb_spark.commands import ast
+from sneldb_spark.errors import ParseError
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+
+  | (?P<string>"(?:[^"])*")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<op>!=|>=|<=|=|>|<|\(|\)|\[|\]|,|;)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_\-]*(?:\.[A-Za-z_][A-Za-z0-9_\-]*)?)
+    """,
+    re.VERBOSE,
+)
+
+_CLAUSE_KEYWORDS = {
+    "PER", "BY", "USING", "SINCE", "LIMIT", "OFFSET", "ORDER", "RETURN",
+    "LINKED", "WHERE", "FOR", "FOLLOWED", "PRECEDED",
+}
+
+
+class _Tok:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind  # string | number | op | ident
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}:{self.text}"
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    out: list[_Tok] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ParseError(f"unexpected character at {pos}: {text[pos]!r}")
+        pos = m.end()
+        for kind in ("string", "number", "op", "ident"):
+            val = m.group(kind)
+            if val is not None:
+                out.append(_Tok(kind, val))
+                break
+    return out
+
+
+class _Cursor:
+    def __init__(self, tokens: list[_Tok]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> _Tok | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        if self.i >= len(self.toks):
+            raise ParseError("unexpected end of command")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t is not None and t.kind == "ident" and t.text.upper() in kws
+
+    def eat_kw(self, kw: str) -> bool:
+        if self.at_kw(kw):
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, kw: str):
+        if not self.eat_kw(kw):
+            raise ParseError(f"expected keyword {kw}, found {self.peek()}")
+
+    def expect_op(self, op: str):
+        t = self.next()
+        if t.kind != "op" or t.text != op:
+            raise ParseError(f"expected {op!r}, found {t}")
+
+    def expect_ident(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise ParseError(f"expected identifier, found {t}")
+        return t.text
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+# ---------------------------------------------------------------------------
+# JSON block extraction (STORE / DEFINE)
+# ---------------------------------------------------------------------------
+
+def _extract_json_block(text: str, start: int) -> tuple[dict, int]:
+    brace = text.find("{", start)
+    if brace < 0:
+        raise ParseError("expected '{' JSON block")
+    try:
+        obj, end = json.JSONDecoder().raw_decode(text, brace)
+    except json.JSONDecodeError as e:
+        raise ParseError(f"invalid JSON block: {e}") from None
+    if not isinstance(obj, dict):
+        raise ParseError("JSON block must be an object")
+    return obj, end
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def parse_command(text: str) -> ast.Command:
+    stripped = text.strip()
+    if not stripped:
+        raise ParseError("empty command")
+    head = stripped.split(None, 1)[0].upper()
+    if head in ("QUERY", "FIND"):
+        return _parse_query(stripped)
+    if head == "DEFINE":
+        return _parse_define(stripped)
+    if head == "STORE":
+        return _parse_store(stripped)
+    if head == "REPLAY":
+        return _parse_replay(stripped)
+    if head == "REMEMBER":
+        return _parse_remember(stripped)
+    if head == "SHOW":
+        return _parse_show(stripped)
+    if head == "PLOT":
+        return _parse_plot(stripped)
+    if head == "FLUSH":
+        return ast.FlushCommand()
+    if head == "PING":
+        return ast.PingCommand()
+    if head == "BATCH":
+        return _parse_batch(stripped)
+    raise ParseError(f"unknown command: {head}")
+
+
+# ---------------------------------------------------------------------------
+# DEFINE / STORE
+# ---------------------------------------------------------------------------
+
+_DEFINE_RE = re.compile(
+    r"^\s*DEFINE\s+([A-Za-z_][A-Za-z0-9_\-]*)\s*(?:AS\s+(\d+)\s+)?FIELDS\s*",
+    re.IGNORECASE,
+)
+
+
+def _parse_define(text: str) -> ast.DefineCommand:
+    m = _DEFINE_RE.match(text)
+    if not m:
+        raise ParseError("malformed DEFINE (expected DEFINE <type> [AS n] FIELDS {...})")
+    fields, end = _extract_json_block(text, m.end())
+    if text[end:].strip():
+        raise ParseError("unexpected trailing input after FIELDS block")
+    if not fields:
+        raise ParseError("schema must not be empty")
+    version = int(m.group(2)) if m.group(2) else None
+    return ast.DefineCommand(event_type=m.group(1), fields=fields, version=version)
+
+
+_STORE_RE = re.compile(
+    r"^\s*STORE\s+([A-Za-z_][A-Za-z0-9_\-]*)\s+FOR\s+"
+    r"(?:\"([^\"]*)\"|([A-Za-z_][A-Za-z0-9_\-]*))\s+PAYLOAD\s*",
+    re.IGNORECASE,
+)
+
+
+def _parse_store(text: str) -> ast.StoreCommand:
+    m = _STORE_RE.match(text)
+    if not m:
+        raise ParseError("malformed STORE (expected STORE <type> FOR <ctx> PAYLOAD {...})")
+    payload, end = _extract_json_block(text, m.end())
+    if text[end:].strip():
+        raise ParseError("unexpected trailing input after PAYLOAD")
+    ctx = m.group(2) if m.group(2) is not None else m.group(3)
+    return ast.StoreCommand(event_type=m.group(1), context_id=ctx, payload=payload)
+
+
+# ---------------------------------------------------------------------------
+# QUERY
+# ---------------------------------------------------------------------------
+
+def _parse_query(text: str) -> ast.QueryCommand:
+    cur = _Cursor(_tokenize(text))
+    kw = cur.expect_ident()
+    if kw.upper() not in ("QUERY", "FIND"):
+        raise ParseError("expected QUERY")
+    seq = _parse_event_sequence(cur)
+    q = ast.QueryCommand(sequence=seq)
+    _parse_clauses(cur, q)
+    if not cur.done():
+        raise ParseError(f"unexpected trailing token: {cur.peek()}")
+    return q
+
+
+def _parse_event_sequence(cur: _Cursor) -> ast.EventSequence:
+    headname = cur.expect_ident()
+    links = []
+    while True:
+        if cur.at_kw("FOLLOWED") and cur.at_kw("BY", ahead=1):
+            cur.next(); cur.next()
+            links.append((ast.FOLLOWED_BY, cur.expect_ident()))
+        elif cur.at_kw("PRECEDED") and cur.at_kw("BY", ahead=1):
+            cur.next(); cur.next()
+            links.append((ast.PRECEDED_BY, cur.expect_ident()))
+        else:
+            break
+    return ast.EventSequence(head=headname, links=tuple(links))
+
+
+def _at_clause_start(cur: _Cursor) -> bool:
+    return cur.at_kw(*_CLAUSE_KEYWORDS)
+
+
+def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
+    while not cur.done():
+        if cur.eat_kw("FOR"):
+            t = cur.next()
+            if t.kind == "string":
+                q.context_id = t.text[1:-1]
+            elif t.kind == "ident":
+                q.context_id = t.text
+            else:
+                raise ParseError(f"expected context id after FOR, found {t}")
+        elif cur.eat_kw("SINCE"):
+            t = cur.next()
+            if t.kind == "string":
+                q.since = t.text[1:-1]
+            elif t.kind == "number":
+                q.since = t.text
+            else:
+                raise ParseError(f"expected time literal after SINCE, found {t}")
+        elif cur.eat_kw("RETURN"):
+            q.return_fields = _parse_return_list(cur)
+        elif cur.at_kw("LINKED"):
+            cur.next(); cur.expect_kw("BY")
+            q.link_field = cur.expect_ident()
+        elif cur.eat_kw("WHERE"):
+            q.where = _parse_expr(cur)
+        elif cur.eat_kw("USING"):
+            cur.eat_kw("TIME")  # USING TIME f and USING f are equivalent
+            q.time_field = cur.expect_ident()
+        elif cur.at_kw("PER"):
+            cur.next()
+            gran = cur.expect_ident().lower()
+            if gran not in ("hour", "day", "week", "month", "year"):
+                raise ParseError(f"invalid PER granularity: {gran}")
+            q.time_bucket = gran
+            if cur.eat_kw("USING"):
+                cur.eat_kw("TIME")
+                q.time_field = cur.expect_ident()
+        elif cur.at_kw("ORDER") and cur.at_kw("BY", ahead=1):
+            cur.next(); cur.next()
+            f = cur.expect_ident()
+            desc = False
+            if cur.at_kw("ASC"):
+                cur.next()
+            elif cur.at_kw("DESC"):
+                cur.next()
+                desc = True
+            q.order_by = (f, desc)
+        elif cur.eat_kw("BY"):
+            q.group_by.append(cur.expect_ident())
+            while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
+                cur.next()
+                q.group_by.append(cur.expect_ident())
+            if cur.eat_kw("USING"):
+                cur.eat_kw("TIME")
+                q.time_field = cur.expect_ident()
+        elif cur.eat_kw("LIMIT"):
+            q.limit = _parse_nonneg_int(cur, "LIMIT")
+        elif cur.eat_kw("OFFSET"):
+            q.offset = _parse_nonneg_int(cur, "OFFSET")
+        elif cur.at_kw("COUNT", "TOTAL", "AVG", "MIN", "MAX", "UNIQUE"):
+            q.aggs.extend(_parse_agg_specs(cur))
+        else:
+            raise ParseError(f"unexpected token: {cur.peek()}")
+
+
+def _parse_nonneg_int(cur: _Cursor, what: str) -> int:
+    t = cur.next()
+    if t.kind != "number" or "." in t.text or int(t.text) < 0:
+        raise ParseError(f"expected non-negative integer after {what}")
+    return int(t.text)
+
+
+def _parse_return_list(cur: _Cursor) -> list[str]:
+    cur.expect_op("[")
+    fields: list[str] = []
+    t = cur.peek()
+    if t and t.kind == "op" and t.text == "]":
+        cur.next()
+        return fields
+    while True:
+        t = cur.next()
+        if t.kind == "ident":
+            fields.append(t.text)
+        elif t.kind == "string":
+            fields.append(t.text[1:-1])
+        else:
+            raise ParseError(f"expected field name in RETURN list, found {t}")
+        t = cur.next()
+        if t.kind == "op" and t.text == "]":
+            return fields
+        if not (t.kind == "op" and t.text == ","):
+            raise ParseError(f"expected ',' or ']' in RETURN list, found {t}")
+
+
+def _parse_agg_specs(cur: _Cursor) -> list[ast.AggSpec]:
+    specs = [_parse_one_agg(cur)]
+    while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
+        # Only continue if the next thing is really another agg spec —
+        # otherwise the comma belongs to an outer list.
+        nxt = cur.peek(1)
+        if nxt is None or nxt.kind != "ident" or nxt.text.upper() not in (
+            "COUNT", "TOTAL", "AVG", "MIN", "MAX",
+        ):
+            break
+        cur.next()
+        specs.append(_parse_one_agg(cur))
+    return specs
+
+
+def _field_follows(cur: _Cursor) -> bool:
+    t = cur.peek()
+    if t is None or t.kind != "ident":
+        return False
+    up = t.text.upper()
+    if up in _CLAUSE_KEYWORDS:
+        return False
+    # ORDER BY lookahead handled by ORDER in clause keywords already
+    return True
+
+
+def _parse_one_agg(cur: _Cursor) -> ast.AggSpec:
+    kw = cur.expect_ident().upper()
+    if kw == "COUNT":
+        if cur.at_kw("UNIQUE"):
+            cur.next()
+            if not _field_follows(cur):
+                raise ParseError("COUNT UNIQUE requires a field")
+            return ast.AggSpec("count_unique", cur.expect_ident())
+        if _field_follows(cur):
+            return ast.AggSpec("count_field", cur.expect_ident())
+        return ast.AggSpec("count")
+    if kw in ("TOTAL", "AVG", "MIN", "MAX"):
+        if not _field_follows(cur):
+            raise ParseError(f"{kw} requires a field")
+        return ast.AggSpec(kw.lower(), cur.expect_ident())
+    raise ParseError(f"unknown aggregate: {kw}")
+
+
+# ---------------------------------------------------------------------------
+# WHERE expressions
+# ---------------------------------------------------------------------------
+
+def _parse_expr(cur: _Cursor) -> ast.Expr:
+    return _parse_or(cur)
+
+
+def _parse_or(cur: _Cursor) -> ast.Expr:
+    left = _parse_and(cur)
+    if cur.at_kw("OR"):
+        cur.next()
+        return ast.Or(left, _parse_or(cur))
+    return left
+
+
+def _parse_and(cur: _Cursor) -> ast.Expr:
+    left = _parse_factor(cur)
+    if cur.at_kw("AND"):
+        cur.next()
+        return ast.And(left, _parse_and(cur))
+    return left
+
+
+def _parse_factor(cur: _Cursor) -> ast.Expr:
+    if cur.at_kw("NOT"):
+        cur.next()
+        return ast.Not(_parse_factor(cur))
+    t = cur.peek()
+    if t and t.kind == "op" and t.text == "(":
+        cur.next()
+        e = _parse_expr(cur)
+        cur.expect_op(")")
+        return e
+    return _parse_predicate(cur)
+
+
+def _parse_value(cur: _Cursor) -> ast.Value:
+    t = cur.next()
+    if t.kind == "string":
+        return t.text[1:-1]
+    if t.kind == "number":
+        return float(t.text) if "." in t.text else int(t.text)
+    if t.kind == "ident":
+        up = t.text.upper()
+        if up == "TRUE":
+            return True
+        if up == "FALSE":
+            return False
+        if up == "NULL":
+            return None
+        return t.text  # bare word treated as string (parity with reference)
+    raise ParseError(f"expected literal value, found {t}")
+
+
+def _parse_predicate(cur: _Cursor) -> ast.Expr:
+    t = cur.next()
+    if t.kind != "ident":
+        raise ParseError(f"expected field name, found {t}")
+    fieldname = t.text
+    nxt = cur.peek()
+    if nxt and nxt.kind == "op" and nxt.text in ("=", "!=", ">", ">=", "<", "<="):
+        op = cur.next().text
+        return ast.Compare(fieldname, op, _parse_value(cur))
+    if nxt and nxt.kind == "ident" and nxt.text.upper() == "IN":
+        cur.next()
+        cur.expect_op("(")
+        values = [_parse_value(cur)]
+        while True:
+            t2 = cur.next()
+            if t2.kind == "op" and t2.text == ")":
+                break
+            if not (t2.kind == "op" and t2.text == ","):
+                raise ParseError(f"expected ',' or ')' in IN list, found {t2}")
+            values.append(_parse_value(cur))
+        return ast.In(fieldname, tuple(values))
+    # bare-field atom: `WHERE is_active` == `is_active = true`
+    return ast.Compare(fieldname, "=", True)
+
+
+# ---------------------------------------------------------------------------
+# REPLAY
+# ---------------------------------------------------------------------------
+
+def _parse_replay(text: str) -> ast.ReplayCommand:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("REPLAY")
+    event_type = None
+    if not cur.at_kw("FOR"):
+        event_type = cur.expect_ident()
+    cur.expect_kw("FOR")
+    t = cur.next()
+    if t.kind == "string":
+        ctx = t.text[1:-1]
+    elif t.kind == "ident":
+        ctx = t.text
+    else:
+        raise ParseError(f"expected context id after FOR, found {t}")
+    cmd = ast.ReplayCommand(context_id=ctx, event_type=event_type)
+    while not cur.done():
+        if cur.eat_kw("SINCE"):
+            t = cur.next()
+            if t.kind not in ("string", "number"):
+                raise ParseError("expected time literal after SINCE")
+            cmd.since = t.text[1:-1] if t.kind == "string" else t.text
+        elif cur.eat_kw("USING"):
+            cur.eat_kw("TIME")
+            cmd.time_field = cur.expect_ident()
+        elif cur.eat_kw("RETURN"):
+            cmd.return_fields = _parse_return_list(cur)
+        else:
+            raise ParseError(f"unexpected token in REPLAY: {cur.peek()}")
+    return cmd
+
+
+# ---------------------------------------------------------------------------
+# REMEMBER / SHOW / BATCH
+# ---------------------------------------------------------------------------
+
+_ALIAS_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*$")
+
+
+def _parse_remember(text: str) -> ast.RememberCommand:
+    body = text.strip()[len("REMEMBER"):].strip()
+    upper = body.upper()
+    as_idx = upper.rfind(" AS ")
+    if as_idx < 0:
+        raise ParseError("REMEMBER requires 'AS <name>'")
+    query_part = body[:as_idx].strip()
+    name = body[as_idx + 4:].strip()
+    if not _ALIAS_RE.match(name):
+        raise ParseError(f"invalid materialization name: {name!r}")
+    cmd = parse_command(query_part)
+    if not isinstance(cmd, ast.QueryCommand):
+        raise ParseError("REMEMBER expects a QUERY command")
+    return ast.RememberCommand(name=name, query=cmd)
+
+
+def _parse_show(text: str) -> ast.ShowCommand:
+    parts = text.strip().split()
+    if len(parts) != 2:
+        raise ParseError("SHOW expects exactly one argument")
+    name = parts[1].strip('"')
+    if not _ALIAS_RE.match(name):
+        raise ParseError(f"invalid materialization name: {name!r}")
+    return ast.ShowCommand(name=name)
+
+
+def _parse_batch(text: str) -> ast.BatchCommand:
+    body = text.strip()[len("BATCH"):].strip()
+    cmds = [parse_command(part) for part in body.split(";") if part.strip()]
+    if not cmds:
+        raise ParseError("BATCH requires at least one command")
+    return ast.BatchCommand(commands=cmds)
+
+
+# ---------------------------------------------------------------------------
+# PlotQL: PLOT metric OF seq [FILTER e] [TOP n] VS ... BREAKDOWN BY ... OVER g(f)
+# ---------------------------------------------------------------------------
+
+def _parse_metric(cur: _Cursor) -> ast.AggSpec:
+    kw = cur.expect_ident().upper()
+    def paren_field() -> str:
+        cur.expect_op("(")
+        f = cur.expect_ident()
+        cur.expect_op(")")
+        return f
+    if kw == "COUNT":
+        t = cur.peek()
+        if t and t.kind == "op" and t.text == "(":
+            return ast.AggSpec("count_field", paren_field())
+        return ast.AggSpec("count")
+    if kw == "UNIQUE":
+        return ast.AggSpec("count_unique", paren_field())
+    if kw in ("TOTAL", "SUM"):
+        return ast.AggSpec("total", paren_field())
+    if kw in ("AVG", "MIN", "MAX"):
+        return ast.AggSpec(kw.lower(), paren_field())
+    raise ParseError(f"unknown PLOT metric: {kw}")
+
+
+def _parse_plot_sequence(cur: _Cursor) -> ast.EventSequence:
+    headname = cur.expect_ident()
+    links = []
+    while True:
+        t = cur.peek()
+        if t and t.kind == "op" and t.text == ">":  # tokenized '-' swallowed? no
+            raise ParseError("unexpected '>'")
+        if cur.at_kw("THEN"):
+            cur.next()
+            links.append((ast.FOLLOWED_BY, cur.expect_ident()))
+            continue
+        # '->' arrives as ident containing '-'? No: '-\w' isn't an op. Handle raw.
+        break
+    return ast.EventSequence(head=headname, links=tuple(links))
+
+
+def _parse_plot(text: str) -> ast.CompareCommand:
+    # Normalize '->' to ' THEN ' so the tokenizer stays simple.
+    normalized = text.replace("->", " THEN ")
+    cur = _Cursor(_tokenize(normalized))
+    cur.expect_kw("PLOT")
+
+    def parse_side() -> tuple[ast.QueryCommand, int | None]:
+        metric = _parse_metric(cur)
+        cur.expect_kw("OF")
+        seq = _parse_plot_sequence(cur)
+        q = ast.QueryCommand(sequence=seq, aggs=[metric])
+        top: int | None = None
+        while True:
+            if cur.eat_kw("FILTER"):
+                q.where = _parse_expr(cur)
+            elif cur.at_kw("TOP"):
+                cur.next()
+                top = _parse_nonneg_int(cur, "TOP")
+                if cur.eat_kw("BY"):
+                    # TOP n BY metric/field — ranking target; keep the metric
+                    # itself as the rank key (the common case).
+                    if cur.peek() and cur.peek().kind == "ident":
+                        cur.next()
+                        t = cur.peek()
+                        if t and t.kind == "op" and t.text == "(":
+                            cur.next(); cur.expect_ident(); cur.expect_op(")")
+            else:
+                break
+        return q, top
+
+    q0, top = parse_side()
+    sides = [q0]
+    while cur.eat_kw("VS"):
+        qn, top_n = parse_side()
+        top = top if top is not None else top_n
+        sides.append(qn)
+
+    breakdown: list[str] = []
+    gran = None
+    time_field = None
+    while not cur.done():
+        if cur.at_kw("BREAKDOWN"):
+            cur.next(); cur.expect_kw("BY")
+            breakdown.append(cur.expect_ident())
+            while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
+                cur.next()
+                breakdown.append(cur.expect_ident())
+        elif cur.eat_kw("OVER"):
+            gran = cur.expect_ident().lower()
+            if gran not in ("hour", "day", "week", "month", "year"):
+                raise ParseError(f"invalid OVER granularity: {gran}")
+            cur.expect_op("(")
+            time_field = cur.expect_ident()
+            cur.expect_op(")")
+        elif cur.at_kw("TOP"):
+            cur.next()
+            top = _parse_nonneg_int(cur, "TOP")
+            if cur.eat_kw("BY"):
+                if cur.peek() and cur.peek().kind == "ident":
+                    cur.next()
+                    t = cur.peek()
+                    if t and t.kind == "op" and t.text == "(":
+                        cur.next(); cur.expect_ident(); cur.expect_op(")")
+        else:
+            raise ParseError(f"unexpected token in PLOT: {cur.peek()}")
+
+    for q in sides:
+        q.group_by = list(breakdown)
+        q.time_bucket = gran
+        if time_field and time_field not in ("timestamp",):
+            q.time_field = time_field
+        if top is not None:
+            q.order_by = (q.aggs[0].output_name, True)
+            q.limit = top
+    return ast.CompareCommand(queries=sides)

@@ -1,0 +1,254 @@
+"""AST -> DataFrame compiler.
+
+This is the heart of the engine: the entire reference read pipeline
+(planner, zone pruning, SIMD filters, per-shard partial aggregation,
+k-way ordered merges — reference: src/engine/core/read/) collapses into
+one declarative DataFrame chain per query; Catalyst + Tungsten supply the
+physical machinery (predicate pushdown into Parquet row groups ≈ zone
+skipping, whole-stage codegen ≈ SIMD eval, HashAggregate partial/final ≈
+shard merge, TakeOrderedAndProject ≈ ordered k-way merge with limit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sneldb_spark.commands import ast
+from sneldb_spark.errors import QueryError
+from sneldb_spark.plans.aggregates import apply_aggregation
+from sneldb_spark.plans.filters import compile_expr, split_sequence_where
+from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
+from sneldb_spark.plans.time_bucket import bucket_column
+from sneldb_spark.schema.normalization import try_parse_time_value
+from sneldb_spark.schema.registry import CORE_FIELDS, EventSchema
+
+SourceFn = Callable[[str], DataFrame]  # event_type (or "*") -> DataFrame
+SchemaFn = Callable[[str], Optional[EventSchema]]
+
+
+@dataclass
+class TimeConfig:
+    mode: str = "calendar"  # calendar | naive
+    timezone: str = "UTC"
+    week_start: str = "monday"
+
+
+class QueryCompiler:
+    def __init__(
+        self,
+        source: SourceFn,
+        schema_lookup: SchemaFn | None = None,
+        time_config: TimeConfig | None = None,
+    ):
+        self._source = source
+        self._schema = schema_lookup or (lambda et: None)
+        self.time_config = time_config or TimeConfig()
+
+    # -- public ----------------------------------------------------------
+    def compile(self, cmd: ast.Command) -> DataFrame:
+        if isinstance(cmd, ast.QueryCommand):
+            return self.compile_query(cmd)
+        if isinstance(cmd, ast.ReplayCommand):
+            return self.compile_replay(cmd)
+        if isinstance(cmd, ast.CompareCommand):
+            from sneldb_spark.plans.compare import compile_compare
+
+            return compile_compare(self, cmd)
+        raise QueryError(f"not a readable command: {type(cmd).__name__}")
+
+    # -- resolvers -------------------------------------------------------
+    def _resolver(self, df: DataFrame, event_type: str):
+        schema = self._schema(event_type) if event_type != "*" else None
+        cols = set(df.columns)
+
+        def resolve(field: str):
+            name = field if field in cols else None
+            if name is None:
+                # dotted names are literal flat column names in the reference
+                if field in cols:
+                    name = field
+                else:
+                    raise QueryError(f"unknown field {field!r} for {event_type!r}")
+            ftype = schema.fields.get(field) if schema else None
+            return F.col(f"`{name}`"), ftype
+
+        return resolve
+
+    def _time_column(self, df: DataFrame, q_time_field: str | None, resolve) -> Column:
+        if q_time_field:
+            col, _ = resolve(q_time_field)
+            return col.cast("long")
+        return F.col("timestamp").cast("long")
+
+    # -- single-table pipeline -------------------------------------------
+    def _base_frame(
+        self,
+        event_type: str,
+        context_id: str | None,
+        since: str | None,
+        where: ast.Expr | None,
+        time_field: str | None,
+    ) -> DataFrame:
+        df = self._source(event_type)
+        if context_id is not None:
+            df = df.where(F.col("context_id") == F.lit(context_id))
+        if since is not None:
+            bound = try_parse_time_value(since)
+            # Unparsable SINCE is ignored (scenario since_unparsable_ignored_includes_all)
+            if bound is not None:
+                resolve = self._resolver(df, event_type)
+                tcol = self._time_column(df, time_field, resolve)
+                df = df.where(tcol >= F.lit(bound))
+        if where is not None:
+            resolve = self._resolver(df, event_type)
+            df = df.where(compile_expr(where, resolve))
+        return df
+
+    def compile_query(self, q: ast.QueryCommand) -> DataFrame:
+        if len(q.sequence.links) > 1:
+            # Reference: multi-link chains warn and return empty
+            # (reference: src/engine/core/read/sequence/matcher.rs:297-307).
+            head = self._source(q.event_type)
+            return head.where(F.lit(False))
+        if q.offset is not None and q.limit is None:
+            raise QueryError("OFFSET requires LIMIT")
+        if q.is_sequence:
+            return self._compile_sequence(q)
+        return self._compile_single(q)
+
+    def _compile_single(self, q: ast.QueryCommand) -> DataFrame:
+        df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+        resolve = self._resolver(df, q.event_type)
+
+        if q.is_aggregate:
+            bucket = None
+            if q.time_bucket:
+                tcol = self._time_column(df, q.time_field, resolve)
+                tc = self.time_config
+                bucket = bucket_column(
+                    tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                    week_start=tc.week_start,
+                )
+            out = apply_aggregation(df, q.aggs, q.group_by, resolve, bucket)
+            out = self._order_limit(out, q, agg=True)
+            return out
+
+        out = self._order_limit(df, q, agg=False, resolve=resolve)
+        return self._project(out, q.return_fields)
+
+    def _order_limit(self, df: DataFrame, q: ast.QueryCommand, agg: bool, resolve=None):
+        if q.order_by is not None:
+            field, desc = q.order_by
+            if agg:
+                col = F.col(f"`{field}`") if field in df.columns else None
+                if col is None:
+                    raise QueryError(f"ORDER BY field {field!r} not in aggregate output")
+            else:
+                col = resolve(field)[0]
+            df = df.orderBy(col.desc() if desc else col.asc())
+        if q.limit is not None and q.limit == 0:
+            return df.where(F.lit(False))
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _project(self, df: DataFrame, return_fields: list[str] | None) -> DataFrame:
+        # Core columns always included; unknown requested fields ignored;
+        # empty/absent list means all columns (SURVEY §2.2 P1).
+        if not return_fields:
+            return df
+        cols = [c for c in CORE_FIELDS if c in df.columns]
+        for f in return_fields:
+            if f in df.columns and f not in cols:
+                cols.append(f)
+        return df.select(*[F.col(f"`{c}`") for c in cols])
+
+    # -- sequence pipeline ------------------------------------------------
+    def _compile_sequence(self, q: ast.QueryCommand) -> DataFrame:
+        if not q.link_field:
+            raise QueryError("sequence queries require LINKED BY <field>")
+        kind, tail_type = q.sequence.links[0]
+        head_type = q.sequence.head
+        sides = split_sequence_where(q.where, [head_type, tail_type])
+
+        def side_frame(et: str) -> DataFrame:
+            return self._base_frame(et, q.context_id, q.since, sides[et], q.time_field)
+
+        a = side_frame(head_type)
+        b = side_frame(tail_type)
+
+        def side_ts(df: DataFrame):
+            if q.time_field and q.time_field in df.columns:
+                return F.col(q.time_field).cast("long")
+            return F.col("timestamp").cast("long")
+
+        matched = sequence_match(
+            a, b, q.link_field, kind, ts_a=side_ts(a), ts_b=side_ts(b)
+        )
+
+        if q.is_aggregate:
+            resolve = self._seq_resolver(matched, head_type, tail_type)
+            bucket = None
+            if q.time_bucket:
+                tcol = resolve(q.time_field)[0].cast("long") if q.time_field else F.col(
+                    A_PREFIX + "timestamp"
+                ).cast("long")
+                tc = self.time_config
+                bucket = bucket_column(
+                    tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                    week_start=tc.week_start,
+                )
+            out = apply_aggregation(matched, q.aggs, q.group_by, resolve, bucket)
+            return self._order_limit(out, q, agg=True)
+
+        # LIMIT caps matched sequences (reference:
+        # src/command/handlers/query/handler.rs:133-139).
+        out = matched
+        if q.order_by is not None:
+            resolve = self._seq_resolver(matched, head_type, tail_type)
+            field, desc = q.order_by
+            col = resolve(field)[0]
+            out = out.orderBy(col.desc() if desc else col.asc())
+        if q.limit is not None:
+            out = out.where(F.lit(False)) if q.limit == 0 else out.limit(q.limit)
+        if q.offset:
+            raise QueryError("OFFSET is not supported on sequence queries")
+        return out
+
+    def _seq_resolver(self, matched: DataFrame, head_type: str, tail_type: str):
+        cols = set(matched.columns)
+
+        def resolve(field: str):
+            # Qualified names pick a side; unqualified prefer the head side.
+            if "." in field:
+                prefix, rest = field.split(".", 1)
+                if prefix == head_type and A_PREFIX + rest in cols:
+                    return F.col(A_PREFIX + rest), None
+                if prefix == tail_type and B_PREFIX + rest in cols:
+                    return F.col(B_PREFIX + rest), None
+            if A_PREFIX + field in cols:
+                return F.col(A_PREFIX + field), None
+            if B_PREFIX + field in cols:
+                return F.col(B_PREFIX + field), None
+            if field in cols:
+                return F.col(f"`{field}`"), None
+            raise QueryError(f"unknown field {field!r} in sequence result")
+
+        return resolve
+
+    # -- replay -----------------------------------------------------------
+    def compile_replay(self, cmd: ast.ReplayCommand) -> DataFrame:
+        df = self._base_frame(
+            cmd.event_type or "*", cmd.context_id, cmd.since, None, cmd.time_field
+        )
+        # Append order = (timestamp, event_id); one context lives in one
+        # "shard" in the reference — here it's simply a sort, and because we
+        # filtered to a single context_id the sort input is small.
+        df = df.orderBy(F.col("timestamp").asc(), F.col("event_id").asc())
+        return self._project(df, cmd.return_fields)

@@ -1,0 +1,167 @@
+"""Event storage: one Parquet dataset per event type, partitioned by ingest date.
+
+The reference's storage engine (WAL -> memtable -> segments -> zones with
+skipping indexes — reference: src/engine/core/{wal,memory,zone}/) is
+*mechanism* Spark + Parquet already provide:
+
+- zones + min/max metadata        -> Parquet row-group statistics
+- zone skipping via indexes       -> predicate pushdown + partition pruning
+- per-(uid, field) column files   -> Parquet columnar chunks + column pruning
+- shard hash on context_id        -> hash-partitioned writes (see below)
+- compaction                      -> small-file rewrite job (compaction.py)
+
+Layout:  <root>/events/<event_type>/ingest_date=YYYY-MM-DD/part-*.parquet
+
+Design-for-100TB notes:
+- ingest_date partitioning makes SINCE on server time a partition-pruned
+  scan; within a file, rows are written sorted by (context_id, timestamp)
+  so row-group stats make FOR <ctx> and REPLAY selective too.
+- event_id is Snowflake-style (ms clock << 20 | writer << 10 | seq), so
+  ids are globally unique and time-ordered without cross-writer
+  coordination — the property the reference's EventId provides
+  (reference: src/engine/core/event/event_id.rs:57-80).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sneldb_spark.errors import QueryError, ValidationError
+from sneldb_spark.schema.registry import SchemaRegistry
+from sneldb_spark.schema.validation import validate_payload
+
+_EVENT_ID_LOCK = threading.Lock()
+_LAST_MS = 0
+_SEQ = 0
+_WRITER_ID = int.from_bytes(os.urandom(2), "big") % 1024
+
+
+def next_event_id(now_ms: int | None = None) -> int:
+    """Snowflake-style id: (epoch_ms << 20) | (writer_id << 10) | seq."""
+    global _LAST_MS, _SEQ
+    with _EVENT_ID_LOCK:
+        ms = now_ms if now_ms is not None else int(time.time() * 1000)
+        if ms <= _LAST_MS:
+            ms = _LAST_MS
+            _SEQ += 1
+            if _SEQ >= 1024:
+                ms += 1
+                _SEQ = 0
+        else:
+            _SEQ = 0
+        _LAST_MS = ms
+        return (ms << 20) | (_WRITER_ID << 10) | _SEQ
+
+
+class EventStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        registry: SchemaRegistry | None = None,
+        clock=None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.registry = registry or SchemaRegistry(os.path.join(root, "schemas.json"))
+        # Injectable clock (epoch seconds) so scenario tests are deterministic;
+        # the reference assigns server wall-clock time at ingest.
+        self._clock = clock or (lambda: int(time.time()))
+        self._pending: dict[str, list[dict]] = {}
+
+    # -- write path -------------------------------------------------------
+    def store(self, event_type: str, context_id: str, payload: dict,
+              timestamp: int | None = None) -> dict:
+        """Validate and buffer one event (the 'memtable'); FLUSH commits."""
+        schema = self.registry.get(event_type)  # raises if undefined
+        clean = validate_payload(schema, payload)
+        ts = int(timestamp) if timestamp is not None else self._clock()
+        row = {
+            "context_id": str(context_id),
+            "event_type": event_type,
+            "timestamp": ts,
+            "event_id": next_event_id(ts * 1000),
+            **clean,
+        }
+        self._pending.setdefault(event_type, []).append(row)
+        return row
+
+    def flush(self):
+        """Commit buffered events to Parquet (the reference's memtable->segment)."""
+        for event_type, rows in list(self._pending.items()):
+            if rows:
+                self._write_rows(event_type, rows)
+        self._pending.clear()
+
+    def append_dataframe(self, event_type: str, df: DataFrame):
+        """Bulk/streaming append of already-validated, core-schema rows."""
+        (
+            df.withColumn(
+                "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
+            )
+            # Sort within files so row-group stats prune on context/time.
+            .repartition(F.col("ingest_date"))
+            .sortWithinPartitions("context_id", "timestamp")
+            .write.mode("append")
+            .partitionBy("ingest_date")
+            .parquet(self._path(event_type))
+        )
+
+    def _write_rows(self, event_type: str, rows: list[dict]):
+        schema = self.registry.get(event_type)
+        df = self.spark.createDataFrame(rows, schema=schema.spark_struct)
+        self.append_dataframe(event_type, df)
+
+    # -- read path --------------------------------------------------------
+    def _path(self, event_type: str) -> str:
+        return os.path.join(self.root, "events", event_type)
+
+    def has_data(self, event_type: str) -> bool:
+        return os.path.isdir(self._path(event_type))
+
+    def read(self, event_type: str) -> DataFrame:
+        """DataFrame for one event type (or '*' = union of all types)."""
+        if event_type == "*":
+            types = [t for t in self.registry.event_types() if self.has_data(t)]
+            if not types:
+                raise QueryError("no events stored")
+            df = None
+            for t in types:
+                part = self.read(t)
+                df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+            return df
+        if not self.registry.has(event_type):
+            raise QueryError(f"no schema defined for event type {event_type!r}")
+        schema = self.registry.get(event_type)
+        if not self.has_data(event_type):
+            return self.spark.createDataFrame([], schema=schema.spark_struct)
+        df = self.spark.read.parquet(self._path(event_type))
+        return df.drop("ingest_date")
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, event_type: str, target_file_mb: int = 128):
+        """Small-file compaction: rewrite each date partition into sorted,
+        right-sized files (the reference's leveled compactor S7)."""
+        path = self._path(event_type)
+        if not os.path.isdir(path):
+            return
+        df = self.spark.read.parquet(path)
+        tmp = path + ".compact"
+        (
+            df.repartition(F.col("ingest_date"))
+            .sortWithinPartitions("context_id", "timestamp")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("ingest_date")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(path)
+        os.replace(tmp, path)

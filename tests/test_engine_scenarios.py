@@ -1,0 +1,280 @@
+"""End-to-end scenarios modeled on the reference's declarative suite
+(reference: tests/integration/scenarios.json — agg_*, sequence_*,
+query_in_operator_*, order_by_*, replay_*, remember_*/show_* families).
+
+Timestamps: the engine assigns server time at ingest; the test clock ticks
+one second per store so orderings are deterministic (the scenarios use
+SLEEP for the same effect).
+"""
+
+import pytest
+
+from sneldb_spark.errors import (
+    MaterializationError,
+    QueryError,
+    SchemaError,
+    ValidationError,
+)
+
+
+def _setup_orders(engine):
+    engine.execute('DEFINE orders FIELDS { "amount": "int", "country": "string", "plan": "string" }')
+    rows = [
+        ("c1", 10, "NL", "pro"),
+        ("c2", 20, "NL", "basic"),
+        ("c3", 15, "DE", "pro"),
+        ("c4", 18, "NL", "pro"),
+        ("c5", 11, "NL", "basic"),
+    ]
+    for ctx, amount, country, plan in rows:
+        engine.execute(
+            f'STORE orders FOR {ctx} PAYLOAD {{ "amount": {amount}, '
+            f'"country": "{country}", "plan": "{plan}" }}'
+        )
+    engine.execute("FLUSH")
+
+
+def test_store_requires_define(engine):
+    with pytest.raises(SchemaError):
+        engine.execute('STORE nope FOR c1 PAYLOAD { "a": 1 }')
+
+
+def test_store_validation_errors(engine):
+    engine.execute('DEFINE subscription FIELDS { "plan": ["pro", "basic"] }')
+    with pytest.raises(ValidationError):
+        engine.execute('STORE subscription FOR c1 PAYLOAD { "plan": "PRO" }')
+    with pytest.raises(ValidationError):
+        engine.execute('STORE subscription FOR c1 PAYLOAD { }')
+    with pytest.raises(ValidationError):
+        engine.execute('STORE subscription FOR c1 PAYLOAD { "plan": "pro", "x": 1 }')
+
+
+def test_filter_query(engine):
+    _setup_orders(engine)
+    df = engine.query('QUERY orders WHERE amount >= 15 AND country = "NL"')
+    rows = {r["context_id"] for r in df.collect()}
+    assert rows == {"c2", "c4"}
+
+
+def test_core_columns_always_present(engine):
+    _setup_orders(engine)
+    df = engine.query("QUERY orders RETURN [amount]")
+    assert df.columns == ["context_id", "event_type", "timestamp", "event_id", "amount"]
+
+
+def test_unknown_return_field_ignored(engine):
+    _setup_orders(engine)
+    df = engine.query("QUERY orders RETURN [amount, nosuch]")
+    assert "nosuch" not in df.columns
+
+
+def test_agg_count_by_country_and_plan(engine):
+    # Mirror of scenario agg_count_per_day_by_country_and_plan.
+    _setup_orders(engine)
+    df = engine.query("QUERY orders COUNT PER DAY BY country, plan")
+    rows = {(r["country"], r["plan"]): r["count"] for r in df.collect()}
+    assert rows == {("NL", "pro"): 2, ("NL", "basic"): 2, ("DE", "pro"): 1}
+    assert df.columns == ["bucket", "country", "plan", "count"]
+
+
+def test_agg_all_ops(engine):
+    _setup_orders(engine)
+    df = engine.query(
+        "QUERY orders COUNT, COUNT UNIQUE plan, TOTAL amount, AVG amount, "
+        "MIN amount, MAX amount BY country"
+    )
+    out = {r["country"]: r for r in df.collect()}
+    nl = out["NL"]
+    assert (nl["count"], nl["count_unique_plan"], nl["total_amount"]) == (4, 2, 59)
+    assert nl["avg_amount"] == pytest.approx(14.75)
+    assert (nl["min_amount"], nl["max_amount"]) == (10, 20)
+    de = out["DE"]
+    assert (de["count"], de["total_amount"]) == (1, 15)
+
+
+def test_agg_group_limit(engine):
+    _setup_orders(engine)
+    df = engine.query("QUERY orders COUNT BY country LIMIT 1")
+    assert df.count() == 1  # LIMIT caps distinct groups
+
+
+def test_in_and_not(engine):
+    _setup_orders(engine)
+    df = engine.query('QUERY orders WHERE country IN ("DE", "BE") OR NOT plan = "pro"')
+    assert {r["context_id"] for r in df.collect()} == {"c2", "c3", "c5"}
+
+
+def test_bare_field_atom(engine):
+    engine.execute('DEFINE flags FIELDS { "is_active": "bool" }')
+    engine.execute('STORE flags FOR c1 PAYLOAD { "is_active": true }')
+    engine.execute('STORE flags FOR c2 PAYLOAD { "is_active": false }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY flags WHERE is_active")
+    assert [r["context_id"] for r in df.collect()] == ["c1"]
+
+
+def test_null_semantics_not_includes_null(engine):
+    engine.execute('DEFINE t FIELDS { "v": "int | null" }')
+    engine.execute('STORE t FOR c1 PAYLOAD { "v": 1 }')
+    engine.execute('STORE t FOR c2 PAYLOAD { }')
+    engine.execute("FLUSH")
+    # reference two-valued logic: comparison on null is false, NOT flips it
+    assert {r["context_id"] for r in engine.query("QUERY t WHERE v = 1").collect()} == {"c1"}
+    assert {r["context_id"] for r in engine.query("QUERY t WHERE NOT v = 1").collect()} == {"c2"}
+
+
+def test_order_by_limit_offset(engine):
+    _setup_orders(engine)
+    df = engine.query("QUERY orders ORDER BY amount DESC LIMIT 2 OFFSET 1")
+    assert [r["amount"] for r in df.collect()] == [18, 15]
+
+
+def test_limit_zero_no_results(engine):
+    _setup_orders(engine)
+    assert engine.query("QUERY orders LIMIT 0").count() == 0
+
+
+def test_offset_requires_limit(engine):
+    _setup_orders(engine)
+    with pytest.raises(QueryError):
+        engine.query("QUERY orders OFFSET 5")
+
+
+def test_since_filters_and_unparsable_since(engine):
+    _setup_orders(engine)
+    base = engine._test_clock["now"]
+    df = engine.query(f'QUERY orders SINCE "{base - 1}"')
+    assert df.count() == 2  # last two stores
+    assert engine.query('QUERY orders SINCE "garbage"').count() == 5
+
+
+def test_since_using_payload_datetime_skips_nulls(engine):
+    engine.execute('DEFINE clicks FIELDS { "id": "int", "created_at": "datetime | null" }')
+    engine.execute('STORE clicks FOR c1 PAYLOAD { "id": 1, "created_at": "2024-01-05T00:00:00Z" }')
+    engine.execute('STORE clicks FOR c2 PAYLOAD { "id": 2, "created_at": "2024-01-01T00:00:00Z" }')
+    engine.execute('STORE clicks FOR c3 PAYLOAD { "id": 3 }')
+    engine.execute("FLUSH")
+    df = engine.query('QUERY clicks SINCE "2024-01-03" USING created_at')
+    assert [r["id"] for r in df.collect()] == [1]
+
+
+def test_replay_append_order_and_projection(engine):
+    engine.execute('DEFINE product FIELDS { "name": "string", "price": "int", "color": "string" }')
+    engine.execute('STORE product FOR user-1 PAYLOAD { "name": "a", "price": 1, "color": "red" }')
+    engine.execute('STORE product FOR user-1 PAYLOAD { "name": "b", "price": 2, "color": "blue" }')
+    engine.execute('STORE product FOR user-2 PAYLOAD { "name": "c", "price": 3, "color": "green" }')
+    engine.execute("FLUSH")
+    df = engine.query("REPLAY product FOR user-1 RETURN [name]")
+    rows = df.collect()
+    assert [r["name"] for r in rows] == ["a", "b"]
+    assert "price" not in df.columns and "color" not in df.columns
+
+
+def test_replay_wildcard_all_types(engine):
+    engine.execute('DEFINE a FIELDS { "x": "int" }')
+    engine.execute('DEFINE b FIELDS { "y": "int" }')
+    engine.execute('STORE a FOR c1 PAYLOAD { "x": 1 }')
+    engine.execute('STORE b FOR c1 PAYLOAD { "y": 2 }')
+    engine.execute("FLUSH")
+    df = engine.query("REPLAY FOR c1")
+    assert [r["event_type"] for r in df.collect()] == ["a", "b"]
+
+
+def test_sequence_followed_by(engine):
+    # Mirror of scenario sequence_followed_by_basic.
+    engine.execute('DEFINE page_view FIELDS { "page": "string", "user_id": "string" }')
+    engine.execute('DEFINE order_created FIELDS { "order_id": "int", "user_id": "string" }')
+    engine.execute('STORE page_view FOR u1 PAYLOAD { "page": "/home", "user_id": "u1" }')
+    engine.execute('STORE order_created FOR u1 PAYLOAD { "order_id": 1, "user_id": "u1" }')
+    engine.execute('STORE page_view FOR u2 PAYLOAD { "page": "/checkout", "user_id": "u2" }')
+    engine.execute('STORE order_created FOR u2 PAYLOAD { "order_id": 2, "user_id": "u2" }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY page_view FOLLOWED BY order_created LINKED BY user_id")
+    rows = {(r["a_user_id"], r["b_order_id"]) for r in df.collect()}
+    assert rows == {("u1", 1), ("u2", 2)}
+    # per-side WHERE narrows to one funnel
+    df2 = engine.query(
+        'QUERY page_view FOLLOWED BY order_created LINKED BY user_id '
+        'WHERE page_view.page = "/checkout"'
+    )
+    assert {r["a_user_id"] for r in df2.collect()} == {"u2"}
+
+
+def test_sequence_followed_by_picks_first_b_at_or_after(engine):
+    engine.execute('DEFINE a FIELDS { "user_id": "string" }')
+    engine.execute('DEFINE b FIELDS { "user_id": "string", "n": "int" }')
+    engine.execute('STORE b FOR u1 PAYLOAD { "user_id": "u1", "n": 1 }')   # before A: skipped
+    engine.execute('STORE a FOR u1 PAYLOAD { "user_id": "u1" }')
+    engine.execute('STORE b FOR u1 PAYLOAD { "user_id": "u1", "n": 2 }')   # first B >= A
+    engine.execute('STORE b FOR u1 PAYLOAD { "user_id": "u1", "n": 3 }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY a FOLLOWED BY b LINKED BY user_id")
+    assert [r["b_n"] for r in df.collect()] == [2]
+
+
+def test_sequence_preceded_by_latest_strictly_before(engine):
+    engine.execute('DEFINE pay FIELDS { "user_id": "string" }')
+    engine.execute('DEFINE warn FIELDS { "user_id": "string", "n": "int" }')
+    engine.execute('STORE warn FOR u1 PAYLOAD { "user_id": "u1", "n": 1 }')
+    engine.execute('STORE warn FOR u1 PAYLOAD { "user_id": "u1", "n": 2 }')  # latest before
+    engine.execute('STORE pay FOR u1 PAYLOAD { "user_id": "u1" }')
+    engine.execute('STORE warn FOR u1 PAYLOAD { "user_id": "u1", "n": 3 }')  # after: ignored
+    engine.execute("FLUSH")
+    df = engine.query("QUERY pay PRECEDED BY warn LINKED BY user_id")
+    assert [r["b_n"] for r in df.collect()] == [2]
+
+
+def test_sequence_limit_caps_matches(engine):
+    engine.execute('DEFINE a FIELDS { "user_id": "string" }')
+    engine.execute('DEFINE b FIELDS { "user_id": "string" }')
+    for u in ("u1", "u2", "u3"):
+        engine.execute(f'STORE a FOR {u} PAYLOAD {{ "user_id": "{u}" }}')
+        engine.execute(f'STORE b FOR {u} PAYLOAD {{ "user_id": "{u}" }}')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY a FOLLOWED BY b LINKED BY user_id LIMIT 2")
+    assert df.count() == 2
+
+
+def test_multi_link_sequence_returns_empty(engine):
+    engine.execute('DEFINE a FIELDS { "user_id": "string" }')
+    engine.execute('STORE a FOR u1 PAYLOAD { "user_id": "u1" }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY a FOLLOWED BY a FOLLOWED BY a LINKED BY user_id")
+    assert df.count() == 0
+
+
+def test_remember_show_incremental(engine):
+    _setup_orders(engine)
+    engine.execute('REMEMBER QUERY orders WHERE country = "NL" AS nl_orders')
+    df = engine.execute("SHOW nl_orders").df
+    assert df.count() == 4
+    # new data arrives; SHOW refreshes incrementally from the high-water mark
+    engine.execute('STORE orders FOR c9 PAYLOAD { "amount": 99, "country": "NL", "plan": "pro" }')
+    engine.execute("FLUSH")
+    df2 = engine.execute("SHOW nl_orders").df
+    assert df2.count() == 5
+    with pytest.raises(MaterializationError):
+        engine.execute('REMEMBER QUERY orders AS nl_orders')
+    with pytest.raises(MaterializationError):
+        engine.execute("SHOW nope")
+
+
+def test_compare_via_plot(engine):
+    engine.execute('DEFINE purchase FIELDS { "amount": "int", "country": "string" }')
+    engine.execute('DEFINE refund FIELDS { "amount": "int", "country": "string" }')
+    for c, amt in (("NL", 10), ("NL", 20), ("DE", 5)):
+        engine.execute(f'STORE purchase FOR c PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    engine.execute('STORE refund FOR c PAYLOAD { "amount": 3, "country": "NL" }')
+    engine.execute("FLUSH")
+    df = engine.query("PLOT COUNT OF purchase VS COUNT OF refund BREAKDOWN BY country")
+    rows = {r["country"]: (r["purchase_count"], r["refund_count"]) for r in df.collect()}
+    assert rows == {"NL": (2, 1), "DE": (1, None)}
+
+
+def test_ping_and_batch(engine):
+    assert engine.execute("PING").message == "PONG"
+    res = engine.execute(
+        'BATCH DEFINE z FIELDS { "x": "int" }; STORE z FOR c1 PAYLOAD { "x": 1 }; FLUSH'
+    )
+    assert res.ok
+    assert engine.query("QUERY z").count() == 1

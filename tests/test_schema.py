@@ -1,0 +1,123 @@
+import pytest
+
+from sneldb_spark.errors import SchemaError, ValidationError
+from sneldb_spark.schema.normalization import (
+    normalize_date_to_midnight,
+    parse_time_value,
+    try_parse_time_value,
+)
+from sneldb_spark.schema.registry import SchemaRegistry
+from sneldb_spark.schema.types import FieldType, parse_field_spec
+from sneldb_spark.schema.validation import validate_payload
+
+
+def test_type_aliases():
+    assert parse_field_spec("varchar").kind == "string"
+    assert parse_field_spec("integer").kind == "i64"
+    assert parse_field_spec("number").kind == "f64"
+    assert parse_field_spec("uint64").kind == "u64"
+    assert parse_field_spec("timestamp").kind == "datetime"
+
+
+def test_nullable():
+    ft = parse_field_spec("string | null")
+    assert ft.nullable and ft.kind == "string"
+
+
+def test_enum_limits():
+    ft = parse_field_spec(["pro", "basic"])
+    assert ft.kind == "enum" and ft.enum_values == ("pro", "basic")
+    with pytest.raises(SchemaError):
+        parse_field_spec([])
+    with pytest.raises(SchemaError):
+        parse_field_spec(["a"] * 257)
+    with pytest.raises(SchemaError):
+        parse_field_spec(["a", "a"])
+    with pytest.raises(SchemaError):
+        parse_field_spec(["a", ""])
+
+
+def test_time_parsing():
+    assert parse_time_value("2024-01-01") == 1704067200
+    assert parse_time_value("2024-01-01T00:00:10Z") == 1704067210
+    assert parse_time_value("2024-01-01 00:00:10+00:00") == 1704067210
+    # magnitude sniffing: s / ms / us / ns
+    assert parse_time_value(1704067200) == 1704067200
+    assert parse_time_value(1704067200_000) == 1704067200
+    assert parse_time_value(1704067200_000_000) == 1704067200
+    assert parse_time_value(1704067200_000_000_000) == 1704067200
+    assert parse_time_value("1704067200000") == 1704067200
+    assert try_parse_time_value("not a time") is None
+
+
+def test_date_midnight():
+    assert normalize_date_to_midnight(1704067200 + 3600 * 5) == 1704067200
+
+
+def _registry(tmp_path):
+    return SchemaRegistry(str(tmp_path / "schemas.json"))
+
+
+def test_registry_versions(tmp_path):
+    reg = _registry(tmp_path)
+    s1 = reg.define("orders", {"amount": "int"})
+    assert s1.version == 1
+    s2 = reg.define("orders", {"amount": "int", "country": "string"})
+    assert s2.version == 2
+    assert reg.get("orders").version == 2
+    assert reg.get("orders", 1).fields.keys() == {"amount"}
+    # persistence round trip
+    reg2 = _registry(tmp_path)
+    assert reg2.get("orders").version == 2
+
+
+def test_registry_errors(tmp_path):
+    reg = _registry(tmp_path)
+    with pytest.raises(SchemaError):
+        reg.get("nope")
+    with pytest.raises(SchemaError):
+        reg.define("bad name!", {"a": "int"})
+    with pytest.raises(SchemaError):
+        reg.define("t", {"timestamp": "int"})  # reserved core field
+
+
+def _schema(tmp_path, fields):
+    reg = _registry(tmp_path)
+    return reg.define("t", fields)
+
+
+def test_validation_strict(tmp_path):
+    schema = _schema(tmp_path, {"amount": "int", "plan": ["pro", "basic"], "note": "string | null"})
+    ok = validate_payload(schema, {"amount": 5, "plan": "pro"})
+    assert ok == {"amount": 5, "plan": "pro", "note": None}
+    with pytest.raises(ValidationError):  # missing required
+        validate_payload(schema, {"plan": "pro"})
+    with pytest.raises(ValidationError):  # extra key
+        validate_payload(schema, {"amount": 5, "plan": "pro", "x": 1})
+    with pytest.raises(ValidationError):  # enum case-sensitive
+        validate_payload(schema, {"amount": 5, "plan": "PRO"})
+    with pytest.raises(ValidationError):  # bool is not int
+        validate_payload(schema, {"amount": True, "plan": "pro"})
+
+
+def test_validation_times(tmp_path):
+    schema = _schema(tmp_path, {"at": "datetime", "day": "date"})
+    out = validate_payload(schema, {"at": "2024-01-01T05:00:00Z", "day": "2024-01-01T05:00:00Z"})
+    assert out["at"] == 1704085200
+    assert out["day"] == 1704067200  # snapped to midnight UTC
+
+
+def test_validation_u64(tmp_path):
+    schema = _schema(tmp_path, {"n": "u64"})
+    assert validate_payload(schema, {"n": 0}) == {"n": 0}
+    with pytest.raises(ValidationError):
+        validate_payload(schema, {"n": -1})
+
+
+def test_fieldtype_json_roundtrip():
+    for ft in [
+        FieldType("i64", True),
+        FieldType("enum", False, ("a", "b")),
+        FieldType("datetime", False),
+    ]:
+        assert FieldType.from_json(ft.to_json()) == ft
