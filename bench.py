@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced with a count()
+(aggregate results are small; row-producing queries count rows) after a
+warm-up of the input file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sneldb_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # engine command-language families
+    "filter_where",
+    "since_bound",
+    "agg_count_by",
+    "agg_multi",
+    "agg_count_unique",
+    "agg_per_day",
+    "agg_per_hour_by",
+    "order_limit_offset",
+    "seq_followed_by",
+    "seq_preceded_by",
+    "compare_daily",
+    # scale suite
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    # pipeline extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_langid",
+    "similarity_topk",
+    "embedding_near_pairs",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="sneldb-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up: file listing + parquet footers + JVM codegen paths, so the
+    # first timed query doesn't absorb session startup.
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:
+            print(f"bench {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = float("nan")
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"bench {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "total wall seconds over headline query suite",
+        "value": round(sum(v for v in timings.values() if v == v), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -255,7 +255,7 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
             t = cur.next()
             if t.kind == "string":
                 q.context_id = t.text[1:-1]
-            elif t.kind == "ident":
+            elif t.kind in ("ident", "number"):
                 q.context_id = t.text
             else:
                 raise ParseError(f"expected context id after FOR, found {t}")
@@ -481,7 +481,7 @@ def _parse_replay(text: str) -> ast.ReplayCommand:
     t = cur.next()
     if t.kind == "string":
         ctx = t.text[1:-1]
-    elif t.kind == "ident":
+    elif t.kind in ("ident", "number"):
         ctx = t.text
     else:
         raise ParseError(f"expected context id after FOR, found {t}")

@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- exact: hash-groupBy on a content digest — one shuffle on a uniform key,
+  map-side partial aggregation; never a window over the whole table.
+- n-gram Jaccard: exact pairwise similarity via an *inverted index* join on
+  shingles (|pairs sharing a shingle|), not a cross join. Quadratic only
+  within shingle posting lists; a frequency cap drops degenerate shingles.
+- MinHash+LSH: linear-time candidate generation — b bands of r minhashes,
+  one shuffle on (band, band-hash); candidates then verified exactly.
+- SimHash: 64-bit fingerprints, banded into 4x16-bit blocks for candidate
+  generation (hamming <= 3 guarantees a matching block by pigeonhole).
+- embedding cosine: see similarity.py (brute-force and LSH variants).
+
+All built from built-in expressions (hash/xxhash64, explode, groupBy);
+no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sneldb_spark.pipeline.text import words_col
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text."""
+    words = words_col(text)
+    k = F.size(words)
+    return F.when(k >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical content by md5 digest. Returns one row per distinct
+    content: (content_hash, keep_id = min id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return the deduplicated rows (keeper = min id per identical content)."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(F.broadcast(keep), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) via inverted-index join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 10_000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (>= threshold) over n-word shingles.
+
+    |A ∩ B| comes from counting co-occurring shingle postings; sizes come
+    from per-doc distinct shingle counts; J = common / (|A|+|B|-common).
+    `max_shingle_freq` drops ubiquitous shingles that would create
+    quadratic postings (a standard cap; at threshold>=0.5 a shingle shared
+    by >max_freq docs cannot be discriminative).
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    sizes = docs.select("id", F.size("shingles").alias("n_shingles"))
+    postings = docs.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = postings.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        postings = postings.join(freq.select("shingle"), "shingle", "left_semi")
+    left = postings.alias("l")
+    right = postings.alias("r")
+    common = (
+        left.join(right, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+        .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — minimum of `num_hashes` seeded xxhash64
+    values over the doc's shingles. One explode + one groupBy with
+    `num_hashes` partial-aggregated mins; no UDFs, map-side combine."""
+    docs = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = docs.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by estimated Jaccard
+    (fraction of agreeing minhashes)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    s1 = sigs.withColumnRenamed("id", "id1").withColumnRenamed("sig", "sig1")
+    s2 = sigs.withColumnRenamed("id", "id2").withColumnRenamed("sig", "sig2")
+    est = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_hashes),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+    return est
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, bitwise majority vote.
+
+    Explode tokens once, then `bits` conditional-sum aggregations (all
+    partial-aggregated map-side); the fingerprint reassembles driver-free.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    def bitmask(i: int):
+        # JVM-side shift: bit 63 wraps to the long sign bit (1 << 63 would
+        # overflow the py4j literal).
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, bitmask(i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Candidate pairs by banded 16-bit blocks (pigeonhole: hamming <= 3
+    implies an identical block), verified by exact hamming distance."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.block").alias("block"), F.col("bb.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SNELDB_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark only
+        # reads as long via this flag (engine time columns are epoch-s longs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,188 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+text / multimodal) on the driver's sf0.001 tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from sneldb_spark.pipeline.dedup import exact_dedup, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_duplicates(df).collect()}
+    assert groups == {1: 2, 3: 1}
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    from sneldb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in ngram_jaccard_pairs(df).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_finds_exact_pairs(docs):
+    """MinHash-LSH candidates at threshold .5 must recover the exact-Jaccard
+    pairs (estimates are noisy, so compare against a lowered exact bar)."""
+    from sneldb_spark.pipeline.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup docs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_pairs_on_duplicates(spark):
+    from sneldb_spark.pipeline.dedup import simhash_fingerprints, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = simhash_fingerprints(df)
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in simhash_near_pairs(fps, 3).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    import numpy as np
+
+    from sneldb_spark.pipeline.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=4).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+
+    pdf = emb.toPandas()
+    mat = np.array([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for qid in range(3):
+        qrow = mat[ids == qid][0]
+        sims = np.round(mat @ qrow, 4)
+        order = sorted(
+            [(ids[i], sims[i]) for i in range(len(ids)) if ids[i] != qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        for rank in range(1, 5):
+            assert got[(qid, rank)] == order[rank - 1][0]
+
+
+def test_lsh_topk_recall(emb):
+    from sneldb_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
+                          max_probe_hamming=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_quality_features_values(spark):
+    from sneldb_spark.pipeline.text import quality_features
+
+    df = spark.createDataFrame([(1, "The cat, the hat!")], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["q_chars"] == 17
+    assert r["q_tokens"] == 4
+    assert r["q_words"] == 4
+    assert r["q_stopword_ratio"] == pytest.approx(0.5)  # 'the' twice / 4
+    assert r["q_punct_ratio"] == pytest.approx(2 / 17)
+
+
+def test_language_id(spark):
+    from sneldb_spark.pipeline.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat and it is fine"),
+            (2, "der hund ist nicht auf der couch und das ist gut"),
+            (3, "xyzzy plugh quux"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_invariant_to_case_and_punct(spark):
+    from sneldb_spark.pipeline.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different")], ["id", "text"]
+    )
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_feature_extraction(spark):
+    from sneldb_spark.pipeline.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (1, "image/png", b"\x89PNG fake bytes", 64, 64, None),
+        (2, "audio/wav", b"RIFF fake", None, None, 1500),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 15
+    assert len(out[1]["content_digest"]) == 64  # sha256 hex
+    assert len(out[1]["feature"]) == 8
+    # deterministic fake embedding
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[2]["feature"] == again[2]["feature"]
+
+
+def test_multimodal_decode_is_stubbed():
+    from sneldb_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+
+
+def test_frame_sampling(spark):
+    from sneldb_spark.pipeline.multimodal import MEDIA_SCHEMA, sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "video/mp4", b"x", None, None, 3500)], schema=MEDIA_SCHEMA
+    )
+    ts = [r["frame_ts_ms"] for r in sample_frames(media, every_ms=1000).collect()]
+    assert ts == [0, 1000, 2000, 3000]
