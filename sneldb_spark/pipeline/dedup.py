@@ -180,7 +180,10 @@ def minhash_dedup_pairs(
     """Near-dup pairs: LSH candidates verified by estimated Jaccard
     (fraction of agreeing minhashes)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # The signature table feeds banding AND both sides of the verify join;
+    # persist so the shingle explode + 64 min-aggs run once, not three times
+    # (at cluster scale this would be a checkpoint/table instead).
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n).persist()
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     s1 = sigs.withColumnRenamed("id", "id1").withColumnRenamed("sig", "sig1")
     s2 = sigs.withColumnRenamed("id", "id2").withColumnRenamed("sig", "sig2")

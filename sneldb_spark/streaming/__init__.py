@@ -1,0 +1,3 @@
+from sneldb_spark.streaming.ingest import StreamingIngest
+
+__all__ = ["StreamingIngest"]

@@ -1,0 +1,170 @@
+"""Structured Streaming STORE path.
+
+The reference's write pipeline — frontend -> validate -> WAL -> memtable ->
+flush (reference: src/command/handlers/store.rs:115-175, src/engine/shard/) —
+maps onto Structured Streaming:
+
+    source (json lines / Kafka / socket) --readStream-->
+    parse + validate against the schema registry -->
+    foreachBatch: assign server timestamp + event_id, append per-type Parquet
+
+- The WAL's durability role is played by the streaming checkpoint + the
+  source's own retention (Kafka) — exactly-once into the sink via the
+  batch-id-committed file sink protocol.
+- FLUSH <=> processAllAvailable() (a commit barrier; tests use it the same
+  way scenarios use the FLUSH command).
+- Validation REJECTS rows into a quarantine location rather than failing
+  the stream: at 100 TB you never stop the firehose for one bad event; the
+  reference instead returns a per-command error on the socket, which has no
+  streaming equivalent.
+
+Input format: JSON lines, one object per line:
+    {"event_type": "...", "context_id": "...", "payload": {...}}
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sneldb_spark.schema.registry import SchemaRegistry
+from sneldb_spark.schema.types import FieldType
+from sneldb_spark.store.event_store import EventStore
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("context_id", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),  # nested JSON as text
+    ]
+)
+
+
+def _payload_column(ft: FieldType, raw: F.Column) -> F.Column:
+    """JSON string fragment -> typed payload column (JVM-side casts; the
+    full normalization semantics live in schema/validation.py for the
+    command path — the streaming path accepts the common formats)."""
+    # try_cast everywhere: under ANSI mode (Spark 4 default) a plain cast
+    # would kill the stream on one malformed value; null -> quarantine.
+    if ft.kind in ("i64", "u64"):
+        return raw.try_cast("long")
+    if ft.kind == "f64":
+        return raw.try_cast("double")
+    if ft.kind == "bool":
+        return raw.try_cast("boolean")
+    if ft.kind == "datetime":
+        # numeric epoch (seconds) or ISO-8601 string
+        return F.coalesce(
+            raw.try_cast("long"),
+            F.unix_timestamp(F.try_to_timestamp(raw)).try_cast("long"),
+        )
+    if ft.kind == "date":
+        epoch = F.coalesce(
+            raw.try_cast("long"),
+            F.unix_timestamp(F.try_to_timestamp(raw)).try_cast("long"),
+        )
+        return (F.floor(epoch / 86400) * 86400).try_cast("long")
+    return raw  # string / enum
+
+
+def _valid_predicate(ft: FieldType, raw: F.Column, typed: F.Column) -> F.Column:
+    ok = F.when(raw.isNull(), F.lit(ft.nullable)).otherwise(typed.isNotNull())
+    if ft.kind == "enum":
+        ok = ok & (raw.isNull() | typed.isin(*ft.enum_values))
+    if ft.kind == "u64":
+        ok = ok & (raw.isNull() | (typed >= 0))
+    return ok
+
+
+class StreamingIngest:
+    """Drives a readStream of JSON-lines events into the EventStore."""
+
+    def __init__(self, store: EventStore, checkpoint_dir: str | None = None):
+        self.store = store
+        self.registry: SchemaRegistry = store.registry
+        self.checkpoint_dir = checkpoint_dir or os.path.join(store.root, "_checkpoints")
+        self.quarantine_dir = os.path.join(store.root, "_quarantine")
+        self._query = None
+
+    # -- batch transform (also unit-testable without a stream) -------------
+    def validate_and_type(self, raw: DataFrame, event_type: str) -> tuple[DataFrame, DataFrame]:
+        """Split a raw micro-batch into (typed valid rows, rejected rows)."""
+        schema = self.registry.get(event_type)
+        df = raw.where(F.col("event_type") == event_type)
+        typed_cols: list[F.Column] = []
+        valid = F.col("context_id").isNotNull()
+        for fname, ft in schema.fields.items():
+            raw_col = F.get_json_object(F.col("payload"), f"$.{fname}")
+            typed = _payload_column(ft, raw_col)
+            typed_cols.append(typed.alias(fname))
+            valid = valid & _valid_predicate(ft, raw_col, typed)
+        # extra undeclared keys are rejected by the command path; the
+        # streaming path tolerates them (declared fields win) — documented
+        # relaxation for firehose sources.
+        ok = df.where(valid).select(
+            F.col("context_id"), F.col("event_type"), *typed_cols
+        )
+        bad = df.where(~valid)
+        return ok, bad
+
+    def _process_batch(self, batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            now = int(time.time())
+            for event_type in self.registry.event_types():
+                ok, bad = self.validate_and_type(batch, event_type)
+                from sneldb_spark.store.event_store import next_event_id
+
+                base_id = next_event_id(now * 1000)
+                ok_rows = (
+                    ok.withColumn("timestamp", F.lit(now).cast("long"))
+                    # monotonic ids without driver round-trips: base + row id
+                    .withColumn(
+                        "event_id",
+                        (F.lit(base_id) + F.monotonically_increasing_id()).cast("long"),
+                    )
+                )
+                cols = ["context_id", "event_type", "timestamp", "event_id"] + sorted(
+                    self.registry.get(event_type).fields
+                )
+                if ok_rows.take(1):
+                    self.store.append_dataframe(event_type, ok_rows.select(*cols))
+                if bad.take(1):
+                    bad.withColumn("reject_batch", F.lit(batch_id)).write.mode(
+                        "append"
+                    ).json(os.path.join(self.quarantine_dir, event_type))
+        finally:
+            batch.unpersist()
+
+    # -- stream control ----------------------------------------------------
+    def start_from_json_dir(self, input_dir: str, trigger_seconds: int | None = None):
+        spark: SparkSession = self.store.spark
+        raw = (
+            spark.readStream.schema(INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .json(input_dir)
+        )
+        writer = (
+            raw.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("sneldb-ingest")
+        )
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        self._query = writer.start()
+        return self._query
+
+    def flush(self):
+        """FLUSH: block until everything available is committed."""
+        if self._query is not None:
+            self._query.processAllAvailable()
+
+    def stop(self):
+        if self._query is not None:
+            self._query.stop()
+            self._query = None

@@ -1,0 +1,191 @@
+"""Edge-case scenario families: enums, dates, IN/parens combinations,
+schema versioning, typed ORDER BY, USING TIME sequences, COMPARE errors.
+Modeled on reference scenario families (query_in_operator_*,
+query_parentheses_*, since_*/bucket_*, enum_*, birthdays leap-day)."""
+
+import pytest
+
+from sneldb_spark.errors import QueryError
+
+
+def test_enum_eq_neq_case_sensitive(engine):
+    engine.execute('DEFINE subscription FIELDS { "plan": ["pro", "basic"] }')
+    engine.execute('STORE subscription FOR c1 PAYLOAD { "plan": "pro" }')
+    engine.execute('STORE subscription FOR c2 PAYLOAD { "plan": "basic" }')
+    engine.execute("FLUSH")
+    assert engine.query('QUERY subscription WHERE plan = "pro"').count() == 1
+    assert engine.query('QUERY subscription WHERE plan != "pro"').count() == 1
+    # wrong case matches nothing (values are case-sensitive)
+    assert engine.query('QUERY subscription WHERE plan = "PRO"').count() == 0
+
+
+def test_date_field_normalization_and_equality(engine):
+    engine.execute('DEFINE birthdays FIELDS { "id": "int", "birthdate": "date" }')
+    engine.execute('STORE birthdays FOR c1 PAYLOAD { "id": 1, "birthdate": "2024-02-29" }')
+    # stored with a time-of-day component; date snaps to midnight UTC
+    engine.execute(
+        'STORE birthdays FOR c2 PAYLOAD { "id": 2, "birthdate": "2024-02-29T15:30:00Z" }'
+    )
+    engine.execute("FLUSH")
+    df = engine.query('QUERY birthdays WHERE birthdate = "2024-02-29"')
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_in_numbers_and_empty_result(engine):
+    engine.execute('DEFINE products FIELDS { "product_id": "int", "category": "string" }')
+    for i, cat in [(1, "a"), (2, "b"), (3, "c")]:
+        engine.execute(
+            f'STORE products FOR c{i} PAYLOAD {{ "product_id": {i}, "category": "{cat}" }}'
+        )
+    engine.execute("FLUSH")
+    assert engine.query("QUERY products WHERE product_id IN (1, 3)").count() == 2
+    assert engine.query("QUERY products WHERE product_id IN (99)").count() == 0
+    assert engine.query('QUERY products WHERE category IN ("a", "zz") OR product_id = 2').count() == 2
+
+
+def test_deep_parens_and_de_morgan(engine):
+    engine.execute('DEFINE t FIELDS { "a": "int", "b": "int" }')
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2)]
+    for i, (a, b) in enumerate(rows):
+        engine.execute(f'STORE t FOR c{i} PAYLOAD {{ "a": {a}, "b": {b} }}')
+    engine.execute("FLUSH")
+    # NOT (a = 1 OR b = 2)  ==  a != 1 AND b != 2
+    df1 = engine.query("QUERY t WHERE NOT (a = 1 OR b = 2)")
+    df2 = engine.query("QUERY t WHERE a != 1 AND b != 2")
+    assert {r["context_id"] for r in df1.collect()} == {r["context_id"] for r in df2.collect()} == {"c2"}
+    # nested parens
+    df3 = engine.query("QUERY t WHERE ((a = 1 AND (b = 1 OR b = 2)) OR (a = 2 AND b = 2))")
+    assert {r["context_id"] for r in df3.collect()} == {"c0", "c1", "c3"}
+
+
+def test_schema_versioning_latest_wins(engine):
+    engine.execute('DEFINE evt FIELDS { "x": "int" }')
+    engine.execute('DEFINE evt AS 2 FIELDS { "x": "int", "y": "string | null" }')
+    engine.execute('STORE evt FOR c1 PAYLOAD { "x": 1, "y": "hi" }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY evt")
+    assert df.collect()[0]["y"] == "hi"
+
+
+def test_order_by_string_field(engine):
+    engine.execute('DEFINE p FIELDS { "name": "string" }')
+    for i, n in enumerate(["banana", "apple", "cherry"]):
+        engine.execute(f'STORE p FOR c{i} PAYLOAD {{ "name": "{n}" }}')
+    engine.execute("FLUSH")
+    asc = [r["name"] for r in engine.query("QUERY p ORDER BY name").collect()]
+    assert asc == ["apple", "banana", "cherry"]
+    desc = [r["name"] for r in engine.query("QUERY p ORDER BY name DESC LIMIT 2").collect()]
+    assert desc == ["cherry", "banana"]
+
+
+def test_order_by_aggregate_output(engine):
+    engine.execute('DEFINE o FIELDS { "amount": "int", "country": "string" }')
+    for i, (amt, c) in enumerate([(1, "NL"), (2, "NL"), (3, "DE")]):
+        engine.execute(f'STORE o FOR c{i} PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY o COUNT BY country ORDER BY count DESC LIMIT 1")
+    assert df.collect()[0]["country"] == "NL"
+
+
+def test_dotted_field_names_are_literal(engine):
+    engine.execute('DEFINE geo FIELDS { "geo.city": "string" }')
+    engine.execute('STORE geo FOR c1 PAYLOAD { "geo.city": "ams" }')
+    engine.execute("FLUSH")
+    df = engine.query('QUERY geo WHERE geo.city = "ams"')
+    assert df.count() == 1
+
+
+def test_sequence_using_time_field(engine):
+    # sequence ordering driven by a payload datetime, not server time:
+    # store B events *before* A in wall-clock, but with later payload times
+    engine.execute('DEFINE a FIELDS { "user_id": "string", "at": "datetime" }')
+    engine.execute('DEFINE b FIELDS { "user_id": "string", "at": "datetime", "n": "int" }')
+    engine.execute('STORE b FOR u1 PAYLOAD { "user_id": "u1", "at": "2024-01-05T00:00:00Z", "n": 1 }')
+    engine.execute('STORE b FOR u1 PAYLOAD { "user_id": "u1", "at": "2024-01-01T00:00:00Z", "n": 2 }')
+    engine.execute('STORE a FOR u1 PAYLOAD { "user_id": "u1", "at": "2024-01-03T00:00:00Z" }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY a FOLLOWED BY b LINKED BY user_id USING TIME at")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["b_n"] == 1  # first b with at >= a.at
+
+
+def test_sequence_same_timestamp_matches(engine):
+    engine.execute('DEFINE x FIELDS { "user_id": "string", "at": "datetime" }')
+    engine.execute('DEFINE y FIELDS { "user_id": "string", "at": "datetime" }')
+    engine.execute('STORE x FOR u1 PAYLOAD { "user_id": "u1", "at": 1000 }')
+    engine.execute('STORE y FOR u1 PAYLOAD { "user_id": "u1", "at": 1000 }')
+    engine.execute("FLUSH")
+    # FOLLOWED BY: ts_B >= ts_A -> same timestamp matches
+    assert engine.query("QUERY x FOLLOWED BY y LINKED BY user_id USING TIME at").count() == 1
+    # PRECEDED BY: strict < -> same timestamp does NOT match
+    assert engine.query("QUERY x PRECEDED BY y LINKED BY user_id USING TIME at").count() == 0
+
+
+def test_sequence_for_context_isolation(engine):
+    engine.execute('DEFINE s1 FIELDS { "user_id": "string" }')
+    engine.execute('DEFINE s2 FIELDS { "user_id": "string" }')
+    for u in ("u1", "u2"):
+        engine.execute(f'STORE s1 FOR {u} PAYLOAD {{ "user_id": "{u}" }}')
+        engine.execute(f'STORE s2 FOR {u} PAYLOAD {{ "user_id": "{u}" }}')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY s1 FOLLOWED BY s2 LINKED BY user_id FOR u1")
+    assert {r["a_context_id"] for r in df.collect()} == {"u1"}
+
+
+def test_compare_mismatched_groups_rejected(engine):
+    from sneldb_spark.commands import ast
+    from sneldb_spark.plans.compare import compile_compare
+
+    engine.execute('DEFINE m FIELDS { "v": "int", "c": "string" }')
+    engine.execute('STORE m FOR c1 PAYLOAD { "v": 1, "c": "x" }')
+    engine.execute("FLUSH")
+    q1 = ast.QueryCommand(sequence=ast.EventSequence("m"), aggs=[ast.AggSpec("count")], group_by=["c"])
+    q2 = ast.QueryCommand(sequence=ast.EventSequence("m"), aggs=[ast.AggSpec("count")])
+    with pytest.raises(QueryError):
+        compile_compare(engine.compiler, ast.CompareCommand(queries=[q1, q2]))
+
+
+def test_compare_same_event_type_uses_fallback_labels(engine):
+    engine.execute('DEFINE m2 FIELDS { "v": "int" }')
+    engine.execute('STORE m2 FOR c1 PAYLOAD { "v": 1 }')
+    engine.execute("FLUSH")
+    df = engine.query("PLOT COUNT OF m2 VS COUNT OF m2")
+    assert sorted(df.columns) == ["left_count", "right_count"]
+
+
+def test_replay_since(engine):
+    engine.execute('DEFINE r FIELDS { "n": "int" }')
+    engine.execute('STORE r FOR c1 PAYLOAD { "n": 1 }')
+    engine.execute('STORE r FOR c1 PAYLOAD { "n": 2 }')
+    engine.execute("FLUSH")
+    base = engine._test_clock["now"]
+    df = engine.query(f'REPLAY r FOR c1 SINCE "{base}"')
+    assert [r["n"] for r in df.collect()] == [2]
+
+
+def test_u64_roundtrip(engine):
+    engine.execute('DEFINE big FIELDS { "n": "u64" }')
+    huge = 2**62
+    engine.execute(f'STORE big FOR c1 PAYLOAD {{ "n": {huge} }}')
+    engine.execute("FLUSH")
+    assert engine.query(f"QUERY big WHERE n >= {huge}").collect()[0]["n"] == huge
+
+
+def test_compaction_preserves_data(engine):
+    engine.execute('DEFINE cmp FIELDS { "n": "int" }')
+    for i in range(5):
+        engine.execute(f'STORE cmp FOR c{i} PAYLOAD {{ "n": {i} }}')
+        engine.execute("FLUSH")  # many small files
+    before = engine.query("QUERY cmp").count()
+    engine.store.compact("cmp")
+    assert engine.query("QUERY cmp").count() == before == 5
+
+
+def test_count_field_vs_count(engine):
+    engine.execute('DEFINE n FIELDS { "v": "int | null" }')
+    engine.execute('STORE n FOR c1 PAYLOAD { "v": 1 }')
+    engine.execute('STORE n FOR c2 PAYLOAD { }')
+    engine.execute("FLUSH")
+    df = engine.query("QUERY n COUNT, COUNT v")
+    r = df.collect()[0]
+    assert r["count"] == 2 and r["count_v"] == 1

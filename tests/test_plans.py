@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the engine must produce the plans you'd want
+at 100 TB, not merely correct ones.
+
+- filters reach the Parquet scan (PushedFilters — the analogue of the
+  reference's zone-skipping indexes);
+- projections prune the read schema (column files, P2);
+- small dimension joins broadcast (no shuffle of the fact table);
+- aggregates do partial (map-side) aggregation before the exchange;
+- sequence matching is a single shuffle (one Exchange on the link key);
+- whole-stage codegen covers the hot path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture()
+def entry_compiler(spark):
+    import __spark_entry__ as e
+
+    return e._compiler(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(engine):
+    engine.execute('DEFINE orders FIELDS { "amount": "int", "country": "string" }')
+    engine.execute('STORE orders FOR c1 PAYLOAD { "amount": 5, "country": "NL" }')
+    engine.execute("FLUSH")
+    plan = _formatted(engine.query('QUERY orders WHERE amount >= 5 AND country = "NL"'))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(amount,5)" in plan
+    assert "EqualTo(country,NL)" in plan
+
+
+def test_projection_prunes_read_schema(engine):
+    engine.execute('DEFINE product FIELDS { "name": "string", "price": "int", "color": "string" }')
+    engine.execute('STORE product FOR c1 PAYLOAD { "name": "a", "price": 1, "color": "red" }')
+    engine.execute("FLUSH")
+    plan = _formatted(engine.query("QUERY product RETURN [name]"))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "name" in read_schema
+    assert "price" not in read_schema and "color" not in read_schema
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_is_partial_then_final(entry_compiler):
+    from sneldb_spark.commands.parser import parse_command
+
+    df = entry_compiler.compile(parse_command("QUERY purchase COUNT BY k"))
+    plan = _plan(df)
+    # two HashAggregate phases around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(k" in plan
+
+
+def test_sequence_is_single_shuffle(entry_compiler):
+    from sneldb_spark.commands.parser import parse_command
+
+    df = entry_compiler.compile(
+        parse_command("QUERY signup FOLLOWED BY purchase LINKED BY context_id")
+    )
+    plan = _plan(df)
+    # one exchange for the window over the link key; the union sides
+    # themselves must not add extra shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_orderby_limit_is_take_ordered(entry_compiler):
+    from sneldb_spark.commands.parser import parse_command
+
+    df = entry_compiler.compile(
+        parse_command("QUERY purchase ORDER BY event_id DESC LIMIT 10")
+    )
+    plan = _plan(df)
+    # top-k should never globally sort: TakeOrderedAndProject is the
+    # built-in equivalent of the reference's RLTE top-k pruning outcome
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_since_prunes_partitions(engine):
+    """SINCE on server time must prune ingest_date partitions."""
+    engine.execute('DEFINE ts_t FIELDS { "n": "int" }')
+    engine._test_clock["now"] = 1700000000
+    engine.execute('STORE ts_t FOR c1 PAYLOAD { "n": 1 }')
+    engine._test_clock["now"] = 1700000000 + 40 * 86400  # 40 days later
+    engine.execute('STORE ts_t FOR c2 PAYLOAD { "n": 2 }')
+    engine.execute("FLUSH")
+    df = engine.query(f'QUERY ts_t SINCE "{1700000000 + 39 * 86400}"')
+    assert df.count() == 1
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(timestamp" in plan
+
+
+def test_whole_stage_codegen_on_filter_path(entry_compiler):
+    from sneldb_spark.commands.parser import parse_command
+
+    df = entry_compiler.compile(parse_command("QUERY purchase WHERE value >= 100"))
+    # formatted explain marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in _formatted(df)

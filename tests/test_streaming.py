@@ -1,0 +1,88 @@
+"""Structured Streaming ingest path: JSON-lines dir -> validate -> Parquet,
+with FLUSH as the commit barrier (reference scenarios use FLUSH the same
+way to cross the memory/disk boundary)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def ingest(engine, tmp_path):
+    from sneldb_spark.streaming.ingest import StreamingIngest
+
+    engine.execute(
+        'DEFINE metrics FIELDS { "value": "int", "region": "string", '
+        '"at": "datetime | null" }'
+    )
+    ing = StreamingIngest(engine.store)
+    yield engine, ing, tmp_path
+    ing.stop()
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_ingest_end_to_end(ingest):
+    engine, ing, tmp_path = ingest
+    in_dir = tmp_path / "incoming"
+    os.makedirs(in_dir)
+    _write_jsonl(
+        in_dir / "batch1.jsonl",
+        [
+            {"event_type": "metrics", "context_id": "c1",
+             "payload": json.dumps({"value": 10, "region": "eu", "at": "2024-01-01T00:00:00Z"})},
+            {"event_type": "metrics", "context_id": "c2",
+             "payload": json.dumps({"value": 20, "region": "us"})},
+            # invalid: value not a number -> quarantined, stream keeps going
+            {"event_type": "metrics", "context_id": "c3",
+             "payload": json.dumps({"value": "NaN-ish", "region": "eu"})},
+        ],
+    )
+    ing.start_from_json_dir(str(in_dir))
+    ing.flush()
+
+    df = engine.query("QUERY metrics")
+    rows = {r["context_id"]: r for r in df.collect()}
+    assert set(rows) == {"c1", "c2"}
+    assert rows["c1"]["value"] == 10
+    assert rows["c1"]["at"] == 1704067200
+    assert rows["c2"]["at"] is None
+
+    # late-arriving file is picked up by the running stream
+    _write_jsonl(
+        in_dir / "batch2.jsonl",
+        [{"event_type": "metrics", "context_id": "c4",
+          "payload": json.dumps({"value": 40, "region": "eu"})}],
+    )
+    ing.flush()
+    assert engine.query("QUERY metrics").count() == 3
+    # engine queries compose on top of streamed data
+    agg = engine.query("QUERY metrics TOTAL value BY region").collect()
+    assert {r["region"]: r["total_value"] for r in agg} == {"eu": 50, "us": 20}
+
+    # quarantine captured the bad row
+    q_dir = os.path.join(engine.store.root, "_quarantine", "metrics")
+    assert os.path.isdir(q_dir)
+
+
+def test_streaming_validation_batch_api(ingest):
+    """validate_and_type is usable as a plain batch transform."""
+    engine, ing, _ = ingest
+    spark = engine.spark
+    from sneldb_spark.streaming.ingest import INPUT_SCHEMA
+
+    raw = spark.createDataFrame(
+        [
+            ("metrics", "c1", json.dumps({"value": 5, "region": "eu"})),
+            ("metrics", None, json.dumps({"value": 5, "region": "eu"})),  # no ctx
+            ("metrics", "c2", json.dumps({"region": "eu"})),  # missing value
+        ],
+        schema=INPUT_SCHEMA,
+    )
+    ok, bad = ing.validate_and_type(raw, "metrics")
+    assert ok.count() == 1 and bad.count() == 2
