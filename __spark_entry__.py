@@ -463,6 +463,47 @@ SELECT id1, id2, sim FROM sims WHERE sim >= 0.4
 """
 
 
+def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization lifecycle inside the gate: ingest half the events
+    into a real engine store, REMEMBER a filtered query, ingest the rest,
+    then SHOW — the result must equal the query over ALL events (the
+    second half arrives purely via the incremental high-water-mark path).
+    """
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+
+    frame = _events_frame(spark, sf_dir).where(F.col("event_type") == "purchase")
+    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+
+    root = tempfile.mkdtemp(prefix="sneldb_gate_")
+    try:
+        db = SnelDB(spark, root)
+        db.store.registry.define(
+            "purchase",
+            {"k": "int | null", "props": "string", "value": "float",
+             "value_cents": "int"},
+        )
+        cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
+                "value", "value_cents"]
+        db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
+        db.execute("REMEMBER QUERY purchase WHERE value >= 250 AS big_purchases")
+        db.store.append_dataframe("purchase", frame.where(F.col("event_id") > mid).select(cols))
+        out = db.execute("SHOW big_purchases").df
+        # materialize before the tmpdir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REMEMBER_SHOW_SQL = (
+    f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
+    "WHERE event_type = 'purchase' AND value >= 250"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes stand in for media blobs; the
     Arrow-batched mapInPandas path computes real digests/sizes."""
@@ -562,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
+        # --- materialization (REMEMBER/SHOW incremental refresh) ---
+        "remember_show": q_remember_show,
     }
 
 
@@ -640,6 +683,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "similarity_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk
     }

@@ -46,6 +46,41 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_streaming_ingest(spark, n_events: int) -> float:
+    import json as _json
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.streaming.ingest import StreamingIngest
+
+    root = tempfile.mkdtemp(prefix="sneldb_bench_ingest_")
+    in_dir = os.path.join(root, "incoming")
+    os.makedirs(in_dir)
+    try:
+        db = SnelDB(spark, os.path.join(root, "db"))
+        db.store.registry.define("clicks", {"url": "string", "ms": "int"})
+        per_file = 10_000
+        for fi in range(n_events // per_file):
+            with open(os.path.join(in_dir, f"batch{fi}.jsonl"), "w") as f:
+                for i in range(per_file):
+                    f.write(_json.dumps({
+                        "event_type": "clicks",
+                        "context_id": f"u{i % 997}",
+                        "payload": _json.dumps({"url": f"/p{i}", "ms": i}),
+                    }) + "\n")
+        ing = StreamingIngest(db.store)
+        t0 = time.perf_counter()
+        ing.start_from_json_dir(in_dir)
+        ing.flush()
+        dt = time.perf_counter() - t0
+        ing.stop()
+        assert db.store.read("clicks").count() == n_events
+        return dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +107,11 @@ def main():
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         print(f"bench {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # streaming ingest throughput: 50k JSON-lines events through the
+    # Structured Streaming path into partitioned Parquet
+    timings["streaming_ingest_50k"] = round(_bench_streaming_ingest(spark, 50_000), 3)
+    print(f"bench streaming_ingest_50k: {timings['streaming_ingest_50k']}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -1,0 +1,74 @@
+"""Response rendering: the reference's wire formats.
+
+JSON frame stream (reference: src/shared/response/json.rs:138-216):
+
+    {"type": "schema", "columns": [...], "types": [...]}
+    {"type": "batch", "rows": [[...], ...], "row_count": N}
+    ...
+    {"type": "end", "row_count": total}
+
+Arrow IPC stream (reference: src/shared/response/arrow.rs:115-180): the
+whole result as Arrow record batches.
+
+Batches stream via `toLocalIterator`, so the driver never holds the full
+result; batch size mirrors the reference's `streaming_batch_size = 1000`.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+STREAMING_BATCH_SIZE = 1000
+
+
+def _json_cell(v):
+    if v is None or isinstance(v, (str, bool, int)):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return [_json_cell(x) for x in v]
+    return str(v)
+
+
+def json_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterator[str]:
+    """Yield JSON frame lines for a result DataFrame."""
+    schema = df.schema
+    yield json.dumps(
+        {
+            "type": "schema",
+            "columns": [f.name for f in schema.fields],
+            "types": [f.dataType.simpleString() for f in schema.fields],
+        }
+    )
+    total = 0
+    batch: list[list] = []
+    for row in df.toLocalIterator():
+        batch.append([_json_cell(v) for v in row])
+        if len(batch) >= batch_size:
+            total += len(batch)
+            yield json.dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
+            batch = []
+    if batch:
+        total += len(batch)
+        yield json.dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
+    yield json.dumps({"type": "end", "row_count": total})
+
+
+def arrow_ipc_bytes(df: DataFrame) -> bytes:
+    """Whole result as an Arrow IPC stream (for `output_format = "arrow"`)."""
+    import io
+
+    import pyarrow as pa
+
+    table = df.toArrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()

@@ -62,20 +62,49 @@ class Materializer:
     def _incrementable(self, q: ast.QueryCommand) -> bool:
         return not q.is_aggregate and not q.is_sequence and q.limit is None
 
+    def _apply_retention(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Retention per the reference's materialization limits: keep rows
+        no older than max_age_seconds, and at most max_rows (newest first).
+        Only meaningful for event-shaped (non-aggregate) results."""
+        max_age = manifest.get("max_age_seconds")
+        max_rows = manifest.get("max_rows")
+        if "timestamp" not in df.columns:
+            return df
+        if max_age is not None:
+            import time as _time
+
+            cutoff = int(_time.time()) - int(max_age)
+            df = df.where(F.col("timestamp") >= F.lit(cutoff))
+        if max_rows is not None:
+            df = (
+                df.orderBy(F.col("timestamp").desc(), F.col("event_id").desc())
+                .limit(int(max_rows))
+            )
+        return df
+
     # -- REMEMBER ---------------------------------------------------------
-    def remember(self, name: str, q: ast.QueryCommand):
+    def remember(
+        self,
+        name: str,
+        q: ast.QueryCommand,
+        max_rows: int | None = None,
+        max_age_seconds: int | None = None,
+    ):
         if self.exists(name):
             raise MaterializationError(f"materialization {name!r} already exists")
-        df = self.engine.compiler.compile_query(q)
-        path = os.path.join(self._dir(name), "data")
-        df.write.mode("overwrite").parquet(path)
-        hwm_ts, hwm_id = self._source_hwm(q)
         manifest = {
             "name": name,
             "query": query_to_json(q),
-            "hwm_ts": hwm_ts,
-            "hwm_id": hwm_id,
+            "hwm_ts": -1,
+            "hwm_id": -1,
+            "max_rows": max_rows,
+            "max_age_seconds": max_age_seconds,
         }
+        df = self._apply_retention(self.engine.compiler.compile_query(q), manifest)
+        path = os.path.join(self._dir(name), "data")
+        df.write.mode("overwrite").parquet(path)
+        hwm_ts, hwm_id = self._source_hwm(q)
+        manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
 
@@ -101,7 +130,9 @@ class Materializer:
                 )
             )
             stored = self.engine.spark.read.parquet(path)
-            merged = stored.unionByName(delta_df).dropDuplicates(["event_id"])
+            merged = self._apply_retention(
+                stored.unionByName(delta_df).dropDuplicates(["event_id"]), manifest
+            )
             tmp = path + ".tmp"
             merged.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(path)
