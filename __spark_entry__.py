@@ -579,13 +579,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_per_hour_by": _cmd("QUERY click COUNT PER HOUR BY k"),
         "agg_per_week": _cmd("QUERY view COUNT PER WEEK"),
         "agg_per_month_naive": _cmd("QUERY signup COUNT PER MONTH", mode="naive"),
+        "agg_per_year": _cmd("QUERY purchase COUNT PER YEAR"),
+        "agg_per_year_naive": _cmd("QUERY click COUNT PER YEAR", mode="naive"),
+        "agg_count_field": _cmd("QUERY view COUNT k, COUNT UNIQUE k"),
+        "agg_order_limit": _cmd(
+            "QUERY purchase COUNT, TOTAL value_cents BY k ORDER BY k LIMIT 5"
+        ),
         # --- sorts / limits (O1-O5) ---
         "order_limit_offset": _cmd("QUERY purchase ORDER BY event_id DESC LIMIT 50 OFFSET 10"),
         # --- sequences (J1, J2) ---
         "seq_followed_by": _cmd("QUERY signup FOLLOWED BY purchase LINKED BY context_id"),
         "seq_preceded_by": _cmd("QUERY error PRECEDED BY click LINKED BY context_id"),
-        # --- compare (J3) ---
+        "seq_where_sides": _cmd(
+            "QUERY signup FOLLOWED BY purchase LINKED BY context_id "
+            "WHERE signup.k < 50 AND purchase.value > 100"
+        ),
+        "seq_agg": _cmd("QUERY signup FOLLOWED BY purchase LINKED BY context_id COUNT BY k"),
+        # --- compare (J3) / PlotQL (W3) ---
         "compare_daily": _cmd("PLOT COUNT OF purchase VS COUNT OF click OVER day(timestamp)"),
+        "plot_breakdown": _cmd(
+            "PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
+            "BREAKDOWN BY k OVER day(timestamp)"
+        ),
+        "compare_three": _cmd(
+            "PLOT COUNT OF purchase VS COUNT OF click VS COUNT OF error OVER day(timestamp)"
+        ),
+        "replay_typed": _cmd("REPLAY error FOR 3 RETURN [value, k]"),
         # --- TPC-H-ish scale suite (joins/agg at scale; extensions) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -613,6 +632,11 @@ def oracle_sql() -> dict[str, str]:
     hour = '(("timestamp" // 3600) * 3600)'
     week = 'CAST(floor(epoch(date_trunc(\'week\', make_timestamp("timestamp" * 1000000)))) AS BIGINT)'
     month_naive = '(("timestamp" // 2592000) * 2592000)'
+    year_cal = (
+        "CAST(floor(epoch(date_trunc('year', "
+        'make_timestamp("timestamp" * 1000000)))) AS BIGINT)'
+    )
+    year_naive = '(("timestamp" // 31536000) * 31536000)'
     return {
         "filter_where": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' AND value >= 100 AND k < 50",
@@ -645,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM ev WHERE event_type = 'view' GROUP BY bucket",
         "agg_per_month_naive": f"WITH {_EV_CTE} SELECT {month_naive} AS bucket, count(*) AS count "
         "FROM ev WHERE event_type = 'signup' GROUP BY bucket",
+        "agg_per_year": f"WITH {_EV_CTE} SELECT {year_cal} AS bucket, count(*) AS count "
+        "FROM ev WHERE event_type = 'purchase' GROUP BY bucket",
+        "agg_per_year_naive": f"WITH {_EV_CTE} SELECT {year_naive} AS bucket, count(*) AS count "
+        "FROM ev WHERE event_type = 'click' GROUP BY bucket",
+        "agg_count_field": f"WITH {_EV_CTE} SELECT count(k) AS count_k, "
+        "count(DISTINCT k) AS count_unique_k FROM ev WHERE event_type = 'view'",
+        "agg_order_limit": f"WITH {_EV_CTE} SELECT k, count(*) AS count, "
+        "sum(value_cents) AS total_value_cents "
+        "FROM ev WHERE event_type = 'purchase' GROUP BY k ORDER BY k LIMIT 5",
         "order_limit_offset": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50 OFFSET 10",
         "seq_followed_by": f"""WITH {_EV_CTE},
@@ -665,6 +698,41 @@ pairs AS (
   FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" < a."timestamp")
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
 FROM pairs WHERE rn = 1""",
+        "seq_where_sides": f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup' AND k < 50),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND value > 100),
+pairs AS (
+  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
+         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
+FROM pairs WHERE rn = 1""",
+        "seq_agg": f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.k AS k,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+SELECT k, count(*) AS count FROM pairs WHERE rn = 1 GROUP BY k""",
+        "plot_breakdown": f"""WITH {_EV_CTE},
+p AS (SELECT {day} AS bucket, k, count(*) AS purchase_count FROM ev
+      WHERE event_type = 'purchase' GROUP BY bucket, k),
+c AS (SELECT {day} AS bucket, k, sum(value_cents) AS click_total_value_cents FROM ev
+      WHERE event_type = 'click' GROUP BY bucket, k)
+SELECT COALESCE(p.bucket, c.bucket) AS bucket, COALESCE(p.k, c.k) AS k,
+       purchase_count, click_total_value_cents
+FROM p FULL OUTER JOIN c ON p.bucket = c.bucket AND p.k = c.k""",
+        "compare_three": f"""WITH {_EV_CTE},
+p AS (SELECT {day} AS bucket, count(*) AS cnt FROM ev WHERE event_type = 'purchase' GROUP BY bucket),
+c AS (SELECT {day} AS bucket, count(*) AS cnt FROM ev WHERE event_type = 'click' GROUP BY bucket),
+e AS (SELECT {day} AS bucket, count(*) AS cnt FROM ev WHERE event_type = 'error' GROUP BY bucket)
+SELECT COALESCE(p.bucket, c.bucket, e.bucket) AS bucket,
+       p.cnt AS purchase_count, c.cnt AS click_count, e.cnt AS error_count
+FROM p FULL OUTER JOIN c ON p.bucket = c.bucket
+       FULL OUTER JOIN e ON COALESCE(p.bucket, c.bucket) = e.bucket""",
+        "replay_typed": f"WITH {_EV_CTE} SELECT context_id, event_type, \"timestamp\", event_id, value, k "
+        "FROM ev WHERE event_type = 'error' AND context_id = '3'",
         "compare_daily": f"""WITH {_EV_CTE},
 p AS (SELECT {day} AS bucket, count(*) AS cnt FROM ev WHERE event_type = 'purchase' GROUP BY bucket),
 c AS (SELECT {day} AS bucket, count(*) AS cnt FROM ev WHERE event_type = 'click' GROUP BY bucket)
