@@ -32,7 +32,12 @@ from sneldb_spark.pipeline.dedup import (
     simhash_near_pairs,
 )
 from sneldb_spark.pipeline.multimodal import extract_features
-from sneldb_spark.pipeline.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
+from sneldb_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_near_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from sneldb_spark.pipeline.text import (
     fingerprint,
     language_id,
@@ -443,6 +448,15 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == nlist (exhaustive probes): exercises the full
+    index build + probe + rerank machinery while staying exact, so the
+    brute-force SQL oracle applies. Tests assert recall at nprobe < nlist."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=8)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(e, threshold=0.4)
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_fingerprint": q_text_tokens_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
@@ -749,6 +764,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,
         "similarity_topk": _SIMILARITY_TOPK_SQL,
+        "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,

@@ -175,6 +175,134 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assignments(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: spherical k-means with deterministic init.
+
+    Centroids start as the `nlist` lowest-id vectors (deterministic, no
+    RNG), then `iters` Lloyd rounds. Per round: assignment is a distributed
+    Arrow-batched argmax GEMM; the centroid update aggregates per-cluster
+    element sums JVM-side (posexplode -> groupBy(cluster, pos)) so only the
+    (nlist x dim) centroid table ever reaches the driver. Returns
+    (corpus with `cluster` column, normalized centroid matrix).
+
+    At 100 TB the assignment pass is a full scan per round (embarrassingly
+    parallel, no shuffle); the update shuffles (nlist * dim) partial sums —
+    both independent of corpus size in driver memory.
+    """
+    seed_pdf = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(nlist).toPandas()
+    )
+    cents = np.array([np.asarray(v, dtype=np.float64) for v in seed_pdf[vec_col]])
+
+    def _norm_rows(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    cents = _norm_rows(cents)
+
+    def assign_fn(centroids: np.ndarray):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                sims = _norm_rows(mat) @ centroids.T
+                yield pd.DataFrame(
+                    {"id": pdf[id_col].to_numpy(), "cluster": sims.argmax(axis=1)}
+                )
+
+        return assign
+
+    assign_schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("cluster", T.IntegerType(), False)]
+    )
+    base = df.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = base.mapInPandas(assign_fn(cents), schema=assign_schema)
+        joined = base.join(assigned, base[id_col] == assigned["id"], "inner")
+        sums = (
+            joined.select(F.col("cluster"), F.posexplode(_as_double(F.col(vec_col))))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .toPandas()
+        )
+        new = cents.copy()
+        for cl, grp in sums.groupby("cluster"):
+            vec = np.zeros(cents.shape[1])
+            vec[grp["pos"].to_numpy()] = grp["s"].to_numpy() / grp["n"].to_numpy()
+            new[int(cl)] = vec
+        cents = _norm_rows(new)
+
+    assigned = base.mapInPandas(assign_fn(cents), schema=assign_schema)
+    with_cluster = df.join(
+        assigned.withColumnRenamed("id", id_col), on=id_col, how="inner"
+    )
+    return with_cluster, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF ANN top-k: probe the `nprobe` nearest inverted lists per query,
+    exact-score only those candidates. `nprobe == nlist` degenerates to the
+    exact scan (used by the oracle-checked gate query); smaller nprobe is
+    the 100 TB path — each query touches ~nprobe/nlist of the corpus, and
+    the cluster column can be a partition key so probes prune files.
+    """
+    with_cluster, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
+    q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    probes = [
+        (int(qid), int(cl)) for qid, row in zip(q_ids, probe_order) for cl in row
+    ]
+    probe_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(probes, schema="query_id long, cluster int")
+    )
+    qlookup = {int(qid): q_mat[j] for j, qid in enumerate(q_ids)}
+
+    cand = with_cluster.join(probe_df, on="cluster", how="inner").where(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            qm = np.stack([qlookup[int(q)] for q in pdf["query_id"]])
+            sims = ((mat / norms) * qm).sum(axis=1)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "sim": sims,
+                }
+            )
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(score, schema=_SIM_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 _PAIR_SCHEMA = T.StructType(
     [
         T.StructField("id1", T.LongType(), False),

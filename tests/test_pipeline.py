@@ -117,6 +117,38 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_exact_when_exhaustive(emb):
+    from sneldb_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    # nprobe == nlist probes every inverted list -> identical to brute force
+    full = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_topk_recall_with_partial_probes(emb):
+    from sneldb_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_quality_features_values(spark):
     from sneldb_spark.pipeline.text import quality_features
 
