@@ -30,7 +30,9 @@ BENCH_QUERIES = [
     "order_limit_offset",
     "seq_followed_by",
     "seq_preceded_by",
+    "seq_agg",
     "compare_daily",
+    "plot_breakdown",
     # scale suite
     "tpch_q1",
     "tpch_q3",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "similarity_topk",
+    "similarity_ivf_topk",
     "embedding_near_pairs",
 ]
 
@@ -91,6 +94,13 @@ def main():
     # first timed query doesn't absorb session startup.
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # ... and the Arrow Python-worker pool (one worker per core spawns on
+    # the first mapInPandas; they are reused by every later Pandas-UDF stage).
+    import pandas as _pd
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sneldb_spark.pipeline import ensure_min_partitions
 from sneldb_spark.pipeline.text import words_col
 
 
@@ -89,7 +90,7 @@ def ngram_jaccard_pairs(
     quadratic postings (a standard cap; at threshold>=0.5 a shingle shared
     by >max_freq docs cannot be discriminative).
     """
-    docs = df.select(
+    docs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("shingles")
     )
     sizes = docs.select("id", F.size("shingles").alias("n_shingles"))
@@ -118,6 +119,7 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -128,11 +130,14 @@ def minhash_signatures(
     """(id, sig: array<long>) — minimum of `num_hashes` seeded xxhash64
     values over the doc's shingles. One explode + one groupBy with
     `num_hashes` partial-aggregated mins; no UDFs, map-side combine."""
-    docs = df.select(
+    docs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
-    )
+    ).withColumn("h0", F.xxhash64("shingle"))
+    # One string hash per shingle; the per-function hashes re-hash only the
+    # fixed-width 8-byte h0 (not the shingle string), so variable-length
+    # string hashing — which dominated the old plan — happens once.
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = docs.groupBy("id").agg(*mins)
@@ -213,7 +218,7 @@ def simhash_fingerprints(
     Explode tokens once, then `bits` conditional-sum aggregations (all
     partial-aggregated map-side); the fingerprint reassembles driver-free.
     """
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     def bitmask(i: int):

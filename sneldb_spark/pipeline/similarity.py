@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sneldb_spark.pipeline import ensure_min_partitions
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -115,7 +117,9 @@ def brute_force_topk(
                         out.append((qid, ids[i], col[i]))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=_SIM_SCHEMA)
+    scored = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=_SIM_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -134,7 +138,9 @@ def lsh_signatures(
     import random
 
     rng = random.Random(seed)
-    out = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    out = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
     sig = F.lit(0).cast("long")
     for i in range(planes):
         plane = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
@@ -207,44 +213,60 @@ def ivf_assignments(
 
     cents = _norm_rows(cents)
 
-    def assign_fn(centroids: np.ndarray):
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _batch_matrix(pdf: pd.DataFrame) -> np.ndarray:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        return _norm_rows(mat)
+
+    base = ensure_min_partitions(df)
+
+    # Lloyd rounds: one scan each; every Arrow batch emits only its nlist
+    # partial (sum, count) rows, reduced on the driver — no join, no
+    # explode shuffle. At 100 TB each round moves O(batches * nlist * dim)
+    # floats to the driver, independent of row count.
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("s", T.ArrayType(T.DoubleType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    for _ in range(iters):
+        centroids = cents
+
+        def partials(
+            batches: Iterator[pd.DataFrame], centroids=centroids
+        ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                sims = _norm_rows(mat) @ centroids.T
-                yield pd.DataFrame(
-                    {"id": pdf[id_col].to_numpy(), "cluster": sims.argmax(axis=1)}
-                )
+                raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                asn = (_norm_rows(raw) @ centroids.T).argmax(axis=1)
+                rows = []
+                for cl in np.unique(asn):
+                    sel = raw[asn == cl]
+                    rows.append((int(cl), sel.sum(axis=0).tolist(), len(sel)))
+                yield pd.DataFrame(rows, columns=["cluster", "s", "n"])
 
-        return assign
-
-    assign_schema = T.StructType(
-        [T.StructField("id", T.LongType(), False), T.StructField("cluster", T.IntegerType(), False)]
-    )
-    base = df.select(id_col, vec_col)
-    for _ in range(iters):
-        assigned = base.mapInPandas(assign_fn(cents), schema=assign_schema)
-        joined = base.join(assigned, base[id_col] == assigned["id"], "inner")
-        sums = (
-            joined.select(F.col("cluster"), F.posexplode(_as_double(F.col(vec_col))))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
-            .toPandas()
-        )
+        pdf = base.select(vec_col).mapInPandas(partials, schema=partial_schema).toPandas()
         new = cents.copy()
-        for cl, grp in sums.groupby("cluster"):
-            vec = np.zeros(cents.shape[1])
-            vec[grp["pos"].to_numpy()] = grp["s"].to_numpy() / grp["n"].to_numpy()
-            new[int(cl)] = vec
+        for cl, grp in pdf.groupby("cluster"):
+            total = np.sum(np.stack([np.asarray(s) for s in grp["s"]]), axis=0)
+            new[int(cl)] = total / grp["n"].sum()
         cents = _norm_rows(new)
 
-    assigned = base.mapInPandas(assign_fn(cents), schema=assign_schema)
-    with_cluster = df.join(
-        assigned.withColumnRenamed("id", id_col), on=id_col, how="inner"
-    )
-    return with_cluster, cents
+    # Final pass: tag every row with its list id in one Arrow pass-through.
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("cluster", T.IntegerType(), False)])
+    centroids = cents
+
+    def tag(batches: Iterator[pd.DataFrame], centroids=centroids) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["cluster"] = (_batch_matrix(pdf) @ centroids.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return base.mapInPandas(tag, schema=out_schema), cents
 
 
 def ivf_topk(
@@ -264,41 +286,52 @@ def ivf_topk(
     the 100 TB path — each query touches ~nprobe/nlist of the corpus, and
     the cluster column can be a partition key so probes prune files.
     """
-    with_cluster, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
+    _, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    # probe_mask[cluster, j] = does query j probe this inverted list?
     probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
-    probes = [
-        (int(qid), int(cl)) for qid, row in zip(q_ids, probe_order) for cl in row
-    ]
-    probe_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(probes, schema="query_id long, cluster int")
-    )
-    qlookup = {int(qid): q_mat[j] for j, qid in enumerate(q_ids)}
+    probe_mask = np.zeros((nlist, len(q_ids)), dtype=bool)
+    for j, row in enumerate(probe_order):
+        probe_mask[row, j] = True
 
-    cand = with_cluster.join(probe_df, on="cluster", how="inner").where(
-        F.col(id_col) != F.col("query_id")
-    )
-
+    # One scan, no join: each Arrow batch assigns its rows to lists (argmax
+    # GEMM against the centroid matrix), masks scores to probing queries,
+    # and emits its local top-k per query. Rows in lists no query probes
+    # cost one small GEMM and are dropped — at scale, persisting the tagged
+    # corpus partitioned BY cluster turns that into file-level pruning
+    # (the probe set prunes partitions before the scan).
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf[id_col].to_numpy()
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            qm = np.stack([qlookup[int(q)] for q in pdf["query_id"]])
-            sims = ((mat / norms) * qm).sum(axis=1)
+            unit = mat / norms
+            asn = (unit @ cents.T).argmax(axis=1)
+            allowed = probe_mask[asn]  # (batch, nq)
+            keep = allowed.any(axis=1)
+            if not keep.any():
+                continue
+            ids, unit, allowed = ids[keep], unit[keep], allowed[keep]
+            sims = unit @ q_mat.T
             if round_digits is not None:
                 sims = np.round(sims, round_digits)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "sim": sims,
-                }
-            )
+            sims[~allowed] = -np.inf
+            take = min(k + 1, len(ids))
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                kth = np.partition(col, len(col) - take)[len(col) - take]
+                for i in np.nonzero(col >= kth)[0]:
+                    if ids[i] != qid and col[i] != -np.inf:
+                        out.append((qid, ids[i], col[i]))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
 
-    scored = cand.select("query_id", id_col, vec_col).mapInPandas(score, schema=_SIM_SCHEMA)
+    scored = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=_SIM_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -345,4 +378,6 @@ def embedding_near_pairs(
                 {"id1": ids[ii][keep], "id2": all_ids[jj][keep], "sim": sims[ii, jj][keep]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema=_PAIR_SCHEMA)
+    return ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
+        score, schema=_PAIR_SCHEMA
+    )
