@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from sneldb_spark.commands import ast
-from sneldb_spark.errors import QueryError
+from sneldb_spark.errors import QueryError, ValidationError
 from sneldb_spark.schema.normalization import parse_time_value
 from sneldb_spark.schema.types import FieldType
 
@@ -33,11 +33,24 @@ from sneldb_spark.schema.types import FieldType
 FieldResolver = Callable[[str], tuple[Column, FieldType | None]]
 
 
+class _Unparsable:
+    """Sentinel: a time literal that failed to parse. The reference builds
+    no typed condition for it, so the comparison matches nothing
+    (scenario query_created_at_invalid_string_no_results) — it is not an
+    error."""
+
+
+_UNPARSABLE = _Unparsable()
+
+
 def _coerce_literal(value, ftype: FieldType | None):
     """Coerce a parsed literal to the field's storage representation."""
     if ftype is not None and ftype.is_time and value is not None and not isinstance(value, bool):
         if isinstance(value, (str, int, float)):
-            return parse_time_value(value)
+            try:
+                return parse_time_value(value)
+            except ValidationError:
+                return _UNPARSABLE
     return value
 
 
@@ -53,6 +66,8 @@ def compile_expr(
     if isinstance(expr, ast.Compare):
         col, ftype = resolve(expr.field)
         val = _coerce_literal(expr.value, ftype)
+        if val is _UNPARSABLE:
+            return leaf(F.lit(False))
         lit = F.lit(val)
         if expr.op == "=":
             return leaf(col == lit) if val is not None else col.isNull()
@@ -69,7 +84,11 @@ def compile_expr(
         raise QueryError(f"unknown comparison operator {expr.op!r}")
     if isinstance(expr, ast.In):
         col, ftype = resolve(expr.field)
-        vals = [_coerce_literal(v, ftype) for v in expr.values if v is not None]
+        vals = [
+            c
+            for c in (_coerce_literal(v, ftype) for v in expr.values if v is not None)
+            if c is not _UNPARSABLE
+        ]
         pred = col.isin(vals) if vals else F.lit(False)
         if any(v is None for v in expr.values):
             pred = pred | col.isNull()

@@ -278,3 +278,111 @@ def test_ping_and_batch(engine):
     )
     assert res.ok
     assert engine.query("QUERY z").count() == 1
+
+
+def _setup_created_at(engine):
+    engine.execute('DEFINE evt FIELDS { "id": "int", "created_at": "datetime" }')
+    engine.execute('STORE evt FOR ctx1 PAYLOAD { "id": 1, "created_at": "2025-01-01T00:00:00Z" }')
+    engine.execute('STORE evt FOR ctx2 PAYLOAD { "id": 2, "created_at": "2025-01-01T00:00:01Z" }')
+    engine.execute("FLUSH")
+
+
+def test_where_datetime_iso_equality_and_tz_offset(engine):
+    # scenarios query_created_at_eq_iso8601 / created_at_tz_plus00_equivalent_to_z
+    _setup_created_at(engine)
+    rows = engine.query('QUERY evt WHERE created_at = "2025-01-01T00:00:01Z"').collect()
+    assert [r["id"] for r in rows] == [2]
+    # +02:00 offset names the same instant as 00:00:01Z
+    rows = engine.query('QUERY evt WHERE created_at = "2025-01-01T02:00:01+02:00"').collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_where_datetime_invalid_string_no_results(engine):
+    # scenario query_created_at_invalid_string_no_results: not an error
+    _setup_created_at(engine)
+    assert engine.query('QUERY evt WHERE created_at = "not-a-time"').count() == 0
+    assert engine.query('QUERY evt WHERE created_at IN ("not-a-time", "2025-01-01T00:00:00Z")').count() == 1
+
+
+def test_where_datetime_numeric_seconds_and_or(engine):
+    # scenarios query_created_at_gt_seconds / created_at_or_two_values
+    _setup_created_at(engine)
+    rows = engine.query("QUERY evt WHERE created_at > 1735689600").collect()
+    assert [r["id"] for r in rows] == [2]
+    assert (
+        engine.query(
+            'QUERY evt WHERE created_at = "2025-01-01T00:00:00Z" '
+            'OR created_at = "2025-01-01T00:00:01Z"'
+        ).count()
+        == 2
+    )
+
+
+def test_since_using_numeric_unit_sniffing(engine):
+    # scenarios since_using_created_at_{ms,us,ns}_input*: the SINCE literal
+    # magnitude selects seconds/millis/micros/nanos
+    _setup_created_at(engine)
+    ms = engine.query('QUERY evt SINCE "1735689600000" USING created_at')
+    assert ms.count() == 2  # 00:00:00 inclusive
+    us = engine.query('QUERY evt SINCE "1735689601000000" USING created_at')
+    assert [r["id"] for r in us.collect()] == [2]
+    ns = engine.query('QUERY evt SINCE "1735689601000000000" USING created_at')
+    assert [r["id"] for r in ns.collect()] == [2]
+
+
+def test_store_numeric_datetime_normalized_at_ingest(engine):
+    # scenario since_using_created_at_numeric_units_selection: payload may
+    # carry epoch millis; storage normalizes to epoch seconds
+    engine.execute('DEFINE evn FIELDS { "id": "int", "created_at": "datetime" }')
+    engine.execute('STORE evn FOR a PAYLOAD { "id": 1, "created_at": 1600000000000 }')
+    engine.execute('STORE evn FOR b PAYLOAD { "id": 2, "created_at": 1600000100000 }')
+    engine.execute("FLUSH")
+    rows = engine.query('QUERY evn SINCE "1600000000" USING created_at').collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert {r["created_at"] for r in rows} == {1600000000, 1600000100}
+
+
+def test_since_using_date_field_midnight_snap(engine):
+    # scenario since_using_date_field: date payloads snap to midnight UTC
+    engine.execute('DEFINE people FIELDS { "id": "int", "birthdate": "date" }')
+    engine.execute('STORE people FOR p PAYLOAD { "id": 1, "birthdate": "2025-09-06" }')
+    engine.execute('STORE people FOR p PAYLOAD { "id": 2, "birthdate": "2025-09-07" }')
+    engine.execute("FLUSH")
+    rows = engine.query('QUERY people SINCE "2025-09-07T00:00:00Z" USING birthdate').collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_in_operator_family(engine):
+    # distills reference query_in_operator_* scenarios: negative numbers,
+    # multiple IN clauses, NOT IN null-inclusion, IN + ORDER BY LIMIT,
+    # IN inside aggregation
+    engine.execute(
+        'DEFINE items FIELDS { "id": "int", "status": "string | null", '
+        '"region": "string", "score": "float" }'
+    )
+    rows = [
+        (1, '"active"', "US", 9.5), (2, '"pending"', "EU", 7.0),
+        (3, 'null', "US", 8.1), (-3, '"active"', "EU", 6.2), (0, '"done"', "US", 5.0),
+    ]
+    for i, st, rg, sc in rows:
+        engine.execute(
+            f'STORE items FOR c{i} PAYLOAD {{ "id": {i}, "status": {st}, '
+            f'"region": "{rg}", "score": {sc} }}'
+        )
+    engine.execute("FLUSH")
+    q = engine.query
+    assert sorted(r["id"] for r in q("QUERY items WHERE id IN (-3, 0, 99)").collect()) == [-3, 0]
+    assert sorted(
+        r["id"] for r in q('QUERY items WHERE id IN (1, 2, 3) AND status IN ("active", "pending")').collect()
+    ) == [1, 2]
+    # NOT IN includes the null-status row (two-valued semantics)
+    assert sorted(
+        r["id"] for r in q('QUERY items WHERE NOT status IN ("active", "pending")').collect()
+    ) == [0, 3]
+    top = q("QUERY items WHERE id IN (1, 2, 3, 0) ORDER BY score DESC LIMIT 2").collect()
+    assert [r["id"] for r in top] == [1, 3]
+    agg = {
+        r["region"]: r["count"]
+        for r in q('QUERY items WHERE region IN ("US", "EU") COUNT BY region').collect()
+    }
+    assert agg == {"US": 3, "EU": 2}
