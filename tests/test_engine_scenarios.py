@@ -386,3 +386,25 @@ def test_in_operator_family(engine):
         for r in q('QUERY items WHERE region IN ("US", "EU") COUNT BY region').collect()
     }
     assert agg == {"US": 3, "EU": 2}
+
+
+def test_restart_recovery(engine, spark):
+    # wal_recover_* analogue: durability lives in committed Parquet + the
+    # JSON schema registry; a fresh engine on the same root sees both, and
+    # materializations survive too.
+    from sneldb_spark.engine import SnelDB
+
+    engine.execute('DEFINE ev FIELDS { "n": "int" }')
+    for i in range(3):
+        engine.execute(f'STORE ev FOR c{i} PAYLOAD {{ "n": {i} }}')
+    engine.execute("FLUSH")
+    engine.execute("REMEMBER QUERY ev WHERE n >= 1 AS big")
+
+    reopened = SnelDB(spark, engine.root)
+    assert reopened.query("QUERY ev").count() == 3
+    assert reopened.store.registry.get("ev").fields["n"].kind == "i64"
+    assert reopened.execute("SHOW big").df.count() == 2
+    # and the reopened engine can keep writing
+    reopened.execute('STORE ev FOR c9 PAYLOAD { "n": 9 }')
+    reopened.execute("FLUSH")
+    assert reopened.query("QUERY ev").count() == 4
