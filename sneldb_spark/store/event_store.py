@@ -100,14 +100,19 @@ class EventStore:
         self._pending.clear()
 
     def append_dataframe(self, event_type: str, df: DataFrame):
-        """Bulk/streaming append of already-validated, core-schema rows."""
+        """Bulk/streaming append of already-validated, core-schema rows.
+
+        Hash-repartition on (ingest_date, context_id) so each date's write
+        parallelizes across the cluster — repartitioning on the date alone
+        would serialize a whole day into one task. AQE coalesces the small-
+        batch case back down, and sortWithinPartitions keeps (context_id,
+        timestamp) runs contiguous so row-group stats prune FOR/REPLAY."""
         (
             df.withColumn(
                 "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
             )
-            # Sort within files so row-group stats prune on context/time.
-            .repartition(F.col("ingest_date"))
-            .sortWithinPartitions("context_id", "timestamp")
+            .repartition(F.col("ingest_date"), F.col("context_id"))
+            .sortWithinPartitions("ingest_date", "context_id", "timestamp")
             .write.mode("append")
             .partitionBy("ingest_date")
             .parquet(self._path(event_type))

@@ -112,11 +112,18 @@ class StreamingIngest:
         return ok, bad
 
     def _process_batch(self, batch: DataFrame, batch_id: int):
-        spark = batch.sparkSession
         batch = batch.persist()
         try:
             now = int(time.time())
+            # One presence scan for the whole batch instead of per-type
+            # take(1) probes — each probe was a full extra job per type.
+            present = {
+                r["event_type"]: r["count"]
+                for r in batch.groupBy("event_type").count().collect()
+            }
             for event_type in self.registry.event_types():
+                if not present.get(event_type):
+                    continue
                 ok, bad = self.validate_and_type(batch, event_type)
                 from sneldb_spark.store.event_store import next_event_id
 
@@ -132,9 +139,10 @@ class StreamingIngest:
                 cols = ["context_id", "event_type", "timestamp", "event_id"] + sorted(
                     self.registry.get(event_type).fields
                 )
-                if ok_rows.take(1):
-                    self.store.append_dataframe(event_type, ok_rows.select(*cols))
-                if bad.take(1):
+                self.store.append_dataframe(event_type, ok_rows.select(*cols))
+                # Quarantine write is skipped entirely when the type's rows
+                # all validated: cheap count on the persisted batch.
+                if bad.limit(1).count():
                     bad.withColumn("reject_batch", F.lit(batch_id)).write.mode(
                         "append"
                     ).json(os.path.join(self.quarantine_dir, event_type))
