@@ -86,3 +86,41 @@ def test_streaming_validation_batch_api(ingest):
     )
     ok, bad = ing.validate_and_type(raw, "metrics")
     assert ok.count() == 1 and bad.count() == 2
+
+
+def test_streaming_restart_exactly_once(ingest):
+    # WAL-recovery analogue: a restarted stream resumes from the
+    # checkpoint — files committed before the stop are not re-ingested.
+    from sneldb_spark.streaming.ingest import StreamingIngest
+
+    engine, ing, tmp_path = ingest
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_jsonl(
+        in_dir / "a.jsonl",
+        [
+            {"event_type": "metrics", "context_id": f"c{i}",
+             "payload": json.dumps({"value": i, "region": "EU"})}
+            for i in range(10)
+        ],
+    )
+    ing.start_from_json_dir(str(in_dir))
+    ing.flush()
+    ing.stop()
+    assert engine.store.read("metrics").count() == 10
+
+    # second stream instance, same checkpoint; new file arrives
+    _write_jsonl(
+        in_dir / "b.jsonl",
+        [
+            {"event_type": "metrics", "context_id": "c99",
+             "payload": json.dumps({"value": 99, "region": "US"})}
+        ],
+    )
+    ing2 = StreamingIngest(engine.store, checkpoint_dir=ing.checkpoint_dir)
+    ing2.start_from_json_dir(str(in_dir))
+    ing2.flush()
+    ing2.stop()
+    df = engine.store.read("metrics")
+    assert df.count() == 11  # no duplicates of the first 10
+    assert df.where("context_id = 'c99'").count() == 1
