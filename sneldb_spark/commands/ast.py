@@ -127,7 +127,11 @@ class QueryCommand:
 
     @property
     def is_sequence(self) -> bool:
-        return self.sequence.is_sequence
+        # A sequence executes as one ONLY when a link field is present —
+        # without LINKED BY the reference runs a plain query on the head
+        # event type (reference: src/command/handlers/query/orchestrator.rs:40-48;
+        # PlotQL funnels always have link_field = None, plotql.rs:571).
+        return self.sequence.is_sequence and self.link_field is not None
 
 
 @dataclass

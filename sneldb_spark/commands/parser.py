@@ -584,41 +584,55 @@ def _parse_plot_sequence(cur: _Cursor) -> ast.EventSequence:
     return ast.EventSequence(head=headname, links=tuple(links))
 
 
+_METRIC_KEYWORDS = {"COUNT", "UNIQUE", "TOTAL", "SUM", "AVG", "MIN", "MAX"}
+
+# TOP BY target: None (main metric), ("field", name), or ("metric", AggSpec)
+_TopBy = tuple | None
+
+
+def _parse_top_by(cur: _Cursor) -> tuple[int, _TopBy]:
+    """TOP n [BY metric|field] — ranking is always descending (reference:
+    plotql.rs build_order_spec_for_metrics: desc = true for every target)."""
+    n = _parse_nonneg_int(cur, "TOP")
+    target: _TopBy = None
+    if cur.eat_kw("BY"):
+        t = cur.peek()
+        if t and t.kind == "ident" and t.text.upper() in _METRIC_KEYWORDS:
+            target = ("metric", _parse_metric(cur))
+        else:
+            target = ("field", cur.expect_ident())
+    return n, target
+
+
 def _parse_plot(text: str) -> ast.CompareCommand:
     # Normalize '->' to ' THEN ' so the tokenizer stays simple.
     normalized = text.replace("->", " THEN ")
     cur = _Cursor(_tokenize(normalized))
     cur.expect_kw("PLOT")
 
-    def parse_side() -> tuple[ast.QueryCommand, int | None]:
+    def parse_side() -> tuple[ast.QueryCommand, int | None, _TopBy]:
         metric = _parse_metric(cur)
         cur.expect_kw("OF")
         seq = _parse_plot_sequence(cur)
         q = ast.QueryCommand(sequence=seq, aggs=[metric])
         top: int | None = None
+        top_by: _TopBy = None
         while True:
             if cur.eat_kw("FILTER"):
                 q.where = _parse_expr(cur)
             elif cur.at_kw("TOP"):
                 cur.next()
-                top = _parse_nonneg_int(cur, "TOP")
-                if cur.eat_kw("BY"):
-                    # TOP n BY metric/field — ranking target; keep the metric
-                    # itself as the rank key (the common case).
-                    if cur.peek() and cur.peek().kind == "ident":
-                        cur.next()
-                        t = cur.peek()
-                        if t and t.kind == "op" and t.text == "(":
-                            cur.next(); cur.expect_ident(); cur.expect_op(")")
+                top, top_by = _parse_top_by(cur)
             else:
                 break
-        return q, top
+        return q, top, top_by
 
-    q0, top = parse_side()
+    q0, top, top_by = parse_side()
     sides = [q0]
     while cur.eat_kw("VS"):
-        qn, top_n = parse_side()
+        qn, top_n, top_by_n = parse_side()
         top = top if top is not None else top_n
+        top_by = top_by if top_by is not None else top_by_n
         sides.append(qn)
 
     breakdown: list[str] = []
@@ -640,13 +654,8 @@ def _parse_plot(text: str) -> ast.CompareCommand:
             cur.expect_op(")")
         elif cur.at_kw("TOP"):
             cur.next()
-            top = _parse_nonneg_int(cur, "TOP")
-            if cur.eat_kw("BY"):
-                if cur.peek() and cur.peek().kind == "ident":
-                    cur.next()
-                    t = cur.peek()
-                    if t and t.kind == "op" and t.text == "(":
-                        cur.next(); cur.expect_ident(); cur.expect_op(")")
+            top, tb = _parse_top_by(cur)
+            top_by = top_by if top_by is not None else tb
         else:
             raise ParseError(f"unexpected token in PLOT: {cur.peek()}")
 
@@ -656,6 +665,18 @@ def _parse_plot(text: str) -> ast.CompareCommand:
         if time_field and time_field not in ("timestamp",):
             q.time_field = time_field
         if top is not None:
-            q.order_by = (q.aggs[0].output_name, True)
+            # reference build_order_spec_for_metrics: BY field -> that
+            # column; BY metric -> ensure in aggs, rank by its output; no
+            # target -> the side's main metric. Always descending.
+            if top_by is None:
+                rank = q.aggs[0].output_name
+            elif top_by[0] == "metric":
+                spec = top_by[1]
+                if spec not in q.aggs:
+                    q.aggs.append(spec)
+                rank = spec.output_name
+            else:
+                rank = top_by[1]
+            q.order_by = (rank, True)
             q.limit = top
     return ast.CompareCommand(queries=sides)

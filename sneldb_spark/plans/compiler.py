@@ -109,9 +109,11 @@ class QueryCompiler:
         return df
 
     def compile_query(self, q: ast.QueryCommand) -> DataFrame:
-        if len(q.sequence.links) > 1:
+        if len(q.sequence.links) > 1 and q.link_field is not None:
             # Reference: multi-link chains warn and return empty
             # (reference: src/engine/core/read/sequence/matcher.rs:297-307).
+            # Without LINKED BY even a multi-link query is a plain head
+            # query (is_sequence is False), handled below.
             head = self._source(q.event_type)
             return head.where(F.lit(False))
         if q.offset is not None and q.limit is None:

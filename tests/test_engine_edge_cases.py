@@ -189,3 +189,18 @@ def test_count_field_vs_count(engine):
     df = engine.query("QUERY n COUNT, COUNT v")
     r = df.collect()[0]
     assert r["count"] == 2 and r["count_v"] == 1
+
+
+def test_sequence_without_link_field_runs_head_query(engine):
+    # Reference: event_sequence with no LINKED BY is not a sequence query —
+    # it executes as a plain query on the head type (orchestrator.rs:40-48).
+    # PlotQL funnel metrics (PLOT COUNT OF a->b) rely on this.
+    engine.execute('DEFINE sv FIELDS { "n": "int" }')
+    engine.execute('DEFINE sp FIELDS { "n": "int" }')
+    engine.execute('STORE sv FOR c1 PAYLOAD { "n": 1 }')
+    engine.execute('STORE sv FOR c1 PAYLOAD { "n": 2 }')
+    engine.execute('STORE sp FOR c1 PAYLOAD { "n": 3 }')
+    engine.execute("FLUSH")
+    assert engine.query("QUERY sv FOLLOWED BY sp").count() == 2
+    rows = engine.query("PLOT COUNT OF sv THEN sp").collect()
+    assert len(rows) == 1 and rows[0]["sv_count"] == 2
