@@ -253,31 +253,59 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, bitwise majority vote.
+    """64-bit SimHash per doc: per-token 64-bit hash, bitwise majority vote.
 
-    Explode tokens once, then `bits` conditional-sum aggregations (all
-    partial-aggregated map-side); the fingerprint reassembles driver-free.
+    Same Arrow-batch rationale as `minhash_signatures`: the explode + 64
+    conditional-sum JVM aggregates evaluated interpreted and took ~17s at
+    sf0.1; one (tokens x 64) bit-unpack + column vote in numpy per doc is
+    ~10x faster and emits fingerprints without any shuffle.
     """
-    toks = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    def bitmask(i: int):
-        # JVM-side shift: bit 63 wraps to the long sign bit (1 << 63 would
-        # overflow the py4j literal).
-        return F.shiftleft(F.lit(1).cast("long"), i)
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator as _It
 
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, bitmask(i)).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select("id", fp.alias("simhash"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if bits != 64:
+        raise ValueError("simhash_fingerprints is fixed at 64 bits")
+    word_re = _re.compile(r"\W+")
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def fp_fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in word_re.split((text or "").lower()) if w]
+                if not toks:
+                    ids.append(doc_id)
+                    fps.append(0)
+                    continue
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        )
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bitsm = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+                votes = (2 * bitsm.astype(np.int64) - 1).sum(axis=0)
+                fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                ids.append(doc_id)
+                fps.append(int(fp.astype(np.int64)))  # two's-complement long
+            yield pd.DataFrame({"id": ids, "simhash": fps})
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+    return (
+        ensure_min_partitions(df.select(id_col, text_col))
+        .mapInPandas(fp_fn, schema=schema)
+    )
 
 
 def simhash_near_pairs(
