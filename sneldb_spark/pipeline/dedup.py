@@ -90,24 +90,65 @@ def ngram_jaccard_pairs(
     quadratic postings (a standard cap; at threshold>=0.5 a shingle shared
     by >max_freq docs cannot be discriminative).
     """
-    docs = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("shingles")
+    # Shingles as sorted 64-bit hashes: the sort is the canonical global
+    # ordering for prefix filtering, and set ops become long-array ops.
+    docs = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("h"),
+        )
+        .withColumn("n_shingles", F.size("h"))
+        # consumed by postings, the frequency cap, and both verify sides —
+        # persist so the shingle pipeline runs once, not five times (at
+        # cluster scale this would be a checkpointed table).
+        .persist()
     )
-    sizes = docs.select("id", F.size("shingles").alias("n_shingles"))
-    postings = docs.select("id", F.explode("shingles").alias("shingle"))
+    # Prefix filter (AllPairs/PPJoin): under one global total order, two
+    # sets with Jaccard >= t must share an element among each set's first
+    # n - ceil(t*n) + 1 elements. Ordering by ASCENDING global frequency
+    # puts the rarest shingles in the prefix, so posting lists — and the
+    # candidate self-join — stay small; a frequency cap drops degenerate
+    # shingles entirely (at t>=0.5 they cannot be discriminative).
+    from pyspark.sql import Window
+
+    full_post = docs.select("id", F.col("n_shingles").alias("n"), F.explode("h").alias("sh"))
+    freq = full_post.groupBy("sh").count()
+    ranked = full_post.join(freq, "sh")
     if max_shingle_freq is not None:
-        freq = postings.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
-        postings = postings.join(freq.select("shingle"), "shingle", "left_semi")
-    left = postings.alias("l")
-    right = postings.alias("r")
-    common = (
-        left.join(right, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        ranked = ranked.where(F.col("count") <= max_shingle_freq)
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+    w = Window.partitionBy("id").orderBy(F.col("count").asc(), F.col("sh").asc())
+    pre = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("id", "n", "sh")
     )
+    left, right = pre.alias("l"), pre.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.id") < F.col("r.id"))
+            # length filter: |B| >= t|A| is necessary for J >= t
+            & (F.col("r.n") >= F.ceil(F.lit(threshold) * F.col("l.n")))
+            & (F.col("l.n") >= F.ceil(F.lit(threshold) * F.col("r.n"))),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    # Exact verification JVM-side: |A∩B| via array_intersect of the sorted
+    # hash arrays — no per-pair posting join. Join strategy is left to AQE:
+    # it broadcasts the doc-array table when it fits and falls back to a
+    # shuffle join at corpus sizes where no single node could hold it.
+    d1 = docs.select(F.col("id").alias("id1"), F.col("h").alias("h1"), F.col("n_shingles").alias("n1"))
+    d2 = docs.select(F.col("id").alias("id2"), F.col("h").alias("h2"), F.col("n_shingles").alias("n2"))
     out = (
-        common.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
-        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+        cand.join(d1, "id1")
+        .join(d2, "id2")
+        .withColumn("common", F.size(F.array_intersect("h1", "h2")))
         .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
