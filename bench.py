@@ -41,8 +41,12 @@ BENCH_QUERIES = [
     # pipeline extensions
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_quality",
     "text_langid",
+    "text_tokens_fingerprint",
+    "multimodal_features",
     "similarity_topk",
     "similarity_ivf_topk",
     "embedding_near_pairs",
