@@ -412,6 +412,15 @@ FROM documents
 """
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): rows-only check — the
+    Rabin-Karp + window-minimum selection is not expressible in DuckDB SQL."""
+    from sneldb_spark.pipeline.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs).select("id", "n_fingerprints")
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -632,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens_fingerprint": q_text_tokens_fingerprint,
+        "text_winnow": q_text_winnow,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,

@@ -44,6 +44,74 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\W+", ""))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): Rabin-Karp rolling hashes of character k-grams over the
+    normalized text, keeping each w-window's minimum. Two documents share
+    fingerprints iff they share substrings of length >= k+w-1, which makes
+    this robust to insertions/reordering where a whole-document digest
+    (``fingerprint``) is not.
+
+    Output: (id, fingerprints array<long>, n_fingerprints). Computed per
+    Arrow batch in numpy (sliding-window dot + mod) — a narrow map, no
+    shuffle, embarrassingly parallel at any scale.
+    """
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+    powers = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * B) % M
+    ws_re = _re.compile(r"\W+")
+
+    def fp_fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, counts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws_re.sub(" ", (text or "").lower()).strip()
+                b = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
+                if len(b) < k:
+                    sel = np.array([], dtype=np.int64)
+                else:
+                    grams = np.lib.stride_tricks.sliding_window_view(b, k)
+                    hashes = (grams * powers[None, :] % M).sum(axis=1) % M
+                    if len(hashes) <= window:
+                        sel = np.unique(hashes).astype(np.int64)
+                    else:
+                        wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                        sel = np.unique(wins.min(axis=1)).astype(np.int64)
+                ids.append(doc_id)
+                fps.append(sel)
+                counts.append(len(sel))
+            yield pd.DataFrame({"id": ids, "fingerprints": fps, "n_fingerprints": counts})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("fingerprints", T.ArrayType(T.LongType())),
+            T.StructField("n_fingerprints", T.LongType()),
+        ]
+    )
+    from sneldb_spark.pipeline import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        fp_fn, schema=schema
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> DataFrame:

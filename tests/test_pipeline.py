@@ -218,3 +218,27 @@ def test_frame_sampling(spark):
     )
     ts = [r["frame_ts_ms"] for r in sample_frames(media, every_ms=1000).collect()]
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_winnow_fingerprints_overlap_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sneldb_spark.pipeline.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # identical
+        (3, base + " with an extra trailing paragraph appended at the end"),
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "xy"),  # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df).collect()}
+    assert out[1] == out[2]  # deterministic, content-addressed
+    # a suffix-extended doc keeps most of the original fingerprints
+    inter = len(out[1] & out[3]) / len(out[1])
+    assert inter >= 0.8, inter
+    # unrelated docs share (almost) nothing
+    assert len(out[1] & out[4]) <= 1
+    assert out[5] == set()  # too short for one k-gram
