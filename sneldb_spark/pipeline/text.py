@@ -69,7 +69,9 @@ def winnow_fingerprints(
     import pandas as pd
     from pyspark.sql import types as T
 
-    B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+    # Mersenne prime 2^31-1 keeps every intermediate product inside uint64:
+    # power < 2^31, byte < 2^8 -> power*byte < 2^39, sum of k=8 terms < 2^42.
+    B, M = np.uint64(257), np.uint64((1 << 31) - 1)
     powers = np.empty(k, dtype=np.uint64)
     acc = np.uint64(1)
     for i in range(k - 1, -1, -1):
