@@ -18,8 +18,9 @@ Jaccard / embedding-cosine), similarity search, text analysis, and
 multimodal column plumbing.
 """
 
+from sneldb_spark.auth import AuthConfig, AuthManager
 from sneldb_spark.engine import SnelDB
 from sneldb_spark.session import get_spark
 
-__all__ = ["SnelDB", "get_spark"]
+__all__ = ["SnelDB", "get_spark", "AuthManager", "AuthConfig"]
 __version__ = "0.1.0"

@@ -189,6 +189,45 @@ class BatchCommand:
     commands: list
 
 
+# -- user / permission management (reference: src/command/types.rs:54-75) --
+
+
+@dataclass
+class CreateUserCommand:
+    user_id: str
+    secret_key: Optional[str] = None
+    roles: Optional[list[str]] = None
+
+
+@dataclass
+class RevokeKeyCommand:
+    user_id: str
+
+
+@dataclass
+class ListUsersCommand:
+    pass
+
+
+@dataclass
+class GrantPermissionCommand:
+    permissions: list[str]  # subset of ["read", "write"]
+    event_types: list[str]
+    user_id: str
+
+
+@dataclass
+class RevokePermissionCommand:
+    permissions: list[str]  # empty = revoke all
+    event_types: list[str]
+    user_id: str
+
+
+@dataclass
+class ShowPermissionsCommand:
+    user_id: str
+
+
 Command = Union[
     QueryCommand,
     DefineCommand,
@@ -200,4 +239,10 @@ Command = Union[
     FlushCommand,
     PingCommand,
     BatchCommand,
+    CreateUserCommand,
+    RevokeKeyCommand,
+    ListUsersCommand,
+    GrantPermissionCommand,
+    RevokePermissionCommand,
+    ShowPermissionsCommand,
 ]

@@ -160,7 +160,20 @@ def parse_command(text: str) -> ast.Command:
     if head == "REMEMBER":
         return _parse_remember(stripped)
     if head == "SHOW":
+        # SHOW PERMISSIONS FOR <user> is user management; SHOW <name> is a
+        # materialization read (reference routes on the second word too).
+        second = stripped.split(None, 2)[1].upper() if len(stripped.split()) > 1 else ""
+        if second == "PERMISSIONS":
+            return _parse_show_permissions(stripped)
         return _parse_show(stripped)
+    if head == "CREATE":
+        return _parse_create_user(stripped)
+    if head == "REVOKE":
+        return _parse_revoke(stripped)
+    if head == "GRANT":
+        return _parse_grant(stripped)
+    if head == "LIST":
+        return _parse_list_users(stripped)
     if head == "PLOT":
         return _parse_plot(stripped)
     if head == "FLUSH":
@@ -541,6 +554,132 @@ def _parse_batch(text: str) -> ast.BatchCommand:
     if not cmds:
         raise ParseError("BATCH requires at least one command")
     return ast.BatchCommand(commands=cmds)
+
+
+# ---------------------------------------------------------------------------
+# User / permission management
+# (reference: src/command/parser/commands/{create_user,grant_permission,
+#  revoke_permission,revoke_key,list_users,show_permissions}.rs)
+# ---------------------------------------------------------------------------
+
+
+def _ident_or_string(cur: _Cursor, what: str) -> str:
+    t = cur.next()
+    if t.kind == "ident":
+        return t.text
+    if t.kind == "string":
+        return t.text[1:-1]
+    raise ParseError(f"expected {what}, found {t}")
+
+
+def _parse_create_user(text: str) -> ast.CreateUserCommand:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("CREATE")
+    cur.expect_kw("USER")
+    user_id = _ident_or_string(cur, "user id")
+    secret_key = None
+    roles = None
+    while cur.at_kw("WITH"):
+        cur.next()
+        if cur.eat_kw("KEY"):
+            secret_key = _ident_or_string(cur, "secret key")
+        elif cur.eat_kw("ROLES"):
+            cur.expect_op("[")
+            roles = []
+            while True:
+                t = cur.next()
+                if t.kind == "op" and t.text == "]":
+                    break
+                if t.kind == "op" and t.text == ",":
+                    continue
+                if t.kind in ("ident", "string"):
+                    roles.append(t.text[1:-1] if t.kind == "string" else t.text)
+                else:
+                    raise ParseError(f"expected role name or ']', found {t}")
+        else:
+            raise ParseError("expected KEY or ROLES after WITH")
+    if not cur.done():
+        raise ParseError("unexpected trailing input after CREATE USER")
+    return ast.CreateUserCommand(user_id=user_id, secret_key=secret_key, roles=roles)
+
+
+def _parse_perm_list(cur: _Cursor) -> list[str]:
+    perms: list[str] = []
+    while cur.at_kw("READ", "WRITE"):
+        perms.append(cur.next().text.lower())
+        t = cur.peek()
+        if t and t.kind == "op" and t.text == ",":
+            cur.next()
+            continue
+        break
+    return perms
+
+
+def _parse_event_type_list(cur: _Cursor) -> list[str]:
+    types = [_ident_or_string(cur, "event type")]
+    while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
+        cur.next()
+        types.append(_ident_or_string(cur, "event type"))
+    return types
+
+
+def _parse_grant(text: str) -> ast.GrantPermissionCommand:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("GRANT")
+    perms = _parse_perm_list(cur)
+    if not perms:
+        raise ParseError("GRANT requires at least one permission (READ or WRITE)")
+    cur.expect_kw("ON")
+    event_types = _parse_event_type_list(cur)
+    cur.expect_kw("TO")
+    user_id = _ident_or_string(cur, "user id")
+    if not cur.done():
+        raise ParseError("unexpected trailing input after GRANT")
+    return ast.GrantPermissionCommand(
+        permissions=perms, event_types=event_types, user_id=user_id
+    )
+
+
+def _parse_revoke(text: str) -> ast.Command:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("REVOKE")
+    if cur.eat_kw("KEY"):
+        user_id = _ident_or_string(cur, "user id")
+        if not cur.done():
+            raise ParseError("unexpected trailing input after REVOKE KEY")
+        return ast.RevokeKeyCommand(user_id=user_id)
+    # REVOKE [READ|WRITE,...] ON types FROM user — empty list = revoke all
+    perms = _parse_perm_list(cur)
+    cur.eat_kw("ALL")  # tolerated alias for the empty list
+    cur.expect_kw("ON")
+    event_types = _parse_event_type_list(cur)
+    cur.expect_kw("FROM")
+    user_id = _ident_or_string(cur, "user id")
+    if not cur.done():
+        raise ParseError("unexpected trailing input after REVOKE")
+    return ast.RevokePermissionCommand(
+        permissions=perms, event_types=event_types, user_id=user_id
+    )
+
+
+def _parse_list_users(text: str) -> ast.ListUsersCommand:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("LIST")
+    cur.expect_kw("USERS")
+    if not cur.done():
+        raise ParseError("unexpected trailing input after LIST USERS")
+    return ast.ListUsersCommand()
+
+
+def _parse_show_permissions(text: str) -> ast.ShowPermissionsCommand:
+    cur = _Cursor(_tokenize(text))
+    cur.expect_kw("SHOW")
+    cur.expect_kw("PERMISSIONS")
+    cur.expect_kw("FOR")
+    user_id = _ident_or_string(cur, "user id")
+    if not cur.done():
+        raise ParseError("unexpected trailing input after SHOW PERMISSIONS")
+    return ast.ShowPermissionsCommand(user_id=user_id)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,13 @@ The equivalent of the reference's dispatcher + handlers
 (reference: src/command/dispatcher.rs:30-69) — parse, route, and run.
 Results carry a DataFrame for read commands so callers stay lazy/distributed;
 nothing here collects to the driver.
+
+When an :class:`AuthManager` is attached, enforcement mirrors the reference
+dispatcher: STORE needs write permission, QUERY needs read, DEFINE and all
+user/permission management need the admin role; REPLAY/COMPARE/SHOW/FLUSH
+are not gated (reference: src/command/dispatcher.rs passes no auth manager
+to those handlers). Error messages carry the reference's status codes
+("401 ...", "403 ...") so scenario matchers line up.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sneldb_spark.auth import AuthError, AuthManager
 from sneldb_spark.commands import ast
 from sneldb_spark.commands.parser import parse_command
 from sneldb_spark.errors import SnelDBError
@@ -38,6 +46,7 @@ class SnelDB:
         root: str,
         clock=None,
         time_config: TimeConfig | None = None,
+        auth: AuthManager | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -50,15 +59,16 @@ class SnelDB:
             time_config=time_config,
         )
         self.materializer = Materializer(self, root)
+        self.auth = auth
 
     # -- public API -------------------------------------------------------
-    def execute(self, text: str) -> Result:
+    def execute(self, text: str, user_id: Optional[str] = None) -> Result:
         cmd = parse_command(text)
-        return self.execute_command(cmd)
+        return self.execute_command(cmd, user_id=user_id)
 
-    def try_execute(self, text: str) -> Result:
+    def try_execute(self, text: str, user_id: Optional[str] = None) -> Result:
         try:
-            return self.execute(text)
+            return self.execute(text, user_id=user_id)
         except SnelDBError as e:
             return Result(ok=False, message=str(e))
 
@@ -67,15 +77,50 @@ class SnelDB:
         cmd = parse_command(text)
         return self.compiler.compile(cmd)
 
+    # -- auth gates -------------------------------------------------------
+    def _require_user(self, user_id: Optional[str]) -> str:
+        if user_id is None:
+            raise AuthError("401 Authentication required")
+        return user_id
+
+    def _require_admin(self, user_id: Optional[str], action: str):
+        uid = self._require_user(user_id)
+        if not self.auth.is_admin(uid):
+            raise AuthError(f"403 Only admin users can {action}")
+
+    def _check_read(self, user_id: Optional[str], event_type: str):
+        if self.auth is None:
+            return
+        uid = self._require_user(user_id)
+        if not self.auth.can_read(uid, event_type):
+            raise AuthError(
+                f"403 Read permission denied for event type '{event_type}'"
+            )
+
+    def _check_write(self, user_id: Optional[str], event_type: str):
+        if self.auth is None:
+            return
+        uid = self._require_user(user_id)
+        if not self.auth.can_write(uid, event_type):
+            raise AuthError(
+                f"403 Write permission denied for event type '{event_type}'"
+            )
+
     # -- dispatch ---------------------------------------------------------
-    def execute_command(self, cmd: ast.Command) -> Result:
+    def execute_command(self, cmd: ast.Command, user_id: Optional[str] = None) -> Result:
         if isinstance(cmd, ast.DefineCommand):
+            if self.auth is not None:
+                self._require_admin(user_id, "define schemas")
             schema = self.store.registry.define(cmd.event_type, cmd.fields, cmd.version)
             return Result(ok=True, message=f"defined {schema.uid}")
         if isinstance(cmd, ast.StoreCommand):
+            self._check_write(user_id, cmd.event_type)
             self.store.store(cmd.event_type, cmd.context_id, cmd.payload)
             return Result(ok=True, message="stored")
-        if isinstance(cmd, (ast.QueryCommand, ast.ReplayCommand, ast.CompareCommand)):
+        if isinstance(cmd, ast.QueryCommand):
+            self._check_read(user_id, cmd.event_type)
+            return Result(ok=True, df=self.compiler.compile(cmd))
+        if isinstance(cmd, (ast.ReplayCommand, ast.CompareCommand)):
             return Result(ok=True, df=self.compiler.compile(cmd))
         if isinstance(cmd, ast.RememberCommand):
             self.store.flush()
@@ -92,6 +137,97 @@ class SnelDB:
         if isinstance(cmd, ast.BatchCommand):
             last = Result(ok=True)
             for sub in cmd.commands:
-                last = self.execute_command(sub)
+                last = self.execute_command(sub, user_id=user_id)
             return last
+        if isinstance(
+            cmd,
+            (
+                ast.CreateUserCommand,
+                ast.RevokeKeyCommand,
+                ast.ListUsersCommand,
+                ast.GrantPermissionCommand,
+                ast.RevokePermissionCommand,
+                ast.ShowPermissionsCommand,
+            ),
+        ):
+            return self._execute_auth_command(cmd, user_id)
         raise SnelDBError(f"unhandled command type: {type(cmd).__name__}")
+
+    # -- user / permission management ------------------------------------
+    # reference: src/command/handlers/{auth.rs,permissions.rs}
+    def _execute_auth_command(self, cmd: ast.Command, user_id: Optional[str]) -> Result:
+        if self.auth is None:
+            raise SnelDBError("500 Authentication not configured")
+        if isinstance(
+            cmd, (ast.CreateUserCommand, ast.RevokeKeyCommand, ast.ListUsersCommand)
+        ):
+            self._require_admin(user_id, "manage users")
+        else:
+            self._require_admin(user_id, "manage permissions")
+
+        if isinstance(cmd, ast.CreateUserCommand):
+            try:
+                key = self.auth.create_user(cmd.user_id, cmd.secret_key, cmd.roles)
+            except AuthError as e:
+                raise AuthError(f"400 {e}") from None
+            return Result(
+                ok=True,
+                message=f"User '{cmd.user_id}' created\nSecret key: {key}",
+            )
+        if isinstance(cmd, ast.RevokeKeyCommand):
+            try:
+                self.auth.revoke_key(cmd.user_id)
+            except AuthError as e:
+                raise AuthError(f"400 {e}") from None
+            return Result(ok=True, message=f"Key revoked for user '{cmd.user_id}'")
+        if isinstance(cmd, ast.ListUsersCommand):
+            users = self.auth.list_users()
+            if not users:
+                return Result(ok=True, message="No users found")
+            lines = [
+                f"{u.user_id}: {'active' if u.active else 'inactive'}" for u in users
+            ]
+            return Result(ok=True, message="\n".join(lines))
+        if isinstance(cmd, ast.GrantPermissionCommand):
+            for et in cmd.event_types:
+                if not self.store.registry.has(et):
+                    raise AuthError(f"400 No schema defined for event type '{et}'")
+            read = "read" in cmd.permissions
+            write = "write" in cmd.permissions
+            for et in cmd.event_types:
+                try:
+                    self.auth.grant(cmd.user_id, et, read, write)
+                except AuthError as e:
+                    raise AuthError(f"400 Failed to grant permission: {e}") from None
+            return Result(
+                ok=True, message=f"Permissions granted to user '{cmd.user_id}'"
+            )
+        if isinstance(cmd, ast.RevokePermissionCommand):
+            # Empty permission list revokes both flags
+            # (reference: permissions.rs:140-145).
+            read = not cmd.permissions or "read" in cmd.permissions
+            write = not cmd.permissions or "write" in cmd.permissions
+            for et in cmd.event_types:
+                try:
+                    self.auth.revoke(cmd.user_id, et, read, write)
+                except AuthError as e:
+                    raise AuthError(f"400 Failed to revoke permission: {e}") from None
+            return Result(
+                ok=True, message=f"Permissions revoked from user '{cmd.user_id}'"
+            )
+        if isinstance(cmd, ast.ShowPermissionsCommand):
+            try:
+                perms = self.auth.get_permissions(cmd.user_id)
+            except AuthError as e:
+                raise AuthError(f"400 Failed to get permissions: {e}") from None
+            if not perms:
+                return Result(
+                    ok=True, message=f"User '{cmd.user_id}' has no permissions"
+                )
+            lines = [f"Permissions for user '{cmd.user_id}':"]
+            for et in sorted(perms):
+                p = perms[et]
+                flags = [name for name, on in (("read", p.read), ("write", p.write)) if on]
+                lines.append(f"  {et}: {', '.join(flags) if flags else 'none'}")
+            return Result(ok=True, message="\n".join(lines))
+        raise SnelDBError(f"unhandled auth command: {type(cmd).__name__}")

@@ -7,9 +7,16 @@ commands stream schema/batch/end frames; write commands answer one
 semantics live in the engine; a production deployment would put any
 HTTP/WS layer in front of the same `SnelDB.execute` calls.
 
-Auth (HMAC users/permissions in the reference) is out of scope for the
-engine core: at cluster scale that belongs to the service tier in front of
-the SparkSession, not inside query execution.
+Authentication mirrors the reference wire protocol
+(reference: src/frontend/tcp/listener.rs:86-235 check_auth):
+
+1. ``AUTH <user>:<sig>`` (sig = HMAC-SHA256(key, user_id)) opens a session
+   and answers ``OK TOKEN <token>``.
+2. ``<command> TOKEN <token>`` authenticates one command by session token.
+3. On an AUTH'd connection, ``<sig>:<command>`` signs each command.
+4. Stateless inline form: ``<user>:<sig>:<command>``.
+5. With ``bypass_auth`` (or no AuthManager attached) commands run as the
+   bypass user with no checks.
 """
 
 from __future__ import annotations
@@ -18,7 +25,9 @@ import json
 import socket
 import socketserver
 import threading
+from typing import Optional
 
+from sneldb_spark.auth import BYPASS_USER_ID, AuthError
 from sneldb_spark.engine import SnelDB
 from sneldb_spark.errors import SnelDBError
 from sneldb_spark.response import json_frames
@@ -27,6 +36,7 @@ from sneldb_spark.response import json_frames
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         engine: SnelDB = self.server.engine  # type: ignore[attr-defined]
+        session_user: Optional[str] = None  # set by AUTH for this connection
         for raw in self.rfile:
             line = raw.decode("utf-8", errors="replace").strip()
             if not line:
@@ -34,23 +44,77 @@ class _Handler(socketserver.StreamRequestHandler):
             if line.upper() in ("QUIT", "EXIT"):
                 break
             try:
-                result = engine.execute(line)
+                command, user_id, token_reply = self._authenticate(
+                    engine, line, session_user
+                )
+                if token_reply is not None:
+                    session_user = user_id
+                    self._reply_ok(f"OK TOKEN {token_reply}")
+                    continue
+                result = engine.execute(command, user_id=user_id)
                 if result.df is not None:
                     for frame in json_frames(result.df):
                         self.wfile.write((frame + "\n").encode())
                 else:
-                    self.wfile.write(
-                        (json.dumps({"type": "ok", "message": result.message}) + "\n").encode()
-                    )
+                    self._reply_ok(result.message)
             except SnelDBError as e:
-                self.wfile.write(
-                    (json.dumps({"type": "error", "message": str(e)}) + "\n").encode()
-                )
+                self._reply_error(str(e))
             except Exception as e:  # engine bug: report, keep serving
-                self.wfile.write(
-                    (json.dumps({"type": "error", "message": f"internal: {e}"}) + "\n").encode()
-                )
+                self._reply_error(f"internal: {e}")
             self.wfile.flush()
+
+    # -- auth (reference: listener.rs check_auth) --------------------------
+    def _authenticate(
+        self, engine: SnelDB, line: str, session_user: Optional[str]
+    ) -> tuple[str, Optional[str], Optional[str]]:
+        """Returns (command_text, user_id, token_or_None_for_AUTH_reply)."""
+        auth = engine.auth
+        if auth is None or auth.config.bypass_auth:
+            return line, BYPASS_USER_ID if auth is not None else None, None
+
+        if line[:5].upper() == "AUTH ":
+            body = line[5:].strip()
+            user_id, sep, signature = body.partition(":")
+            if not sep:
+                raise AuthError("401 Authentication failed")
+            token = auth.authenticate(user_id.strip(), signature.strip())
+            return "", user_id.strip(), token
+
+        # TOKEN suffix — rfind so a "TOKEN" inside payload JSON stays put.
+        token_pos = line.rfind(" TOKEN ")
+        if token_pos >= 0:
+            command, token = line[:token_pos].strip(), line[token_pos + 7 :].strip()
+            if token and len(token) <= 128:
+                uid = auth.validate_session_token(token)
+                if uid is not None:
+                    return command, uid, None
+            raise AuthError("401 Authentication failed")
+
+        # Connection-scoped: an AUTH'd connection signs each command.
+        if session_user is not None:
+            signature, sep, command = line.partition(":")
+            if not sep:
+                raise AuthError("401 Authentication failed")
+            auth.verify_signature(command.strip(), session_user, signature.strip())
+            return command.strip(), session_user, None
+
+        # Stateless inline: user_id:signature:command
+        user_id, sep1, rest = line.partition(":")
+        signature, sep2, command = rest.partition(":")
+        if not (sep1 and sep2):
+            raise AuthError("401 Authentication required")
+        auth.verify_signature(command.strip(), user_id.strip(), signature.strip())
+        return command.strip(), user_id.strip(), None
+
+    def _reply_ok(self, message: str):
+        self.wfile.write(
+            (json.dumps({"type": "ok", "message": message}) + "\n").encode()
+        )
+
+    def _reply_error(self, message: str):
+        self.wfile.write(
+            (json.dumps({"type": "error", "message": message}) + "\n").encode()
+        )
 
 
 class SnelDBServer:
