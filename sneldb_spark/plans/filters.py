@@ -64,7 +64,14 @@ def compile_expr(
         return F.coalesce(pred, F.lit(False)) if under_not else pred
 
     if isinstance(expr, ast.Compare):
-        col, ftype = resolve(expr.field)
+        # A predicate on a field with no column matches nothing — the
+        # reference has no column file to hydrate, so no zone can satisfy
+        # the condition (and undefined event types stream empty results,
+        # scenario query_empty_event_type).
+        try:
+            col, ftype = resolve(expr.field)
+        except QueryError:
+            return leaf(F.lit(False))
         val = _coerce_literal(expr.value, ftype)
         if val is _UNPARSABLE:
             return leaf(F.lit(False))
@@ -83,7 +90,10 @@ def compile_expr(
             return leaf(col <= lit)
         raise QueryError(f"unknown comparison operator {expr.op!r}")
     if isinstance(expr, ast.In):
-        col, ftype = resolve(expr.field)
+        try:
+            col, ftype = resolve(expr.field)
+        except QueryError:
+            return leaf(F.lit(False))
         vals = [
             c
             for c in (_coerce_literal(v, ftype) for v in expr.values if v is not None)

@@ -32,7 +32,6 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sneldb_spark.errors import QueryError, ValidationError
 from sneldb_spark.schema.registry import SchemaRegistry
 from sneldb_spark.schema.validation import validate_payload
 
@@ -130,19 +129,31 @@ class EventStore:
     def has_data(self, event_type: str) -> bool:
         return os.path.isdir(self._path(event_type))
 
+    def _empty_core_frame(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from sneldb_spark.schema.registry import CORE_STRUCT
+
+        return self.spark.createDataFrame([], schema=T.StructType(CORE_STRUCT))
+
     def read(self, event_type: str) -> DataFrame:
-        """DataFrame for one event type (or '*' = union of all types)."""
+        """DataFrame for one event type (or '*' = union of all types).
+
+        Reads of undefined event types yield an EMPTY frame, not an error —
+        the reference query path streams a row_count:0 result for them
+        (scenario query_empty_event_type); only writes require a schema.
+        """
         if event_type == "*":
             types = [t for t in self.registry.event_types() if self.has_data(t)]
             if not types:
-                raise QueryError("no events stored")
+                return self._empty_core_frame()
             df = None
             for t in types:
                 part = self.read(t)
                 df = part if df is None else df.unionByName(part, allowMissingColumns=True)
             return df
         if not self.registry.has(event_type):
-            raise QueryError(f"no schema defined for event type {event_type!r}")
+            return self._empty_core_frame()
         schema = self.registry.get(event_type)
         if not self.has_data(event_type):
             return self.spark.createDataFrame([], schema=schema.spark_struct)

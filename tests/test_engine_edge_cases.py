@@ -204,3 +204,29 @@ def test_sequence_without_link_field_runs_head_query(engine):
     assert engine.query("QUERY sv FOLLOWED BY sp").count() == 2
     rows = engine.query("PLOT COUNT OF sv THEN sp").collect()
     assert len(rows) == 1 and rows[0]["sv_count"] == 2
+
+
+def test_query_undefined_event_type_returns_empty(engine):
+    # Reference streams row_count:0 for undefined event types on the read
+    # path (scenario query_empty_event_type); only STORE requires a schema.
+    assert engine.query("QUERY nonexistent_type WHERE id = 42").count() == 0
+    assert engine.query("REPLAY FOR nobody").count() == 0  # nothing stored at all
+
+
+def test_replay_nonexistent_context_empty(engine):
+    engine.execute('DEFINE rx FIELDS { "n": "int" }')
+    engine.execute('STORE rx FOR real PAYLOAD { "n": 1 }')
+    engine.execute("FLUSH")
+    assert engine.query("REPLAY FOR ghost").count() == 0
+
+
+def test_scalar_aggregates_no_group_by(engine):
+    # agg_scalar_* scenarios: aggregates without BY produce one row.
+    engine.execute('DEFINE sc FIELDS { "amount": "int" }')
+    for i, amt in enumerate((10, 20, 30)):
+        engine.execute(f'STORE sc FOR c{i} PAYLOAD {{ "amount": {amt} }}')
+    engine.execute("FLUSH")
+    rows = engine.query("QUERY sc TOTAL amount, AVG amount, MIN amount, MAX amount").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["total_amount"], r["avg_amount"], r["min_amount"], r["max_amount"]) == (60, 20.0, 10, 30)
