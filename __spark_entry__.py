@@ -25,13 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sneldb_spark.commands.parser import parse_command
 from sneldb_spark.pipeline.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_pairs,
 )
-from sneldb_spark.pipeline.multimodal import extract_features
+from sneldb_spark.pipeline.multimodal import extract_features, resize_images
 from sneldb_spark.pipeline.similarity import (
     brute_force_topk,
     embedding_near_pairs,
@@ -324,6 +325,35 @@ WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation) over the exact n-gram Jaccard pair graph."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup_clusters(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + _NGRAM_JACCARD_SQL + "), "
+    """
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate op: no SQL oracle (driver rows-only check); validated in
     # tests against exact Jaccard recall.
@@ -551,6 +581,54 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing: synthetic dimensions derived from
+    doc_id (some under, some over the 256px fit box); the geometry and the
+    byte-length behavior (pass-through vs 1-byte-per-pixel fake) are
+    oracle-checked, the pixel codec is the documented stub."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        (F.lit(100) + (F.col("doc_id") % 40) * 10).cast("int").alias("meta_width"),
+        (F.lit(100) + ((F.col("doc_id") * 7) % 35) * 10).cast("int").alias("meta_height"),
+    )
+    return resize_images(media, 256, 256).select(
+        "media_id",
+        "meta_width",
+        "meta_height",
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(100 + (doc_id % 40) * 10 AS INT) AS w,
+         CAST(100 + ((doc_id * 7) % 35) * 10 AS INT) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes
+  FROM documents
+),
+resized AS (
+  SELECT media_id, w, h, orig_bytes,
+         CASE WHEN w <= 256 AND h <= 256 THEN w
+              ELSE greatest(CAST(floor(w * least(256.0 / w, 256.0 / h)) AS INT), 1)
+         END AS tw,
+         CASE WHEN w <= 256 AND h <= 256 THEN h
+              ELSE greatest(CAST(floor(h * least(256.0 / w, 256.0 / h)) AS INT), 1)
+         END AS th
+  FROM media
+)
+SELECT media_id,
+       tw AS meta_width,
+       th AS meta_height,
+       CASE WHEN w <= 256 AND h <= 256 THEN orig_bytes
+            ELSE CAST(greatest(tw * th, 1) AS BIGINT) END AS n_bytes
+FROM resized
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -635,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -647,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
     }
@@ -770,6 +850,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY content_hash",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,
@@ -777,6 +858,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk

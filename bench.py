@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     # pipeline extensions
     "dedup_exact",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "text_langid",
     "text_tokens_fingerprint",
     "multimodal_features",
+    "multimodal_resize",
     "similarity_topk",
     "similarity_ivf_topk",
     "embedding_near_pairs",

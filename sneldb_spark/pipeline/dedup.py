@@ -198,6 +198,66 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Assign every doc a duplicate-cluster id: connected components over
+    the similarity pair graph by iterative min-label propagation.
+
+    ``ids`` is one column of doc ids; ``pairs`` has (id1, id2) edges from
+    any pairwise dedup (exact / Jaccard / MinHash / SimHash / embedding).
+    Returns (id, cluster_id = min doc id in the component); the usual
+    dedup decision is "keep id == cluster_id".
+
+    Scale shape: each round is one shuffle (edge join + min-aggregate);
+    rounds needed = graph diameter, and near-dup graphs are dense clumps
+    with tiny diameters (2-4), not long chains — the pathological chain
+    case is bounded by ``max_rounds``. The only driver-side value per
+    round is the changed-label count that decides convergence. State
+    between rounds is persisted and the previous round unpersisted, so
+    lineage stays O(1) instead of growing per iteration.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).persist()
+    labels.count()
+    for _ in range(max_rounds):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("cluster_id")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

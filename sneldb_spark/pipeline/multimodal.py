@@ -89,6 +89,73 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_width: int = 256, max_height: int = 256
+) -> DataFrame:
+    """Arrow-batched image resize plumbing (aspect-preserving fit into
+    max_width x max_height).
+
+    The geometry — target dimensions, pass-through of already-small
+    images — is real and computed from metadata; the pixel work is stubbed
+    (``decode_image`` raises here) with a deterministic fake payload whose
+    length scales with the target area, so batch shapes and memory behavior
+    downstream are representative. Swap ``_fake_resize`` for a
+    PIL/opencv call to make it real; nothing else changes.
+    """
+
+    def _fake_resize(data: bytes, w: int, h: int) -> bytes:
+        # Deterministic stand-in: repeat the digest to ~1 byte/pixel.
+        import hashlib
+
+        seed = hashlib.sha256(data or b"").digest()
+        need = max(w * h, 1)
+        return (seed * (need // len(seed) + 1))[:need]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id, out_mime, out_data, out_w, out_h = [], [], [], [], []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                w = row.meta_width or 0
+                h = row.meta_height or 0
+                if w <= max_width and h <= max_height:
+                    tw, th, data = w, h, row.data  # pass-through, no decode
+                else:
+                    scale = min(max_width / max(w, 1), max_height / max(h, 1))
+                    tw = max(int(w * scale), 1)
+                    th = max(int(h * scale), 1)
+                    data = _fake_resize(row.data, tw, th)
+                out_id.append(row.media_id)
+                out_mime.append(row.mime)
+                out_data.append(data)
+                out_w.append(tw)
+                out_h.append(th)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "mime": out_mime,
+                    "data": out_data,
+                    "meta_width": pd.array(out_w, dtype="Int32"),
+                    "meta_height": pd.array(out_h, dtype="Int32"),
+                }
+            )
+            out_id, out_mime, out_data, out_w, out_h = [], [], [], [], []
+
+    return df.select(
+        "media_id", "mime", "data", "meta_width", "meta_height"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
     timestamp (real decode stubbed; timestamps are computed from metadata

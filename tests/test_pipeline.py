@@ -242,3 +242,36 @@ def test_winnow_fingerprints_overlap_semantics(spark):
     # unrelated docs share (almost) nothing
     assert len(out[1] & out[4]) <= 1
     assert out[5] == set()  # too short for one k-gram
+
+
+def test_dedup_clusters_connected_components(spark):
+    from sneldb_spark.pipeline.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3} (chain), {4,5}, singletons 6,7,8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(ids, pairs, id_col="doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+
+
+def test_resize_images_geometry_and_passthrough(spark):
+    from sneldb_spark.pipeline.multimodal import resize_images
+
+    rows = [
+        (1, "image/png", b"small-bytes", 100, 200),     # fits: pass-through
+        (2, "image/png", b"wide", 512, 128),            # wide: scale by width
+        (3, "image/png", b"tall", 100, 1024),           # tall: scale by height
+        (4, "image/png", b"huge", 1000, 1000),          # both: uniform scale
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, data binary, meta_width int, meta_height int"
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 256, 256).collect()}
+    assert (out[1]["meta_width"], out[1]["meta_height"]) == (100, 200)
+    assert bytes(out[1]["data"]) == b"small-bytes"  # no decode on pass-through
+    assert (out[2]["meta_width"], out[2]["meta_height"]) == (256, 64)
+    assert (out[3]["meta_width"], out[3]["meta_height"]) == (25, 256)
+    assert (out[4]["meta_width"], out[4]["meta_height"]) == (256, 256)
+    assert len(bytes(out[4]["data"])) == 256 * 256  # ~1 byte/pixel fake payload
