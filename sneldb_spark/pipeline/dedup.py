@@ -223,16 +223,29 @@ def dedup_clusters(
     between rounds is persisted and the previous round unpersisted, so
     lineage stays O(1) instead of growing per iteration.
     """
+    # The symmetrized edge list reads `pairs` twice — persist it so an
+    # expensive upstream pair pipeline (LSH join, Jaccard verify) runs once.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).persist()
-    labels.count()
+    # Only nodes that appear in some pair can ever change label — iterate
+    # over that (typically much smaller) vertex set and stitch the
+    # untouched ids back as their own singleton clusters at the end.
+    all_ids = ids.select(F.col(id_col).alias("id"))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    # Labels only ever decrease, so the label sum strictly decreases until
+    # convergence — an aggregate scan per round replaces a join-based
+    # changed-row count.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_rounds):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster_id")
@@ -243,18 +256,18 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
-    return labels
+    pairs.unpersist()
+    singletons = all_ids.join(labels.select("id"), "id", "left_anti").withColumn(
+        "cluster_id", F.col("id")
+    )
+    return labels.unionByName(singletons)
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,69 @@ def test_materialization_retention_max_rows(engine):
     engine.execute("FLUSH")
     rows2 = sorted(r["n"] for r in engine.materializer.show("recent").collect())
     assert rows2 == [3, 4, 9]
+
+
+def test_http_frontend_commands_and_frames(engine):
+    import json as _json
+    import urllib.request
+
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    server = SnelDBHttpServer(engine).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                base + path, data=body.encode(), method="POST"
+            )
+            with urllib.request.urlopen(req) as resp:
+                return [_json.loads(l) for l in resp.read().decode().splitlines()]
+
+        with urllib.request.urlopen(base + "/ping") as resp:
+            assert resp.read() == b"PONG\n"
+        assert post("/command", 'DEFINE httpev FIELDS { "n": "int" }')[0]["type"] == "ok"
+        assert post("/command", 'STORE httpev FOR h1 PAYLOAD { "n": 5 }')[0]["type"] == "ok"
+        assert post("/command", "FLUSH")[0]["type"] == "ok"
+        frames = post("/json-command", _json.dumps({"command": "QUERY httpev WHERE n = 5"}))
+        kinds = [f["type"] for f in frames]
+        assert kinds[0] == "schema" and kinds[-1] == "end"
+        assert sum(f.get("row_count", 0) for f in frames if f["type"] == "batch") == 1
+    finally:
+        server.stop()
+
+
+def test_http_frontend_auth_headers(spark, tmp_path):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from sneldb_spark.auth import AuthConfig, AuthManager, sign
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    auth = AuthManager(config=AuthConfig(initial_admin_user="admin", initial_admin_key="ak"))
+    db = SnelDB(spark, str(tmp_path / "db"), auth=auth)
+    server = SnelDBHttpServer(db).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        cmd = 'DEFINE hsec FIELDS { "n": "int" }'
+        # unauthenticated -> 401
+        req = urllib.request.Request(base + "/command", data=cmd.encode(), method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # signed request passes
+        req = urllib.request.Request(
+            base + "/command",
+            data=cmd.encode(),
+            method="POST",
+            headers={"X-Auth-User": "admin", "X-Auth-Signature": sign("ak", cmd)},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert _json.loads(resp.read().decode().splitlines()[0])["type"] == "ok"
+    finally:
+        server.stop()
