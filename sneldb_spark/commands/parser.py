@@ -548,9 +548,43 @@ def _parse_show(text: str) -> ast.ShowCommand:
     return ast.ShowCommand(name=name)
 
 
+def _split_commands(body: str) -> list[str]:
+    """Split on top-level ';' — semicolons inside string literals or JSON
+    blocks belong to the sub-command."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    start = 0
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+        i += 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _parse_batch(text: str) -> ast.BatchCommand:
+    # Reference form is `BATCH [ cmd; cmd; ... ]`
+    # (reference: src/command/parser/commands/batch.rs:16-23); the bare
+    # unbracketed form is tolerated as a convenience.
     body = text.strip()[len("BATCH"):].strip()
-    cmds = [parse_command(part) for part in body.split(";") if part.strip()]
+    if body.startswith("["):
+        if not body.endswith("]"):
+            raise ParseError("missing closing ']' for BATCH")
+        body = body[1:-1]
+    cmds = [parse_command(part) for part in _split_commands(body)]
     if not cmds:
         raise ParseError("BATCH requires at least one command")
     return ast.BatchCommand(commands=cmds)

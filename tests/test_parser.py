@@ -146,3 +146,18 @@ def test_parse_errors():
 def test_bare_word_value_is_string():
     cmd = parse_command("QUERY t WHERE status = active")
     assert cmd.where == ast.Compare("status", "=", "active")
+
+
+def test_batch_bracketed_form_and_embedded_semicolons():
+    from sneldb_spark.commands import ast
+    from sneldb_spark.commands.parser import parse_command
+
+    b = parse_command('BATCH [ STORE ev FOR c1 PAYLOAD { "s": "a;b" }; PING ]')
+    assert [type(c) for c in b.commands] == [ast.StoreCommand, ast.PingCommand]
+    assert b.commands[0].payload == {"s": "a;b"}
+    import pytest
+
+    from sneldb_spark.errors import ParseError
+
+    with pytest.raises(ParseError):
+        parse_command("BATCH [ PING")  # unclosed bracket
