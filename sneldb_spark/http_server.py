@@ -94,7 +94,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_error_frame(500, f"internal: {e}")
             return
         if result.df is not None:
-            self._send_frames(json_frames(result.df))
+            # output_format = "arrow" in the reference; here content
+            # negotiation (reference: src/shared/response/arrow.rs).
+            accept = self.headers.get("Accept", "")
+            if "application/vnd.apache.arrow.stream" in accept:
+                from sneldb_spark.response import arrow_ipc_bytes
+
+                self._send(
+                    200, arrow_ipc_bytes(result.df), "application/vnd.apache.arrow.stream"
+                )
+            else:
+                self._send_frames(json_frames(result.df))
         else:
             self._send_frames([json.dumps({"type": "ok", "message": result.message})])
 

@@ -140,6 +140,35 @@ class SnelDBServer:
         self._server.server_close()
 
 
+class SnelDBUnixServer:
+    """Same line protocol over a Unix domain socket
+    (reference: src/frontend/unix/)."""
+
+    def __init__(self, engine: SnelDB, socket_path: str):
+        import os
+
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
+        self._server = socketserver.ThreadingUnixStreamServer(socket_path, _Handler)
+        self._server.daemon_threads = True
+        self._server.engine = engine  # type: ignore[attr-defined]
+        self.socket_path = socket_path
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        import os
+
+        self._server.shutdown()
+        self._server.server_close()
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+
 def send_commands(address: tuple[str, int], commands: list[str], timeout: float = 60.0) -> list[dict]:
     """Small client helper: send commands, collect all reply frames."""
     frames: list[dict] = []

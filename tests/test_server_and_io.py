@@ -164,3 +164,67 @@ def test_http_frontend_auth_headers(spark, tmp_path):
             assert _json.loads(resp.read().decode().splitlines()[0])["type"] == "ok"
     finally:
         server.stop()
+
+
+def test_unix_socket_frontend(engine, tmp_path):
+    import json as _json
+    import socket as _socket
+
+    from sneldb_spark.server import SnelDBUnixServer
+
+    sock_path = str(tmp_path / "sneldb.sock")
+    server = SnelDBUnixServer(engine, sock_path).start()
+    try:
+        with _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM) as s:
+            s.connect(sock_path)
+            f = s.makefile("rwb")
+            for cmd, expect_ok in [
+                ('DEFINE unixev FIELDS { "n": "int" }', True),
+                ('STORE unixev FOR u1 PAYLOAD { "n": 1 }', True),
+                ("FLUSH", True),
+            ]:
+                f.write((cmd + "\n").encode())
+                f.flush()
+                assert (_json.loads(f.readline())["type"] == "ok") is expect_ok
+            f.write(b"QUERY unixev\n")
+            f.flush()
+            kinds = []
+            while True:
+                fr = _json.loads(f.readline())
+                kinds.append(fr["type"])
+                if fr["type"] in ("end", "error"):
+                    break
+            assert kinds[0] == "schema" and kinds[-1] == "end"
+    finally:
+        server.stop()
+    import os
+
+    assert not os.path.exists(sock_path)  # cleaned up
+
+
+def test_http_arrow_accept_header(engine):
+    import io
+    import urllib.request
+
+    import pyarrow as pa
+
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    engine.execute('DEFINE arrev FIELDS { "n": "int" }')
+    engine.execute('STORE arrev FOR a1 PAYLOAD { "n": 9 }')
+    engine.execute("FLUSH")
+    server = SnelDBHttpServer(engine).start()
+    host, port = server.address
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/command",
+            data=b"QUERY arrev WHERE n = 9",
+            method="POST",
+            headers={"Accept": "application/vnd.apache.arrow.stream"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+            table = pa.ipc.open_stream(io.BytesIO(resp.read())).read_all()
+        assert table.num_rows == 1 and table.column("n")[0].as_py() == 9
+    finally:
+        server.stop()
