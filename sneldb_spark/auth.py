@@ -140,6 +140,9 @@ class AuthManager:
                 for uid, u in self.users.items()
             }
         }
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         tmp = f"{self.path}.tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)

@@ -1,0 +1,128 @@
+"""TOML configuration surface (the reference's ``config/*.toml``).
+
+Maps the reference's config sections onto this engine
+(reference: config/prod.toml):
+
+- ``[engine] data_dir``      -> the event-store root
+- ``[time]``                 -> :class:`TimeConfig` (timezone, week_start,
+                                use_calendar_bucketing)
+- ``[auth]``                 -> :class:`AuthConfig` (bypass_auth,
+                                initial_admin_user/key, token expiry);
+                                the section's presence enables auth
+- ``[server]``               -> tcp_addr / http_addr / socket_path, used by
+                                :func:`serve`
+
+Sections that configure the reference's *storage mechanism* — ``[wal]``,
+``[query]`` caches, zones/shards/compaction in ``[engine]`` — have no
+equivalent here by design: Spark + Parquet own those concerns (SURVEY §0,
+"Spark frame"). They are accepted and ignored so a reference config file
+loads unchanged.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from sneldb_spark.auth import AuthConfig, AuthManager
+from sneldb_spark.engine import SnelDB
+from sneldb_spark.plans.compiler import TimeConfig
+
+_WEEKDAYS = {
+    "mon": "monday", "tue": "tuesday", "wed": "wednesday", "thu": "thursday",
+    "fri": "friday", "sat": "saturday", "sun": "sunday",
+}
+
+
+@dataclass
+class ServerConfig:
+    tcp_addr: Optional[str] = None
+    http_addr: Optional[str] = None
+    socket_path: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    data_dir: str = "./sneldb_data"
+    time: TimeConfig = field(default_factory=TimeConfig)
+    auth: Optional[AuthConfig] = None
+    server: ServerConfig = field(default_factory=ServerConfig)
+
+
+def _parse_week_start(value: str) -> str:
+    v = value.strip().lower()
+    return _WEEKDAYS.get(v[:3], v)
+
+
+def load_config(path_or_dict) -> EngineConfig:
+    """Load an EngineConfig from a TOML file path or a parsed dict."""
+    if isinstance(path_or_dict, dict):
+        doc = path_or_dict
+    else:
+        with open(path_or_dict, "rb") as f:
+            doc = tomllib.load(f)
+
+    cfg = EngineConfig()
+    engine = doc.get("engine", {})
+    if "data_dir" in engine:
+        cfg.data_dir = engine["data_dir"]
+
+    t = doc.get("time", {})
+    cfg.time = TimeConfig(
+        mode="calendar" if t.get("use_calendar_bucketing", True) else "naive",
+        timezone=t.get("timezone", "UTC"),
+        week_start=_parse_week_start(t.get("week_start", "Mon")),
+    )
+
+    if "auth" in doc:
+        a = doc["auth"]
+        cfg.auth = AuthConfig(
+            bypass_auth=a.get("bypass_auth", False),
+            initial_admin_user=a.get("initial_admin_user"),
+            initial_admin_key=a.get("initial_admin_key"),
+            session_token_expiry_seconds=a.get("session_token_expiry_seconds", 300),
+        )
+
+    s = doc.get("server", {})
+    cfg.server = ServerConfig(
+        tcp_addr=s.get("tcp_addr"),
+        http_addr=s.get("http_addr"),
+        socket_path=s.get("socket_path"),
+    )
+    return cfg
+
+
+def create_engine(spark: SparkSession, config) -> SnelDB:
+    """Build a SnelDB from a TOML path / dict / EngineConfig."""
+    cfg = config if isinstance(config, EngineConfig) else load_config(config)
+    auth = None
+    if cfg.auth is not None:
+        import os
+
+        auth = AuthManager(
+            path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
+        )
+    return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth)
+
+
+def serve(engine: SnelDB, cfg: EngineConfig) -> list:
+    """Start every frontend named in [server]; returns started servers."""
+    servers = []
+    if cfg.server.tcp_addr:
+        from sneldb_spark.server import SnelDBServer
+
+        host, _, port = cfg.server.tcp_addr.rpartition(":")
+        servers.append(SnelDBServer(engine, host or "127.0.0.1", int(port)).start())
+    if cfg.server.http_addr:
+        from sneldb_spark.http_server import SnelDBHttpServer
+
+        host, _, port = cfg.server.http_addr.rpartition(":")
+        servers.append(SnelDBHttpServer(engine, host or "127.0.0.1", int(port)).start())
+    if cfg.server.socket_path:
+        from sneldb_spark.server import SnelDBUnixServer
+
+        servers.append(SnelDBUnixServer(engine, cfg.server.socket_path).start())
+    return servers

@@ -228,3 +228,47 @@ def test_http_arrow_accept_header(engine):
         assert table.num_rows == 1 and table.column("n")[0].as_py() == 9
     finally:
         server.stop()
+
+
+def test_toml_config_loads_reference_prod_config(spark, tmp_path):
+    # The reference's own prod.toml must load unchanged: mechanism sections
+    # ([wal], [query], zones/shards) are accepted and ignored.
+    from sneldb_spark.config import create_engine, load_config
+
+    cfg = load_config("/root/reference/config/prod.toml")
+    assert cfg.time.mode == "calendar" and cfg.time.week_start == "monday"
+    assert cfg.auth is not None and cfg.auth.initial_admin_user == "admin"
+    assert cfg.server.tcp_addr == "127.0.0.1:7171"
+    cfg.data_dir = str(tmp_path / "db")  # don't write at the reference path
+    db = create_engine(spark, cfg)
+    admin = cfg.auth.initial_admin_user
+    assert db.execute('DEFINE cfg_ev FIELDS { "n": "int" }', user_id=admin).ok
+
+
+def test_toml_config_serve_and_naive_time(spark, tmp_path):
+    import json as _json
+    import socket as _socket
+
+    from sneldb_spark.config import EngineConfig, create_engine, load_config, serve
+
+    cfg = load_config(
+        {
+            "engine": {"data_dir": str(tmp_path / "db")},
+            "time": {"use_calendar_bucketing": False, "week_start": "Sun"},
+            "server": {"tcp_addr": "127.0.0.1:0"},
+        }
+    )
+    assert isinstance(cfg, EngineConfig)
+    assert cfg.time.mode == "naive" and cfg.time.week_start == "sunday"
+    db = create_engine(spark, cfg)
+    servers = serve(db, cfg)
+    try:
+        assert len(servers) == 1
+        with _socket.create_connection(servers[0].address, timeout=30) as s:
+            f = s.makefile("rwb")
+            f.write(b"PING\n")
+            f.flush()
+            assert _json.loads(f.readline())["message"] == "PONG"
+    finally:
+        for srv in servers:
+            srv.stop()
