@@ -139,3 +139,110 @@ def test_where_expression_text_roundtrip(expr):
 
     q = parse_command(f"QUERY t WHERE {_render(expr)}")
     assert q.where == expr
+
+
+# --- WHERE evaluation vs brute-force two-valued-logic oracle ---------------
+
+_TYPED_FIELDS = {"n": "int", "s": "string"}
+_N_VALUES = st.one_of(st.integers(min_value=-3, max_value=3), st.none())
+_S_VALUES = st.one_of(st.sampled_from(["a", "b", "c", ""]), st.none())
+
+
+def _typed_leaf():
+    from sneldb_spark.commands import ast as A
+
+    ops = st.sampled_from(["=", "!=", ">", ">=", "<", "<="])
+    return st.one_of(
+        st.tuples(ops, _N_VALUES).map(lambda t: A.Compare("n", t[0], t[1])),
+        st.tuples(ops, _S_VALUES).map(lambda t: A.Compare("s", t[0], t[1])),
+        st.lists(_N_VALUES, min_size=1, max_size=3).map(lambda v: A.In("n", tuple(v))),
+        st.lists(_S_VALUES, min_size=1, max_size=3).map(lambda v: A.In("s", tuple(v))),
+    )
+
+
+def _typed_exprs():
+    from sneldb_spark.commands import ast as A
+
+    return st.recursive(
+        _typed_leaf(),
+        lambda sub: st.one_of(
+            st.tuples(sub, sub).map(lambda t: A.And(*t)),
+            st.tuples(sub, sub).map(lambda t: A.Or(*t)),
+            sub.map(A.Not),
+        ),
+        max_leaves=6,
+    )
+
+
+def _eval_reference(e, row) -> bool:
+    """Two-valued reference semantics: any comparison on a NULL field value
+    is false; `= null` means IS NULL; NOT is plain boolean inversion
+    (so it *includes* null-comparison rows)."""
+    from sneldb_spark.commands import ast as A
+
+    if isinstance(e, A.Compare):
+        v = row[e.field]
+        if e.value is None:
+            if e.op == "=":
+                return v is None
+            if e.op == "!=":
+                return v is not None
+            return False  # ordering vs null literal matches nothing
+        if v is None:
+            return False
+        if e.op == "=":
+            return v == e.value
+        if e.op == "!=":
+            return v != e.value
+        if e.op == ">":
+            return v > e.value
+        if e.op == ">=":
+            return v >= e.value
+        if e.op == "<":
+            return v < e.value
+        return v <= e.value
+    if isinstance(e, A.In):
+        v = row[e.field]
+        if v is None:
+            return None in e.values
+        return v in [x for x in e.values if x is not None]
+    if isinstance(e, A.And):
+        return _eval_reference(e.left, row) and _eval_reference(e.right, row)
+    if isinstance(e, A.Or):
+        return _eval_reference(e.left, row) or _eval_reference(e.right, row)
+    if isinstance(e, A.Not):
+        return not _eval_reference(e.expr, row)
+    raise AssertionError(e)
+
+
+_WHERE_ROWS = [
+    {"id": i, "n": n, "s": s}
+    for i, (n, s) in enumerate(
+        [(0, "a"), (1, "b"), (-2, "c"), (3, ""), (None, "a"), (2, None),
+         (None, None), (0, "c"), (-3, "b"), (1, "")]
+    )
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=_typed_exprs())
+def test_where_eval_matches_reference_semantics(spark_session_holder, expr):
+    from pyspark.sql import functions as F
+
+    from sneldb_spark.plans.filters import compile_expr
+
+    spark, df = spark_session_holder
+    resolve = lambda f: (F.col(f), None)  # noqa: E731
+    got = {r["id"] for r in df.where(compile_expr(expr, resolve)).collect()}
+    want = {row["id"] for row in _WHERE_ROWS if _eval_reference(expr, row)}
+    assert got == want, f"expr={expr}"
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    df = spark.createDataFrame(
+        _WHERE_ROWS, "id long, n long, s string"
+    ).coalesce(1).persist()
+    df.count()
+    yield spark, df
+    df.unpersist()
