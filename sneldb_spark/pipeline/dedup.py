@@ -219,9 +219,9 @@ def dedup_clusters(
     rounds needed = graph diameter, and near-dup graphs are dense clumps
     with tiny diameters (2-4), not long chains — the pathological chain
     case is bounded by ``max_rounds``. The only driver-side value per
-    round is the changed-label count that decides convergence. State
-    between rounds is persisted and the previous round unpersisted, so
-    lineage stays O(1) instead of growing per iteration.
+    round is the convergence scalar. Per-round state is locally
+    checkpointed (lineage truncation, not just caching), so the plan stays
+    O(1)-deep however many rounds run.
     """
     # The symmetrized edge list reads `pairs` twice — persist it so an
     # expensive upstream pair pipeline (LSH join, Jaccard verify) runs once.
@@ -250,11 +250,15 @@ def dedup_clusters(
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster_id")
         )
+        # localCheckpoint (not just persist): truncates lineage every round
+        # so the plan stays O(1)-deep — persist alone keeps the full
+        # iterative plan tree, which bloats scheduling and makes recompute
+        # after cache eviction quadratic.
         new_labels = (
             msgs.unionByName(labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels.unpersist()

@@ -161,17 +161,55 @@ def lsh_topk(
     round_digits: int | None = 4,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose signature is
-    within `max_probe_hamming` bits of the query signature."""
-    c = lsh_signatures(corpus, id_col, vec_col, planes, dim)
+    within `max_probe_hamming` bits of the query signature.
+
+    Candidate generation is a banded EQUI-join, not a nested-loop scan:
+    the signature splits into ``max_probe_hamming + 1`` disjoint blocks,
+    and by pigeonhole any pair within the hamming budget shares at least
+    one identical block — so joining on (block index, block value) produces
+    exactly the pairs the exhaustive signature comparison would, at a
+    hash-join's cost. The hamming verify then filters to the same final
+    set. At 100 TB this is the difference between a shuffle-partitioned
+    hash join and |corpus| x |queries| signature tests.
+    """
+    n_bands = max_probe_hamming + 1
+    bounds = [round(i * planes / n_bands) for i in range(n_bands + 1)]
+
+    def banded(df: DataFrame, sig_col: str) -> DataFrame:
+        blocks = []
+        for b in range(n_bands):
+            lo, hi = bounds[b], bounds[b + 1]
+            mask = (1 << (hi - lo)) - 1
+            blocks.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col(sig_col), lo)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+            )
+        return df.select(
+            "*", F.explode(F.array(*blocks)).alias("bb")
+        ).select(*df.columns, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+
+    c = banded(lsh_signatures(corpus, id_col, vec_col, planes, dim), "sig")
     q = F.broadcast(
-        lsh_signatures(queries, id_col, vec_col, planes, dim)
-        .withColumnRenamed("id", "query_id")
-        .withColumnRenamed("v", "qv")
-        .withColumnRenamed("sig", "qsig")
+        banded(
+            lsh_signatures(queries, id_col, vec_col, planes, dim)
+            .withColumnRenamed("id", "query_id")
+            .withColumnRenamed("v", "qv")
+            .withColumnRenamed("sig", "qsig"),
+            "qsig",
+        )
     )
-    cand = c.crossJoin(q).where(
-        (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_probe_hamming)
-        & (F.col("id") != F.col("query_id"))
+    cand = (
+        c.join(q, ["band", "key"])
+        .where(
+            (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_probe_hamming)
+            & (F.col("id") != F.col("query_id"))
+        )
+        .drop("band", "key")
+        .dropDuplicates(["id", "query_id"])
     )
     sim = dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v")))
     if round_digits is not None:
