@@ -87,6 +87,20 @@ class SchemaRegistry:
         existing = self._schemas.setdefault(event_type, {})
         if version is None:
             version = max(existing) + 1 if existing else 1
+        # Additive evolution only: a field kept across versions must keep
+        # its storage type. The reference stores each (type, version) under
+        # its own uid with separate column files; here all versions share
+        # one Parquet dataset, so a type flip would make old files
+        # unreadable under the current read schema.
+        if existing:
+            latest = existing[max(existing)]
+            for fname, ft in parsed.items():
+                old = latest.fields.get(fname)
+                if old is not None and old.kind != ft.kind:
+                    raise SchemaError(
+                        f"field {fname!r} changes type {old.kind!r} -> {ft.kind!r} "
+                        f"across versions of {event_type!r}; add a new field instead"
+                    )
         schema = EventSchema(event_type, version, parsed)
         existing[version] = schema
         self._save()

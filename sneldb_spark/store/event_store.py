@@ -157,7 +157,13 @@ class EventStore:
         schema = self.registry.get(event_type)
         if not self.has_data(event_type):
             return self.spark.createDataFrame([], schema=schema.spark_struct)
-        df = self.spark.read.parquet(self._path(event_type))
+        # Read with the CURRENT registry schema, not file-inferred: files
+        # written before a version bump lack newly added fields, and
+        # inference from a sampled footer would silently drop those columns
+        # for every row. An explicit schema null-fills them instead
+        # (additive evolution; `DEFINE ... AS n` with changed field TYPES is
+        # rejected at definition time by the registry).
+        df = self.spark.read.schema(schema.spark_struct).parquet(self._path(event_type))
         return df.drop("ingest_date")
 
     # -- maintenance ------------------------------------------------------

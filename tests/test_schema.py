@@ -121,3 +121,27 @@ def test_fieldtype_json_roundtrip():
         FieldType("datetime", False),
     ]:
         assert FieldType.from_json(ft.to_json()) == ft
+
+
+def test_version_bump_adds_column_null_filled(engine):
+    # Files written before the bump lack the new column; reads must
+    # null-fill it, not silently drop it (explicit read schema).
+    engine.execute('DEFINE sv2 FIELDS { "a": "int" }')
+    engine.execute('STORE sv2 FOR c1 PAYLOAD { "a": 1 }')
+    engine.execute("FLUSH")
+    engine.execute('DEFINE sv2 AS 2 FIELDS { "a": "int", "b": "string | null" }')
+    engine.execute('STORE sv2 FOR c2 PAYLOAD { "a": 2, "b": "x" }')
+    engine.execute("FLUSH")
+    rows = {r["a"]: r for r in engine.query("QUERY sv2").collect()}
+    assert "b" in rows[1].asDict() and rows[1]["b"] is None and rows[2]["b"] == "x"
+    assert engine.query('QUERY sv2 WHERE b = "x"').count() == 1
+
+
+def test_version_bump_type_change_rejected(engine):
+    import pytest
+
+    from sneldb_spark.errors import SchemaError
+
+    engine.execute('DEFINE tv FIELDS { "a": "int" }')
+    with pytest.raises(SchemaError, match="changes type"):
+        engine.execute('DEFINE tv AS 2 FIELDS { "a": "string" }')
