@@ -124,8 +124,11 @@ class SnelDB:
             return Result(ok=True, df=self.compiler.compile(cmd))
         if isinstance(cmd, ast.RememberCommand):
             self.store.flush()
-            self.materializer.remember(cmd.name, cmd.query)
-            return Result(ok=True, message=f"remembered {cmd.name}")
+            n = self.materializer.remember(cmd.name, cmd.query)
+            return Result(
+                ok=True,
+                message=f"remembered query '{cmd.name}'\nrows stored: {n}",
+            )
         if isinstance(cmd, ast.ShowCommand):
             self.store.flush()
             return Result(ok=True, df=self.materializer.show(cmd.name))

@@ -107,6 +107,7 @@ class Materializer:
         manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
+        return self.engine.spark.read.parquet(path).count()
 
     # -- SHOW -------------------------------------------------------------
     def show(self, name: str) -> DataFrame:
