@@ -92,11 +92,15 @@ class EventStore:
         return row
 
     def flush(self):
-        """Commit buffered events to Parquet (the reference's memtable->segment)."""
-        for event_type, rows in list(self._pending.items()):
+        """Commit buffered events to Parquet (the reference's memtable->segment).
+
+        The buffer swap is atomic so a concurrent STORE (the TCP/HTTP
+        frontends are threaded) lands in the next flush instead of being
+        silently dropped between iteration and clear."""
+        pending, self._pending = self._pending, {}
+        for event_type, rows in pending.items():
             if rows:
                 self._write_rows(event_type, rows)
-        self._pending.clear()
 
     def append_dataframe(self, event_type: str, df: DataFrame):
         """Bulk/streaming append of already-validated, core-schema rows.

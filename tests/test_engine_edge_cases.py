@@ -230,3 +230,31 @@ def test_scalar_aggregates_no_group_by(engine):
     assert len(rows) == 1
     r = rows[0]
     assert (r["total_amount"], r["avg_amount"], r["min_amount"], r["max_amount"]) == (60, 20.0, 10, 30)
+
+
+def test_concurrent_store_during_flush_not_lost(engine):
+    # The frontends are threaded: a STORE racing a FLUSH must land in the
+    # next flush, never vanish (atomic buffer swap in EventStore.flush).
+    import threading
+
+    engine.execute('DEFINE race FIELDS { "n": "int" }')
+    stop = threading.Event()
+    stored = [0]
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            engine.execute(f'STORE race FOR w PAYLOAD {{ "n": {i} }}')
+            stored[0] = i + 1
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(5):
+            engine.execute("FLUSH")
+    finally:
+        stop.set()
+        t.join()
+    engine.execute("FLUSH")
+    assert engine.query("QUERY race").count() == stored[0]
