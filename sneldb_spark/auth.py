@@ -90,9 +90,13 @@ class AuthManager:
         config: AuthConfig | None = None,
         clock=time.time,
     ):
+        import threading
+
         self.path = path
         self.config = config or AuthConfig()
         self.clock = clock
+        # Frontends are threaded; grant/revoke are read-modify-write.
+        self._lock = threading.Lock()
         self.users: dict[str, User] = {}
         self.sessions: dict[str, tuple[str, float]] = {}  # token -> (user, expiry)
         if path and os.path.exists(path):
@@ -160,26 +164,32 @@ class AuthManager:
         roles: Optional[list[str]] = None,
     ) -> str:
         self._validate_user_id(user_id)
-        if user_id in self.users:
-            raise AuthError(f"User already exists: {user_id}")
         if secret_key is None:
             secret_key = secrets.token_hex(32)
         if len(secret_key) > MAX_SECRET_KEY_LENGTH:
             raise AuthError(f"Secret key too long (max {MAX_SECRET_KEY_LENGTH})")
-        self._put(User(user_id=user_id, secret_key=secret_key, roles=list(roles or [])))
+        with self._lock:
+            if user_id in self.users:
+                raise AuthError(f"User already exists: {user_id}")
+            self._put(
+                User(user_id=user_id, secret_key=secret_key, roles=list(roles or []))
+            )
         return secret_key
 
     def revoke_key(self, user_id: str):
-        user = self.users.get(user_id)
-        if user is None:
-            raise AuthError(f"User not found: {user_id}")
-        user.active = False
-        # Inactive users must not keep live sessions (scenario
-        # auth_with_token_inactive_user).
-        self.sessions = {
-            tok: (uid, exp) for tok, (uid, exp) in self.sessions.items() if uid != user_id
-        }
-        self._save()
+        with self._lock:
+            user = self.users.get(user_id)
+            if user is None:
+                raise AuthError(f"User not found: {user_id}")
+            user.active = False
+            # Inactive users must not keep live sessions (scenario
+            # auth_with_token_inactive_user).
+            self.sessions = {
+                tok: (uid, exp)
+                for tok, (uid, exp) in self.sessions.items()
+                if uid != user_id
+            }
+            self._save()
 
     def list_users(self) -> list[User]:
         return sorted(self.users.values(), key=lambda u: u.user_id)
@@ -196,26 +206,28 @@ class AuthManager:
     # -- permissions ------------------------------------------------------
     def grant(self, user_id: str, event_type: str, read: bool, write: bool):
         """Grant adds to the existing set; it never removes."""
-        user = self.users.get(user_id)
-        if user is None:
-            raise AuthError(f"User not found: {user_id}")
-        existing = user.permissions.get(event_type, PermissionSet())
-        user.permissions[event_type] = PermissionSet(
-            read=existing.read or read, write=existing.write or write
-        )
-        self._save()
+        with self._lock:
+            user = self.users.get(user_id)
+            if user is None:
+                raise AuthError(f"User not found: {user_id}")
+            existing = user.permissions.get(event_type, PermissionSet())
+            user.permissions[event_type] = PermissionSet(
+                read=existing.read or read, write=existing.write or write
+            )
+            self._save()
 
     def revoke(self, user_id: str, event_type: str, read: bool, write: bool):
         """Clear the named flags; the (possibly all-false) set is KEPT as an
         explicit denial that overrides roles (types.rs:176-183)."""
-        user = self.users.get(user_id)
-        if user is None:
-            raise AuthError(f"User not found: {user_id}")
-        existing = user.permissions.get(event_type, PermissionSet())
-        user.permissions[event_type] = PermissionSet(
-            read=existing.read and not read, write=existing.write and not write
-        )
-        self._save()
+        with self._lock:
+            user = self.users.get(user_id)
+            if user is None:
+                raise AuthError(f"User not found: {user_id}")
+            existing = user.permissions.get(event_type, PermissionSet())
+            user.permissions[event_type] = PermissionSet(
+                read=existing.read and not read, write=existing.write and not write
+            )
+            self._save()
 
     def get_permissions(self, user_id: str) -> dict[str, PermissionSet]:
         user = self.users.get(user_id)
@@ -276,7 +288,8 @@ class AuthManager:
         self.verify_signature(user_id, user_id, signature)
         token = secrets.token_hex(32)
         expiry = self.clock() + self.config.session_token_expiry_seconds
-        self.sessions[token] = (user_id, expiry)
+        with self._lock:
+            self.sessions[token] = (user_id, expiry)
         return token
 
     def validate_session_token(self, token: str) -> Optional[str]:
@@ -285,7 +298,8 @@ class AuthManager:
             return None
         user_id, expiry = entry
         if self.clock() > expiry:
-            del self.sessions[token]
+            with self._lock:
+                self.sessions.pop(token, None)
             return None
         user = self.users.get(user_id)
         if user is None or not user.active:

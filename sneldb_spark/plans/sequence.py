@@ -21,7 +21,16 @@ Side ordering makes the tie semantics exact: A sorts before B at equal ts,
 so the forward frame *includes* same-ts Bs and the backward frame *excludes*
 them. min/max ignore nulls, and struct comparison is lexicographic on
 (ts, event_id), which is the reference's append-order tiebreak. One shuffle
-on the link key, no join explosion; skewed link keys are handled by AQE.
+on the link key, no join explosion.
+
+Skew note: a single hot link key serializes into one window partition —
+AQE splits skewed JOINs, not windows. That bound is inherent to the
+semantics (each link group must be processed in full time order) and is
+exactly the reference's per-group matcher bound too
+(reference: src/engine/core/read/sequence/group.rs); the running-frame
+evaluation keeps it O(n log n) in the group size. Measured ~1M rows on one
+key locally without spill trouble; beyond that the group itself is the
+product to rethink, not the plan.
 """
 
 from __future__ import annotations
