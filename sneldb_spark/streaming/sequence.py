@@ -1,0 +1,190 @@
+"""Streaming sequence (funnel) matching: FOLLOWED BY over a live stream.
+
+The batch engine evaluates ``A FOLLOWED BY B LINKED BY k`` as an as-of
+join (plans/sequence.py). This module gives the same pairing
+incrementally over an unbounded stream via ``applyInPandasWithState``:
+per link key, the state is the list of still-unmatched A events; when a
+B arrives, every pending A with ``ts_A <= ts_B`` matches that B (it is
+the first B at-or-after their timestamps — timestamps are server-assigned
+at ingest, so the stream is in arrival order and no watermark is needed,
+the reference's T2 semantics) and leaves the state.
+
+Emitted pairs are exactly the batch semantics (first B at-or-after each
+A, one match per A, a B may serve many As) as long as per-key arrival
+order matches timestamp order — which server-assigned timestamps
+guarantee. Same-timestamp A/B pairs match, tie-broken by processing A
+before B within a micro-batch (matcher.rs:310-464 parity).
+
+Scale shape: state is per-link-key and holds only UNMATCHED As (funnel
+abandoners), pruned on every match; the operator shuffles once on the
+link key per micro-batch — the streaming analogue of the batch plan's
+single shuffle. A `state_ttl_rows` cap bounds memory per hot key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("link", T.StringType()),
+        T.StructField("a_event_id", T.LongType()),
+        T.StructField("a_timestamp", T.LongType()),
+        T.StructField("b_event_id", T.LongType()),
+        T.StructField("b_timestamp", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_followed_by(
+    events: DataFrame,
+    head_type: str,
+    tail_type: str,
+    link_field: str,
+    state_ttl_rows: int = 100_000,
+) -> DataFrame:
+    """events: a streaming DataFrame with at least
+    (event_type, timestamp, event_id, <link_field>). Returns the matched
+    pair stream (append mode)."""
+
+    def match_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pend_ts: list[int]
+        pend_id: list[int]
+        if state.exists:
+            pend_ts, pend_id = [list(x) for x in state.get]
+        else:
+            pend_ts, pend_id = [], []
+        out: dict[str, list[Any]] = {
+            "link": [], "a_event_id": [], "a_timestamp": [],
+            "b_event_id": [], "b_timestamp": [],
+        }
+        link = key[0]
+        for pdf in pdfs:
+            # A before B at equal timestamps so same-ts pairs match.
+            pdf = pdf.sort_values(
+                ["timestamp", "__side", "event_id"], kind="stable"
+            )
+            for ts, side, eid in zip(
+                pdf["timestamp"], pdf["__side"], pdf["event_id"]
+            ):
+                if side == 0:  # A: becomes pending
+                    pend_ts.append(int(ts))
+                    pend_id.append(int(eid))
+                else:  # B: first B at-or-after every pending A with ts_A <= ts_B
+                    keep_ts, keep_id = [], []
+                    for a_ts, a_id in zip(pend_ts, pend_id):
+                        if a_ts <= ts:
+                            out["link"].append(link)
+                            out["a_event_id"].append(a_id)
+                            out["a_timestamp"].append(a_ts)
+                            out["b_event_id"].append(int(eid))
+                            out["b_timestamp"].append(int(ts))
+                        else:
+                            keep_ts.append(a_ts)
+                            keep_id.append(a_id)
+                    pend_ts, pend_id = keep_ts, keep_id
+        if len(pend_ts) > state_ttl_rows:  # bound memory on hot keys
+            pend_ts = pend_ts[-state_ttl_rows:]
+            pend_id = pend_id[-state_ttl_rows:]
+        state.update((pend_ts, pend_id))
+        if out["link"]:
+            yield pd.DataFrame(out)
+
+    sides = _sided(events, head_type, tail_type, link_field)
+    return sides.groupBy("__link").applyInPandasWithState(
+        match_fn,
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PRECEDED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("b_ts", T.LongType()),
+        T.StructField("b_id", T.LongType()),
+    ]
+)
+
+
+def streaming_preceded_by(
+    events: DataFrame,
+    head_type: str,
+    tail_type: str,
+    link_field: str,
+) -> DataFrame:
+    """``A PRECEDED BY B``: each arriving A pairs with the LATEST B seen
+    strictly before it. State per link key is a single (ts, id) — the
+    smallest possible stateful operator: O(1) memory per key however hot
+    the stream."""
+
+    def match_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        b_ts, b_id = state.get if state.exists else (None, None)
+        out: dict[str, list[Any]] = {
+            "link": [], "a_event_id": [], "a_timestamp": [],
+            "b_event_id": [], "b_timestamp": [],
+        }
+        link = key[0]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["timestamp", "__side", "event_id"], kind="stable"
+            )
+            for ts, side, eid in zip(
+                pdf["timestamp"], pdf["__side"], pdf["event_id"]
+            ):
+                if side == 1:  # B: becomes the latest candidate
+                    b_ts, b_id = int(ts), int(eid)
+                elif b_ts is not None and b_ts < ts:  # strict before
+                    out["link"].append(link)
+                    out["a_event_id"].append(int(eid))
+                    out["a_timestamp"].append(int(ts))
+                    out["b_event_id"].append(b_id)
+                    out["b_timestamp"].append(b_ts)
+        if b_ts is not None:
+            state.update((b_ts, b_id))
+        if out["link"]:
+            yield pd.DataFrame(out)
+
+    sides = _sided(events, head_type, tail_type, link_field)
+    return sides.groupBy("__link").applyInPandasWithState(
+        match_fn,
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_PRECEDED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _sided(
+    events: DataFrame, head_type: str, tail_type: str, link_field: str
+) -> DataFrame:
+    return events.where(
+        F.col("event_type").isin([head_type, tail_type])
+        & F.col(link_field).isNotNull()
+    ).select(
+        F.col(link_field).cast("string").alias("__link"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(F.col("event_type") == head_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__side"),
+    )

@@ -124,3 +124,117 @@ def test_streaming_restart_exactly_once(ingest):
     df = engine.store.read("metrics")
     assert df.count() == 11  # no duplicates of the first 10
     assert df.where("context_id = 'c99'").count() == 1
+
+
+def test_streaming_followed_by_matches_across_batches(spark, tmp_path):
+    """Stateful funnel matching: pending As persist across micro-batches and
+    match the first B at-or-after; matched As leave the state."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sequence import streaming_followed_by
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("session", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for et, ts, eid, sess in rows:
+                f.write(
+                    _json.dumps(
+                        {"event_type": et, "timestamp": ts, "event_id": eid, "session": sess}
+                    )
+                    + "\n"
+                )
+
+    # batch 1: two As (s1, s2), one B for s1 only
+    write_batch(
+        "b1.jsonl",
+        [("view", 10, 1, "s1"), ("view", 11, 2, "s2"), ("buy", 12, 3, "s1")],
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    matches = streaming_followed_by(stream, "view", "buy", "session")
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("funnel_matches")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["link"], r["a_event_id"], r["b_event_id"])
+            for r in spark.sql("SELECT * FROM funnel_matches").collect()
+        }
+        assert got == {("s1", 1, 3)}
+        # batch 2: B for s2 arrives later (state carried across batches);
+        # another B for s1 must NOT rematch the already-matched A; same-ts
+        # A/B pair (s3) matches within one batch.
+        write_batch(
+            "b2.jsonl",
+            [
+                ("buy", 20, 4, "s2"),
+                ("buy", 21, 5, "s1"),
+                ("view", 30, 6, "s3"),
+                ("buy", 30, 7, "s3"),
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            (r["link"], r["a_event_id"], r["b_event_id"])
+            for r in spark.sql("SELECT * FROM funnel_matches").collect()
+        }
+        assert got == {("s1", 1, 3), ("s2", 2, 4), ("s3", 6, 7)}
+    finally:
+        q.stop()
+
+
+def test_streaming_preceded_by_latest_before(spark, tmp_path):
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sequence import streaming_preceded_by
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("session", T.StringType()),
+        ]
+    )
+    rows1 = [("pay", 10, 1, "s1"), ("pay", 12, 2, "s1"), ("ship", 15, 3, "s1"),
+             ("ship", 5, 4, "s2")]   # s2: ship with no prior pay -> no match
+    rows2 = [("ship", 20, 5, "s1"),  # still pairs with latest pay (id 2)
+             ("pay", 30, 6, "s2"), ("ship", 30, 7, "s2")]  # same ts: strict < -> no match
+    for name, rows in (("b1.jsonl", rows1), ("b2.jsonl", rows2)):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for et, ts, eid, sess in rows:
+                f.write(_json.dumps({"event_type": et, "timestamp": ts,
+                                     "event_id": eid, "session": sess}) + "\n")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    matches = streaming_preceded_by(stream, "ship", "pay", "session")
+    q = (matches.writeStream.format("memory").queryName("preceded_matches")
+         .outputMode("append").option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        got = {(r["link"], r["a_event_id"], r["b_event_id"])
+               for r in spark.sql("SELECT * FROM preceded_matches").collect()}
+        assert got == {("s1", 3, 2), ("s1", 5, 2)}
+    finally:
+        q.stop()
