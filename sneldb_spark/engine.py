@@ -77,6 +77,38 @@ class SnelDB:
         cmd = parse_command(text)
         return self.compiler.compile(cmd)
 
+    def query_stream(self, text: str) -> DataFrame:
+        """Compile the SAME command text against a streaming source: a
+        continuously-updating DataFrame over the store's Parquet (new
+        FLUSH commits appear as new files). Aggregate queries run in
+        update mode (no watermark — timestamps are server-assigned, data
+        is never late, the reference's T2 semantics); ORDER BY / LIMIT /
+        OFFSET / sequences are batch-only and rejected here (use
+        streaming/sequence.py for live funnels)."""
+        cmd = parse_command(text)
+        if not isinstance(cmd, ast.QueryCommand):
+            raise SnelDBError("query_stream supports QUERY commands only")
+        if cmd.order_by or cmd.limit is not None or cmd.offset is not None:
+            raise SnelDBError("ORDER BY / LIMIT / OFFSET are batch-only")
+        if cmd.is_sequence:
+            raise SnelDBError(
+                "sequence queries over streams: use streaming_followed_by / "
+                "streaming_preceded_by"
+            )
+        if any(a.op == "count_unique" for a in cmd.aggs):
+            # Exact distinct aggregation is not expressible incrementally;
+            # Structured Streaming rejects countDistinct. Keeping the exact
+            # semantics batch-only is the honest choice (the batch path
+            # stays exact per A3); approx_count_distinct would silently
+            # change results.
+            raise SnelDBError("COUNT UNIQUE is batch-only (exact distinct)")
+        streaming_compiler = QueryCompiler(
+            source=self.store.read_stream,
+            schema_lookup=self.compiler._schema,
+            time_config=self.compiler.time_config,
+        )
+        return streaming_compiler.compile(cmd)
+
     # -- auth gates -------------------------------------------------------
     def _require_user(self, user_id: Optional[str]) -> str:
         if user_id is None:

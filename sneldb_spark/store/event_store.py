@@ -32,6 +32,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sneldb_spark.errors import QueryError
 from sneldb_spark.schema.registry import SchemaRegistry
 from sneldb_spark.schema.validation import validate_payload
 
@@ -169,6 +170,31 @@ class EventStore:
         # rejected at definition time by the registry).
         df = self.spark.read.schema(schema.spark_struct).parquet(self._path(event_type))
         return df.drop("ingest_date")
+
+    def read_stream(self, event_type: str) -> DataFrame:
+        """Streaming DataFrame over one event type's Parquet dataset —
+        every FLUSH commit surfaces as new files in the file source. The
+        same AST compiles against this source unchanged (query_stream)."""
+        from pyspark.sql import types as T
+
+        if event_type == "*":
+            types = [t for t in self.registry.event_types() if self.has_data(t)]
+            df = None
+            for t_ in types:
+                part = self.read_stream(t_)
+                df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+            if df is None:
+                raise QueryError("no events stored yet for streaming read")
+            return df
+        schema = self.registry.get(event_type)
+        struct = T.StructType(
+            list(schema.spark_struct) + [T.StructField("ingest_date", T.DateType())]
+        )
+        return (
+            self.spark.readStream.schema(struct)
+            .parquet(self._path(event_type))
+            .drop("ingest_date")
+        )
 
     # -- maintenance ------------------------------------------------------
     def compact(self, event_type: str, target_file_mb: int = 128):

@@ -238,3 +238,44 @@ def test_streaming_preceded_by_latest_before(spark, tmp_path):
         assert got == {("s1", 3, 2), ("s1", 5, 2)}
     finally:
         q.stop()
+
+
+def test_query_stream_live_aggregate(spark, tmp_path):
+    """The same command text compiles against a streaming source: new FLUSH
+    commits update the aggregate continuously (update output mode)."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE qs FIELDS { "country": "string", "amount": "int" }')
+    db.execute('STORE qs FOR c1 PAYLOAD { "country": "NL", "amount": 10 }')
+    db.execute('STORE qs FOR c2 PAYLOAD { "country": "NL", "amount": 20 }')
+    db.execute("FLUSH")
+    agg = db.query_stream("QUERY qs COUNT, TOTAL amount BY country")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qs_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["country"]: r for r in spark.sql("SELECT * FROM qs_live").collect()}
+        assert rows["NL"]["count"] == 2 and rows["NL"]["total_amount"] == 30
+        db.execute('STORE qs FOR c3 PAYLOAD { "country": "DE", "amount": 5 }')
+        db.execute('STORE qs FOR c4 PAYLOAD { "country": "NL", "amount": 1 }')
+        db.execute("FLUSH")
+        q.processAllAvailable()
+        rows = {r["country"]: r for r in spark.sql("SELECT * FROM qs_live").collect()}
+        assert rows["NL"]["count"] == 3 and rows["NL"]["total_amount"] == 31
+        assert rows["DE"]["count"] == 1
+    finally:
+        q.stop()
+
+    import pytest
+
+    from sneldb_spark.errors import SnelDBError
+
+    with pytest.raises(SnelDBError, match="batch-only"):
+        db.query_stream("QUERY qs ORDER BY amount LIMIT 5")
