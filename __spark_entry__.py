@@ -258,6 +258,137 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer (TPC-H Q10 shape): three joins
+    with the small dims broadcast, exact cents aggregation, top-20."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    revenue = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((_exact_sum_cents(revenue).cast("double") / 10_000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name", "revenue",
+        )
+    )
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): conditional aggregate over a
+    fact-dim join; part is broadcast."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    revenue = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0))
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * _exact_sum_cents(promo).cast("double")
+                / _exact_sum_cents(revenue).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_TPCH_Q14_SQL = """
+SELECT round(100.0 *
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))
+       ELSE 0 END) AS DOUBLE) /
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): having-style semi join — the
+    qualifying-orderkey aggregate feeds a broadcast semi join, so the big
+    fact table is never shuffled twice."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty_c = _cents("l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_exact_sum_cents(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > 200 * 100)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg((_exact_sum_cents(qty_c).cast("double") / 100).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+_TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+  round(o_totalprice, 2) AS o_totalprice,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 20000)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2)
+ORDER BY round(o_totalprice, 2) DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = _cents("l_extendedprice") * _cents("l_discount")
@@ -711,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -847,6 +981,9 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
+        "tpch_q10": _TPCH_Q10_SQL,
+        "tpch_q14": _TPCH_Q14_SQL,
+        "tpch_q18": _TPCH_Q18_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY content_hash",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

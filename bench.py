@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     # pipeline extensions
     "dedup_exact",
     "dedup_clusters",
