@@ -712,6 +712,50 @@ FROM documents
 """
 
 
+def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket —
+    reproducible across engines/partitionings (md5-derived, no RNG)."""
+    from sneldb_spark.pipeline.sampling import deterministic_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_split(d, "doc_id").select("doc_id", "split")
+
+
+_SAMPLING_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+"""
+
+
+def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling over documents (absent strata
+    keep nothing)."""
+    from sneldb_spark.pipeline.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        d, "doc_id", {"en": 0.5, "de": 0.25}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+_SAMPLING_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 0 END
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing: synthetic dimensions derived from
     doc_id (some under, some over the 256px fit box); the geometry and the
@@ -861,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "sampling_split": q_sampling_split,
+        "sampling_stratified": q_sampling_stratified,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
     }
@@ -996,6 +1042,8 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "sampling_split": _SAMPLING_SPLIT_SQL,
+        "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_tokens_fingerprint",
     "multimodal_features",
     "multimodal_resize",
+    "sampling_split",
     "similarity_topk",
     "similarity_ivf_topk",
     "embedding_near_pairs",

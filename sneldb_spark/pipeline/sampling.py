@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset splits for training pipelines.
+
+Random `df.sample` is not reproducible across runs, partitionings, or
+engines — a training pipeline needs the SAME example landing in the SAME
+split on every machine forever. These operators derive the decision from a
+content hash of a stable id (md5 → first 8 hex chars → bucket), so:
+
+- assignment is a pure per-row function: no shuffle, no seed state,
+  engine-portable (any SQL engine reproduces it — see the md5-based
+  oracles in __spark_entry__.py);
+- new data joins existing splits consistently (no re-shuffling of old
+  examples when the corpus grows);
+- at 100 TB it is a narrow codegen'd map over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): first 32 bits of md5 of the value."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a split label ('train'/'val'/'test' by default) chosen by the
+    id's hash bucket; fractions must sum to <= 1 (remainder -> last split)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or sum(splits.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions must sum to at most 1")
+    bucket = hash_bucket(F.col(id_col))
+    expr = None
+    edge = 0
+    names = list(splits)
+    for name in names[:-1]:
+        edge += int(round(splits[name] * BUCKETS))
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Keep a deterministic fraction of rows — uniformly, or per stratum
+    when `fractions` is a {stratum: fraction} dict (absent strata keep 0)."""
+    bucket = hash_bucket(F.col(id_col))
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        thresh = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == F.lit(value)
+            t = F.lit(int(round(frac * BUCKETS)))
+            thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        thresh = thresh.otherwise(F.lit(0))
+    else:
+        thresh = F.lit(int(round(fractions * BUCKETS)))
+    return df.where(bucket < thresh)

@@ -275,3 +275,33 @@ def test_resize_images_geometry_and_passthrough(spark):
     assert (out[3]["meta_width"], out[3]["meta_height"]) == (25, 256)
     assert (out[4]["meta_width"], out[4]["meta_height"]) == (256, 256)
     assert len(bytes(out[4]["data"])) == 256 * 256  # ~1 byte/pixel fake payload
+
+
+def test_deterministic_split_stable_and_complete(spark):
+    from sneldb_spark.pipeline.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out1 = {r["doc_id"]: r["split"] for r in deterministic_split(df, "doc_id").collect()}
+    out2 = {r["doc_id"]: r["split"] for r in
+            deterministic_split(df.repartition(7), "doc_id").collect()}
+    assert out1 == out2  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(out1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 850 <= c["train"] <= 950  # ~90%
+
+
+def test_stratified_sample_fractions(spark):
+    from sneldb_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "doc_id", {"en": 0.5, "de": 0.1}, "lang").collect()
+    from collections import Counter
+
+    c = Counter(r["lang"] for r in kept)
+    assert 400 <= c["en"] <= 600 and 50 <= c["de"] <= 150
+    # absent strata keep nothing
+    kept2 = stratified_sample(df, "doc_id", {"fr": 1.0}, "lang").count()
+    assert kept2 == 0
