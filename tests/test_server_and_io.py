@@ -272,3 +272,110 @@ def test_toml_config_serve_and_naive_time(spark, tmp_path):
     finally:
         for srv in servers:
             srv.stop()
+
+
+class _WsClient:
+    """Minimal RFC 6455 client for tests: masked text frames."""
+
+    def __init__(self, address):
+        import base64 as _b64
+        import os as _os
+        import socket as _socket
+
+        self.sock = _socket.create_connection(address, timeout=60)
+        self.f = self.sock.makefile("rwb")
+        key = _b64.b64encode(_os.urandom(16)).decode()
+        self.f.write(
+            (
+                f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                f"Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        self.f.flush()
+        status = self.f.readline().decode()
+        assert "101" in status, status
+        while self.f.readline() not in (b"\r\n", b"\n", b""):
+            pass
+
+    def send(self, text):
+        import os as _os
+        import struct as _struct
+
+        payload = text.encode()
+        mask = _os.urandom(4)
+        masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        header = bytearray([0x81])
+        n = len(payload)
+        if n < 126:
+            header.append(0x80 | n)
+        elif n < (1 << 16):
+            header.append(0x80 | 126)
+            header += _struct.pack(">H", n)
+        else:
+            header.append(0x80 | 127)
+            header += _struct.pack(">Q", n)
+        self.f.write(bytes(header) + mask + masked)
+        self.f.flush()
+
+    def recv(self):
+        from sneldb_spark.ws_server import read_frame
+
+        frame = read_frame(self.f)
+        assert frame is not None
+        return frame[1].decode()
+
+    def close(self):
+        self.sock.close()
+
+
+def test_websocket_frontend_roundtrip(engine):
+    import json as _json
+
+    from sneldb_spark.ws_server import SnelDBWsServer
+
+    server = SnelDBWsServer(engine).start()
+    try:
+        c = _WsClient(server.address)
+        c.send('DEFINE wsev FIELDS { "n": "int" }')
+        assert _json.loads(c.recv())["type"] == "ok"
+        c.send('STORE wsev FOR w1 PAYLOAD { "n": 7 }')
+        assert _json.loads(c.recv())["type"] == "ok"
+        c.send("FLUSH")
+        assert _json.loads(c.recv())["type"] == "ok"
+        c.send("QUERY wsev WHERE n = 7")
+        kinds = []
+        while True:
+            fr = _json.loads(c.recv())
+            kinds.append(fr["type"])
+            if fr["type"] in ("end", "error"):
+                break
+        assert kinds[0] == "schema" and kinds[-1] == "end"
+        c.close()
+    finally:
+        server.stop()
+
+
+def test_websocket_token_auth(spark, tmp_path):
+    import json as _json
+
+    from sneldb_spark.auth import AuthConfig, AuthManager, sign
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.ws_server import SnelDBWsServer
+
+    auth = AuthManager(config=AuthConfig(initial_admin_user="admin", initial_admin_key="ak"))
+    db = SnelDB(spark, str(tmp_path / "db"), auth=auth)
+    server = SnelDBWsServer(db).start()
+    try:
+        c = _WsClient(server.address)
+        cmd = 'DEFINE wsec FIELDS { "n": "int" }'
+        c.send(cmd)  # unauthenticated
+        assert _json.loads(c.recv())["type"] == "error"
+        c.send(f"AUTH admin:{sign('ak', 'admin')}")
+        reply = _json.loads(c.recv())
+        token = reply["message"].split()[-1]
+        c.send(f"{cmd} TOKEN {token}")
+        assert _json.loads(c.recv())["type"] == "ok"
+        c.close()
+    finally:
+        server.stop()
