@@ -41,6 +41,7 @@ _WEEKDAYS = {
 class ServerConfig:
     tcp_addr: Optional[str] = None
     http_addr: Optional[str] = None
+    ws_addr: Optional[str] = None
     socket_path: Optional[str] = None
 
 
@@ -90,6 +91,7 @@ def load_config(path_or_dict) -> EngineConfig:
     cfg.server = ServerConfig(
         tcp_addr=s.get("tcp_addr"),
         http_addr=s.get("http_addr"),
+        ws_addr=s.get("ws_addr"),
         socket_path=s.get("socket_path"),
     )
     return cfg
@@ -121,6 +123,11 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
 
         host, _, port = cfg.server.http_addr.rpartition(":")
         servers.append(SnelDBHttpServer(engine, host or "127.0.0.1", int(port)).start())
+    if cfg.server.ws_addr:
+        from sneldb_spark.ws_server import SnelDBWsServer
+
+        host, _, port = cfg.server.ws_addr.rpartition(":")
+        servers.append(SnelDBWsServer(engine, host or "127.0.0.1", int(port)).start())
     if cfg.server.socket_path:
         from sneldb_spark.server import SnelDBUnixServer
 
