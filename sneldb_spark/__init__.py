@@ -19,8 +19,17 @@ multimodal column plumbing.
 """
 
 from sneldb_spark.auth import AuthConfig, AuthManager
+from sneldb_spark.config import create_engine, load_config, serve
 from sneldb_spark.engine import SnelDB
 from sneldb_spark.session import get_spark
 
-__all__ = ["SnelDB", "get_spark", "AuthManager", "AuthConfig"]
+__all__ = [
+    "SnelDB",
+    "get_spark",
+    "AuthManager",
+    "AuthConfig",
+    "load_config",
+    "create_engine",
+    "serve",
+]
 __version__ = "0.1.0"

@@ -305,3 +305,16 @@ def test_stratified_sample_fractions(spark):
     # absent strata keep nothing
     kept2 = stratified_sample(df, "doc_id", {"fr": 1.0}, "lang").count()
     assert kept2 == 0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    from sneldb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    text = "one two three four five six seven eight"
+    df = spark.createDataFrame([(i, text) for i in range(3)], "doc_id long, text string")
+    # Uncapped: three identical docs -> all three pairs at jaccard 1.0.
+    assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=None).count() == 3
+    # Cap below the sharing degree: every shingle is a stop shingle, the
+    # prefixes empty out, and no candidates are generated (documented
+    # recall tradeoff of the degenerate-shingle cap).
+    assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=2).count() == 0
