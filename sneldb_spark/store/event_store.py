@@ -199,7 +199,14 @@ class EventStore:
     # -- maintenance ------------------------------------------------------
     def compact(self, event_type: str, target_file_mb: int = 128):
         """Small-file compaction: rewrite each date partition into sorted,
-        right-sized files (the reference's leveled compactor S7)."""
+        right-sized files (the reference's leveled compactor S7).
+
+        The swap is a directory rename — atomic against new readers but a
+        query already holding the old file list can lose files mid-scan.
+        Acceptable for the single-engine deployment this mirrors (the
+        reference parks readers during handover too); on a shared 100 TB
+        lake the same rewrite belongs in a transactional table format
+        (Delta/Iceberg OPTIMIZE) instead of a rename."""
         path = self._path(event_type)
         if not os.path.isdir(path):
             return

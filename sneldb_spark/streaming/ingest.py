@@ -83,11 +83,22 @@ def _valid_predicate(ft: FieldType, raw: F.Column, typed: F.Column) -> F.Column:
 class StreamingIngest:
     """Drives a readStream of JSON-lines events into the EventStore."""
 
-    def __init__(self, store: EventStore, checkpoint_dir: str | None = None):
+    def __init__(
+        self,
+        store: EventStore,
+        checkpoint_dir: str | None = None,
+        auto_compact_every: int | None = 64,
+    ):
         self.store = store
         self.registry: SchemaRegistry = store.registry
         self.checkpoint_dir = checkpoint_dir or os.path.join(store.root, "_checkpoints")
         self.quarantine_dir = os.path.join(store.root, "_quarantine")
+        # Small-file control (the reference's background compactor, S7):
+        # every micro-batch appends files, so after `auto_compact_every`
+        # commits to a type its partitions are rewritten into right-sized
+        # sorted files. None disables.
+        self.auto_compact_every = auto_compact_every
+        self._commits_since_compact: dict[str, int] = {}
         self._query = None
 
     # -- batch transform (also unit-testable without a stream) -------------
@@ -140,6 +151,12 @@ class StreamingIngest:
                     self.registry.get(event_type).fields
                 )
                 self.store.append_dataframe(event_type, ok_rows.select(*cols))
+                if self.auto_compact_every:
+                    n = self._commits_since_compact.get(event_type, 0) + 1
+                    if n >= self.auto_compact_every:
+                        self.store.compact(event_type)
+                        n = 0
+                    self._commits_since_compact[event_type] = n
                 # Quarantine write is skipped entirely when the type's rows
                 # all validated: cheap count on the persisted batch.
                 if bad.limit(1).count():

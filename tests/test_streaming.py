@@ -279,3 +279,39 @@ def test_query_stream_live_aggregate(spark, tmp_path):
 
     with pytest.raises(SnelDBError, match="batch-only"):
         db.query_stream("QUERY qs ORDER BY amount LIMIT 5")
+
+
+def test_auto_compaction_bounds_file_count(spark, tmp_path):
+    import glob
+    import json as _json
+    import os
+
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.streaming.ingest import StreamingIngest
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.store.registry.define("ac", {"n": "int"})
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ing = StreamingIngest(db.store, auto_compact_every=3)
+    # one file per trigger = one commit each -> compaction after every 3
+    for i in range(7):
+        with open(os.path.join(in_dir, f"f{i}.jsonl"), "w") as f:
+            f.write(_json.dumps({"event_type": "ac", "context_id": f"c{i}",
+                                 "payload": _json.dumps({"n": i})}) + "\n")
+    raw = spark.readStream.schema(
+        "event_type string, context_id string, payload string"
+    ).option("maxFilesPerTrigger", 1).json(in_dir)
+    q = (raw.writeStream.foreachBatch(ing._process_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    ing._query = q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert db.store.read("ac").count() == 7  # nothing lost across rewrites
+    files = glob.glob(str(tmp_path / "db/events/ac/*/*.parquet"))
+    # 7 appends uncompacted would leave >=7 files; two compactions (after
+    # commits 3 and 6) fold them into one file per date partition + the
+    # post-compaction appends.
+    assert len(files) <= 3, files
