@@ -246,3 +246,27 @@ def spark_session_holder(spark):
     df.count()
     yield spark, df
     df.unpersist()
+
+
+# --- parser never crashes: any input -> Command or clean ParseError --------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.one_of(
+        st.text(max_size=80),
+        # structured-ish inputs hit deeper parser paths than pure noise
+        st.from_regex(
+            r"(QUERY|STORE|DEFINE|REPLAY|PLOT|GRANT|REVOKE|CREATE|SHOW|BATCH)"
+            r" [a-z_ {}\[\]().,;:\"'=<>!0-9|-]{0,60}",
+            fullmatch=True,
+        ),
+    )
+)
+def test_parser_total_on_arbitrary_input(text):
+    from sneldb_spark.commands.parser import parse_command
+    from sneldb_spark.errors import SnelDBError
+
+    try:
+        parse_command(text)
+    except SnelDBError:
+        pass  # clean engine error is the contract; anything else is a crash
