@@ -196,6 +196,35 @@ class EventStore:
             .drop("ingest_date")
         )
 
+    # -- bucketed layout ---------------------------------------------------
+    def bucketize(self, event_type: str, buckets: int = 256) -> str:
+        """Materialize one event type as a bucketed, sorted catalog table
+        (bucketBy context_id, sortBy (context_id, timestamp)).
+
+        A scan of this table reports hash partitioning on context_id, so
+        per-context windows and groupBy(context_id) aggregations run with
+        ZERO exchanges (verified by plan test) — the layout analogue of the
+        reference's shard-by-context placement (shard/manager.rs:58-61),
+        where all of one context's history is co-located by construction.
+
+        Honest scope: the as-of sequence plan unions two per-type scans and
+        a union discards the bucketing property, so LINKED BY queries over
+        per-type tables still shuffle once; the win applies to per-context
+        analytics over one table. The table is a point-in-time snapshot —
+        re-run after appends (or schedule with compaction)."""
+        name = f"sneldb_{event_type}_bucketed"
+        (
+            self.read(event_type)
+            .write.mode("overwrite")
+            .bucketBy(buckets, "context_id")
+            .sortBy("context_id", "timestamp")
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed(self, event_type: str) -> DataFrame:
+        return self.spark.table(f"sneldb_{event_type}_bucketed")
+
     # -- maintenance ------------------------------------------------------
     def compact(self, event_type: str, target_file_mb: int = 128):
         """Small-file compaction: rewrite each date partition into sorted,

@@ -115,3 +115,29 @@ def test_whole_stage_codegen_on_filter_path(entry_compiler):
     df = entry_compiler.compile(parse_command("QUERY purchase WHERE value >= 100"))
     # formatted explain marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in _formatted(df)
+
+
+def test_bucketized_layout_elides_exchanges(engine):
+    """bucketize() co-locates each context (the reference's shard-by-context
+    placement): per-context windows and aggregations run with no Exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    engine.execute('DEFINE bk FIELDS { "n": "int" }')
+    for i in range(40):
+        engine.execute(f'STORE bk FOR c{i % 5} PAYLOAD {{ "n": {i} }}')
+    engine.execute("FLUSH")
+    engine.store.bucketize("bk", buckets=4)
+    t = engine.store.read_bucketed("bk")
+    assert t.count() == 40
+
+    w = Window.partitionBy("context_id").orderBy("timestamp")
+    windowed = _plan(t.withColumn("rn", F.row_number().over(w)))
+    assert windowed.count("Exchange") == 0, windowed
+
+    agged = _plan(t.groupBy("context_id").agg(F.sum("n")))
+    assert agged.count("Exchange") == 0, agged
+
+    # same plans over the path-based read DO shuffle — the layout is the win
+    p = engine.store.read("bk")
+    assert _plan(p.withColumn("rn", F.row_number().over(w))).count("Exchange") > 0
