@@ -78,7 +78,16 @@ def sequence_match(
         *[F.col(c).alias(B_PREFIX + c) for c in b_cols],
     )
     u = a_side.unionByName(b_side, allowMissingColumns=True)
+    matched = _apply_asof_window(u, kind, b_cols)
+    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
+        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
+    ]
+    return matched.select(*out_cols)
 
+
+def _apply_asof_window(u: DataFrame, kind: str, b_cols: list[str]) -> DataFrame:
+    """Core as-of evaluation over a sided union with (__link, __ts, __tie,
+    __side, b_*...) columns. Returns the A rows with their `__match`."""
     # Rows with a NULL link value or NULL timestamp can never participate.
     u = u.where(F.col("__link").isNotNull() & F.col("__ts").isNotNull())
 
@@ -112,11 +121,44 @@ def sequence_match(
         )
         match = F.max(b_struct).over(w)
 
-    matched = (
-        u.withColumn("__match", match)
-        .where((F.col("__side") == 0) & F.col("__match").isNotNull())
+    return u.withColumn("__match", match).where(
+        (F.col("__side") == 0) & F.col("__match").isNotNull()
     )
-    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
-        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
+
+
+def sequence_match_unified(
+    events: DataFrame,
+    head_type: str,
+    tail_type: str,
+    link_field: str,
+    kind: str = FOLLOWED_BY,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "timestamp",
+    tie: str = "event_id",
+) -> DataFrame:
+    """As-of matching from ONE scan of a unified event table.
+
+    `sequence_match` unions two per-type scans, and a union discards any
+    physical distribution — so even over a bucketed table the window must
+    re-shuffle. Here both sides come from a single scan with a computed
+    side column, which PRESERVES the scan's partitioning: over a table
+    bucketed on the link field the whole funnel runs with zero exchanges
+    (see test_plans). Identical pairing semantics, same single window.
+    """
+    if kind not in (FOLLOWED_BY, PRECEDED_BY):
+        raise ValueError(f"unknown sequence link kind {kind!r}")
+    cols = list(events.columns)
+    u = events.where(F.col(type_col).isin([head_type, tail_type])).select(
+        F.col(link_field).alias("__link"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(tie).cast("long").alias("__tie"),
+        F.when(F.col(type_col) == head_type, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        *[F.col(c).alias(A_PREFIX + c) for c in cols],
+        *[F.col(c).alias(B_PREFIX + c) for c in cols],
+    )
+    matched = _apply_asof_window(u, kind, cols)
+    out_cols = [F.col(A_PREFIX + c) for c in cols] + [
+        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in cols
     ]
     return matched.select(*out_cols)

@@ -212,7 +212,16 @@ class EventStore:
         per-type tables still shuffle once; the win applies to per-context
         analytics over one table. The table is a point-in-time snapshot —
         re-run after appends (or schedule with compaction)."""
-        name = f"sneldb_{event_type}_bucketed"
+        name = self._bucketed_name(event_type)
+        # A fresh session's catalog may not know about a table whose
+        # warehouse directory survived from a previous run — drop both.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        if warehouse and os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
         (
             self.read(event_type)
             .write.mode("overwrite")
@@ -222,8 +231,14 @@ class EventStore:
         )
         return name
 
+    @staticmethod
+    def _bucketed_name(event_type: str) -> str:
+        # '*' (the unified all-types view) is a valid bucketize target —
+        # it is what makes single-scan funnels shuffle-free.
+        return f"sneldb_{'all' if event_type == '*' else event_type}_bucketed"
+
     def read_bucketed(self, event_type: str) -> DataFrame:
-        return self.spark.table(f"sneldb_{event_type}_bucketed")
+        return self.spark.table(self._bucketed_name(event_type))
 
     # -- maintenance ------------------------------------------------------
     def compact(self, event_type: str, target_file_mb: int = 128):

@@ -141,3 +141,32 @@ def test_bucketized_layout_elides_exchanges(engine):
     # same plans over the path-based read DO shuffle — the layout is the win
     p = engine.store.read("bk")
     assert _plan(p.withColumn("rn", F.row_number().over(w))).count("Exchange") > 0
+
+
+def test_unified_sequence_over_bucketed_table_is_shuffle_free(engine):
+    """Single-scan funnel over a bucketed unified table: ZERO exchanges —
+    co-located link keys + one-scan side derivation preserve distribution."""
+    from sneldb_spark.commands.ast import FOLLOWED_BY
+    from sneldb_spark.plans.sequence import sequence_match, sequence_match_unified
+
+    engine.execute('DEFINE sa FIELDS { "n": "int" }')
+    engine.execute('DEFINE sb FIELDS { "n": "int" }')
+    for i in range(20):
+        engine.execute(f'STORE sa FOR c{i % 4} PAYLOAD {{ "n": {i} }}')
+        engine.execute(f'STORE sb FOR c{i % 4} PAYLOAD {{ "n": {i} }}')
+    engine.execute("FLUSH")
+    engine.store.bucketize("*", buckets=4)
+    unified = engine.store.read_bucketed("*")
+
+    out = sequence_match_unified(unified, "sa", "sb", "context_id", FOLLOWED_BY)
+    assert _plan(out).count("Exchange") == 0, _plan(out)
+
+    # semantics identical to the two-table plan
+    a = engine.store.read("sa")
+    b = engine.store.read("sb")
+    two_table = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in sequence_match(a, b, "context_id", FOLLOWED_BY).collect()
+    }
+    got = {(r["a_event_id"], r["b_event_id"]) for r in out.collect()}
+    assert got == two_table and len(got) > 0
