@@ -152,9 +152,23 @@ class EventStore:
             types = [t for t in self.registry.event_types() if self.has_data(t)]
             if not types:
                 return self._empty_core_frame()
+            # A payload field defined with DIFFERENT types across event
+            # types would make the union insert a lossy ANSI cast that
+            # explodes at runtime ('x' -> BIGINT). The reference stores
+            # per-type column files so both coexist; here the unified view
+            # demotes conflicting fields to string on every side — lossless
+            # to render, stable to filter on.
+            seen: dict[str, set[str]] = {}
+            for t in types:
+                for fname, ft in self.registry.get(t).fields.items():
+                    seen.setdefault(fname, set()).add(ft.spark_type.simpleString())
+            conflicted = {f for f, kinds in seen.items() if len(kinds) > 1}
             df = None
             for t in types:
                 part = self.read(t)
+                for f in conflicted:
+                    if f in part.columns:
+                        part = part.withColumn(f, F.col(f).cast("string"))
                 df = part if df is None else df.unionByName(part, allowMissingColumns=True)
             return df
         if not self.registry.has(event_type):

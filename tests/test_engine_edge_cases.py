@@ -258,3 +258,16 @@ def test_concurrent_store_during_flush_not_lost(engine):
         t.join()
     engine.execute("FLUSH")
     assert engine.query("QUERY race").count() == stored[0]
+
+
+def test_wildcard_replay_with_conflicting_field_types(engine):
+    # Two event types defining the same payload field with different types
+    # must still replay together — the unified view demotes the conflicted
+    # field to string instead of inserting a lossy ANSI cast that explodes.
+    engine.execute('DEFINE ct1 FIELDS { "v": "int" }')
+    engine.execute('DEFINE ct2 FIELDS { "v": "string" }')
+    engine.execute('STORE ct1 FOR c1 PAYLOAD { "v": 1 }')
+    engine.execute('STORE ct2 FOR c1 PAYLOAD { "v": "x" }')
+    engine.execute("FLUSH")
+    rows = engine.query("REPLAY FOR c1").orderBy("timestamp", "event_id").collect()
+    assert [r["v"] for r in rows] == ["1", "x"]
