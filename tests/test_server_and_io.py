@@ -379,3 +379,41 @@ def test_websocket_token_auth(spark, tmp_path):
         c.close()
     finally:
         server.stop()
+
+
+def test_tcp_concurrent_clients(engine):
+    import json as _json
+    import socket as _socket
+    import threading
+
+    from sneldb_spark.server import SnelDBServer
+
+    engine.execute('DEFINE conc FIELDS { "n": "int" }')
+    server = SnelDBServer(engine).start()
+    errors = []
+
+    def client(cid):
+        try:
+            with _socket.create_connection(server.address, timeout=60) as sock:
+                f = sock.makefile("rwb")
+                for i in range(10):
+                    f.write(
+                        (f'STORE conc FOR w{cid} PAYLOAD {{ "n": {i} }}\n').encode()
+                    )
+                    f.flush()
+                    reply = _json.loads(f.readline())
+                    assert reply["type"] == "ok", reply
+        except Exception as e:  # surface to the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    try:
+        assert not errors, errors
+        engine.execute("FLUSH")
+        assert engine.query("QUERY conc").count() == 40
+    finally:
+        server.stop()
