@@ -170,3 +170,31 @@ def test_unified_sequence_over_bucketed_table_is_shuffle_free(engine):
     }
     got = {(r["a_event_id"], r["b_event_id"]) for r in out.collect()}
     assert got == two_table and len(got) > 0
+
+
+def test_week_bucket_sunday_start_and_timezone(spark):
+    """PER WEEK with configurable week start + timezone-aware day buckets
+    (reference: src/shared/datetime/time_bucketing.rs:24-105, [time] config)."""
+    from datetime import datetime, timezone as tz
+
+    from sneldb_spark.plans.time_bucket import bucket_column
+
+    # 2026-08-13 12:00 UTC is a Thursday; Sunday-start week began 08-09.
+    ts = int(datetime(2026, 8, 13, 12, 0, tzinfo=tz.utc).timestamp())
+    df = spark.createDataFrame([(ts,)], "t long")
+    sun = df.select(
+        bucket_column(F.col("t"), "week", week_start="sunday").alias("b")
+    ).collect()[0]["b"]
+    assert sun == int(datetime(2026, 8, 9, tzinfo=tz.utc).timestamp())
+    mon = df.select(
+        bucket_column(F.col("t"), "week", week_start="monday").alias("b")
+    ).collect()[0]["b"]
+    assert mon == int(datetime(2026, 8, 10, tzinfo=tz.utc).timestamp())
+
+    # 2026-01-01T03:00Z is 2025-12-31 22:00 in New York: the local day
+    # bucket is Dec 31 midnight EST = 05:00 UTC.
+    ts2 = int(datetime(2026, 1, 1, 3, 0, tzinfo=tz.utc).timestamp())
+    ny = spark.createDataFrame([(ts2,)], "t long").select(
+        bucket_column(F.col("t"), "day", timezone="America/New_York").alias("b")
+    ).collect()[0]["b"]
+    assert ny == int(datetime(2025, 12, 31, 5, 0, tzinfo=tz.utc).timestamp())
