@@ -961,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_count_field": f"WITH {_EV_CTE} SELECT count(k) AS count_k, "
         "count(DISTINCT k) AS count_unique_k FROM ev WHERE event_type = 'view'",
         "agg_order_limit": f"WITH {_EV_CTE} SELECT k, count(*) AS count, "
-        "sum(value_cents) AS total_value_cents "
+        "CAST(sum(value_cents) AS BIGINT) AS total_value_cents "
         "FROM ev WHERE event_type = 'purchase' GROUP BY k ORDER BY k LIMIT 5",
         "order_limit_offset": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50 OFFSET 10",
