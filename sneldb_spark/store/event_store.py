@@ -74,6 +74,9 @@ class EventStore:
         # the reference assigns server wall-clock time at ingest.
         self._clock = clock or (lambda: int(time.time()))
         self._pending: dict[str, list[dict]] = {}
+        # Guards _pending against the threaded frontends: an append racing
+        # the flush swap could land on the discarded buffer and vanish.
+        self._pending_lock = threading.Lock()
 
     # -- write path -------------------------------------------------------
     def store(self, event_type: str, context_id: str, payload: dict,
@@ -89,16 +92,19 @@ class EventStore:
             "event_id": next_event_id(ts * 1000),
             **clean,
         }
-        self._pending.setdefault(event_type, []).append(row)
+        with self._pending_lock:
+            self._pending.setdefault(event_type, []).append(row)
         return row
 
     def flush(self):
         """Commit buffered events to Parquet (the reference's memtable->segment).
 
-        The buffer swap is atomic so a concurrent STORE (the TCP/HTTP
-        frontends are threaded) lands in the next flush instead of being
-        silently dropped between iteration and clear."""
-        pending, self._pending = self._pending, {}
+        The buffer swap happens under the pending lock so a concurrent STORE
+        (the TCP/HTTP frontends are threaded) lands in the next flush instead
+        of being silently dropped between iteration and clear; the Parquet
+        commit itself stays outside the lock."""
+        with self._pending_lock:
+            pending, self._pending = self._pending, {}
         for event_type, rows in pending.items():
             if rows:
                 self._write_rows(event_type, rows)
@@ -141,15 +147,46 @@ class EventStore:
 
         return self.spark.createDataFrame([], schema=T.StructType(CORE_STRUCT))
 
+    def _pending_tail(self, event_type: str) -> DataFrame | None:
+        """Buffered-but-unflushed rows as a DataFrame, or None if empty.
+
+        This is the memtable half of the reference's hybrid read path
+        (src/engine/core/read/flow/operators/memtable_source.rs): STOREd
+        events are visible to QUERY/REPLAY/COMPARE immediately, before any
+        FLUSH. The snapshot under the lock keeps a concurrent store/flush
+        from mutating the list mid-iteration. The buffer is driver-local and
+        bounded by flush policy (exactly the reference's memtable bound), so
+        the LocalTableScan it compiles to stays small by construction."""
+        with self._pending_lock:
+            rows = list(self._pending.get(event_type, ()))
+        if not rows:
+            return None
+        schema = self.registry.get(event_type)
+        return self.spark.createDataFrame(rows, schema=schema.spark_struct)
+
+    def _has_pending(self, event_type: str) -> bool:
+        with self._pending_lock:
+            return bool(self._pending.get(event_type))
+
     def read(self, event_type: str) -> DataFrame:
         """DataFrame for one event type (or '*' = union of all types).
 
         Reads of undefined event types yield an EMPTY frame, not an error —
         the reference query path streams a row_count:0 result for them
         (scenario query_empty_event_type); only writes require a schema.
+
+        The result is committed Parquet plus the pending (memtable) buffer,
+        so reads observe their own un-flushed writes like the reference's
+        segment+memtable hybrid scan. Filters still push down: Catalyst
+        pushes predicates through the union into the Parquet child, and the
+        common no-pending case returns the bare scan untouched.
         """
         if event_type == "*":
-            types = [t for t in self.registry.event_types() if self.has_data(t)]
+            types = [
+                t
+                for t in self.registry.event_types()
+                if self.has_data(t) or self._has_pending(t)
+            ]
             if not types:
                 return self._empty_core_frame()
             # A payload field defined with DIFFERENT types across event
@@ -174,7 +211,10 @@ class EventStore:
         if not self.registry.has(event_type):
             return self._empty_core_frame()
         schema = self.registry.get(event_type)
+        pending = self._pending_tail(event_type)
         if not self.has_data(event_type):
+            if pending is not None:
+                return pending
             return self.spark.createDataFrame([], schema=schema.spark_struct)
         # Read with the CURRENT registry schema, not file-inferred: files
         # written before a version bump lack newly added fields, and
@@ -183,7 +223,10 @@ class EventStore:
         # (additive evolution; `DEFINE ... AS n` with changed field TYPES is
         # rejected at definition time by the registry).
         df = self.spark.read.schema(schema.spark_struct).parquet(self._path(event_type))
-        return df.drop("ingest_date")
+        df = df.drop("ingest_date")
+        if pending is not None:
+            df = df.unionByName(pending)
+        return df
 
     def read_stream(self, event_type: str) -> DataFrame:
         """Streaming DataFrame over one event type's Parquet dataset —

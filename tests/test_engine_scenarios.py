@@ -408,3 +408,95 @@ def test_restart_recovery(engine, spark):
     reopened.execute('STORE ev FOR c9 PAYLOAD { "n": 9 }')
     reopened.execute("FLUSH")
     assert reopened.query("QUERY ev").count() == 4
+
+
+# -- pre-flush (memtable) visibility -----------------------------------------
+# The reference serves STOREd events immediately from the memtable
+# (src/engine/core/read/flow/operators/memtable_source.rs); 55 of its 256
+# integration scenarios STORE then QUERY/REPLAY with no FLUSH. These port
+# the canonical shapes WITHOUT the FLUSH crutch.
+
+
+def test_query_in_memory_only(engine):
+    # scenario query_in_memory_only: STORE then QUERY, nothing flushed.
+    engine.execute('DEFINE cart_updated FIELDS { "sku": "string", "qty": "int" }')
+    engine.execute('STORE cart_updated FOR user-1 PAYLOAD { "sku": "ABC123", "qty": 2 }')
+    rows = engine.query('QUERY cart_updated WHERE sku = "ABC123"').collect()
+    assert [r["sku"] for r in rows] == ["ABC123"]
+
+
+def test_multi_context_query_pre_flush(engine):
+    # scenario multi_context_query: four STOREs, filtered QUERY, no FLUSH.
+    engine.execute('DEFINE login FIELDS { "device": "string" }')
+    for u, dev in [("user-1", "android"), ("user-2", "android"),
+                   ("user-3", "web"), ("user-4", "android")]:
+        engine.execute(f'STORE login FOR {u} PAYLOAD {{ "device": "{dev}" }}')
+    rows = engine.query('QUERY login WHERE device = "android"').collect()
+    assert {r["context_id"] for r in rows} == {"user-1", "user-2", "user-4"}
+
+
+def test_segment_memory_hybrid_query(engine):
+    # scenario segment_memory_hybrid_query: some events committed to
+    # segments, some still buffered — one QUERY sees both.
+    engine.execute('DEFINE order_created FIELDS { "order_id": "int", "status": "string" }')
+    for i, status in [(1, "confirmed"), (2, "confirmed"), (3, "confirmed")]:
+        engine.execute(
+            f'STORE order_created FOR customer-{i} '
+            f'PAYLOAD {{ "order_id": {i}, "status": "{status}" }}'
+        )
+    engine.execute("FLUSH")
+    for i, status in [(4, "confirmed"), (5, "pending"), (6, "pending"), (7, "confirmed")]:
+        engine.execute(
+            f'STORE order_created FOR customer-{i} '
+            f'PAYLOAD {{ "order_id": {i}, "status": "{status}" }}'
+        )
+    rows = engine.query('QUERY order_created WHERE status = "confirmed"').collect()
+    assert {r["context_id"] for r in rows} == {
+        "customer-1", "customer-2", "customer-3", "customer-4", "customer-7"
+    }
+
+
+def test_replay_pre_flush(engine):
+    engine.execute('DEFINE tap FIELDS { "n": "int" }')
+    engine.execute('STORE tap FOR c1 PAYLOAD { "n": 1 }')
+    engine.execute('STORE tap FOR c2 PAYLOAD { "n": 2 }')
+    engine.execute('STORE tap FOR c1 PAYLOAD { "n": 3 }')
+    rows = engine.query("REPLAY tap FOR c1").collect()
+    assert [r["n"] for r in rows] == [1, 3]  # replay order preserved
+
+
+def test_wildcard_replay_sees_pending_only_type(engine):
+    # A type whose ONLY rows are still buffered must appear in the
+    # all-types wildcard read.
+    engine.execute('DEFINE seen FIELDS { "x": "int" }')
+    engine.execute('DEFINE hidden FIELDS { "y": "int" }')
+    engine.execute('STORE seen FOR c1 PAYLOAD { "x": 1 }')
+    engine.execute("FLUSH")
+    engine.execute('STORE hidden FOR c1 PAYLOAD { "y": 2 }')
+    rows = engine.query("REPLAY FOR c1").collect()
+    assert {r["event_type"] for r in rows} == {"seen", "hidden"}
+
+
+def test_aggregate_over_hybrid_memtable_segment(engine):
+    engine.execute('DEFINE sale FIELDS { "amount": "int", "country": "string" }')
+    engine.execute('STORE sale FOR c1 PAYLOAD { "amount": 10, "country": "NL" }')
+    engine.execute("FLUSH")
+    engine.execute('STORE sale FOR c2 PAYLOAD { "amount": 5, "country": "NL" }')
+    engine.execute('STORE sale FOR c3 PAYLOAD { "amount": 7, "country": "DE" }')
+    out = {
+        r["country"]: (r["count"], r["total_amount"])
+        for r in engine.query("QUERY sale COUNT, TOTAL amount BY country").collect()
+    }
+    assert out == {"NL": (2, 15), "DE": (1, 7)}
+
+
+def test_flush_then_query_unchanged(engine):
+    # The same command returns the same rows before and after FLUSH —
+    # visibility is continuous across the memtable->segment handover.
+    engine.execute('DEFINE ping FIELDS { "n": "int" }')
+    for i in range(5):
+        engine.execute(f'STORE ping FOR c{i} PAYLOAD {{ "n": {i} }}')
+    before = sorted(r["n"] for r in engine.query("QUERY ping WHERE n >= 2").collect())
+    engine.execute("FLUSH")
+    after = sorted(r["n"] for r in engine.query("QUERY ping WHERE n >= 2").collect())
+    assert before == after == [2, 3, 4]
