@@ -871,6 +871,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WHERE signup.k < 50 AND purchase.value > 100"
         ),
         "seq_agg": _cmd("QUERY signup FOLLOWED BY purchase LINKED BY context_id COUNT BY k"),
+        "seq_using_time": _cmd(
+            # USING TIME <f> moves ONLY the sequence-match ordering
+            # (reference sequence_time_field, query.rs:106-109); SINCE keeps
+            # binding on server timestamp because plain USING is absent.
+            'QUERY signup FOLLOWED BY purchase LINKED BY context_id '
+            'USING TIME event_id SINCE "2024-01-10"'
+        ),
         # --- compare (J3) / PlotQL (W3) ---
         "compare_daily": _cmd("PLOT COUNT OF purchase VS COUNT OF click OVER day(timestamp)"),
         "plot_breakdown": _cmd(
@@ -990,6 +997,15 @@ pairs AS (
   SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
          ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
   FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
+FROM pairs WHERE rn = 1""",
+        "seq_using_time": f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup' AND "timestamp" >= 1704844800),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND "timestamp" >= 1704844800),
+pairs AS (
+  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
+         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b.event_id >= a.event_id)
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
 FROM pairs WHERE rn = 1""",
         "seq_agg": f"""WITH {_EV_CTE},

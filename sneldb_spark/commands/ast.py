@@ -112,7 +112,15 @@ class QueryCommand:
     aggs: list[AggSpec] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     time_bucket: Optional[str] = None  # hour|day|week|month|year
-    time_field: Optional[str] = None  # USING <f> / USING TIME <f>
+    # USING <f>: the query time field — SINCE bounds and PER buckets
+    # (reference using_field, src/command/parser/commands/query.rs:111-113,317).
+    time_field: Optional[str] = None
+    # USING TIME <f>: the sequence-match time field only — orders the
+    # FOLLOWED BY / PRECEDED BY comparison, defaulting to "timestamp"
+    # (reference sequence_time_field, query.rs:106-109,318;
+    # handlers/query/orchestrator.rs:78-81). Distinct from time_field:
+    # a query can bucket on one field and sequence-match on another.
+    sequence_time_field: Optional[str] = None
     order_by: Optional[tuple[str, bool]] = None  # (field, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None

@@ -10,7 +10,7 @@ show,plotql}.rs) and produces the AST in `sneldb_spark.commands.ast`:
         [SINCE "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
         [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f, ...]
         [PER HOUR|DAY|WEEK|MONTH|YEAR [USING f]] [BY f1,f2 [USING f]]
-        [USING [TIME] f] [ORDER BY f [ASC|DESC]] [LIMIT n] [OFFSET n]
+        [USING f] [USING TIME f] [ORDER BY f [ASC|DESC]] [LIMIT n] [OFFSET n]
     REPLAY [<type>] FOR <ctx> [SINCE "ts"] [USING f] [RETURN [f,...]]
     REMEMBER <query> AS <name>  /  SHOW <name>
     PLOT <metric> OF <a[->b]> [FILTER e] [TOP n [BY m]]
@@ -288,8 +288,7 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
         elif cur.eat_kw("WHERE"):
             q.where = _parse_expr(cur)
         elif cur.eat_kw("USING"):
-            cur.eat_kw("TIME")  # USING TIME f and USING f are equivalent
-            q.time_field = cur.expect_ident()
+            _parse_using(cur, q)
         elif cur.at_kw("PER"):
             cur.next()
             gran = cur.expect_ident().lower()
@@ -297,8 +296,7 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
                 raise ParseError(f"invalid PER granularity: {gran}")
             q.time_bucket = gran
             if cur.eat_kw("USING"):
-                cur.eat_kw("TIME")
-                q.time_field = cur.expect_ident()
+                _parse_using(cur, q)
         elif cur.at_kw("ORDER") and cur.at_kw("BY", ahead=1):
             cur.next(); cur.next()
             f = cur.expect_ident()
@@ -315,8 +313,7 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
                 cur.next()
                 q.group_by.append(cur.expect_ident())
             if cur.eat_kw("USING"):
-                cur.eat_kw("TIME")
-                q.time_field = cur.expect_ident()
+                _parse_using(cur, q)
         elif cur.eat_kw("LIMIT"):
             q.limit = _parse_nonneg_int(cur, "LIMIT")
         elif cur.eat_kw("OFFSET"):
@@ -325,6 +322,25 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
             q.aggs.extend(_parse_agg_specs(cur))
         else:
             raise ParseError(f"unexpected token: {cur.peek()}")
+
+
+def _parse_using(cur: _Cursor, q: ast.QueryCommand):
+    """USING (already consumed) — split the reference's two clauses:
+
+    ``USING TIME f`` -> sequence_time_field (sequence-match time only;
+    reference Clause::UsingTime, src/command/parser/commands/query.rs:106-109)
+    ``USING f``      -> time_field (SINCE bounds + PER buckets;
+    reference Clause::Using, query.rs:111-113).
+
+    A field literally named ``time`` stays reachable: ``USING time`` (no
+    trailing identifier) binds time_field to "time", matching the
+    reference's PEG where USING TIME requires a following field.
+    """
+    if cur.at_kw("TIME") and (t := cur.peek(1)) is not None and t.kind == "ident":
+        cur.next()
+        q.sequence_time_field = cur.expect_ident()
+    else:
+        q.time_field = cur.expect_ident()
 
 
 def _parse_nonneg_int(cur: _Cursor, what: str) -> int:

@@ -186,8 +186,13 @@ class QueryCompiler:
         b = side_frame(tail_type)
 
         def side_ts(df: DataFrame):
-            if q.time_field and q.time_field in df.columns:
-                return F.col(q.time_field).cast("long")
+            # USING TIME <f> orders the sequence match; plain USING <f>
+            # does NOT (it only moves SINCE/bucket time). Mirrors the
+            # reference's sequence_time_field defaulting to "timestamp"
+            # (src/command/handlers/query/orchestrator.rs:78-81).
+            stf = q.sequence_time_field
+            if stf and stf in df.columns:
+                return F.col(stf).cast("long")
             return F.col("timestamp").cast("long")
 
         matched = sequence_match(

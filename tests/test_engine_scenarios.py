@@ -500,3 +500,44 @@ def test_flush_then_query_unchanged(engine):
     engine.execute("FLUSH")
     after = sorted(r["n"] for r in engine.query("QUERY ping WHERE n >= 2").collect())
     assert before == after == [2, 3, 4]
+
+
+def test_using_time_drives_sequence_not_since(engine):
+    # USING TIME <f> orders the FOLLOWED BY match on <f>; SINCE and PER
+    # buckets stay on server timestamp (reference splits Clause::UsingTime
+    # from Clause::Using, query.rs:106-113). Hand-computed: on created_at
+    # the first close >= open(100) is the one at 150, even though on
+    # server time the close at created_at=50 arrives first.
+    engine.execute('DEFINE open FIELDS { "created_at": "int" }')
+    engine.execute('DEFINE close FIELDS { "created_at": "int" }')
+    engine.execute('STORE open FOR c1 PAYLOAD { "created_at": 100 }')
+    engine.execute('STORE close FOR c1 PAYLOAD { "created_at": 50 }')
+    engine.execute('STORE close FOR c1 PAYLOAD { "created_at": 150 }')
+    engine.execute("FLUSH")
+
+    rows = engine.query(
+        "QUERY open FOLLOWED BY close LINKED BY context_id USING TIME created_at"
+    ).collect()
+    assert [(r["a_created_at"], r["b_created_at"]) for r in rows] == [(100, 150)]
+
+    # Default (no USING TIME) matches on server time: earliest close wins.
+    default = engine.query(
+        "QUERY open FOLLOWED BY close LINKED BY context_id"
+    ).collect()
+    assert [(r["a_created_at"], r["b_created_at"]) for r in default] == [(100, 50)]
+
+    # SINCE 1000 binds on server timestamp (~1.7e9, all rows pass); were it
+    # wrongly bound on created_at (50..150 < 1000) the result would be empty.
+    since = engine.query(
+        "QUERY open FOLLOWED BY close LINKED BY context_id "
+        "USING TIME created_at SINCE 1000"
+    ).collect()
+    assert [(r["a_created_at"], r["b_created_at"]) for r in since] == [(100, 150)]
+
+    # PER DAY buckets on server timestamp too: one epoch-day bucket ~1.7e9.
+    bucketed = engine.query(
+        "QUERY open FOLLOWED BY close LINKED BY context_id "
+        "USING TIME created_at COUNT PER DAY"
+    ).collect()
+    assert len(bucketed) == 1 and bucketed[0]["bucket"] > 1_000_000_000
+    assert bucketed[0]["count"] == 1

@@ -161,3 +161,27 @@ def test_batch_bracketed_form_and_embedded_semicolons():
 
     with pytest.raises(ParseError):
         parse_command("BATCH [ PING")  # unclosed bracket
+
+
+def test_using_vs_using_time_distinct():
+    # Reference keeps Clause::Using (SINCE/bucket time) and
+    # Clause::UsingTime (sequence-match time) separate (query.rs:106-113).
+    cmd = parse_command("QUERY a FOLLOWED BY b LINKED BY ctx USING TIME created_at")
+    assert cmd.sequence_time_field == "created_at"
+    assert cmd.time_field is None
+    cmd = parse_command("QUERY a FOLLOWED BY b LINKED BY ctx USING created_at")
+    assert cmd.time_field == "created_at"
+    assert cmd.sequence_time_field is None
+    both = parse_command(
+        "QUERY a FOLLOWED BY b LINKED BY ctx USING created_at USING TIME closed_at"
+    )
+    assert both.time_field == "created_at"
+    assert both.sequence_time_field == "closed_at"
+
+
+def test_using_field_named_time():
+    # USING time (no trailing ident) binds the query time field to a field
+    # literally named "time" — USING TIME needs a following field.
+    cmd = parse_command("QUERY t COUNT PER DAY USING time")
+    assert cmd.time_field == "time"
+    assert cmd.sequence_time_field is None
