@@ -8,11 +8,10 @@
 - `lsh_topk`: random-hyperplane LSH — signatures bucket the corpus, only
   bucket-colliding candidates get exact scoring. At 100 TB this turns an
   O(|Q|x|C|) scan into O(|Q| x bucket) with a recall/probe tradeoff.
-- `embedding_near_pairs`: all-pairs near-dup by cosine >= threshold; each
-  corpus partition multiplies against the broadcast (normalized) matrix
-  and emits only above-threshold pairs, so shuffle volume is the *result*
-  size, not the pair count. (Beyond broadcastable corpus size, block both
-  sides: crossJoin of block ids + per-block matmul — same kernel.)
+- `embedding_near_pairs`: all-pairs near-dup by cosine >= threshold,
+  exact and fully distributed: rows hash into blocks, each unordered
+  block pair gets one GEMM (`applyInPandas`), only above-threshold pairs
+  are emitted. No driver-side corpus collect anywhere on the path.
 
 The matmul kernel is the one place where built-in expressions genuinely
 can't compete: Catalyst higher-order functions evaluate per element per
@@ -389,33 +388,74 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (id1 < id2) with cosine >= threshold (exact).
+    """All pairs (id1 < id2) with cosine >= threshold (exact), blocked.
 
-    One GEMM per Arrow batch against the broadcast normalized matrix; only
-    above-threshold pairs are emitted, so output size — not the O(n^2) pair
-    count — is what moves. For corpora too big to broadcast, run this
-    per block-pair (same kernel) over a blocked cross join.
+    Nothing is collected to the driver. Each row hashes into one of
+    `n_blocks` blocks and is replicated to every unordered block pair it
+    participates in; `applyInPandas` then runs one float64 GEMM per block
+    pair and emits only above-threshold pairs. Every (x, y) pair lands in
+    exactly one group — (block(x), block(y)) sorted — so no dedup pass is
+    needed, and the id1 < id2 filter handles self/ordering inside the
+    diagonal groups.
+
+    Scale accounting: shuffle volume is n_blocks * |C| rows (the
+    replication), executor memory is two blocks ≈ 2|C|/n_blocks vectors
+    per group, and compute is the inherent O(|C|^2/2) of *exact* all-pairs
+    — pick n_blocks ≈ 2|C|·dim·8B / executor_mem to bound memory, and use
+    the MinHash/SimHash/LSH families when approximate recall is acceptable
+    at 100 TB.
     """
-    all_ids, all_mat = _normalized_matrix(df, id_col, vec_col)
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ all_mat.T  # (batch, n)
-            if round_digits is not None:
-                sims = np.round(sims, round_digits)
-            ii, jj = np.nonzero(sims >= threshold)
-            keep = ids[ii] < all_ids[jj]  # id1 < id2: dedup + self-exclude
-            yield pd.DataFrame(
-                {"id1": ids[ii][keep], "id2": all_ids[jj][keep], "sim": sims[ii, jj][keep]}
-            )
-
-    return ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
-        score, schema=_PAIR_SCHEMA
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
     )
+    rep = base.select(
+        "id",
+        "v",
+        "b",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("o"),
+    ).select(
+        "id",
+        "v",
+        "b",
+        F.least("b", "o").alias("b1"),
+        F.greatest("b", "o").alias("b2"),
+    )
+
+    def score_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = key
+        ids = pdf["id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        if b1 == b2:
+            left_ids = right_ids = ids
+            sims = unit @ unit.T
+        else:
+            lmask = pdf["b"].to_numpy() == b1
+            left_ids, right_ids = ids[lmask], ids[~lmask]
+            if not len(left_ids) or not len(right_ids):
+                return pd.DataFrame(columns=["id1", "id2", "sim"])
+            sims = unit[lmask] @ unit[~lmask].T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        ii, jj = np.nonzero(sims >= threshold)
+        l, r = left_ids[ii], right_ids[jj]
+        vals = sims[ii, jj]
+        if b1 == b2:
+            # Symmetric matrix: each pair appears at [i,j] and [j,i];
+            # id1 < id2 keeps one and drops self-matches.
+            keep = l < r
+            l, r, vals = l[keep], r[keep], vals[keep]
+            return pd.DataFrame({"id1": l, "id2": r, "sim": vals})
+        # Off-diagonal: each cross pair is computed exactly once here —
+        # order the ids rather than filtering, or the pair is lost.
+        return pd.DataFrame(
+            {"id1": np.minimum(l, r), "id2": np.maximum(l, r), "sim": vals}
+        )
+
+    return rep.groupBy("b1", "b2").applyInPandas(score_pair, schema=_PAIR_SCHEMA)

@@ -318,3 +318,36 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     # prefixes empty out, and no candidates are generated (documented
     # recall tradeoff of the degenerate-shingle cap).
     assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=2).count() == 0
+
+
+def test_embedding_near_pairs_blocked_matches_numpy(emb, spark, monkeypatch):
+    """Blocked near-pairs equals the numpy brute force AND never collects
+    the corpus to the driver (no toPandas anywhere on the path)."""
+    import numpy as np
+    import pyspark.sql
+
+    from sneldb_spark.pipeline.similarity import embedding_near_pairs
+
+    pdf = emb.select("vec_id", "embedding").toPandas()  # oracle only
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 4)
+    ii, jj = np.nonzero(sims >= 0.4)
+    expected = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i, j in zip(ii, jj)
+        if ids[i] < ids[j]
+    }
+
+    def no_collect(self, *a, **k):
+        raise AssertionError("embedding_near_pairs must not collect the corpus")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", no_collect)
+    got = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in embedding_near_pairs(emb, threshold=0.4, n_blocks=4).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k_, v in got.items():
+        assert v == pytest.approx(expected[k_], abs=1e-9)
