@@ -19,10 +19,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sneldb_spark.pipeline import ensure_min_partitions
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -86,7 +89,7 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return ensure_min_partitions(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -114,45 +117,46 @@ def resize_images(
     PIL/opencv call to make it real; nothing else changes.
     """
 
-    def _fake_resize(data: bytes, w: int, h: int) -> bytes:
+    def _fake_resize(data: bytes, need: int) -> bytes:
         # Deterministic stand-in: repeat the digest to ~1 byte/pixel.
+        # The C-level bytes repeat is one memcpy burst; no per-pixel work.
         import hashlib
 
         seed = hashlib.sha256(data or b"").digest()
-        need = max(w * h, 1)
+        need = max(need, 1)
         return (seed * (need // len(seed) + 1))[:need]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_id, out_mime, out_data, out_w, out_h = [], [], [], [], []
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                w = row.meta_width or 0
-                h = row.meta_height or 0
-                if w <= max_width and h <= max_height:
-                    tw, th, data = w, h, row.data  # pass-through, no decode
-                else:
-                    scale = min(max_width / max(w, 1), max_height / max(h, 1))
-                    tw = max(int(w * scale), 1)
-                    th = max(int(h * scale), 1)
-                    data = _fake_resize(row.data, tw, th)
-                out_id.append(row.media_id)
-                out_mime.append(row.mime)
-                out_data.append(data)
-                out_w.append(tw)
-                out_h.append(th)
+            if not len(pdf):
+                continue
+            # Geometry is fully vectorized; pass-through rows never enter
+            # Python row-at-a-time code (their bytes are reused as-is).
+            w = pdf["meta_width"].fillna(0).to_numpy(dtype="int64")
+            h = pdf["meta_height"].fillna(0).to_numpy(dtype="int64")
+            small = (w <= max_width) & (h <= max_height)
+            scale = np.minimum(
+                max_width / np.maximum(w, 1), max_height / np.maximum(h, 1)
+            )
+            tw = np.where(small, w, np.maximum((w * scale).astype("int64"), 1))
+            th = np.where(small, h, np.maximum((h * scale).astype("int64"), 1))
+            data = pdf["data"].to_numpy(dtype=object)
+            out = data.copy()
+            need = tw * th
+            for i in np.nonzero(~small)[0]:
+                out[i] = _fake_resize(data[i], int(need[i]))
             yield pd.DataFrame(
                 {
-                    "media_id": out_id,
-                    "mime": out_mime,
-                    "data": out_data,
-                    "meta_width": pd.array(out_w, dtype="Int32"),
-                    "meta_height": pd.array(out_h, dtype="Int32"),
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(dtype=object),
+                    "data": out,
+                    "meta_width": pd.array(tw.astype("int32"), dtype="Int32"),
+                    "meta_height": pd.array(th.astype("int32"), dtype="Int32"),
                 }
             )
-            out_id, out_mime, out_data, out_w, out_h = [], [], [], [], []
 
-    return df.select(
-        "media_id", "mime", "data", "meta_width", "meta_height"
+    return ensure_min_partitions(
+        df.select("media_id", "mime", "data", "meta_width", "meta_height")
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
