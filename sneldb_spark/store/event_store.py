@@ -59,6 +59,31 @@ def next_event_id(now_ms: int | None = None) -> int:
         return (ms << 20) | (_WRITER_ID << 10) | _SEQ
 
 
+def reserve_event_id_blocks(n_rows: int, now_ms: int | None = None) -> tuple[int, int]:
+    """Reserve snowflake id space for a bulk batch; returns (base_ms, writer_id).
+
+    Row i of the batch maps to::
+
+        ((base_ms + i // 1024) << 20) | (writer_id << 10) | (i % 1024)
+
+    Every generated id is a WELL-FORMED snowflake carrying this writer's
+    id, so uniqueness holds against interleaved next_event_id() calls and
+    against other writers (their writer bits differ) — the property a flat
+    ``base + monotonically_increasing_id()`` range lacks. The allocator
+    clock jumps past the reserved blocks under the same lock, so no later
+    allocation can land inside them. Clock advance is ceil(n/1024) ms of id
+    space per batch — negligible drift even at firehose rates."""
+    global _LAST_MS, _SEQ
+    with _EVENT_ID_LOCK:
+        ms = now_ms if now_ms is not None else int(time.time() * 1000)
+        if ms <= _LAST_MS:
+            ms = _LAST_MS + 1
+        blocks = (max(n_rows, 1) + 1023) // 1024
+        _LAST_MS = ms + blocks - 1
+        _SEQ = 1023  # last block is spoken for: next id rolls to a fresh ms
+        return ms, _WRITER_ID
+
+
 class EventStore:
     def __init__(
         self,

@@ -128,25 +128,22 @@ class StreamingIngest:
             now = int(time.time())
             # One presence scan for the whole batch instead of per-type
             # take(1) probes — each probe was a full extra job per type.
-            present = {
-                r["event_type"]: r["count"]
-                for r in batch.groupBy("event_type").count().collect()
-            }
+            # Counting per (type, partition) in the same job also gives the
+            # offsets that make bulk event_ids globally unique below.
+            present: dict[str, dict[int, int]] = {}
+            for r in (
+                batch.groupBy("event_type", F.spark_partition_id().alias("__pid"))
+                .count()
+                .collect()
+            ):
+                present.setdefault(r["event_type"], {})[r["__pid"]] = r["count"]
             for event_type in self.registry.event_types():
-                if not present.get(event_type):
+                pid_counts = present.get(event_type)
+                if not pid_counts:
                     continue
                 ok, bad = self.validate_and_type(batch, event_type)
-                from sneldb_spark.store.event_store import next_event_id
-
-                base_id = next_event_id(now * 1000)
-                ok_rows = (
-                    ok.withColumn("timestamp", F.lit(now).cast("long"))
-                    # monotonic ids without driver round-trips: base + row id
-                    .withColumn(
-                        "event_id",
-                        (F.lit(base_id) + F.monotonically_increasing_id()).cast("long"),
-                    )
-                )
+                ok_rows = ok.withColumn("timestamp", F.lit(now).cast("long"))
+                ok_rows = self._with_event_ids(ok_rows, pid_counts, now)
                 cols = ["context_id", "event_type", "timestamp", "event_id"] + sorted(
                     self.registry.get(event_type).fields
                 )
@@ -165,6 +162,48 @@ class StreamingIngest:
                     ).json(os.path.join(self.quarantine_dir, event_type))
         finally:
             batch.unpersist()
+
+    def _with_event_ids(
+        self, ok: DataFrame, pid_counts: dict[int, int], now: int
+    ) -> DataFrame:
+        """Globally-unique, time-ordered event ids for a bulk batch.
+
+        A disjoint id subrange is reserved per (batch, type): the allocator
+        hands out ceil(total/1024) whole snowflake ms-blocks under its lock
+        (store.event_store.reserve_event_id_blocks), and each partition gets
+        a contiguous slice of row indexes — cumulative starts from the
+        per-partition counts of THIS batch's raw rows, plus the in-partition
+        offset recovered from monotonically_increasing_id (pid << 33 + row
+        offset). Raw counts over-reserve when rows fail validation, which
+        only skips ids, never reuses them. The previous
+        ``base + monotonically_increasing_id()`` scheme collided across
+        types in one batch and across batches seconds apart (partition
+        strides of 2^33 overlapped later bases).
+
+        Scale note: the only driver-side state is one (pid -> start) map
+        per batch — no per-row round-trips, no shuffle; the id expression
+        is pure codegen arithmetic on the partition-local row counter.
+        """
+        from sneldb_spark.store.event_store import reserve_event_id_blocks
+
+        total = sum(pid_counts.values())
+        base_ms, writer_id = reserve_event_id_blocks(total, now * 1000)
+        starts: list[F.Column] = []
+        acc = 0
+        for pid in sorted(pid_counts):
+            starts.extend((F.lit(pid), F.lit(acc)))
+            acc += pid_counts[pid]
+        pid = F.spark_partition_id().cast("long")
+        idx = (
+            F.create_map(*starts)[F.spark_partition_id()]
+            + (F.monotonically_increasing_id() - F.shiftleft(pid, 33))
+        )
+        event_id = (
+            F.shiftleft(F.lit(base_ms).cast("long") + F.floor(idx / 1024), 20)
+            + F.lit(writer_id << 10)
+            + F.pmod(idx, F.lit(1024))
+        ).cast("long")
+        return ok.withColumn("event_id", event_id)
 
     # -- stream control ----------------------------------------------------
     def start_from_json_dir(self, input_dir: str, trigger_seconds: int | None = None):

@@ -315,3 +315,43 @@ def test_auto_compaction_bounds_file_count(spark, tmp_path):
     # commits 3 and 6) fold them into one file per date partition + the
     # post-compaction appends.
     assert len(files) <= 3, files
+
+
+def test_streaming_event_ids_unique_across_types_and_batches(engine, tmp_path):
+    """Ids from base+monotonically_increasing_id collided across types in
+    one batch and across batches seconds apart; block reservation must not.
+    Also: bulk ids stay unique against interleaved interactive STOREs."""
+    from sneldb_spark.streaming.ingest import StreamingIngest
+
+    engine.execute('DEFINE t1 FIELDS { "n": "int" }')
+    engine.execute('DEFINE t2 FIELDS { "n": "int" }')
+    ing = StreamingIngest(engine.store)
+    in_dir = tmp_path / "incoming"
+    os.makedirs(in_dir)
+    # two types in ONE batch file, enough rows to span partitions
+    _write_jsonl(
+        in_dir / "b1.jsonl",
+        [{"event_type": f"t{1 + (i % 2)}", "context_id": f"c{i}",
+          "payload": json.dumps({"n": i})} for i in range(400)],
+    )
+    try:
+        ing.start_from_json_dir(str(in_dir))
+        ing.flush()
+        # interactive stores interleave with the stream
+        for i in range(5):
+            engine.execute(f'STORE t1 FOR x{i} PAYLOAD {{ "n": {i} }}')
+        engine.execute("FLUSH")
+        _write_jsonl(
+            in_dir / "b2.jsonl",
+            [{"event_type": "t1", "context_id": f"d{i}",
+              "payload": json.dumps({"n": i})} for i in range(300)],
+        )
+        ing.flush()
+    finally:
+        ing.stop()
+
+    all_ids = []
+    for t in ("t1", "t2"):
+        all_ids += [r["event_id"] for r in engine.query(f"QUERY {t}").collect()]
+    assert len(all_ids) == 400 + 5 + 300
+    assert len(set(all_ids)) == len(all_ids), "event_id collision"
