@@ -16,9 +16,15 @@ Output schema per the reference (SURVEY §2.4 A11): optional `bucket`,
 group fields, then agg columns named count / count_<f> / count_unique_<f> /
 total_<f> / avg_<f> / min_<f> / max_<f>.
 
-`LIMIT n` on an aggregate query caps the number of *groups* (A10); with no
-ORDER BY the group choice is engine-defined, so `.limit(n)` is the faithful
-Spark expression of "at most n groups".
+`LIMIT n` on an aggregate query caps the number of *groups* (A10). Decided
+contract (SURVEY §2 A10): `.limit(n)` after full aggregation — at most n
+groups, each carrying its exact full-scan aggregate value. The reference
+instead stops CREATING groups past n during the scan
+(docs/src/design/aggregations.md), which ties the group choice to physical
+scan order; replicating that in Spark would serialize the aggregation for
+an outcome the reference itself doesn't pin. Without ORDER BY both engines
+leave the selection engine-defined; with ORDER BY both are the same
+deterministic prefix.
 """
 
 from __future__ import annotations

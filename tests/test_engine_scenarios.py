@@ -98,6 +98,27 @@ def test_agg_group_limit(engine):
     assert df.count() == 1  # LIMIT caps distinct groups
 
 
+def test_agg_group_limit_contract(engine):
+    # Decided A10 contract (SURVEY §2): LIMIT caps groups AFTER full
+    # aggregation — every returned group carries its exact full-scan value
+    # (never a partially-updated group), the cap holds, and with ORDER BY
+    # the selection is the deterministic prefix. Which groups survive
+    # without ORDER BY is engine-defined, as in the reference.
+    _setup_orders(engine)
+    full = {r["country"]: r["count"] for r in
+            engine.query("QUERY orders COUNT BY country").collect()}
+    capped = engine.query("QUERY orders COUNT BY country LIMIT 2").collect()
+    assert len(capped) == 2
+    for r in capped:
+        assert r["count"] == full[r["country"]]  # exact, not scan-truncated
+    # cap above cardinality returns everything
+    assert engine.query("QUERY orders COUNT BY country LIMIT 99").count() == len(full)
+    ordered = engine.query(
+        "QUERY orders COUNT BY country ORDER BY country LIMIT 1"
+    ).collect()
+    assert [(r["country"], r["count"]) for r in ordered] == [("DE", 1)]
+
+
 def test_in_and_not(engine):
     _setup_orders(engine)
     df = engine.query('QUERY orders WHERE country IN ("DE", "BE") OR NOT plan = "pro"')
