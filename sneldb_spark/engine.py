@@ -144,7 +144,13 @@ class SnelDB:
             if self.auth is not None:
                 self._require_admin(user_id, "define schemas")
             schema = self.store.registry.define(cmd.event_type, cmd.fields, cmd.version)
-            return Result(ok=True, message=f"defined {schema.uid}")
+            # Reference response text (src/command/handlers/define.rs:78);
+            # the versioned uid must NOT leak here — scenario include_none
+            # matchers check the whole session output for fragments like
+            # "v1" that a uid such as "orders_v1" would false-positive.
+            return Result(
+                ok=True, message=f"Schema defined for '{schema.name}'"
+            )
         if isinstance(cmd, ast.StoreCommand):
             self._check_write(user_id, cmd.event_type)
             self.store.store(cmd.event_type, cmd.context_id, cmd.payload)

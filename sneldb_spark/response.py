@@ -37,10 +37,17 @@ def _json_cell(v):
     return str(v)
 
 
+def _dumps(obj) -> str:
+    # Compact separators to match the reference's sonic_rs output byte
+    # shapes — scenario matchers check fragments like ',2]' that a
+    # ', '-separated rendering would miss.
+    return json.dumps(obj, separators=(",", ":"))
+
+
 def json_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterator[str]:
     """Yield JSON frame lines for a result DataFrame."""
     schema = df.schema
-    yield json.dumps(
+    yield _dumps(
         {
             "type": "schema",
             "columns": [f.name for f in schema.fields],
@@ -53,12 +60,12 @@ def json_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterat
         batch.append([_json_cell(v) for v in row])
         if len(batch) >= batch_size:
             total += len(batch)
-            yield json.dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
+            yield _dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
             batch = []
     if batch:
         total += len(batch)
-        yield json.dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
-    yield json.dumps({"type": "end", "row_count": total})
+        yield _dumps({"type": "batch", "rows": batch, "row_count": len(batch)})
+    yield _dumps({"type": "end", "row_count": total})
 
 
 def arrow_ipc_bytes(df: DataFrame) -> bytes:
