@@ -90,8 +90,12 @@ class FieldType:
 
 
 def parse_field_spec(spec) -> FieldType:
-    """Parse one DEFINE field spec: a type-name string, ``"T | null"``, or a
-    JSON list of enum variants."""
+    """Parse one DEFINE field spec: a type-name string, ``"T | null"``, a
+    JSON list of enum variants, or an already-built FieldType (used by
+    snapshot import, where the string form cannot express a nullable
+    enum)."""
+    if isinstance(spec, FieldType):
+        return spec
     if isinstance(spec, list):
         if not spec:
             raise SchemaError("enum must have at least one variant")

@@ -11,8 +11,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import functions as F
-
+from sneldb_spark.schema.types import FieldType
 from sneldb_spark.store.event_store import EventStore
 
 
@@ -37,9 +36,12 @@ def import_snapshot(store: EventStore, path: str):
         meta = json.load(f)
     for et, schema_json in meta["schemas"].items():
         if not store.registry.has(et):
+            # Rebuild FieldTypes directly instead of round-tripping through
+            # the string spec form, which cannot express a nullable enum —
+            # the old path silently re-imported those as non-nullable and
+            # then rejected stores of null values.
             fields = {
-                fname: (spec["kind"] if not spec["nullable"]
-                        else (spec["kind"] + " | null" if isinstance(spec["kind"], str) else spec["kind"]))
+                fname: FieldType.from_json(spec)
                 for fname, spec in schema_json["fields"].items()
             }
             store.registry.define(et, fields, version=schema_json["version"])

@@ -81,6 +81,37 @@ def test_snapshot_export_import(engine, spark, tmp_path):
     assert other.store.registry.get("snap").fields["tag"].nullable
 
 
+def test_snapshot_nullable_enum_roundtrip(engine, spark, tmp_path):
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store.snapshot import export_snapshot, import_snapshot
+
+    # A nullable enum cannot be written as a string spec; define it via the
+    # FieldType form directly (the same shape import_snapshot rebuilds).
+    from sneldb_spark.schema.types import FieldType
+
+    engine.store.registry.define(
+        "pref",
+        {
+            "plan": FieldType("enum", nullable=True, enum_values=("pro", "basic")),
+            "note": "string | null",
+        },
+    )
+    engine.execute('STORE pref FOR c1 PAYLOAD { "plan": "pro" }')
+    engine.execute('STORE pref FOR c2 PAYLOAD { }')  # null plan allowed
+    engine.execute("FLUSH")
+    snap_dir = str(tmp_path / "snap_enum")
+    export_snapshot(engine.store, snap_dir)
+
+    other = SnelDB(spark, str(tmp_path / "other_enum_db"))
+    import_snapshot(other.store, snap_dir)
+    ft = other.store.registry.get("pref").fields["plan"]
+    assert ft.kind == "enum" and ft.nullable and ft.enum_values == ("pro", "basic")
+    # a null store is still accepted after import
+    other.execute('STORE pref FOR c3 PAYLOAD { }')
+    other.execute("FLUSH")
+    assert other.query("QUERY pref").count() == 3
+
+
 def test_materialization_retention_max_rows(engine):
     engine.execute('DEFINE ret FIELDS { "n": "int" }')
     for i in range(5):
