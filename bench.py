@@ -111,6 +111,16 @@ def main():
     spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
+    # grouped-map (applyInPandas) takes a different serializer path than
+    # mapInPandas; warm it too so blocked near-pairs / clusters don't absorb it
+    from pyspark.sql import functions as F
+
+    spark.range(0, 64).groupBy(F.pmod("id", F.lit(8)).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], schema="id long"
+    ).count()
+    # localCheckpoint + broadcast machinery (clusters loop / TPC-H dims)
+    spark.range(0, 1000).localCheckpoint(eager=True).count()
+    spark.range(0, 1000).join(F.broadcast(spark.range(0, 10)), "id").count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
