@@ -102,6 +102,18 @@ class EventStore:
         # Guards _pending against the threaded frontends: an append racing
         # the flush swap could land on the discarded buffer and vanish.
         self._pending_lock = threading.Lock()
+        # WAL for the pending buffer (the reference's durability point S3,
+        # src/engine/core/wal/): every interactive STORE appends one JSON
+        # line before acknowledging; FLUSH rotates the log and deletes it
+        # only after the Parquet commit; a fresh engine on the same root
+        # replays surviving logs into _pending. Crash between commit and
+        # delete re-ingests a batch (at-least-once), dedupable by event_id.
+        # The BULK paths (append_dataframe / streaming ingest) bypass this
+        # by design — their durability is the streaming checkpoint + source
+        # retention, and a per-row driver-side log would not scale.
+        self._wal_dir = os.path.join(root, "wal")
+        self._wal_file = None
+        self._replay_wal()
 
     # -- write path -------------------------------------------------------
     def store(self, event_type: str, context_id: str, payload: dict,
@@ -118,8 +130,40 @@ class EventStore:
             **clean,
         }
         with self._pending_lock:
+            self._wal_append(event_type, row)
             self._pending.setdefault(event_type, []).append(row)
         return row
+
+    # -- WAL ---------------------------------------------------------------
+    def _wal_append(self, event_type: str, row: dict):
+        import json
+
+        if self._wal_file is None:
+            os.makedirs(self._wal_dir, exist_ok=True)
+            self._wal_file = open(
+                os.path.join(self._wal_dir, "pending.jsonl"), "a", encoding="utf-8"
+            )
+        self._wal_file.write(json.dumps({"t": event_type, "r": row}) + "\n")
+        self._wal_file.flush()
+
+    def _replay_wal(self):
+        import json
+
+        if not os.path.isdir(self._wal_dir):
+            return
+        for fname in sorted(os.listdir(self._wal_dir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self._wal_dir, fname), encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        entry = json.loads(line)
+                    except ValueError:
+                        continue  # torn tail write from a crash
+                    self._pending.setdefault(entry["t"], []).append(entry["r"])
 
     def flush(self):
         """Commit buffered events to Parquet (the reference's memtable->segment).
@@ -127,12 +171,43 @@ class EventStore:
         The buffer swap happens under the pending lock so a concurrent STORE
         (the TCP/HTTP frontends are threaded) lands in the next flush instead
         of being silently dropped between iteration and clear; the Parquet
-        commit itself stays outside the lock."""
+        commit itself stays outside the lock. The WAL rotates with the swap
+        and is deleted only after the commit succeeds."""
         with self._pending_lock:
             pending, self._pending = self._pending, {}
-        for event_type, rows in pending.items():
-            if rows:
-                self._write_rows(event_type, rows)
+            rotated = []
+            if os.path.isdir(self._wal_dir):
+                if self._wal_file is not None:
+                    self._wal_file.close()
+                    self._wal_file = None
+                for fname in sorted(os.listdir(self._wal_dir)):
+                    if fname.endswith(".jsonl") and not fname.startswith("commit-"):
+                        src = os.path.join(self._wal_dir, fname)
+                        dst = os.path.join(
+                            self._wal_dir, f"commit-{time.time_ns()}-{fname}"
+                        )
+                        os.replace(src, dst)
+                        rotated.append(dst)
+                    elif fname.startswith("commit-"):
+                        # left over from a crashed flush; its rows were
+                        # replayed into _pending at open, so it commits now
+                        rotated.append(os.path.join(self._wal_dir, fname))
+        try:
+            for event_type, rows in pending.items():
+                if rows:
+                    self._write_rows(event_type, rows)
+        except Exception:
+            # Failed commit: rows stay durable in the rotated WAL; put them
+            # back in memory too so reads keep seeing them before a retry.
+            with self._pending_lock:
+                for event_type, rows in pending.items():
+                    self._pending.setdefault(event_type, [])[:0] = rows
+            raise
+        for path in rotated:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
     def append_dataframe(self, event_type: str, df: DataFrame):
         """Bulk/streaming append of already-validated, core-schema rows.

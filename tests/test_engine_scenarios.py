@@ -562,3 +562,28 @@ def test_using_time_drives_sequence_not_since(engine):
     ).collect()
     assert len(bucketed) == 1 and bucketed[0]["bucket"] > 1_000_000_000
     assert bucketed[0]["count"] == 1
+
+
+def test_wal_recovers_unflushed_stores(engine, spark):
+    # wal_recover_no_flush / wal_recover_multi_shard: STORE without FLUSH,
+    # restart the engine on the same root, rows are still there — the
+    # pending buffer is WAL-backed (reference src/engine/core/wal/).
+    from sneldb_spark.engine import SnelDB
+
+    engine.execute('DEFINE login FIELDS { "device": "string" }')
+    engine.execute('STORE login FOR u1 PAYLOAD { "device": "android" }')
+    engine.execute('STORE login FOR u2 PAYLOAD { "device": "web" }')
+
+    reopened = SnelDB(spark, engine.root)
+    rows = {r["context_id"]: r["device"]
+            for r in reopened.query('QUERY login WHERE device = "android"').collect()}
+    assert rows == {"u1": "android"}
+    # replayed rows keep their original event ids and flush cleanly
+    ids_before = {r["event_id"] for r in reopened.query("QUERY login").collect()}
+    reopened.execute("FLUSH")
+    ids_after = {r["event_id"] for r in reopened.query("QUERY login").collect()}
+    assert ids_before == ids_after and len(ids_after) == 2
+    # wal is gone after the commit; a third engine sees committed data only
+    third = SnelDB(spark, engine.root)
+    assert third.store._pending == {}
+    assert third.query("QUERY login").count() == 2
