@@ -662,6 +662,14 @@ def _parse_perm_list(cur: _Cursor) -> list[str]:
             cur.next()
             continue
         break
+    # A bare identifier here is a misspelled permission name — name it,
+    # matching the reference's error text
+    # (src/command/parser/commands/revoke_permission.rs:34).
+    t = cur.peek()
+    if not perms and t is not None and t.kind == "ident" and not cur.at_kw("ON", "ALL"):
+        raise ParseError(
+            f"Invalid permission: '{t.text}'. Must be 'READ' or 'WRITE'"
+        )
     return perms
 
 

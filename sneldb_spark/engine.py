@@ -47,10 +47,11 @@ class SnelDB:
         clock=None,
         time_config: TimeConfig | None = None,
         auth: AuthManager | None = None,
+        wal: bool = True,
     ):
         self.spark = spark
         self.root = root
-        self.store = EventStore(spark, root, clock=clock)
+        self.store = EventStore(spark, root, clock=clock, wal=wal)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (
@@ -154,7 +155,8 @@ class SnelDB:
         if isinstance(cmd, ast.StoreCommand):
             self._check_write(user_id, cmd.event_type)
             self.store.store(cmd.event_type, cmd.context_id, cmd.payload)
-            return Result(ok=True, message="stored")
+            # Reference response text (src/command/handlers/store.rs:179).
+            return Result(ok=True, message="Event accepted for storage")
         if isinstance(cmd, ast.QueryCommand):
             self._check_read(user_id, cmd.event_type)
             return Result(ok=True, df=self.compiler.compile(cmd))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from sneldb_spark.commands import ast
 from sneldb_spark.errors import QueryError
 from sneldb_spark.plans.aggregates import apply_aggregation
-from sneldb_spark.plans.filters import compile_expr, split_sequence_where
+from sneldb_spark.plans.filters import compile_expr, expr_fields, split_sequence_where
 from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
 from sneldb_spark.plans.time_bucket import bucket_column
 from sneldb_spark.schema.normalization import try_parse_time_value
@@ -140,7 +140,30 @@ class QueryCompiler:
             return out
 
         out = self._order_limit(df, q, agg=False, resolve=resolve)
-        return self._project(out, q.return_fields)
+        if q.return_fields:
+            return self._project(out, q.return_fields)
+        return self._reference_column_order(out, q)
+
+    def _reference_column_order(self, df: DataFrame, q: ast.QueryCommand) -> DataFrame:
+        """Full-column results use the reference's column order: core
+        fields, then the (sorted) filter columns, then the remaining
+        payload fields — the insertion order of the reference's projection
+        planner (src/engine/core/read/projection/{strategies.rs:20-24,
+        context.rs:24-40}). A pure reorder: scenario matchers check row
+        fragments like '"confirmed",1]' that depend on it."""
+        filter_cols = sorted(
+            {f for f in expr_fields(q.where) if f in df.columns} - set(CORE_FIELDS)
+        )
+        if q.since is not None and q.time_field and q.time_field in df.columns:
+            # SINCE USING <f> contributes a filter column too
+            if q.time_field not in filter_cols and q.time_field not in CORE_FIELDS:
+                filter_cols = sorted(set(filter_cols) | {q.time_field})
+        cols = [c for c in CORE_FIELDS if c in df.columns]
+        cols += filter_cols
+        cols += [c for c in df.columns if c not in cols]
+        if cols == df.columns:
+            return df
+        return df.select(*[F.col(f"`{c}`") for c in cols])
 
     def _order_limit(self, df: DataFrame, q: ast.QueryCommand, agg: bool, resolve=None):
         if q.order_by is not None:

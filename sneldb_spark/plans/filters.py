@@ -127,6 +127,26 @@ def expr_fields(expr: ast.Expr) -> set[str]:
     return set()
 
 
+def expr_fields(expr: ast.Expr | None) -> list[str]:
+    """All field names referenced by a WHERE tree, first-mention order."""
+    out: list[str] = []
+
+    def walk(e):
+        if e is None:
+            return
+        if isinstance(e, (ast.Compare, ast.In)):
+            if e.field not in out:
+                out.append(e.field)
+        elif isinstance(e, (ast.And, ast.Or)):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, ast.Not):
+            walk(e.expr)
+
+    walk(expr)
+    return out
+
+
 def split_sequence_where(
     expr: ast.Expr | None, event_types: list[str]
 ) -> dict[str, ast.Expr | None]:

@@ -57,7 +57,9 @@ def parse_time_value(value, *, what: str = "time") -> int:
         try:
             dt = datetime.fromisoformat(iso)
         except ValueError:
-            raise ValidationError(f"invalid {what} string: {value!r}") from None
+            raise ValidationError(
+                f"Invalid time string: '{value}' ({what})"
+            ) from None
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return int(dt.timestamp())

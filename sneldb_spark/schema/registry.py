@@ -110,7 +110,7 @@ class SchemaRegistry:
     def get(self, event_type: str, version: int | None = None) -> EventSchema:
         versions = self._schemas.get(event_type)
         if not versions:
-            raise SchemaError(f"no schema defined for event type {event_type!r}")
+            raise SchemaError(f"No schema defined for event type '{event_type}'")
         if version is None:
             version = max(versions)
         if version not in versions:

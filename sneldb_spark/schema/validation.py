@@ -27,41 +27,45 @@ from sneldb_spark.schema.types import FieldType
 _I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
 
 
+def _type_err(fname: str, detail: str) -> str:
+    # Reference error shape (src/command/handlers/store.rs:243) with the
+    # specific reason appended for humans.
+    return f"Field '{fname}' does not match expected type ({detail})"
+
+
 def _check_scalar(fname: str, ft: FieldType, value):
     kind = ft.kind
     if kind == "string":
         if not isinstance(value, str):
-            raise ValidationError(f"field {fname!r}: expected string, got {value!r}")
+            raise ValidationError(_type_err(fname, f"expected string, got {value!r}"))
         return value
     if kind == "enum":
         if not isinstance(value, str) or value not in ft.enum_values:
-            raise ValidationError(
-                f"field {fname!r}: {value!r} is not a declared enum variant"
-            )
+            raise ValidationError(_type_err(fname, f"{value!r} is not a declared enum variant"))
         return value
     if kind == "bool":
         if not isinstance(value, bool):
-            raise ValidationError(f"field {fname!r}: expected bool, got {value!r}")
+            raise ValidationError(_type_err(fname, f"expected bool, got {value!r}"))
         return value
     if kind == "i64":
         if isinstance(value, bool) or not isinstance(value, int):
-            raise ValidationError(f"field {fname!r}: expected integer, got {value!r}")
+            raise ValidationError(_type_err(fname, f"expected integer, got {value!r}"))
         if not (_I64_MIN <= value <= _I64_MAX):
-            raise ValidationError(f"field {fname!r}: integer out of i64 range")
+            raise ValidationError(_type_err(fname, "integer out of i64 range"))
         return value
     if kind == "u64":
         if isinstance(value, bool) or not isinstance(value, int):
-            raise ValidationError(f"field {fname!r}: expected integer, got {value!r}")
+            raise ValidationError(_type_err(fname, f"expected integer, got {value!r}"))
         if value < 0:
-            raise ValidationError(f"field {fname!r}: u64 must be non-negative")
+            raise ValidationError(_type_err(fname, "u64 must be non-negative"))
         if value > _I64_MAX:
             # Spark LongType is signed; the engine documents the u64 domain
             # as [0, 2^63) (SURVEY §7 risk (d)).
-            raise ValidationError(f"field {fname!r}: u64 value exceeds supported range")
+            raise ValidationError(_type_err(fname, "u64 value exceeds supported range"))
         return value
     if kind == "f64":
         if isinstance(value, bool) or not isinstance(value, (int, float)):
-            raise ValidationError(f"field {fname!r}: expected number, got {value!r}")
+            raise ValidationError(_type_err(fname, f"expected number, got {value!r}"))
         return float(value)
     if kind == "datetime":
         return parse_time_value(value, what=f"datetime field {fname!r}")
@@ -74,11 +78,12 @@ def _check_scalar(fname: str, ft: FieldType, value):
 
 def validate_payload(schema: EventSchema, payload: dict) -> dict:
     if not isinstance(payload, dict):
-        raise ValidationError("payload must be a JSON object")
+        raise ValidationError("Payload must be a JSON object")
     extra = set(payload) - set(schema.fields)
     if extra:
         raise ValidationError(
-            f"undeclared field(s) for {schema.name!r}: {sorted(extra)}"
+            "Payload contains fields not defined in schema: "
+            + ", ".join(sorted(extra))
         )
     out: dict = {}
     for fname, ft in schema.fields.items():
@@ -86,6 +91,6 @@ def validate_payload(schema: EventSchema, payload: dict) -> dict:
             if ft.nullable:
                 out[fname] = None
                 continue
-            raise ValidationError(f"missing required field {fname!r} for {schema.name!r}")
+            raise ValidationError(f"Missing field '{fname}' in payload")
         out[fname] = _check_scalar(fname, ft, payload[fname])
     return out

@@ -91,6 +91,7 @@ class EventStore:
         root: str,
         registry: SchemaRegistry | None = None,
         clock=None,
+        wal: bool = True,
     ):
         self.spark = spark
         self.root = root
@@ -113,7 +114,9 @@ class EventStore:
         # retention, and a per-row driver-side log would not scale.
         self._wal_dir = os.path.join(root, "wal")
         self._wal_file = None
-        self._replay_wal()
+        self._wal_enabled = wal  # [wal] enabled=false: memtable-only buffer
+        if wal:
+            self._replay_wal()
 
     # -- write path -------------------------------------------------------
     def store(self, event_type: str, context_id: str, payload: dict,
@@ -138,6 +141,8 @@ class EventStore:
     def _wal_append(self, event_type: str, row: dict):
         import json
 
+        if not self._wal_enabled:
+            return
         if self._wal_file is None:
             os.makedirs(self._wal_dir, exist_ok=True)
             self._wal_file = open(

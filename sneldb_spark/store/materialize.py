@@ -112,7 +112,7 @@ class Materializer:
     # -- SHOW -------------------------------------------------------------
     def show(self, name: str) -> DataFrame:
         if not self.exists(name):
-            raise MaterializationError(f"no materialization named {name!r}")
+            raise MaterializationError(f"Materialization '{name}' not found")
         with open(self._manifest_path(name)) as f:
             manifest = json.load(f)
         q = query_from_json(manifest["query"])
