@@ -389,6 +389,174 @@ LIMIT 20
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a LEFT SEMI join — orders with at
+    least one qualifying lineitem, counted per priority. The semi join
+    shuffles only (orderkey) pairs and short-circuits per match; at scale
+    this is the plan EXISTS should become (no row multiplication, no
+    distinct)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qual = l.where(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(qual, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional (CASE) aggregation. Both branches sum
+    in one pass over the joined rows — no per-branch scans."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brand/size/quantity clauses
+    over a broadcast part join. Catalyst extracts the common p_partkey
+    equi-condition so the OR-of-ANDs stays a hash join residual, not a
+    nested-loop join."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = F.broadcast(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg((_exact_sum_cents(rev).cast("double") / 10_000).alias("revenue"))
+    )
+
+
+_TPCH_Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each context's event stream at inactivity
+    gaps > 30 min and aggregate per session — the standard event-analytics
+    rollup the funnel family doesn't cover.
+
+    One window over (context_id, time) — a single shuffle on the session
+    key, same distribution the sequence operators use (and zero exchanges
+    over a context-bucketed table). The session id is a running sum of
+    gap-break flags, so the whole plan is codegen window + hash aggregate:
+    no Python, no self-join.
+    """
+    from pyspark.sql import Window
+
+    ev = _events_frame(spark, sf_dir)
+    w = Window.partitionBy("context_id").orderBy("timestamp", "event_id")
+    gap = F.col("timestamp") - F.lag("timestamp").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("context_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+            F.sum("value_cents").alias("total_value_cents"),
+        )
+        .withColumn(
+            "duration_s", (F.col("session_end") - F.col("session_start")).cast("long")
+        )
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = f"""
+WITH {_EV_CTE},
+flagged AS (
+  SELECT context_id, "timestamp", event_id, value_cents,
+         CASE WHEN lag("timestamp") OVER w IS NULL
+                OR "timestamp" - lag("timestamp") OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY context_id ORDER BY "timestamp", event_id)
+),
+sessions AS (
+  SELECT context_id, "timestamp", value_cents,
+         SUM(new_sess) OVER (PARTITION BY context_id ORDER BY "timestamp", event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT context_id, session_seq,
+       count(*) AS n_events,
+       min("timestamp") AS session_start,
+       max("timestamp") AS session_end,
+       CAST(sum(value_cents) AS BIGINT) AS total_value_cents,
+       CAST(max("timestamp") - min("timestamp") AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY context_id, session_seq
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = _cents("l_extendedprice") * _cents("l_discount")
@@ -891,11 +1059,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- TPC-H-ish scale suite (joins/agg at scale; extensions) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "events_sessionize": q_events_sessionize,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -1041,11 +1213,15 @@ SELECT COALESCE(p.bucket, c.bucket) AS bucket, p.cnt AS purchase_count, c.cnt AS
 FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q4": _TPCH_Q4_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q10": _TPCH_Q10_SQL,
+        "tpch_q12": _TPCH_Q12_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
+        "tpch_q19": _TPCH_Q19_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY content_hash",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -36,11 +36,15 @@ BENCH_QUERIES = [
     # scale suite
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q12",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q19",
+    "events_sessionize",
     # pipeline extensions
     "dedup_exact",
     "dedup_clusters",
