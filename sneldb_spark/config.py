@@ -12,11 +12,12 @@ Maps the reference's config sections onto this engine
 - ``[server]``               -> tcp_addr / http_addr / socket_path, used by
                                 :func:`serve`
 
-Sections that configure the reference's *storage mechanism* — ``[wal]``,
-``[query]`` caches, zones/shards/compaction in ``[engine]`` — have no
-equivalent here by design: Spark + Parquet own those concerns (SURVEY §0,
-"Spark frame"). They are accepted and ignored so a reference config file
-loads unchanged.
+``[wal] enabled`` maps onto the engine's pending-buffer WAL (on by
+default). The remaining storage-mechanism knobs — WAL buffering/fsync
+cadence, ``[query]`` caches, zones/shards/compaction in ``[engine]`` —
+have no equivalent here by design: Spark + Parquet own those concerns
+(SURVEY §0, "Spark frame"). They are accepted and ignored so a reference
+config file loads unchanged.
 """
 
 from __future__ import annotations
@@ -51,6 +52,7 @@ class EngineConfig:
     time: TimeConfig = field(default_factory=TimeConfig)
     auth: Optional[AuthConfig] = None
     server: ServerConfig = field(default_factory=ServerConfig)
+    wal: bool = True
 
 
 def _parse_week_start(value: str) -> str:
@@ -87,6 +89,8 @@ def load_config(path_or_dict) -> EngineConfig:
             session_token_expiry_seconds=a.get("session_token_expiry_seconds", 300),
         )
 
+    cfg.wal = doc.get("wal", {}).get("enabled", True)
+
     s = doc.get("server", {})
     cfg.server = ServerConfig(
         tcp_addr=s.get("tcp_addr"),
@@ -107,7 +111,7 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         auth = AuthManager(
             path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
         )
-    return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth)
+    return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:
