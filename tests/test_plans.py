@@ -198,3 +198,48 @@ def test_week_bucket_sunday_start_and_timezone(spark):
         bucket_column(F.col("t"), "day", timezone="America/New_York").alias("b")
     ).collect()[0]["b"]
     assert ny == int(datetime(2025, 12, 31, 5, 0, tzinfo=tz.utc).timestamp())
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan  # EXISTS must not multiply or distinct rows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_or_of_ands_stays_hash_join(spark):
+    # The disjunction shares the p_partkey equi-condition; Catalyst must
+    # extract it so the OR lands as a hash-join residual, never a BNL.
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_window_no_self_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["events_sessionize"](spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan  # running-sum sessions, not a self-join
+    # window shuffle on context_id; the (context_id, session_seq) groupBy
+    # may add at most one more exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_memtable_union_keeps_parquet_pushdown(engine):
+    # Hybrid (segment + pending) reads must still push filters into the
+    # Parquet child of the union.
+    engine.execute('DEFINE hyb FIELDS { "amount": "int" }')
+    engine.execute('STORE hyb FOR c1 PAYLOAD { "amount": 5 }')
+    engine.execute("FLUSH")
+    engine.execute('STORE hyb FOR c2 PAYLOAD { "amount": 9 }')
+    df = engine.query("QUERY hyb WHERE amount >= 5")
+    plan = _formatted(df)
+    assert "Union" in plan
+    assert "PushedFilters: [IsNotNull(amount), GreaterThanOrEqual(amount,5)]" in plan
+    assert df.count() == 2
