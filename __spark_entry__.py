@@ -724,6 +724,73 @@ SELECT doc_id, lang, {case} AS lang_pred FROM s
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, composed from the pipeline operators:
+    language-ID -> quality gates -> exact dedup (keep min id per content)
+    -> deterministic train/val/test split. One declarative chain — langid
+    and quality are codegen expressions, dedup is one digest groupBy with
+    a broadcast keeper set, the split is hash arithmetic; nothing touches
+    the driver, so the same plan runs at corpus scale."""
+    from sneldb_spark.pipeline.dedup import exact_dedup
+    from sneldb_spark.pipeline.sampling import deterministic_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(language_id(d))
+    kept = q.where(
+        (F.col("lang_pred") == "en")
+        & (F.col("q_words") >= 20)
+        & (F.col("q_punct_ratio") <= 0.2)
+    )
+    deduped = exact_dedup(kept.select("doc_id", "text", "q_words"))
+    return deterministic_split(deduped, "doc_id").select("doc_id", "q_words", "split")
+
+
+def _curation_sql() -> str:
+    from sneldb_spark.pipeline.text import LANG_PROFILES
+
+    scores = []
+    for lang, sw in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        scores.append(f"len(list_filter(words, x -> x IN ({inlist}))) AS s_{lang}")
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (SELECT doc_id, text, words, {', '.join(scores)} FROM w),
+lid AS (SELECT doc_id, text, words, {case} AS lang_pred FROM s),
+q AS (
+  SELECT doc_id, text, lang_pred, len(words) AS q_words,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)/length(text)
+         END AS punct
+  FROM lid
+),
+kept AS (
+  SELECT doc_id, text, q_words FROM q
+  WHERE lang_pred = 'en' AND q_words >= 20 AND punct <= 0.2
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT kept.doc_id, q_words,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, q_words,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM kept
+) kept JOIN keepers ON kept.doc_id = keepers.doc_id
+"""
+
+
 def q_text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
@@ -1086,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "sampling_split": q_sampling_split,
         "sampling_stratified": q_sampling_stratified,
+        "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
     }
@@ -1235,6 +1303,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "sampling_split": _SAMPLING_SPLIT_SQL,
+        "corpus_curation": _curation_sql(),
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
