@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_resize",
     "sampling_split",
+    "corpus_curation",
     "similarity_topk",
     "similarity_ivf_topk",
     "embedding_near_pairs",
