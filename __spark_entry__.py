@@ -42,7 +42,9 @@ from sneldb_spark.pipeline.similarity import (
 from sneldb_spark.pipeline.text import (
     fingerprint,
     language_id,
+    pii_redact,
     quality_features,
+    repetition_features,
     token_count,
 )
 from sneldb_spark.plans.compiler import QueryCompiler, TimeConfig
@@ -493,6 +495,200 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer-join distribution — orders-per-customer histogram
+    including zero-order customers. The per-customer count is a shuffle on
+    o_custkey; the second aggregation groups ~50 distinct counts, so its
+    exchange is trivial. The priority filter lives on the join's right side
+    (equivalent to the reference ON-clause placement for a left join)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: scalar MAX subquery — top supplier(s) by period revenue.
+    The revenue aggregate is one shuffle on l_suppkey; the max is a
+    single-row broadcast joined back (no second scan of lineitem, no
+    window over all suppliers), and the supplier dim is broadcast."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    revenue = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_exact_sum_cents(rev_c).cast("long").alias("total_revenue_c"))
+    )
+    mx = revenue.agg(F.max("total_revenue_c").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: broadcast anti join + distinct aggregation — suppliers
+    per (brand, size) excluding flagged suppliers. (No partsupp table in
+    the driver schema; lineitem provides the part-supplier pairs.) The
+    NOT IN becomes a broadcast left-anti hash join; count(DISTINCT) runs
+    as the standard two-phase expand aggregate. Fully ordered before
+    LIMIT so the prefix is deterministic."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    parts = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 20
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated AVG subquery decorrelated to an aggregate +
+    self-join — lineitems below 20% of their part's average quantity.
+    The brand's partkeys broadcast-semi-filter lineitem FIRST, so the
+    per-part average aggregates only the brand's rows (the decorrelated
+    subquery is correct restricted to them); the tiny avg table then
+    broadcasts back. l_quantity is integral, so sum/count — and hence the
+    0.2*avg boundary — is bit-exact on both engines."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    parts = p.where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    lf = l.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    lim = lf.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    return (
+        lf.join(F.broadcast(lim), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (_exact_sum_cents(_cents("l_extendedprice")).cast("double") / 100 / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+_TPCH_Q17_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: NOT EXISTS anti join + scalar AVG threshold — rich
+    never-ordered customers per nation. The average is computed over exact
+    integer cents (sum exact, one double division — bit-identical across
+    engines), broadcast as a single row; NOT EXISTS is a left-anti hash
+    join on o_custkey. (Every synthetic customer has orders, so the
+    reference's "never ordered" becomes "never ordered URGENT" to keep the
+    anti join non-vacuous.)"""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    bal_c = _cents("c_acctbal")
+    sel = c.where(F.col("c_nationkey").isin(nations))
+    avg_bal = sel.where(bal_c > 0).agg(F.avg(bal_c).alias("avg_bal_c"))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        sel.crossJoin(F.broadcast(avg_bal))
+        .where(bal_c > F.col("avg_bal_c"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _exact_sum_cents(bal_c).cast("long").alias("totacctbal_c"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_TPCH_Q22_SQL = """
+WITH avg_b AS (
+  SELECT avg(CAST(round(c_acctbal*100) AS BIGINT)) AS avg_bal_c
+  FROM customer
+  WHERE c_nationkey IN (1,3,5,7,9,11,13) AND CAST(round(c_acctbal*100) AS BIGINT) > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+FROM customer, avg_b
+WHERE c_nationkey IN (1,3,5,7,9,11,13)
+  AND CAST(round(c_acctbal*100) AS BIGINT) > avg_bal_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each context's event stream at inactivity
     gaps > 30 min and aggregate per session — the standard event-analytics
@@ -817,6 +1013,229 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs).select("id", "n_fingerprints")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates. The synthetic docs are single-line,
+    so the gate appends two copies of the doc's 60-char prefix as extra
+    lines (identical expression on the oracle side) to give the
+    duplicate-line signal real work."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text2 = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.substring(F.col("text"), 1, 60),
+        F.substring(F.col("text"), 1, 60),
+    )
+    d2 = d.select("doc_id", text2.alias("text"))
+    return repetition_features(d2).select(
+        "doc_id",
+        "r_lines",
+        F.round("r_dup_line_frac", 6).alias("r_dup_line_frac"),
+        F.round("r_top_word_frac", 6).alias("r_top_word_frac"),
+        F.round("r_top_bigram_frac", 6).alias("r_top_bigram_frac"),
+        F.round("r_symbol_word_ratio", 6).alias("r_symbol_word_ratio"),
+    )
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 60) || chr(10) || substr(text, 1, 60) AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+  FROM t
+),
+bi AS (
+  SELECT doc_id, text, lines, words,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(generate_series(1, len(words)-1), i -> words[i] || ' ' || words[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM base
+),
+wtop AS (
+  SELECT doc_id, max(c) AS topw FROM (
+    SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(words) AS w FROM base)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+btop AS (
+  SELECT doc_id, max(c) AS topb FROM (
+    SELECT doc_id, b, count(*) AS c FROM (SELECT doc_id, unnest(bigrams) AS b FROM bi)
+    GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(len(lines) AS BIGINT) AS r_lines,
+  CASE WHEN len(lines) > 0
+       THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines), 6) END AS r_dup_line_frac,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(wtop.topw AS DOUBLE)/len(words), 6) END AS r_top_word_frac,
+  CASE WHEN len(bigrams) > 0
+       THEN round(CAST(btop.topb AS DOUBLE)/len(bigrams), 6) END AS r_top_bigram_frac,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(len(regexp_extract_all(b.text, '#')) + len(regexp_extract_all(b.text, '\.\.\.')) AS DOUBLE)/len(words), 6) END AS r_symbol_word_ratio
+FROM bi b
+LEFT JOIN wtop ON wtop.doc_id = b.doc_id
+LEFT JOIN btop ON btop.doc_id = b.doc_id
+"""
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate. The synthetic docs carry no PII, so the gate
+    deterministically injects an email / phone / IPv4 into 3 of every 4
+    docs (same expression in the oracle) and checks counts plus the md5 of
+    the redacted text."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_id = F.col("doc_id")
+    inj = (
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(
+                F.lit(" mail user"), doc_id.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            doc_id % 4 == 1,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            doc_id % 4 == 2,
+            F.concat(
+                F.lit(" from 10.0."), (doc_id % 256).cast("string"), F.lit(".7 now")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    d2 = d.select("doc_id", F.concat(F.col("text"), inj).alias("text"))
+    return pii_redact(d2).select(
+        "doc_id",
+        "pii_emails",
+        "pii_phones",
+        "pii_ips",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+_TEXT_PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 4 = 1 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         WHEN doc_id % 4 = 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now'
+         ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS pii_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS pii_phones,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS pii_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc acts as the held-out eval
+    set; the rest is the training corpus scored by distinct 3-gram overlap
+    against the (broadcast) benchmark shingle set."""
+    from sneldb_spark.pipeline.decontam import ngram_overlap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    out = ngram_overlap(train, bench, n=3, min_hits=2, frac_threshold=0.2)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+        "contaminated",
+    )
+
+
+_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(l)-2),
+                                                i -> array_to_string(l[i:i+2], ' ')))
+              ELSE [array_to_string(l, ' ')] END AS shingles
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 50 <> 0),
+m AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) x JOIN bench USING (s)
+  GROUP BY doc_id
+)
+SELECT tr.doc_id,
+  CAST(len(shingles) AS BIGINT) AS n_shingles,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+  round(CASE WHEN len(shingles) > 0
+             THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE)/len(shingles)
+             ELSE 0.0 END, 6) AS overlap_frac,
+  (coalesce(m.n_matched, 0) >= 2 AND
+   CASE WHEN len(shingles) > 0
+        THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE)/len(shingles)
+        ELSE 0.0 END >= 0.2) AS contaminated
+FROM tr LEFT JOIN m ON m.doc_id = tr.doc_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: connected components
+    of the exact cosine>=0.4 near-pair graph, one representative (min id)
+    kept per cluster."""
+    from sneldb_spark.pipeline.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, threshold=0.4)
+
+
+def _semantic_dedup_sql() -> str:
+    # deferred: _EMBEDDING_NEAR_SQL is defined later in the module
+    return (
+        "WITH RECURSIVE pairs AS (" + _EMBEDDING_NEAR_SQL + "), "
+        """
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT emb.vec_id AS id,
+         least(emb.vec_id, coalesce(min(r.dst), emb.vec_id)) AS cluster_id
+  FROM embeddings emb LEFT JOIN reach r ON r.src = emb.vec_id
+  GROUP BY emb.vec_id
+),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.id AS vec_id, lab.cluster_id, sz.cluster_size,
+       (lab.id = lab.cluster_id) AS is_representative
+FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+"""
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -1131,9 +1550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "events_sessionize": q_events_sessionize,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
@@ -1145,6 +1569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens_fingerprint": q_text_tokens_fingerprint,
         "text_winnow": q_text_winnow,
+        "text_repetition": q_text_repetition,
+        "text_pii_redact": q_text_pii_redact,
+        "decontaminate": q_decontaminate,
+        "semantic_dedup": q_semantic_dedup,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1286,9 +1714,14 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q10": _TPCH_Q10_SQL,
         "tpch_q12": _TPCH_Q12_SQL,
+        "tpch_q13": _TPCH_Q13_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
+        "tpch_q15": _TPCH_Q15_SQL,
+        "tpch_q16": _TPCH_Q16_SQL,
+        "tpch_q17": _TPCH_Q17_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
         "tpch_q19": _TPCH_Q19_SQL,
+        "tpch_q22": _TPCH_Q22_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY content_hash",
@@ -1297,6 +1730,10 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
+        "text_pii_redact": _TEXT_PII_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "semantic_dedup": _semantic_dedup_sql(),
         "similarity_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -459,3 +459,43 @@ def embedding_near_pairs(
         )
 
     return rep.groupBy("b1", "b2").applyInPandas(score_pair, schema=_PAIR_SCHEMA)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-based (SemDeDup-style) deduplication: connected components
+    over the exact cosine near-pair graph, keeping one representative per
+    semantic cluster.
+
+    Returns one row per input id: (id, cluster_id = min id in component,
+    cluster_size, is_representative). The dedup decision is "keep rows
+    where is_representative"; everything composes from the blocked GEMM
+    pair kernel (no driver-side corpus) plus the same min-label-propagation
+    components used by the text dedup family — one shuffle per round,
+    rounds = component diameter.
+    """
+    from sneldb_spark.pipeline.dedup import dedup_clusters
+
+    pairs = embedding_near_pairs(
+        df, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+    )
+    clusters = dedup_clusters(
+        df.select(id_col), pairs.select("id1", "id2"), id_col=id_col
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+        )
+    )

@@ -114,6 +114,114 @@ def winnow_fingerprints(
     )
 
 
+def _max_run(arr: Column) -> Column:
+    """Largest multiplicity in an array: sort, then one linear codegen
+    aggregate over runs of equal values. O(n log n) per row regardless of
+    distinct count (a transform(distinct, count-matches) formulation is
+    O(n*d) and degrades on large vocabularies)."""
+    sorted_a = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(st: Column, x: Column) -> Column:
+        run = F.when(x == st.prev, st.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(st.best, run).alias("best")
+        )
+
+    return F.aggregate(sorted_a, init, step, lambda st: st.best)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family):
+    documents dominated by one line / word / bigram are boilerplate or
+    spam, and these ratios are the standard gates.
+
+    - r_lines: non-empty (trimmed) line count
+    - r_dup_line_frac: 1 - distinct_lines/lines (0 = all unique)
+    - r_top_word_frac: occurrences of the most frequent word / total words
+    - r_top_bigram_frac: same over word bigrams
+    - r_symbol_word_ratio: (# of '#' + '...' hits) / words
+
+    Pure built-in array/regexp expressions — whole-stage codegen, a narrow
+    map with no shuffle at any scale.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    words = words_col(text)
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.zip_with(
+            F.slice(words, 1, n_words - 1),
+            F.slice(words, 2, n_words - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    symbol_hits = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    return (
+        df.withColumn("r_lines", n_lines.cast("long"))
+        .withColumn(
+            "r_dup_line_frac",
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+            ),
+        )
+        .withColumn(
+            "r_top_word_frac",
+            F.when(n_words > 0, _max_run(words).cast("double") / n_words),
+        )
+        .withColumn(
+            "r_top_bigram_frac",
+            F.when(n_bigrams > 0, _max_run(bigrams).cast("double") / n_bigrams),
+        )
+        .withColumn(
+            "r_symbol_word_ratio",
+            F.when(n_words > 0, symbol_hits.cast("double") / n_words),
+        )
+    )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences, no lookaround, ASCII \b.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII-shaped spans (emails, NANP-style phone numbers,
+    IPv4 addresses) — the scrubbing pass a training-data pipeline runs
+    before anything else sees the text.
+
+    Counts are measured on the input text per pattern; redaction applies
+    email -> phone -> ipv4 in that fixed order (the patterns cannot overlap
+    after earlier replacements, so the order only exists to be
+    deterministic). Pure regexp codegen — narrow map, no shuffle, no
+    Python.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    return (
+        df.withColumn("pii_emails", F.regexp_count(text, F.lit(PII_EMAIL)).cast("long"))
+        .withColumn("pii_phones", F.regexp_count(text, F.lit(PII_PHONE)).cast("long"))
+        .withColumn("pii_ips", F.regexp_count(text, F.lit(PII_IPV4)).cast("long"))
+        .withColumn("text_redacted", redacted)
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> DataFrame:

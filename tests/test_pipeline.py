@@ -351,3 +351,117 @@ def test_embedding_near_pairs_blocked_matches_numpy(emb, spark, monkeypatch):
     assert got.keys() == expected.keys()
     for k_, v in got.items():
         assert v == pytest.approx(expected[k_], abs=1e-9)
+
+
+def test_repetition_features_values(spark):
+    from sneldb_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a a a b\nx\nx"), (2, "one two three"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    r1 = rows[1]
+    # lines: ["a a a b", "x", "x"] -> 3 lines, 2 distinct
+    assert r1["r_lines"] == 3
+    assert r1["r_dup_line_frac"] == pytest.approx(1 / 3)
+    # words: [a, a, a, b, x, x] -> top word 'a' 3/6
+    assert r1["r_top_word_frac"] == pytest.approx(0.5)
+    # bigrams: [a a, a a, a b, b x, x x] -> top 'a a' 2/5
+    assert r1["r_top_bigram_frac"] == pytest.approx(0.4)
+    r2 = rows[2]
+    assert r2["r_dup_line_frac"] == 0.0
+    assert r2["r_top_word_frac"] == pytest.approx(1 / 3)
+    assert r2["r_symbol_word_ratio"] == 0.0
+    r3 = rows[3]
+    assert r3["r_lines"] == 0
+    assert r3["r_dup_line_frac"] is None
+    assert r3["r_top_word_frac"] is None
+
+
+def test_repetition_symbol_ratio_counts_hash_and_ellipsis(spark):
+    from sneldb_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame([(1, "wow # such list ... yes")], ["doc_id", "text"])
+    row = repetition_features(df).collect()[0]
+    # 4 words (#/... are \W separators), 1 '#' + 1 '...'
+    assert row["r_symbol_word_ratio"] == pytest.approx(2 / 4)
+
+
+def test_pii_redact_counts_and_text(spark):
+    from sneldb_spark.pipeline.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or alice.smith@corp.co.uk ok"),
+            (2, "call 555-123-4567 from 192.168.0.1 now"),
+            (3, "clean text without identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (rows[1]["pii_emails"], rows[1]["pii_phones"], rows[1]["pii_ips"]) == (2, 0, 0)
+    assert rows[1]["text_redacted"] == "mail <EMAIL> or <EMAIL> ok"
+    assert (rows[2]["pii_emails"], rows[2]["pii_phones"], rows[2]["pii_ips"]) == (0, 1, 1)
+    assert rows[2]["text_redacted"] == "call <PHONE> from <IP> now"
+    assert rows[3]["text_redacted"] == "clean text without identifiers"
+
+
+def test_ngram_overlap_decontaminates(spark):
+    from sneldb_spark.pipeline.decontam import decontaminate, ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains benchmark 3-grams verbatim
+            (1, "note the quick brown fox jumps here"),
+            # disjoint vocabulary
+            (2, "completely unrelated training sentence material"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            ngram_overlap(train, bench, n=3, min_hits=1, frac_threshold=0.3).collect()}
+    # doc1: shingles {note the quick, the quick brown, quick brown fox,
+    # brown fox jumps, fox jumps here} -> 3 of 5 in benchmark
+    assert rows[1]["n_shingles"] == 5 and rows[1]["n_matched"] == 3
+    assert rows[1]["overlap_frac"] == pytest.approx(0.6)
+    assert rows[1]["contaminated"]
+    assert rows[2]["n_matched"] == 0 and not rows[2]["contaminated"]
+    kept = {r["doc_id"] for r in
+            decontaminate(train, bench, n=3, min_hits=1, frac_threshold=0.3).collect()}
+    assert kept == {2}
+
+
+def test_decontam_benchmark_side_is_broadcast(spark):
+    """The corpus must stream; only the benchmark shingle set broadcasts."""
+    from sneldb_spark.pipeline.decontam import ngram_overlap
+
+    bench = spark.createDataFrame([(9, "alpha beta gamma delta")], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, "alpha beta gamma epsilon")], ["doc_id", "text"])
+    plan = ngram_overlap(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_clusters_and_representatives(spark):
+    from sneldb_spark.pipeline.similarity import semantic_dedup
+
+    # two tight clusters + one isolate (orthogonal)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.98, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.99, 0.01]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1 and out[3]["cluster_id"] == 1
+    assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
+    assert out[20]["cluster_id"] == 20 and out[20]["cluster_size"] == 1
+    reps = {v for v, r in out.items() if r["is_representative"]}
+    assert reps == {1, 10, 20}
+    assert out[1]["cluster_size"] == 3 and out[10]["cluster_size"] == 2
