@@ -658,6 +658,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = c.where(F.col("c_nationkey").isin(nations))
     avg_bal = sel.where(bal_c > 0).agg(F.avg(bal_c).alias("avg_bal_c"))
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    # The scalar attaches as a single-row broadcast crossJoin — the same
+    # O(n) no-multiplication plan Spark produces for a scalar subquery;
+    # the BroadcastNestedLoopJoin here carries exactly one build row.
     return (
         sel.crossJoin(F.broadcast(avg_bal))
         .where(bal_c > F.col("avg_bal_c"))
@@ -1236,6 +1239,35 @@ FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact percentiles; at 100 TB
+    the documented swap is approx_percentile)."""
+    from sneldb_spark.pipeline.text import corpus_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(d).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        F.round("p50_tokens", 6).alias("p50_tokens"),
+        F.round("p95_tokens", 6).alias("p95_tokens"),
+    )
+
+
+_CORPUS_STATS_SQL = r"""
+WITH t AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n, 0.95), 6) AS p95_tokens
+FROM t GROUP BY lang
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -1573,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
+        "corpus_stats": q_corpus_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1734,6 +1767,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_pii_redact": _TEXT_PII_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "corpus_stats": _CORPUS_STATS_SQL,
         "similarity_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

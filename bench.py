@@ -41,9 +41,14 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
     "events_sessionize",
     # pipeline extensions
     "dedup_exact",
@@ -54,6 +59,11 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_tokens_fingerprint",
+    "text_repetition",
+    "text_pii_redact",
+    "decontaminate",
+    "semantic_dedup",
+    "corpus_stats",
     "multimodal_features",
     "multimodal_resize",
     "sampling_split",

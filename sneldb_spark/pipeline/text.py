@@ -192,6 +192,33 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group token-count distribution profile: doc count, total/mean
+    tokens, exact p50/p95 — the corpus-composition report every curation
+    run starts and ends with.
+
+    Exact percentiles group-shuffle the token counts (one long per doc,
+    not the text); at the 100 TB scale swap ``F.percentile`` for
+    ``F.approx_percentile`` with a bounded error — the rest of the plan is
+    a standard partial/final hash aggregate either way.
+    """
+    n = token_count(F.col(text_col)).cast("long")
+    return (
+        df.select(F.col(group_col).alias("grp"), n.alias("n_tokens"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").alias("mean_tokens"),
+            F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("n_tokens", F.lit(0.95)).alias("p95_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark) and
 # RE2 (DuckDB oracle): no backreferences, no lookaround, ASCII \b.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -465,3 +465,20 @@ def test_semantic_dedup_clusters_and_representatives(spark):
     reps = {v for v, r in out.items() if r["is_representative"]}
     assert reps == {1, 10, 20}
     assert out[1]["cluster_size"] == 3 and out[10]["cluster_size"] == 2
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from sneldb_spark.pipeline.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * i)) for i in range(1, 11)]
+        + [(20, "de", "ein zwei")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {r["lang"]: r for r in corpus_stats(df).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 10 and en["total_tokens"] == 55
+    assert en["mean_tokens"] == pytest.approx(5.5)
+    assert en["p50_tokens"] == pytest.approx(5.5)
+    assert en["p95_tokens"] == pytest.approx(9.55)
+    assert rows["de"]["p50_tokens"] == pytest.approx(2.0)
