@@ -355,3 +355,211 @@ def test_streaming_event_ids_unique_across_types_and_batches(engine, tmp_path):
         all_ids += [r["event_id"] for r in engine.query(f"QUERY {t}").collect()]
     assert len(all_ids) == 400 + 5 + 300
     assert len(set(all_ids)) == len(all_ids), "event_id collision"
+
+
+def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
+    """Sessions split at inactivity gaps; open sessions persist across
+    micro-batches and close only when a later event opens the next one."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sessionize import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("context_id", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for ctx, ts, eid, v in rows:
+                f.write(_json.dumps(
+                    {"context_id": ctx, "timestamp": ts, "event_id": eid,
+                     "value_cents": v}) + "\n")
+
+    # c1: two events 10s apart (one session); c2: one event
+    write_batch("b1.jsonl", [("c1", 100, 1, 5), ("c1", 110, 2, 7), ("c2", 100, 3, 1)])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    sessions = streaming_sessionize(stream, gap_s=60, flush_idle=False)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("live_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM live_sessions").count() == 0  # all open
+        # batch 2: c1 jumps past the gap (closes session 1, opens 2);
+        # c2 stays within the gap (extends)
+        write_batch("b2.jsonl", [("c1", 200, 4, 11), ("c2", 150, 5, 2)])
+        q.processAllAvailable()
+        rows = {
+            (r["context_id"], r["session_seq"]): r
+            for r in spark.sql("SELECT * FROM live_sessions").collect()
+        }
+        assert set(rows) == {("c1", 1)}
+        s = rows[("c1", 1)]
+        assert (s["n_events"], s["session_start"], s["session_end"],
+                s["total_value_cents"], s["duration_s"]) == (2, 100, 110, 12, 10)
+        # batch 3: another c1 gap closes session 2 with the single event
+        write_batch("b3.jsonl", [("c1", 400, 6, 3)])
+        q.processAllAvailable()
+        rows = {
+            (r["context_id"], r["session_seq"]): r
+            for r in spark.sql("SELECT * FROM live_sessions").collect()
+        }
+        assert set(rows) == {("c1", 1), ("c1", 2)}
+        s2 = rows[("c1", 2)]
+        assert (s2["n_events"], s2["session_start"], s2["session_end"],
+                s2["total_value_cents"]) == (1, 200, 200, 11)
+    finally:
+        q.stop()
+
+
+def test_streaming_sessionize_matches_batch_rollup(spark, tmp_path):
+    """Closed streaming sessions equal the batch sessionization rollup on
+    the same events (the open tail sessions are the only difference)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sessionize import streaming_sessionize
+
+    rows = []
+    eid = 0
+    for ctx in ("u1", "u2", "u3"):
+        base = 1000
+        for burst in range(3):
+            for i in range(4):
+                eid += 1
+                rows.append((ctx, base + i * 10, eid, eid % 7))
+            base += 10_000  # > gap: next burst is a new session
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        for ctx, ts, e, v in rows:
+            f.write(_json.dumps(
+                {"context_id": ctx, "timestamp": ts, "event_id": e,
+                 "value_cents": v}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("context_id", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(in_dir)
+    sessions = streaming_sessionize(stream, gap_s=1800, flush_idle=False)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("live_sessions2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["context_id"], r["session_seq"]):
+                (r["n_events"], r["session_start"], r["session_end"],
+                 r["total_value_cents"])
+            for r in spark.sql("SELECT * FROM live_sessions2").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch oracle: same gap rule via window + running sum
+    bdf = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("context_id").orderBy("timestamp", "event_id")
+    gap = F.col("timestamp") - F.lag("timestamp").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    sess = bdf.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    batch = {
+        (r["context_id"], r["session_seq"]):
+            (r["n_events"], r["session_start"], r["session_end"],
+             r["total_value_cents"])
+        for r in sess.groupBy("context_id", "session_seq").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+            F.sum("value_cents").alias("total_value_cents"),
+        ).collect()
+    }
+    # every closed streaming session equals its batch row; the open tail
+    # (last session per context) is the only thing missing
+    assert got
+    for key, val in got.items():
+        assert batch[key] == val
+    open_tails = set(batch) - set(got)
+    assert open_tails == {("u1", 3), ("u2", 3), ("u3", 3)}
+
+
+def test_streaming_sessionize_idle_flush(spark, tmp_path):
+    """With flush_idle, an open session emits after gap_s of
+    processing-time inactivity (triggered by a later micro-batch)."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sessionize import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("context_id", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write(_json.dumps({"context_id": "c1", "timestamp": 100,
+                             "event_id": 1, "value_cents": 5}) + "\n")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    sessions = streaming_sessionize(stream, gap_s=1, flush_idle=True)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("idle_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # ProcessingTimeTimeout makes the engine run micro-batches
+        # continuously (shouldRunAnotherBatch is always true), so
+        # processAllAvailable() never latches "no new data" — poll the
+        # sink with a deadline instead. The continuous batches are also
+        # what fires the timeout, with no second input batch needed.
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            rows = spark.sql("SELECT * FROM idle_sessions").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert [(r["context_id"], r["session_seq"], r["n_events"],
+                 r["total_value_cents"]) for r in rows] == [("c1", 1, 1, 5)]
+    finally:
+        q.stop()
