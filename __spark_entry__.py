@@ -1268,6 +1268,72 @@ FROM t GROUP BY lang
 """
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8 overlap) —
+    explode over sequence(), zero shuffle."""
+    from sneldb_spark.pipeline.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, chunk_tokens=32, overlap=8).select(
+        "doc_id", "chunk_idx", "start_token", "chunk_len", "chunk_text"
+    )
+
+
+_TEXT_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents
+),
+nn AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM t WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, ((n - 1) // 24) + 1)) AS chunk_idx
+  FROM nn
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_token,
+       CAST(least(n - chunk_idx * 24, 32) AS BIGINT) AS chunk_len,
+       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous-fill sequence packing (512-token bins,
+    8 shards) — sharded window cumsum, one shuffle."""
+    from sneldb_spark.pipeline.packing import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(d, budget_tokens=512, num_shards=8).select(
+        "doc_id", "shard", "bin_seq", "n_tokens", "offset_in_bin",
+        "spans_boundary",
+    )
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS incl
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST((incl - n_tokens) // 512 AS BIGINT) AS bin_seq,
+       n_tokens,
+       CAST((incl - n_tokens) % 512 AS BIGINT) AS offset_in_bin,
+       ((incl - n_tokens) % 512 + n_tokens) > 512 AS spans_boundary
+FROM c
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
@@ -1606,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
         "corpus_stats": q_corpus_stats,
+        "text_chunk": q_text_chunk,
+        "pack_sequences": q_pack_sequences,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1768,6 +1836,8 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "decontaminate": _DECONTAMINATE_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "corpus_stats": _CORPUS_STATS_SQL,
+        "text_chunk": _TEXT_CHUNK_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "similarity_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "semantic_dedup",
     "corpus_stats",
+    "text_chunk",
+    "pack_sequences",
     "multimodal_features",
     "multimodal_resize",
     "sampling_split",

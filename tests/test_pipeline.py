@@ -482,3 +482,77 @@ def test_corpus_stats_exact_percentiles(spark):
     assert en["p50_tokens"] == pytest.approx(5.5)
     assert en["p95_tokens"] == pytest.approx(9.55)
     assert rows["de"]["p50_tokens"] == pytest.approx(2.0)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from sneldb_spark.pipeline.packing import chunk_documents
+
+    # 10 tokens, chunks of 4 with overlap 2 (stride 2): starts 0,2,4,6,8
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["chunk_len"],
+         r["chunk_text"])
+        for r in rows
+    ]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+        (1, 3, 6, 4, "t6 t7 t8 t9"),
+        (1, 4, 8, 2, "t8 t9"),   # tail chunk, shorter
+        (3, 0, 0, 2, "a b"),     # doc shorter than one chunk
+    ]  # doc 2 (empty) yields no chunks
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(got, got[1:]):
+        if a[0] == b[0]:
+            assert b[2] - a[2] == 2
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark, docs):
+    from sneldb_spark.pipeline.packing import chunk_documents
+
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_bin_assignment(spark):
+    from sneldb_spark.pipeline.packing import pack_sequences
+
+    # one shard so the fill order is just doc_id order
+    df = spark.createDataFrame(
+        [(0, "w " * 300), (1, "w " * 300), (2, "w " * 100), (3, "w " * 10)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(
+        df, budget_tokens=512, num_shards=1).collect()}
+    # doc0 starts bin 0 at offset 0; doc1 starts at 300 and straddles
+    assert (rows[0]["bin_seq"], rows[0]["offset_in_bin"],
+            rows[0]["spans_boundary"]) == (0, 0, False)
+    assert (rows[1]["bin_seq"], rows[1]["offset_in_bin"],
+            rows[1]["spans_boundary"]) == (0, 300, True)
+    # doc2 first token lands at cum 600 -> bin 1, offset 88
+    assert (rows[2]["bin_seq"], rows[2]["offset_in_bin"]) == (1, 88)
+    assert (rows[3]["bin_seq"], rows[3]["offset_in_bin"]) == (1, 188)
+
+
+def test_pack_sequences_sharded_window(spark, docs):
+    from sneldb_spark.pipeline.packing import pack_sequences
+
+    out = pack_sequences(docs, budget_tokens=512, num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: hashpartitioning on the shard key (bounded
+    # windows), never a global single-partition sort
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+    # deterministic: same assignment regardless of input partitioning
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in pack_sequences(
+        docs.repartition(7), budget_tokens=512, num_shards=8).collect()}
+    assert a == b
