@@ -445,8 +445,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q12_SQL = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag
@@ -741,8 +741,8 @@ flagged AS (
 ),
 sessions AS (
   SELECT context_id, "timestamp", value_cents,
-         SUM(new_sess) OVER (PARTITION BY context_id ORDER BY "timestamp", event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(new_sess) OVER (PARTITION BY context_id ORDER BY "timestamp", event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT context_id, session_seq,

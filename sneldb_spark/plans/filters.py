@@ -116,17 +116,6 @@ def compile_expr(
     raise QueryError(f"unsupported expression node: {expr!r}")
 
 
-def expr_fields(expr: ast.Expr) -> set[str]:
-    """All field names referenced by an expression tree."""
-    if isinstance(expr, (ast.Compare, ast.In)):
-        return {expr.field}
-    if isinstance(expr, (ast.And, ast.Or)):
-        return expr_fields(expr.left) | expr_fields(expr.right)
-    if isinstance(expr, ast.Not):
-        return expr_fields(expr.expr)
-    return set()
-
-
 def expr_fields(expr: ast.Expr | None) -> list[str]:
     """All field names referenced by a WHERE tree, first-mention order."""
     out: list[str] = []

@@ -103,6 +103,12 @@ class EventStore:
         # Guards _pending against the threaded frontends: an append racing
         # the flush swap could land on the discarded buffer and vanish.
         self._pending_lock = threading.Lock()
+        # Serializes whole flushes end-to-end (rotate + commit + delete).
+        # Without it, a second flush entering after the first rotated its WAL
+        # would adopt the first's commit-* files as "crash leftovers" and
+        # delete them after its own commit — before the first flush's commit
+        # succeeded, losing the WAL durability those rows were promised.
+        self._flush_lock = threading.Lock()
         # WAL for the pending buffer (the reference's durability point S3,
         # src/engine/core/wal/): every interactive STORE appends one JSON
         # line before acknowledging; FLUSH rotates the log and deletes it

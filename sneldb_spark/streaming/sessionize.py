@@ -85,11 +85,16 @@ def streaming_sessionize(
             out["duration_s"].append(end - start)
 
         if state.hasTimedOut:
-            # idle flush: the open session's gap has elapsed in wall time
+            # Idle flush: the open session's gap has elapsed in wall time.
+            # Keep the counter in state (n == 0 means "no open session") so
+            # the next event resumes numbering at seq + 1 instead of
+            # emitting a duplicate (context_id, 1) key. No new timeout is
+            # set: the sentinel has nothing left to flush.
             if state.exists:
-                seq, start, end, n, total = state.get
-                emit(seq, start, end, n, total)
-                state.remove()
+                seq, start, end, n, total = [int(x) for x in state.get]
+                if n > 0:
+                    emit(seq, start, end, n, total)
+                state.update((seq, 0, 0, 0, 0))
             if out["context_id"]:
                 yield pd.DataFrame(out)
             return
@@ -102,8 +107,8 @@ def streaming_sessionize(
             pdf = pdf.sort_values(["timestamp", "event_id"], kind="stable")
             for ts, val in zip(pdf["timestamp"], pdf["value"]):
                 ts, val = int(ts), int(val)
-                if n == 0:  # first ever event for this context
-                    seq, start, end, n, total = 1, ts, ts, 1, val
+                if n == 0:  # fresh context (seq=0) or post-flush sentinel
+                    seq, start, end, n, total = seq + 1, ts, ts, 1, val
                 elif ts - end > gap_s:  # close + open
                     emit(seq, start, end, n, total)
                     seq, start, end, n, total = seq + 1, ts, ts, 1, val

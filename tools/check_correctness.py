@@ -59,7 +59,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -68,12 +69,29 @@ def main():
             print(f"rows-only  {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        # The driver's value hash is pandas-dtype-sensitive (a Spark BIGINT
+        # column hashing as int64 will never match a DuckDB HUGEINT column
+        # arriving as float64). Compare dtype kinds per column name.
+        skinds = {c: spdf[c].dtype.kind for c in scols}
+        dkinds = {c: dpdf[c].dtype.kind for c in dcols}
+        kind_bad = [
+            c for c in sorted(set(scols) & set(dcols))
+            if skinds[c] != dkinds[c]
+            and {skinds[c], dkinds[c]} not in ({"i", "u"}, {"O", "b"})
+        ]
+        if kind_bad:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: dtype-kind mismatch on "
+                + ", ".join(f"{c} (spark={skinds[c]} duck={dkinds[c]})" for c in kind_bad)
+            )
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
