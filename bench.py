@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q21",
     "events_sessionize",
     # pipeline extensions
     "dedup_exact",
