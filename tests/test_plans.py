@@ -243,3 +243,30 @@ def test_memtable_union_keeps_parquet_pushdown(engine):
     assert "Union" in plan
     assert "PushedFilters: [IsNotNull(amount), GreaterThanOrEqual(amount,5)]" in plan
     assert df.count() == 2
+
+
+def test_tpch_q7_broadcasts_both_nation_roles(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q7"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_self_exists_compiles_to_semi_and_anti(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_threshold_is_single_row_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q11"](spark, SF))
+    # global-total HAVING must attach as a broadcast (nested-loop over ONE
+    # build row), never a shuffled join or cartesian over the fact
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -563,3 +563,68 @@ def test_streaming_sessionize_idle_flush(spark, tmp_path):
                  r["total_value_cents"]) for r in rows] == [("c1", 1, 1, 5)]
     finally:
         q.stop()
+
+
+def test_streaming_window_agg_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling windows: a window emits exactly once when the
+    watermark passes its end, and rows arriving later than the watermark
+    are dropped instead of mutating a closed window."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.window_agg import tumbling_counts
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for ts, et in rows:
+                f.write(_json.dumps({"ts": ts, "event_type": et}) + "\n")
+
+    # 10-minute windows, 5-minute watermark. Window A = [600, 1200),
+    # window B = [1800, 2400).
+    write_batch("b1.jsonl", [(1000, "click"), (1900, "click")])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    agg = tumbling_counts(
+        stream, time_col="ts", group_cols=("event_type",),
+        window_s=600, watermark_s=300,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark after b1 = 1900 - 300 = 1600: past window A's end.
+        # b2 delivers a LATE row for window A (dropped) + one more into B;
+        # window A emits during b2 with count 1.
+        write_batch("b2.jsonl", [(700, "click"), (2000, "click")])
+        q.processAllAvailable()
+        # watermark after b2 = 2000 - 300 = 1700 < 2400: B still open.
+        # b3 pushes the watermark past B's end; B emits with both rows.
+        write_batch("b3.jsonl", [(3000, "click")])
+        q.processAllAvailable()
+        write_batch("b4.jsonl", [(5000, "click")])
+        q.processAllAvailable()
+        rows = {
+            r["bucket"]: r["count"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert rows[600] == 1  # late row at t=700 was dropped
+        assert rows[1800] == 2  # 1900 + 2000
+    finally:
+        q.stop()
