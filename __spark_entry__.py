@@ -1895,6 +1895,34 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 0 END
 """
 
 
+def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsample: each doc survives with
+    probability = its quality weight (here length-derived, clamped to 1),
+    decided by its own content-hash bucket — no RNG, engine-portable,
+    reproducible under corpus growth. weight*BUCKETS stays exact integer
+    math (n_chars*25) so the keep boundary is bit-identical across
+    engines."""
+    from sneldb_spark.pipeline.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    return (
+        weighted_sample(d.withColumn("w", w), "doc_id", "w")
+        .select("doc_id", "n_chars")
+    )
+
+
+_SAMPLING_WEIGHTED_SQL = """
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+WHERE bucket < round(least(1.0, n_chars / 400.0) * 10000)
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing: synthetic dimensions derived from
     doc_id (some under, some over the 256px fit box); the geometry and the
@@ -1976,7 +2004,7 @@ _DRIVER_PRIORITY = [
     "corpus_stats", "text_chunk", "pack_sequences", "similarity_topk",
     "similarity_lsh_topk", "similarity_ivf_topk", "embedding_near_pairs",
     "multimodal_features", "multimodal_resize", "sampling_split",
-    "sampling_stratified", "corpus_curation", "remember_show",
+    "sampling_stratified", "sampling_weighted", "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
     "tpch_q12", "events_sessionize",
     # new in round 3 (TPC-H join shapes: two-alias dim, market share,
@@ -1989,7 +2017,7 @@ _DRIVER_PRIORITY = [
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
     "seq_where_sides", "seq_agg", "seq_using_time", "compare_three",
-    "plot_breakdown", "dedup_exact", "dedup_clusters", "dedup_ngram_jaccard",
+    "plot_breakdown", "dedup_exact", "dedup_clusters",
     # (tpch_q1/q18, dedup_minhash_lsh/simhash, text_quality, agg_per_hour_by
     # rotate to the tail this round: all have round-2 driver rows and
     # unchanged code)
@@ -2117,6 +2145,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "sampling_split": q_sampling_split,
         "sampling_stratified": q_sampling_stratified,
+        "sampling_weighted": q_sampling_weighted,
         "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
@@ -2287,6 +2316,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_split": _SAMPLING_SPLIT_SQL,
         "corpus_curation": _curation_sql(),
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
+        "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk

@@ -72,3 +72,19 @@ def stratified_sample(
     else:
         thresh = F.lit(int(round(fractions * BUCKETS)))
     return df.where(bucket < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Keep each row with probability equal to its per-row weight in
+    [0, 1] — deterministically: the row's hash bucket is compared against
+    its own weight-scaled threshold, so the same row survives (or not) on
+    every engine and partitioning forever. The quality-weighted corpus
+    downsample ("keep high-quality docs, thin the rest") is this operator
+    with weight = quality score. Pure per-row codegen, no shuffle."""
+    bucket = hash_bucket(F.col(id_col))
+    thresh = F.round(F.col(weight_col) * BUCKETS).cast("long")
+    return df.where(bucket < thresh)

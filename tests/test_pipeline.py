@@ -307,6 +307,23 @@ def test_stratified_sample_fractions(spark):
     assert kept2 == 0
 
 
+def test_weighted_sample_edges_and_rate(spark):
+    from sneldb_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, 0.0 if i < 500 else (1.0 if i < 1000 else 0.3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = weighted_sample(df, "doc_id", "w").collect()
+    ids = {r["doc_id"] for r in kept}
+    # weight 0 never survives, weight 1 always survives
+    assert not any(i < 500 for i in ids)
+    assert all(i in ids for i in range(500, 1000))
+    # weight 0.3 keeps ~30% of its 2000 rows
+    frac = sum(1 for i in ids if i >= 1000)
+    assert 450 <= frac <= 750
+    # deterministic: a re-run selects the identical set
+    assert {r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect()} == ids
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark):
     from sneldb_spark.pipeline.dedup import ngram_jaccard_pairs
 
