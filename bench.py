@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tpch_q11",
     "tpch_q21",
     "events_sessionize",
+    "streaming_window_agg",
     # pipeline extensions
     "dedup_exact",
     "dedup_clusters",
@@ -74,6 +75,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_resize",
     "sampling_split",
+    "sampling_weighted",
     "corpus_curation",
     "similarity_topk",
     "similarity_ivf_topk",
