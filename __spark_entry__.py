@@ -63,8 +63,10 @@ def _events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.parquet has shipped ts as TIMESTAMP(NANOS) (readable only as a
     # long via the legacy flag) and, in newer driver data drops, as
     # TIMESTAMP(MICROS) which Spark reads as TIMESTAMP_NTZ. Normalize every
-    # variant to epoch seconds (floor). The session timezone is UTC, so the
-    # NTZ -> TIMESTAMP -> LONG chain matches DuckDB's floor(epoch(ts)).
+    # variant to epoch seconds (floor). The NTZ -> TIMESTAMP -> LONG chain
+    # matches DuckDB's floor(epoch(ts)) only under a UTC session timezone —
+    # the driver passes its own session, so pin it here (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts", "")
@@ -1106,6 +1108,9 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    # The NTZ event-time -> epoch-second bucket arithmetic (and its DuckDB
+    # oracle) assumes a UTC session; the driver passes its own session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file-stream source wants a directory; expose the single table
     # file through a symlink dir rather than copying (testdata is
@@ -2024,10 +2029,23 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _pin_utc(fn: Callable) -> Callable:
+    """Every gate's epoch arithmetic and its DuckDB oracle assume a UTC
+    session timezone (TIMESTAMP_NTZ columns coerce through the session tz
+    in comparisons and casts). The driver runs gates in its own session,
+    so each gate pins the (runtime-settable) conf itself."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _queries_unordered()
-    ordered = {k: q[k] for k in _DRIVER_PRIORITY if k in q}
-    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    ordered = {k: _pin_utc(q[k]) for k in _DRIVER_PRIORITY if k in q}
+    ordered.update((k, _pin_utc(v)) for k, v in q.items() if k not in ordered)
     return ordered
 
 
