@@ -53,6 +53,8 @@ class EngineConfig:
     auth: Optional[AuthConfig] = None
     server: ServerConfig = field(default_factory=ServerConfig)
     wal: bool = True
+    # conservative mode: archive retired WAL files here before deletion
+    wal_archive_dir: Optional[str] = None
 
 
 def _parse_week_start(value: str) -> str:
@@ -89,7 +91,10 @@ def load_config(path_or_dict) -> EngineConfig:
             session_token_expiry_seconds=a.get("session_token_expiry_seconds", 300),
         )
 
-    cfg.wal = doc.get("wal", {}).get("enabled", True)
+    w = doc.get("wal", {})
+    cfg.wal = w.get("enabled", True)
+    if w.get("conservative_mode", False):
+        cfg.wal_archive_dir = w.get("archive_dir") or (cfg.data_dir + "/wal_archive")
 
     s = doc.get("server", {})
     cfg.server = ServerConfig(
@@ -111,7 +116,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         auth = AuthManager(
             path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
         )
-    return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal)
+    return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
+                  wal_archive_dir=cfg.wal_archive_dir)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

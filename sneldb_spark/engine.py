@@ -48,10 +48,12 @@ class SnelDB:
         time_config: TimeConfig | None = None,
         auth: AuthManager | None = None,
         wal: bool = True,
+        wal_archive_dir: str | None = None,
     ):
         self.spark = spark
         self.root = root
-        self.store = EventStore(spark, root, clock=clock, wal=wal)
+        self.store = EventStore(spark, root, clock=clock, wal=wal,
+                                wal_archive_dir=wal_archive_dir)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

@@ -92,6 +92,7 @@ class EventStore:
         registry: SchemaRegistry | None = None,
         clock=None,
         wal: bool = True,
+        wal_archive_dir: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -121,6 +122,9 @@ class EventStore:
         self._wal_dir = os.path.join(root, "wal")
         self._wal_file = None
         self._wal_enabled = wal  # [wal] enabled=false: memtable-only buffer
+        # Conservative mode (reference wal_archiving.md): archive retired
+        # WAL files into this directory before deleting them; None = off.
+        self._wal_archive_dir = wal_archive_dir
         if wal:
             self._replay_wal()
 
@@ -182,8 +186,16 @@ class EventStore:
         The buffer swap happens under the pending lock so a concurrent STORE
         (the TCP/HTTP frontends are threaded) lands in the next flush instead
         of being silently dropped between iteration and clear; the Parquet
-        commit itself stays outside the lock. The WAL rotates with the swap
-        and is deleted only after the commit succeeds."""
+        commit itself stays outside that lock. The WAL rotates with the swap
+        and is deleted only after the commit succeeds. The whole
+        rotate+commit+delete sequence holds the flush lock: without it a
+        second flush would adopt the first's commit-* files as crash
+        leftovers and delete them after its own commit, before the first
+        flush's commit succeeded."""
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self):
         with self._pending_lock:
             pending, self._pending = self._pending, {}
             rotated = []
@@ -215,6 +227,16 @@ class EventStore:
                     self._pending.setdefault(event_type, [])[:0] = rows
             raise
         for path in rotated:
+            if self._wal_archive_dir is not None:
+                # Conservative mode: archive-then-delete. Any archive
+                # failure keeps the WAL file on disk (safety first — the
+                # reference's cleaner does the same).
+                try:
+                    from sneldb_spark.store.wal_archive import archive_wal_file
+
+                    archive_wal_file(path, self._wal_archive_dir)
+                except Exception:
+                    continue
             try:
                 os.remove(path)
             except OSError:

@@ -587,3 +587,53 @@ def test_wal_recovers_unflushed_stores(engine, spark):
     third = SnelDB(spark, engine.root)
     assert third.store._pending == {}
     assert third.query("QUERY login").count() == 2
+
+
+def test_wal_conservative_mode_archives_before_delete(spark, tmp_path):
+    # wal_archiving.md: with conservative_mode on, every retired WAL file
+    # is compressed into archive_dir before deletion; archives are
+    # self-describing (header) and recoverable as a distributed scan.
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store import wal_archive as wa
+
+    arch = str(tmp_path / "archive")
+    db = SnelDB(spark, str(tmp_path / "db"), wal_archive_dir=arch)
+    db.execute('DEFINE tap FIELDS { "n": "int" }')
+    for i in range(5):
+        db.execute(f'STORE tap FOR c{i} PAYLOAD {{ "n": {i} }}')
+    db.execute("FLUSH")
+    db.execute('STORE tap FOR c9 PAYLOAD { "n": 9 }')
+    db.execute("FLUSH")
+
+    archives = wa.list_archives(arch)
+    assert len(archives) == 2
+    assert [a["n_entries"] for a in archives] == [5, 1]
+    assert all(a["ts_min"] is not None for a in archives)
+    # wal dir holds no retired logs
+    import os
+    leftover = [f for f in os.listdir(db.store._wal_dir)
+                if f.startswith("commit-")] if os.path.isdir(db.store._wal_dir) else []
+    assert leftover == []
+
+    # single-archive inspection + export round-trip
+    entries = list(wa.iter_entries(archives[0]["path"]))
+    assert len(entries) == 5 and {e["t"] for e in entries} == {"tap"}
+    out = str(tmp_path / "exp.jsonl")
+    assert wa.export_json(archives[0]["path"], out) == 5
+
+    # distributed recovery sees every archived entry with payload intact
+    rec = wa.recover_df(spark, arch)
+    assert rec.count() == 6
+    ns = sorted(r["r"]["n"] for r in rec.collect())
+    assert ns == [0, 1, 2, 3, 4, 9]
+
+
+def test_wal_conservative_mode_off_archives_nothing(spark, tmp_path):
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store import wal_archive as wa
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE tap FIELDS { "n": "int" }')
+    db.execute('STORE tap FOR c1 PAYLOAD { "n": 1 }')
+    db.execute("FLUSH")
+    assert wa.list_archives(str(tmp_path / "db" / "wal_archive")) == []
