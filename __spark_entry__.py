@@ -1771,6 +1771,27 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF index: corpus written as Parquet
+    partitioned by inverted-list id, probes arriving at the scan as
+    partition filters (file-level pruning — the 100 TB serving path; the
+    pruning itself is plan-tested in tests/test_pipeline.py). Run at
+    nprobe == nlist so the brute-force SQL oracle stays exact."""
+    import tempfile
+
+    from sneldb_spark.pipeline.similarity import ivf_build_index, ivf_topk_indexed
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_build_index(e, idx, nlist=8)
+    out = ivf_topk_indexed(
+        spark, idx, e.where(F.col("vec_id") < 10), k=5, nprobe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(e, threshold=0.4)
@@ -2007,7 +2028,8 @@ _DRIVER_PRIORITY = [
     "text_langid", "text_tokens_fingerprint", "text_winnow",
     "text_repetition", "text_pii_redact", "decontaminate", "semantic_dedup",
     "corpus_stats", "text_chunk", "pack_sequences", "similarity_topk",
-    "similarity_lsh_topk", "similarity_ivf_topk", "embedding_near_pairs",
+    "similarity_lsh_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
+    "embedding_near_pairs",
     "multimodal_features", "multimodal_resize", "sampling_split",
     "sampling_stratified", "sampling_weighted", "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
@@ -2022,7 +2044,7 @@ _DRIVER_PRIORITY = [
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
     "seq_where_sides", "seq_agg", "seq_using_time", "compare_three",
-    "plot_breakdown", "dedup_exact", "dedup_clusters",
+    "plot_breakdown", "dedup_clusters",
     # (tpch_q1/q18, dedup_minhash_lsh/simhash, text_quality, agg_per_hour_by
     # rotate to the tail this round: all have round-2 driver rows and
     # unchanged code)
@@ -2158,6 +2180,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_ivf_indexed": q_similarity_ivf_indexed,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2328,6 +2351,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "similarity_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
+        "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

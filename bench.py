@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "similarity_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_indexed",
     "embedding_near_pairs",
 ]
 

@@ -499,3 +499,111 @@ def semantic_dedup(
             (F.col("id") == F.col("cluster_id")).alias("is_representative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: cluster-partitioned Parquet + file-level probe pruning
+# ---------------------------------------------------------------------------
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: the corpus written as Parquet
+    PARTITIONED BY its inverted-list id, plus the centroid matrix as a
+    tiny sidecar table. This is the 100 TB serving path the in-memory
+    `ivf_topk` docstring points at — once the lists are partition
+    directories, a probe of `nprobe` lists is file-level partition
+    pruning: queries never open the other `nlist - nprobe` lists'
+    files at all."""
+    tagged, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
+    (
+        tagged.withColumnRenamed("cluster", "ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(f"{path}/lists")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cluster int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: load the (tiny) centroid
+    table, pick each query's `nprobe` nearest lists, and scan ONLY those
+    partition directories (`ivf_cluster IN (...)` is a partition filter —
+    Catalyst prunes the files before the scan; asserted by plan test).
+    Scoring inside the probed lists reuses the exact batch-GEMM kernel."""
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").toPandas()
+    )
+    cents = np.array([np.asarray(c, dtype=np.float64) for c in cent_pdf["centroid"]])
+    q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    nprobe = min(nprobe, len(cents))
+    probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    probed = sorted({int(c) for row in probe_order for c in row})
+
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("ivf_cluster").isin(probed)
+    )
+    # per-query probe mask over the probed subset
+    probe_mask = {int(c): np.zeros(len(q_ids), dtype=bool) for c in probed}
+    for j, row in enumerate(probe_order):
+        for c in row:
+            probe_mask[int(c)][j] = True
+    masks = probe_mask
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (mat / n) @ q_mat.T  # rows x queries
+            # round BEFORE ranking and exclude self-matches — the exact
+            # contract brute_force_topk pins, so nprobe=nlist reproduces it
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            clusters = pdf["ivf_cluster"].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                allowed = np.fromiter(
+                    (masks[int(c)][j] for c in clusters), dtype=bool, count=len(clusters)
+                )
+                if not allowed.any():
+                    continue
+                col = np.where(allowed, sims[:, j], -np.inf)
+                take = min(k + 1, int(allowed.sum()))
+                kth = np.partition(col, len(col) - take)[len(col) - take]
+                for i in np.nonzero(col >= kth)[0]:
+                    if ids[i] != qid:
+                        out.append((qid, ids[i], col[i]))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    from pyspark.sql import Window
+
+    scored = lists.mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

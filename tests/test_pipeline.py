@@ -573,3 +573,46 @@ def test_pack_sequences_sharded_window(spark, docs):
     b = {tuple(r) for r in pack_sequences(
         docs.repartition(7), budget_tokens=512, num_shards=8).collect()}
     assert a == b
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches_exact(spark, tmp_path):
+    from sneldb_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = corpus.orderBy("vec_id").limit(5)
+    idx = str(tmp_path / "ivf_index")
+    nlist = 8
+    ivf_build_index(corpus, idx, nlist=nlist)
+
+    # exact parity at nprobe = nlist (every list probed)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_indexed(spark, idx, queries, k=3, nprobe=nlist).collect()
+    }
+    assert full == exact
+
+    # nprobe < nlist: the probe set must reach the scan as a PARTITION
+    # filter (file-level pruning), not a post-scan predicate
+    df = ivf_topk_indexed(spark, idx, queries, k=3, nprobe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # recall against exact top-1: probing 2/8 lists still finds the top
+    # neighbor for most queries (deterministic given fixed data)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in brute_force_topk(corpus, queries, k=1).collect()}
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in top1.items() if n in got.get(q, set()))
+    assert hits >= 3
