@@ -523,6 +523,11 @@ def ivf_build_index(
     tagged, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
     (
         tagged.withColumnRenamed("cluster", "ivf_cluster")
+        # co-locate each list before the partitioned write: without this,
+        # every upstream task writes a sliver into every list directory
+        # (tasks x nlist tiny files); with it, a list is a few large files.
+        # AQE splits any skewed list back across tasks at real scale.
+        .repartition("ivf_cluster")
         .write.mode("overwrite")
         .partitionBy("ivf_cluster")
         .parquet(f"{path}/lists")
