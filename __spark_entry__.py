@@ -1148,6 +1148,44 @@ ORDER BY bucket, event_type
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the documents table replayed as a file
+    stream through a running (digest, min id, count) rollup — duplicate
+    collapse AT ingest time instead of as a later batch pass. min/count
+    are order-insensitive, so any micro-batch slicing lands on the batch
+    GROUP BY result (the oracle). Cross-batch incrementality is pinned by
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from sneldb_spark.streaming.dedup import streaming_dedup_rollup
+    from sneldb_spark.streaming.window_agg import run_available_now
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="sdd_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        f"{stream_dir}/documents.parquet",
+    )
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
+    )
+    rollup = streaming_dedup_rollup(stream, id_col="doc_id", text_col="text")
+    name = f"sdd_gate_{uuid.uuid4().hex[:8]}"
+    return run_available_now(rollup, name, spark).orderBy("digest")
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT sha256(COALESCE(text, '')) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY digest
+ORDER BY digest
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = _cents("l_extendedprice") * _cents("l_discount")
@@ -2040,9 +2078,9 @@ _DRIVER_PRIORITY = [
     # new in round 3 (TPC-H join shapes: two-alias dim, market share,
     # profit rollup, global-threshold HAVING, EXISTS+NOT EXISTS self-join)
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q21",
-    "streaming_window_agg",
+    "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
-    "filter_where", "filter_in_not", "since_bound", "for_context",
+    "filter_where", "since_bound", "for_context",
     "return_projection", "replay_context", "agg_count_by", "agg_multi",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
@@ -2163,6 +2201,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "events_sessionize": q_events_sessionize,
         "streaming_window_agg": q_streaming_window_agg,
+        "streaming_dedup": q_streaming_dedup,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -2337,6 +2376,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q11": _TPCH_Q11_SQL,
         "tpch_q21": _TPCH_Q21_SQL,
         "streaming_window_agg": _STREAMING_WINDOW_AGG_SQL,
+        "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY content_hash",

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "tpch_q21",
     "events_sessionize",
     "streaming_window_agg",
+    "streaming_dedup",
     # pipeline extensions
     "dedup_exact",
     "dedup_clusters",

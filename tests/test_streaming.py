@@ -628,3 +628,94 @@ def test_streaming_window_agg_drops_late_rows(spark, tmp_path):
         assert rows[1800] == 2  # 1900 + 2000
     finally:
         q.stop()
+
+
+def test_streaming_dedup_rollup_incremental_across_batches(spark, tmp_path):
+    """The running (digest, min id, count) rollup must land on the batch
+    GROUP BY answer regardless of which micro-batch a duplicate arrives
+    in — min/count are order-insensitive, update mode re-emits the key."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.dedup import streaming_dedup_rollup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    # duplicate of "aa" split across batches, with the SMALLER id arriving
+    # LATER — the representative must still be the min id
+    write_batch("b1.jsonl", [(5, "aa"), (6, "bb")])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = (
+        streaming_dedup_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_roll")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.jsonl", [(2, "aa"), (7, "aa"), (8, "cc")])
+        q.processAllAvailable()
+        rows = {
+            r["keep_id"]: r["n_copies"]
+            for r in spark.sql("SELECT * FROM dedup_roll").collect()
+        }
+        assert rows == {2: 3, 6: 1, 8: 1}
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_filter_drops_within_watermark(spark, tmp_path):
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.dedup import streaming_dedup_filter
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        for did, ts, text in [(1, 100, "aa"), (2, 110, "aa"), (3, 120, "bb")]:
+            f.write(_json.dumps({"doc_id": did, "ts": ts, "text": text}) + "\n")
+    stream = spark.readStream.schema(schema).json(in_dir)
+    q = (
+        streaming_dedup_filter(stream, time_col="ts", watermark_s=300)
+        .writeStream.format("memory")
+        .queryName("dedup_filter")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM dedup_filter").collect()
+        )
+        assert kept == [1, 3]  # second "aa" dropped
+    finally:
+        q.stop()
