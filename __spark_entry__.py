@@ -1833,6 +1833,40 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — 8x smaller
+    storage for ANN serving tiers, pure codegen array expressions (no
+    Python, no shuffle). floor-based codes are half-case-free, so the
+    DuckDB oracle reproduces them bit-for-bit; the top-1 self-similarity
+    sanity of the reconstruction is pinned in tests."""
+    from sneldb_spark.pipeline.embeddings import quantize_embeddings
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(e).select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda c: c.cast("string"))).alias(
+            "qvec_csv"
+        ),
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       round(s.scale, 9) AS scale,
+       array_to_string(
+         list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / (CASE WHEN s.scale > 0 THEN s.scale ELSE 1.0 END) * 127.0) AS INTEGER)),
+         ',') AS qvec_csv
+FROM embeddings e JOIN scaled s USING (vec_id)
+"""
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(e, threshold=0.4)
@@ -2070,7 +2104,7 @@ _DRIVER_PRIORITY = [
     "text_repetition", "text_pii_redact", "decontaminate", "semantic_dedup",
     "corpus_stats", "text_chunk", "pack_sequences", "similarity_topk",
     "similarity_lsh_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
-    "embedding_near_pairs",
+    "embedding_near_pairs", "embedding_quantize",
     "multimodal_features", "multimodal_resize", "sampling_split",
     "sampling_stratified", "sampling_weighted", "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
@@ -2080,7 +2114,7 @@ _DRIVER_PRIORITY = [
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q21",
     "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
-    "filter_where", "since_bound", "for_context",
+    "filter_where", "since_bound",
     "return_projection", "replay_context", "agg_count_by", "agg_multi",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
@@ -2224,6 +2258,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_quantize": q_embedding_quantize,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "sampling_split": q_sampling_split,
@@ -2396,6 +2431,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
+        "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "sampling_split": _SAMPLING_SPLIT_SQL,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "similarity_ivf_indexed",
     "embedding_near_pairs",
+    "embedding_quantize",
 ]
 
 

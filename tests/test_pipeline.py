@@ -616,3 +616,30 @@ def test_ivf_persisted_index_prunes_partitions_and_matches_exact(spark, tmp_path
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(1 for q, n in top1.items() if n in got.get(q, set()))
     assert hits >= 3
+
+
+def test_quantize_embeddings_roundtrip_preserves_ranking(spark):
+    import numpy as np
+
+    from sneldb_spark.pipeline.embeddings import dequantize, quantize_embeddings
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = quantize_embeddings(e)
+    rows = q.select("vec_id", "embedding", "scale", "qvec").collect()
+    # codes span int8 range and reconstruct within one quantization step
+    for r in rows[:50]:
+        orig = np.array(r["embedding"], dtype=np.float64)
+        codes = np.array(r["qvec"])
+        assert codes.min() >= -128 and codes.max() <= 127
+        if r["scale"] > 0:
+            recon = codes / 127.0 * r["scale"]
+            assert np.max(np.abs(recon - orig)) <= r["scale"] / 127.0 + 1e-12
+    # dequantized cosine self-similarity stays ~1
+    deq = q.withColumn("recon", dequantize(F.col("qvec"), F.col("scale")))
+    from sneldb_spark.pipeline.similarity import cosine
+
+    sims = deq.select(
+        cosine(F.col("embedding"), F.col("recon")).alias("s")
+    ).agg(F.min("s")).collect()[0][0]
+    assert sims > 0.99
