@@ -643,3 +643,43 @@ def test_quantize_embeddings_roundtrip_preserves_ranking(spark):
         cosine(F.col("embedding"), F.col("recon")).alias("s")
     ).agg(F.min("s")).collect()[0][0]
     assert sims > 0.99
+
+
+def test_ngram_jaccard_matches_brute_force_on_random_corpus(spark):
+    """Prefix + length + positional filters are pruning-only: the pair set
+    must equal the all-pairs brute force on a randomized (seeded) corpus
+    with heavy shingle overlap."""
+    import itertools
+    import random
+
+    from sneldb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(40):
+        n_words = rng.randint(3, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    # inject exact + near duplicates
+    docs += [(100, docs[0][1]), (101, docs[1][1] + " extraword"), (102, docs[2][1])]
+
+    def shingles(text, n=3):
+        w = [x for x in text.lower().split() if x]
+        if len(w) >= n:
+            return {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+        return {" ".join(w)}
+
+    t = 0.5
+    expected = set()
+    for (i1, t1), (i2, t2) in itertools.combinations(docs, 2):
+        s1, s2 = shingles(t1), shingles(t2)
+        j = len(s1 & s2) / len(s1 | s2)
+        if j >= t:
+            expected.add((min(i1, i2), max(i1, i2)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (min(r["id1"], r["id2"]), max(r["id1"], r["id2"]))
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=t).collect()
+    }
+    assert got == expected
