@@ -2024,6 +2024,42 @@ WHERE bucket < round(least(1.0, n_chars / 400.0) * 10000)
 """
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: downsample documents to 60/30/10 target
+    proportions across three sources (others dropped), taking the largest
+    feasible mixed corpus. Per-source keep fractions derive from one
+    count aggregate; the keep decision is the md5-bucket threshold, so
+    the oracle reproduces the exact row set."""
+    from sneldb_spark.pipeline.sampling import mix_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mix_corpus(
+        d, "doc_id", "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    )
+    return out.select("doc_id", "source")
+
+
+_CORPUS_MIX_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ('src0','src1','src2') GROUP BY source
+),
+feasible AS (
+  SELECT min(n / CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3 ELSE 0.1 END) AS total
+  FROM counts
+),
+thresh AS (
+  SELECT c.source,
+         CAST(floor(least(1.0, (CASE c.source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3 ELSE 0.1 END)
+              * f.total / c.n) * 10000) AS BIGINT) AS t
+  FROM counts c, feasible f
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thresh USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < t
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing: synthetic dimensions derived from
     doc_id (some under, some over the 256px fit box); the geometry and the
@@ -2106,7 +2142,8 @@ _DRIVER_PRIORITY = [
     "similarity_lsh_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
     "embedding_near_pairs", "embedding_quantize",
     "multimodal_features", "multimodal_resize", "sampling_split",
-    "sampling_stratified", "sampling_weighted", "corpus_curation", "remember_show",
+    "sampling_stratified", "sampling_weighted", "corpus_mix",
+    "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
     "tpch_q12", "events_sessionize",
     # new in round 3 (TPC-H join shapes: two-alias dim, market share,
@@ -2114,7 +2151,7 @@ _DRIVER_PRIORITY = [
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q21",
     "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
-    "filter_where", "since_bound",
+    "filter_where",
     "return_projection", "replay_context", "agg_count_by", "agg_multi",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
@@ -2264,6 +2301,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_split": q_sampling_split,
         "sampling_stratified": q_sampling_stratified,
         "sampling_weighted": q_sampling_weighted,
+        "corpus_mix": q_corpus_mix,
         "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
@@ -2438,6 +2476,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "corpus_curation": _curation_sql(),
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
+        "corpus_mix": _CORPUS_MIX_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk

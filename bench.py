@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "sampling_split",
     "sampling_weighted",
+    "corpus_mix",
     "corpus_curation",
     "similarity_topk",
     "similarity_ivf_topk",

@@ -88,3 +88,42 @@ def weighted_sample(
     bucket = hash_bucket(F.col(id_col))
     thresh = F.round(F.col(weight_col) * BUCKETS).cast("long")
     return df.where(bucket < thresh)
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Deterministically downsample to target SOURCE PROPORTIONS — the
+    data-mixing step before a training run ("50% web, 30% code, 20%
+    books"). The largest feasible mixed corpus is taken: total T =
+    min_s(available_s / frac_s); each source keeps floor-thresholded
+    frac_s*T of its rows by content-hash bucket, so the output hits the
+    target ratios (up to bucket granularity) without replacement,
+    reproducibly across engines and corpus growth.
+
+    One count aggregate (driver gets |targets| scalars) + one codegen'd
+    filter pass — no shuffle of the data itself. Sources absent from
+    `targets` are dropped."""
+    fracs = {s: f for s, f in targets.items() if f > 0}
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[source_col] in fracs
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    total = min(counts[s] / f for s, f in fracs.items() if s in counts)
+    bucket = hash_bucket(F.col(id_col))
+    thresh = None
+    for s, f in fracs.items():
+        if s not in counts:
+            continue
+        keep = min(1.0, f * total / counts[s])
+        t = F.lit(int(keep * BUCKETS))  # floor: half-case-free across engines
+        cond = F.col(source_col) == F.lit(s)
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(F.lit(0))
+    return df.where(bucket < thresh)

@@ -683,3 +683,32 @@ def test_ngram_jaccard_matches_brute_force_on_random_corpus(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=t).collect()
     }
     assert got == expected
+
+
+def test_mix_corpus_hits_target_proportions(spark):
+    from collections import Counter
+
+    from sneldb_spark.pipeline.sampling import mix_corpus
+
+    rows = (
+        [(i, "web") for i in range(6000)]
+        + [(10_000 + i, "code") for i in range(2000)]
+        + [(20_000 + i, "books") for i in range(900)]
+        + [(30_000 + i, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_corpus(df, "doc_id", "source", {"web": 0.5, "code": 0.3, "books": 0.2})
+    c = Counter(r["source"] for r in out.collect())
+    assert "junk" not in c  # untargeted sources dropped
+    total = sum(c.values())
+    # books is the binding constraint (900 / 0.2 = 4500 feasible total);
+    # proportions land within bucket-sampling noise of 50/30/20
+    assert 3_800 <= total <= 4_600
+    assert abs(c["web"] / total - 0.5) < 0.05
+    assert abs(c["code"] / total - 0.3) < 0.05
+    assert abs(c["books"] / total - 0.2) < 0.05
+    # deterministic
+    again = Counter(r["source"] for r in
+                    mix_corpus(df, "doc_id", "source",
+                               {"web": 0.5, "code": 0.3, "books": 0.2}).collect())
+    assert again == c
