@@ -2152,11 +2152,11 @@ _DRIVER_PRIORITY = [
     "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
     "filter_where",
-    "return_projection", "replay_context", "agg_count_by", "agg_multi",
+    "replay_context", "agg_count_by", "agg_multi",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
     "seq_where_sides", "seq_agg", "seq_using_time", "compare_three",
-    "plot_breakdown", "dedup_clusters",
+    "plot_breakdown", "dedup_clusters", "dedup_ngram_jaccard",
     # (tpch_q1/q18, dedup_minhash_lsh/simhash, text_quality, agg_per_hour_by
     # rotate to the tail this round: all have round-2 driver rows and
     # unchanged code)
