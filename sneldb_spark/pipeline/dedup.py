@@ -219,6 +219,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "id",
     max_rounds: int = 50,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Assign every doc a duplicate-cluster id: connected components over
     the similarity pair graph by iterative min-label propagation.
@@ -249,6 +250,44 @@ def dedup_clusters(
     # over that (typically much smaller) vertex set and stitch the
     # untouched ids back as their own singleton clusters at the end.
     all_ids = ids.select(F.col(id_col).alias("id"))
+    # Adaptive strategy, same trick as Spark's own broadcast-join
+    # threshold: the EDGE LIST (not the corpus) is usually tiny relative
+    # to the data — duplicate pairs, not documents. Under the bound, a
+    # driver union-find replaces `diameter` shuffle+checkpoint rounds with
+    # one collect of O(edges) longs; past it, the distributed loop below
+    # is the unbounded-scale path (both paths oracle- and unit-tested).
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        edge_rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # union by min: smaller id becomes the root = cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = {n for r in edge_rows for n in (r["src"], r["dst"])}
+        label_rows = [(n, find(n)) for n in members]
+        edges.unpersist()
+        pairs.unpersist()
+        if not label_rows:  # no edges at all: everyone is a singleton
+            return all_ids.withColumn("cluster_id", F.col("id"))
+        labels = ids.sparkSession.createDataFrame(
+            label_rows, all_ids.select("id", F.col("id").alias("cluster_id")).schema
+        )
+        singletons = all_ids.join(
+            labels.select("id"), "id", "left_anti"
+        ).withColumn("cluster_id", F.col("id"))
+        return labels.unionByName(singletons)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -712,3 +712,24 @@ def test_mix_corpus_hits_target_proportions(spark):
                     mix_corpus(df, "doc_id", "source",
                                {"web": 0.5, "code": 0.3, "books": 0.2}).collect())
     assert again == c
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    from sneldb_spark.pipeline.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4,7..11
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (5, 6)], "id1 long, id2 long"
+    )
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5,
+              7: 7, 8: 8, 9: 9, 10: 10, 11: 11}
+    fast = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(ids, pairs, "id").collect()}
+    dist = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(ids, pairs, "id", max_driver_edges=0).collect()}
+    assert fast == expect and dist == expect
+    # no edges at all
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(ids, empty, "id").collect()}
+    assert out == {i: i for i in range(12)}
