@@ -532,10 +532,15 @@ def ivf_build_index(
         .partitionBy("ivf_cluster")
         .parquet(f"{path}/lists")
     )
-    spark = corpus.sparkSession
-    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cents)]
-    spark.createDataFrame(cent_rows, "cluster int, centroid array<double>") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # Centroids are (nlist x dim) driver metadata — a JSON sidecar, not a
+    # Spark job: saves a write+read job pair per build/serve without
+    # touching the distributed part of the index.
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w", encoding="utf-8") as f:
+        _json.dump([[float(x) for x in row] for row in cents], f)
     return cents
 
 
@@ -554,10 +559,10 @@ def ivf_topk_indexed(
     partition directories (`ivf_cluster IN (...)` is a partition filter —
     Catalyst prunes the files before the scan; asserted by plan test).
     Scoring inside the probed lists reuses the exact batch-GEMM kernel."""
-    cent_pdf = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cluster").toPandas()
-    )
-    cents = np.array([np.asarray(c, dtype=np.float64) for c in cent_pdf["centroid"]])
+    import json as _json
+
+    with open(f"{path}/centroids.json", encoding="utf-8") as f:
+        cents = np.array(_json.load(f), dtype=np.float64)
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
     nprobe = min(nprobe, len(cents))
     probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
