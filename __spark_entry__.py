@@ -2081,6 +2081,51 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing: synthetic (duration, sample_rate)
+    metadata derived from doc_id, fanned out into 5 s segments with exact
+    sample counts and a deterministic content-hash pseudo-loudness — the
+    waveform decode stays the documented stub, everything else (explode
+    shape, segment arithmetic, cross-engine hash) is oracle-checked."""
+    from sneldb_spark.pipeline.multimodal import segment_audio
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1000) + (F.col("doc_id") % 23) * 1700).cast("long").alias(
+            "meta_duration_ms"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(16000))
+        .otherwise(F.lit(44100))
+        .alias("meta_sample_rate"),
+    )
+    return segment_audio(media, segment_ms=5000)
+
+
+_MULTIMODAL_AUDIO_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(1000 + (doc_id % 23) * 1700 AS BIGINT) AS dur,
+         CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sr
+  FROM documents
+),
+segs AS (
+  SELECT media_id, dur, sr,
+         unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS seg_start_ms
+  FROM media
+)
+SELECT media_id,
+       CAST(seg_start_ms // 5000 AS BIGINT) AS seg_idx,
+       CAST(seg_start_ms AS BIGINT) AS seg_start_ms,
+       CAST(least(5000, dur - seg_start_ms) AS BIGINT) AS seg_ms,
+       CAST(least(5000, dur - seg_start_ms) * sr // 1000 AS BIGINT) AS n_samples,
+       round((('0x' || substr(md5(CAST(media_id AS VARCHAR) || '-' ||
+              CAST(seg_start_ms // 5000 AS VARCHAR)), 1, 4))::BIGINT % 1000) / 1000.0,
+             3) AS pseudo_loudness
+FROM segs
+"""
+
+
 _MULTIMODAL_RESIZE_SQL = """
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -2141,7 +2186,8 @@ _DRIVER_PRIORITY = [
     "corpus_stats", "text_chunk", "pack_sequences", "similarity_topk",
     "similarity_lsh_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
     "embedding_near_pairs", "embedding_quantize",
-    "multimodal_features", "multimodal_resize", "sampling_split",
+    "multimodal_features", "multimodal_resize", "multimodal_audio",
+    "sampling_split",
     "sampling_stratified", "sampling_weighted", "corpus_mix",
     "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
@@ -2152,7 +2198,7 @@ _DRIVER_PRIORITY = [
     "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
     "filter_where",
-    "replay_context", "agg_count_by", "agg_multi",
+    "agg_count_by", "agg_multi",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
     "seq_where_sides", "seq_agg", "seq_using_time", "compare_three",
@@ -2297,6 +2343,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
         "sampling_split": q_sampling_split,
         "sampling_stratified": q_sampling_stratified,
@@ -2472,6 +2519,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "sampling_split": _SAMPLING_SPLIT_SQL,
         "corpus_curation": _curation_sql(),
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,

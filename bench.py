@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "multimodal_features",
     "multimodal_resize",
+    "multimodal_audio",
     "sampling_split",
     "sampling_weighted",
     "corpus_mix",

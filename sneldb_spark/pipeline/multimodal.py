@@ -176,3 +176,35 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.withColumn("frame_ts_ms", F.explode(frames))
         .select("media_id", "mime", "frame_ts_ms")
     )
+
+
+def segment_audio(df: DataFrame, segment_ms: int = 5_000) -> DataFrame:
+    """Audio segmentation plumbing: one row per fixed-length segment of
+    each audio row, with exact sample counts from (duration, sample_rate)
+    metadata — the shape a transcription/feature pipeline fans out over.
+    The waveform decode is the documented stub (bytes stay opaque); the
+    per-segment pseudo-loudness is a deterministic content-hash value so
+    downstream ordering/filtering logic is testable cross-engine. All
+    codegen (sequence/explode + md5 arithmetic): no Python, no shuffle."""
+    dur = F.coalesce(F.col("meta_duration_ms"), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(segment_ms)
+    )
+    seg = df.withColumn("seg_start_ms", F.explode(starts))
+    seg_idx = (F.col("seg_start_ms") / segment_ms).cast("long")
+    seg_ms = F.least(F.lit(segment_ms), dur - F.col("seg_start_ms"))
+    n_samples = (seg_ms * F.coalesce(F.col("meta_sample_rate"), F.lit(0)) / 1000).cast(
+        "long"
+    )
+    key = F.concat(F.col("media_id").cast("string"), F.lit("-"), seg_idx.cast("string"))
+    loudness = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 1000
+    ) / 1000.0
+    return seg.select(
+        "media_id",
+        seg_idx.alias("seg_idx"),
+        F.col("seg_start_ms").cast("long").alias("seg_start_ms"),
+        seg_ms.cast("long").alias("seg_ms"),
+        n_samples.alias("n_samples"),
+        F.round(loudness, 3).alias("pseudo_loudness"),
+    )
