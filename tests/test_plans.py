@@ -270,3 +270,23 @@ def test_tpch_q11_threshold_is_single_row_broadcast(spark):
     # build row), never a shuffled join or cartesian over the fact
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gates_pin_utc_regardless_of_session_timezone(spark):
+    """The driver supplies its own session; every gate must produce the
+    UTC-evaluated result even if that session starts on another zone
+    (events.ts is TIMESTAMP_NTZ — epoch arithmetic is tz-sensitive)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = SF
+    baseline = {r["bucket"]: r["count"]
+                for r in qs["agg_per_day"](spark, sf).collect()}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = {r["bucket"]: r["count"]
+                   for r in qs["agg_per_day"](spark, sf).collect()}
+        assert shifted == baseline
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
