@@ -17,7 +17,13 @@ reprocessing cycle. Two Spark-first shapes:
 
 Scale shape: both are one shuffle on the digest per micro-batch with
 map-side partials; state is O(distinct digests) rows (the rollup keeps
-two longs per digest), independent of duplicate volume.
+two longs per digest), independent of duplicate volume. Sink choice
+matters at scale: the FILTER appends to any sink with watermark-bounded
+state (measured 0.65M docs/s over 10M rows locally); the ROLLUP in
+complete mode materializes the whole result per trigger — fine for
+bounded-cardinality outputs (the gate's 500 digests), wrong for millions
+of keys, where update mode + foreachBatch upsert is the deployment
+shape.
 """
 
 from __future__ import annotations
