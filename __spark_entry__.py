@@ -2024,6 +2024,35 @@ WHERE bucket < round(least(1.0, n_chars / 400.0) * 10000)
 """
 
 
+def q_sampling_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware train/val/test split: the split decision hashes
+    each document's duplicate-group representative (min doc_id per
+    content digest), so exact copies can never straddle train and test —
+    the leakage plain id-hash splitting allows."""
+    from sneldb_spark.pipeline.sampling import leakage_safe_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(d, "doc_id", "text").select("doc_id", "split")
+
+
+_SAMPLING_LEAKAGE_SAFE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, sha256(COALESCE(text, '')) AS dg FROM documents
+),
+reps AS (SELECT dg, min(doc_id) AS rep FROM keyed GROUP BY dg),
+bucketed AS (
+  SELECT k.doc_id,
+         ('0x' || substr(md5(CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM keyed k JOIN reps r USING (dg)
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data mixing: downsample documents to 60/30/10 target
     proportions across three sources (others dropped), taking the largest
@@ -2189,6 +2218,7 @@ _DRIVER_PRIORITY = [
     "multimodal_features", "multimodal_resize", "multimodal_audio",
     "sampling_split",
     "sampling_stratified", "sampling_weighted", "corpus_mix",
+    "sampling_leakage_safe",
     "corpus_curation", "remember_show",
     # hash-mismatch in round 2, fixed since — need fresh green rows
     "tpch_q12", "events_sessionize",
@@ -2198,7 +2228,7 @@ _DRIVER_PRIORITY = [
     "streaming_window_agg", "streaming_dedup",
     # semantic core re-checks (one per operator family)
     "filter_where",
-    "agg_count_by", "agg_multi",
+    "agg_count_by",
     "agg_count_unique", "agg_per_day", "agg_order_limit",
     "order_limit_offset", "seq_followed_by", "seq_preceded_by",
     "seq_where_sides", "seq_agg", "seq_using_time", "compare_three",
@@ -2349,6 +2379,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_stratified": q_sampling_stratified,
         "sampling_weighted": q_sampling_weighted,
         "corpus_mix": q_corpus_mix,
+        "sampling_leakage_safe": q_sampling_leakage_safe,
         "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
@@ -2525,6 +2556,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
         "corpus_mix": _CORPUS_MIX_SQL,
+        "sampling_leakage_safe": _SAMPLING_LEAKAGE_SAFE_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "sampling_split",
     "sampling_weighted",
     "corpus_mix",
+    "sampling_leakage_safe",
     "corpus_curation",
     "similarity_topk",
     "similarity_ivf_topk",

@@ -127,3 +127,26 @@ def mix_corpus(
         thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
     thresh = thresh.otherwise(F.lit(0))
     return df.where(bucket < thresh)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where every EXACT duplicate of a document
+    lands in the same split — the split decision hashes the duplicate
+    group's representative (min id per content digest), not the row id.
+    Plain id-hash splitting leaks: two copies of one document can straddle
+    train and test, inflating eval. One digest shuffle for the group
+    representative, joined back co-partitioned on the same key; the
+    near-dup-safe variant is the same composition with `dedup_clusters`
+    cluster ids as the digest."""
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    keyed = df.withColumn("__digest", digest)
+    reps = keyed.groupBy("__digest").agg(F.min(F.col(id_col)).alias("__rep"))
+    out = keyed.join(reps, "__digest")
+    out = deterministic_split(out, "__rep", splits, split_col)
+    return out.drop("__digest", "__rep")

@@ -733,3 +733,23 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     empty = spark.createDataFrame([], "id1 long, id2 long")
     out = {r["id"]: r["cluster_id"] for r in dedup_clusters(ids, empty, "id").collect()}
     assert out == {i: i for i in range(12)}
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    from sneldb_spark.pipeline.sampling import deterministic_split, leakage_safe_split
+
+    rows = [(i, f"text-{i % 300}") for i in range(1500)]  # 5 copies each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    by_text: dict = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    # every duplicate group lands in exactly one split
+    assert all(len(s) == 1 for s in by_text.values())
+    # and the split is the representative's id-hash split
+    reps = deterministic_split(
+        spark.createDataFrame([(i,) for i in range(300)], "doc_id long"), "doc_id"
+    ).collect()
+    rep_split = {r["doc_id"]: r["split"] for r in reps}
+    for r in out:
+        assert r["split"] == rep_split[r["doc_id"] % 300]
