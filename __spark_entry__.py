@@ -1093,6 +1093,32 @@ GROUP BY context_id, session_seq
 """
 
 
+def _stream_symlink_dir(sf_dir: str, table: str) -> str:
+    """Deterministic per-(sf_dir, table) directory holding one symlink to
+    the table's single parquet file, for the file-stream source (which
+    wants a directory; testdata is read-only and possibly large, so no
+    copy). Reused across invocations — bench reruns must not leak
+    mkdtemp dirs. Asserting ONE input file pins single-micro-batch
+    drain, which the watermarked gates' batch-oracle equivalence relies
+    on (a multi-batch split could late-drop rows the oracle keeps)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    assert os.path.isfile(src), (
+        f"streaming gates assume a single-file table, got {src}"
+    )
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"sneldb_stream_{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.islink(link):
+        os.symlink(src, link)
+    assert len(os.listdir(d)) == 1
+    return d
+
+
 def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup through Structured Streaming:
     events.parquet replayed as a file stream -> withWatermark(1h) ->
@@ -1104,22 +1130,13 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sneldb_spark.streaming.window_agg import run_available_now, tumbling_counts
 
-    import os
-    import tempfile
     import uuid
 
     # The NTZ event-time -> epoch-second bucket arithmetic (and its DuckDB
     # oracle) assumes a UTC session; the driver passes its own session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The file-stream source wants a directory; expose the single table
-    # file through a symlink dir rather than copying (testdata is
-    # read-only and possibly large).
-    stream_dir = tempfile.mkdtemp(prefix="swa_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        f"{stream_dir}/events.parquet",
-    )
+    stream_dir = _stream_symlink_dir(sf_dir, "events")
     stream = (
         spark.readStream.schema(batch.schema)
         .format("parquet")
@@ -1155,19 +1172,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-insensitive, so any micro-batch slicing lands on the batch
     GROUP BY result (the oracle). Cross-batch incrementality is pinned by
     tests/test_streaming.py."""
-    import os
-    import tempfile
     import uuid
 
     from sneldb_spark.streaming.dedup import streaming_dedup_rollup
     from sneldb_spark.streaming.window_agg import run_available_now
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="sdd_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/documents.parquet"),
-        f"{stream_dir}/documents.parquet",
-    )
+    stream_dir = _stream_symlink_dir(sf_dir, "documents")
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
     )
@@ -2073,13 +2084,19 @@ WITH counts AS (
   SELECT source, count(*) AS n FROM documents
   WHERE source IN ('src0','src1','src2') GROUP BY source
 ),
+-- fractions cast to DOUBLE so the threshold arithmetic is bit-identical
+-- to the engine's Python binary doubles (DECIMAL literals evaluate
+-- exactly and can floor to a different bucket at boundary values)
 feasible AS (
-  SELECT min(n / CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3 ELSE 0.1 END) AS total
+  SELECT min(n / CASE source WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
+             WHEN 'src1' THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END) AS total
   FROM counts
 ),
 thresh AS (
   SELECT c.source,
-         CAST(floor(least(1.0, (CASE c.source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3 ELSE 0.1 END)
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+              (CASE c.source WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
+               WHEN 'src1' THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END)
               * f.total / c.n) * 10000) AS BIGINT) AS t
   FROM counts c, feasible f
 )

@@ -46,11 +46,21 @@ def exact_duplicates(
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Return the deduplicated rows (keeper = min id per identical content)."""
-    keep = exact_duplicates(df, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
+    """Return the deduplicated rows (keeper = min id per identical content).
+
+    One shuffle on the content digest + a row_number keeper pick. The
+    keeper set is one row per DISTINCT document — corpus-sized — so it
+    must never be broadcast (a forced-broadcast join here is a
+    driver/executor OOM at 100 TB); the window form also avoids the
+    second corpus scan a semi-join-back would cost."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return df.join(F.broadcast(keep), on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------

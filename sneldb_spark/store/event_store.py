@@ -228,14 +228,34 @@ class EventStore:
             raise
         for path in rotated:
             if self._wal_archive_dir is not None:
-                # Conservative mode: archive-then-delete. Any archive
-                # failure keeps the WAL file on disk (safety first — the
-                # reference's cleaner does the same).
+                # Conservative mode: archive-then-retire. On archive
+                # failure the retired log must NOT stay in the live wal
+                # dir — _replay_wal would re-ingest rows that are already
+                # durable in Parquet, duplicating the whole retained
+                # history on every restart. Its rows are committed, so
+                # quarantine it outside the replay path for the operator
+                # to archive manually once the archive dir is healthy.
                 try:
                     from sneldb_spark.store.wal_archive import archive_wal_file
 
                     archive_wal_file(path, self._wal_archive_dir)
                 except Exception:
+                    import logging
+
+                    quarantine = os.path.join(self._wal_dir, "quarantine")
+                    os.makedirs(quarantine, exist_ok=True)
+                    qpath = os.path.join(quarantine, os.path.basename(path))
+                    try:
+                        os.replace(path, qpath)
+                    except OSError:
+                        pass
+                    logging.getLogger(__name__).warning(
+                        "WAL archive failed for %s; moved to %s "
+                        "(rows are durable in Parquet)",
+                        path,
+                        qpath,
+                        exc_info=True,
+                    )
                     continue
             try:
                 os.remove(path)

@@ -17,9 +17,13 @@ entries (`{"t": event_type, "r": row}`), so
   directory — codecs are decoded transparently per file, recovery of a
   100 TB archive set is an ordinary parallel scan, nothing driver-side.
 
-Compression is Zstandard when the `zstandard` package is present, else
-stdlib gzip — both transparently readable by Spark's JSON source (zstd
-via Hadoop's codec, gzip natively).
+Compression defaults to gzip: Spark reads .gz JSON natively on every
+executor, so the documented distributed recovery path always works.
+Zstandard is opt-in (`compression="zstd"`, requires the `zstandard`
+package locally AND the Hadoop zstd codec on executors for
+`recover_df`) — an environment that can pip-install zstandard but lacks
+the Hadoop codec would otherwise archive data it cannot recover at
+scale.
 """
 
 from __future__ import annotations
@@ -56,8 +60,8 @@ def _open_read(path: str) -> IO[bytes]:
     return gzip.open(path, "rb")
 
 
-def _ext() -> str:
-    return "wal.zst" if _HAVE_ZSTD else "wal.gz"
+def _ext(compression: str) -> str:
+    return "wal.zst" if compression == "zstd" else "wal.gz"
 
 
 def archive_wal_file(
@@ -65,11 +69,17 @@ def archive_wal_file(
     archive_dir: str,
     log_id: int | None = None,
     compression_level: int = 3,
+    compression: str = "gzip",
 ) -> str:
     """Compress one retired WAL (JSONL) file into `archive_dir` and return
     the archive path. The source file is NOT deleted — the caller deletes
     it only after this returns (reference: archive-then-delete, keep the
-    WAL on any failure)."""
+    WAL on any failure). `compression` is "gzip" (default, always
+    Spark-recoverable) or "zstd" (opt-in, needs the zstandard package)."""
+    if compression not in ("gzip", "zstd"):
+        raise ValueError(f"unknown compression {compression!r}")
+    if compression == "zstd" and not _HAVE_ZSTD:
+        raise ValueError("zstd requested but the zstandard package is absent")
     entries: list[str] = []
     ts_min, ts_max = None, None
     with open(wal_path, encoding="utf-8") as f:
@@ -92,12 +102,12 @@ def archive_wal_file(
         "n_entries": len(entries),
         "ts_min": ts_min,
         "ts_max": ts_max,
-        "compression": "zstd" if _HAVE_ZSTD else "gzip",
+        "compression": compression,
         "created_unix": int(time.time()),
         "source": os.path.basename(wal_path),
     }
     os.makedirs(archive_dir, exist_ok=True)
-    name = f"wal-{log_id:020d}-{ts_min or 0}-{ts_max or 0}.{_ext()}"
+    name = f"wal-{log_id:020d}-{ts_min or 0}-{ts_max or 0}.{_ext(compression)}"
     path = os.path.join(archive_dir, name)
     tmp = path + ".tmp"
     with _open_write(tmp, compression_level) as out:

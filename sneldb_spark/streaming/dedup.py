@@ -6,10 +6,10 @@ a batch job over the landed corpus means duplicate storage and a
 reprocessing cycle. Two Spark-first shapes:
 
 - `streaming_dedup_filter`: pass-through of first-seen rows via
-  `withWatermark + dropDuplicates` — at-most-once per key per watermark
-  horizon, state freed as event time advances. Which duplicate survives
-  depends on arrival order (exactly the reference's STORE semantics:
-  server arrival order IS the order).
+  `withWatermark + dropDuplicatesWithinWatermark` — at-most-once per key
+  per watermark horizon, state freed as event time advances. Which
+  duplicate survives depends on arrival order (exactly the reference's
+  STORE semantics: server arrival order IS the order).
 - `streaming_dedup_rollup` (oracle-checkable): a running aggregate per
   digest keeping the DETERMINISTIC representative (min id) and the
   duplicate count — update/complete-mode output equals the batch
@@ -45,15 +45,22 @@ def streaming_dedup_filter(
     watermark_s: int = 3_600,
 ) -> DataFrame:
     """First-seen pass-through dedup. With `time_col`, the watermark
-    bounds the key state (duplicates separated by more than the horizon
-    can both survive — the documented tradeoff for bounded state at
-    100 TB/day); without it, state holds every digest ever seen."""
+    bounds the key state via `dropDuplicatesWithinWatermark` (Spark
+    3.5+): each digest's state is evicted once the watermark passes its
+    arrival time + horizon, so duplicates separated by more than the
+    horizon can BOTH survive — the documented tradeoff for bounded state
+    at 100 TB/day. (Plain `dropDuplicates(["digest"])` under a watermark
+    would never evict key-only state: unbounded growth.) Rows behind the
+    watermark are late data and are dropped, the standard streaming
+    contract. Without `time_col`, state holds every digest ever seen."""
     out = stream.withColumn("digest", content_digest(text_col))
     if time_col is not None:
         out = out.withColumn(
             "__event_time", F.col(time_col).cast("timestamp")
         ).withWatermark("__event_time", f"{watermark_s} seconds")
-        return out.dropDuplicates(["digest"]).drop("__event_time")
+        return out.dropDuplicatesWithinWatermark(["digest"]).drop(
+            "__event_time"
+        )
     return out.dropDuplicates(["digest"])
 
 

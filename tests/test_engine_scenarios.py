@@ -628,6 +628,44 @@ def test_wal_conservative_mode_archives_before_delete(spark, tmp_path):
     assert ns == [0, 1, 2, 3, 4, 9]
 
 
+def test_wal_archive_failure_quarantines_instead_of_duplicating(
+    spark, tmp_path, monkeypatch
+):
+    # A persistent archive failure (full/unwritable archive dir) must NOT
+    # leave the committed WAL in the live wal dir: its rows are already
+    # durable in Parquet, and replay at reopen would write them to
+    # Parquet AGAIN on the next flush — duplicating history on every
+    # restart. The retired log goes to wal/quarantine instead.
+    import os
+
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store import wal_archive as wa
+
+    arch = str(tmp_path / "archive")
+    db = SnelDB(spark, str(tmp_path / "db"), wal_archive_dir=arch)
+    db.execute('DEFINE tap FIELDS { "n": "int" }')
+    db.execute('STORE tap FOR c1 PAYLOAD { "n": 1 }')
+
+    def boom(*a, **k):
+        raise OSError("archive dir unwritable")
+
+    monkeypatch.setattr(wa, "archive_wal_file", boom)
+    db.execute("FLUSH")
+
+    wal_dir = db.store._wal_dir
+    live = [f for f in os.listdir(wal_dir) if f.endswith(".jsonl")]
+    assert live == []  # nothing left for _replay_wal to re-ingest
+    qdir = os.path.join(wal_dir, "quarantine")
+    assert os.path.isdir(qdir) and len(os.listdir(qdir)) == 1
+
+    # a reopened engine sees the row exactly once, and a further flush
+    # does not duplicate it
+    reopened = SnelDB(spark, db.root, wal_archive_dir=arch)
+    assert reopened.query("QUERY tap").count() == 1
+    reopened.execute("FLUSH")
+    assert reopened.query("QUERY tap").count() == 1
+
+
 def test_wal_conservative_mode_off_archives_nothing(spark, tmp_path):
     from sneldb_spark.engine import SnelDB
     from sneldb_spark.store import wal_archive as wa

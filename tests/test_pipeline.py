@@ -29,6 +29,18 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == {1, 3}
 
 
+def test_exact_dedup_plan_has_no_broadcast(docs):
+    """The keeper side of exact dedup is corpus-sized (one row per
+    distinct document): a broadcast anywhere in this plan is a
+    driver/executor OOM at 100 TB. The window form must compile to a
+    single hash-partitioned exchange, no BroadcastExchange/BNL."""
+    from sneldb_spark.pipeline.dedup import exact_dedup
+
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan, plan
+    assert "Window" in plan
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark):
     from sneldb_spark.pipeline.dedup import ngram_jaccard_pairs
 

@@ -719,3 +719,61 @@ def test_streaming_dedup_filter_drops_within_watermark(spark, tmp_path):
         assert kept == [1, 3]  # second "aa" dropped
     finally:
         q.stop()
+
+
+def test_streaming_dedup_filter_state_evicted_past_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a digest's state is freed
+    once the watermark passes its arrival + horizon, so duplicates
+    separated by more than the horizon BOTH survive (bounded state at
+    100 TB/day — the documented tradeoff). Plain dropDuplicates under a
+    watermark would keep the key forever and emit only the first copy."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.dedup import streaming_dedup_filter
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for did, ts, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "ts": ts, "text": text}) + "\n"
+                )
+
+    write_batch("b1.jsonl", [(1, 100, "aa")])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(in_dir)
+    q = (
+        streaming_dedup_filter(stream, time_col="ts", watermark_s=300)
+        .writeStream.format("memory")
+        .queryName("dedup_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far beyond 100 + 300 so "aa"'s state is
+        # evicted, then replay the same content
+        write_batch("b2.jsonl", [(2, 10_000, "bb")])
+        q.processAllAvailable()
+        write_batch("b3.jsonl", [(3, 10_100, "aa")])
+        q.processAllAvailable()
+        kept = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM dedup_evict").collect()
+        )
+        assert kept == [1, 2, 3]  # both "aa" copies survive across horizons
+    finally:
+        q.stop()
