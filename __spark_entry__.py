@@ -1939,6 +1939,56 @@ _REMEMBER_SHOW_SQL = (
 )
 
 
+def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE materialization: REMEMBER a grouped
+    multi-aggregate over half the purchase events, ingest the rest, then
+    SHOW. The refresh merges a delta partial aggregate (post-hwm scan
+    only — reference: src/command/handlers/show/delta/refresher.rs) into
+    stored per-group state, so the result must equal the aggregate over
+    ALL events, including COUNT UNIQUE via exact set union."""
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+
+    frame = _events_frame(spark, sf_dir).where(F.col("event_type") == "purchase")
+    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+
+    root = tempfile.mkdtemp(prefix="sneldb_gate_")
+    try:
+        db = SnelDB(spark, root)
+        db.store.registry.define(
+            "purchase",
+            {"k": "int | null", "props": "string", "value": "float",
+             "value_cents": "int"},
+        )
+        cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
+                "value", "value_cents"]
+        db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
+        db.execute(
+            "REMEMBER QUERY purchase COUNT, TOTAL value_cents, "
+            "AVG value_cents, MIN value, MAX value, "
+            "COUNT UNIQUE context_id BY k AS purchase_stats"
+        )
+        db.store.append_dataframe("purchase", frame.where(F.col("event_id") > mid).select(cols))
+        out = db.execute("SHOW purchase_stats").df
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REMEMBER_SHOW_AGG_SQL = f"""
+WITH {_EV_CTE}
+SELECT k, count(*) AS count,
+       CAST(SUM(value_cents) AS BIGINT) AS total_value_cents,
+       CAST(SUM(value_cents) AS DOUBLE)/count(value_cents) AS avg_value_cents,
+       min(value) AS min_value, max(value) AS max_value,
+       count(DISTINCT context_id) AS count_unique_context_id
+FROM ev WHERE event_type = 'purchase' GROUP BY k
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes stand in for media blobs; the
     Arrow-batched mapInPandas path computes real digests/sizes."""
@@ -2400,6 +2450,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
+        "remember_show_agg": q_remember_show_agg,
     }
 
 
@@ -2575,6 +2626,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "corpus_mix": _CORPUS_MIX_SQL,
         "sampling_leakage_safe": _SAMPLING_LEAKAGE_SAFE_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
+        "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
         # dedup_simhash, similarity_lsh_topk
     }

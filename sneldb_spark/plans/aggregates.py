@@ -79,3 +79,132 @@ def apply_aggregation(
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialization: mergeable partial state
+# ---------------------------------------------------------------------------
+# The reference refreshes an aggregate REMEMBER by merging a delta
+# aggregate into stored per-group state rather than rescanning history
+# (reference: src/command/handlers/show/delta/refresher.rs). The Spark
+# shape: persist one partial-state row per group; on SHOW, aggregate ONLY
+# the rows behind the high-water mark, union with the stored state, and
+# merge — at 100 TB this turns a full-history rescan into a delta scan
+# plus a state-sized shuffle.
+#
+# Partial state per AggSpec (merge op in parentheses):
+#   count / count_f / total_f -> running number      (sum)
+#   min_f / max_f             -> running extreme     (min / max; append-only
+#                                source, so extremes only ever widen)
+#   avg_f                     -> sum + count pair    (sum both, divide at
+#                                finalize)
+#   count_unique_f            -> exact value set     (distinct-union; the
+#                                reference's HashSet merge. State is
+#                                O(distinct values per group) — the cost
+#                                exact COUNT UNIQUE inherently carries)
+
+
+def _avg_state(field: str) -> tuple[str, str]:
+    return f"__avg_sum_{field}", f"__avg_cnt_{field}"
+
+
+def _set_state(field: str) -> str:
+    return f"__set_{field}"
+
+
+def partial_agg_exprs(specs: list[AggSpec], resolve) -> list[Column]:
+    """Aggregation expressions producing the mergeable state columns."""
+    exprs: list[Column] = []
+    for spec in specs:
+        col = resolve(spec.field)[0] if spec.field else None
+        if spec.op == "count":
+            exprs.append(F.count(F.lit(1)).alias(spec.output_name))
+        elif spec.op == "count_field":
+            exprs.append(F.count(col).alias(spec.output_name))
+        elif spec.op == "total":
+            exprs.append(F.sum(col).alias(spec.output_name))
+        elif spec.op == "min":
+            exprs.append(F.min(col).alias(spec.output_name))
+        elif spec.op == "max":
+            exprs.append(F.max(col).alias(spec.output_name))
+        elif spec.op == "avg":
+            s, c = _avg_state(spec.field)
+            exprs.append(F.sum(col).alias(s))
+            exprs.append(F.count(col).alias(c))
+        elif spec.op == "count_unique":
+            exprs.append(F.collect_set(col).alias(_set_state(spec.field)))
+        else:
+            raise QueryError(f"unknown aggregate op {spec.op!r}")
+    return exprs
+
+
+def apply_partial_aggregation(
+    df: DataFrame,
+    specs: list[AggSpec],
+    group_cols: list[str],
+    resolve,
+    bucket: Column | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Like apply_aggregation but emitting partial state; returns the
+    state frame and the group-key column names."""
+    keys: list[Column] = []
+    names: list[str] = []
+    if bucket is not None:
+        df = df.withColumn("bucket", bucket)
+        keys.append(F.col("bucket"))
+        names.append("bucket")
+    for g in group_cols:
+        col, _ = resolve(g)
+        keys.append(col.alias(g))
+        names.append(g)
+    exprs = partial_agg_exprs(specs, resolve)
+    if keys:
+        return df.groupBy(*keys).agg(*exprs), names
+    return df.agg(*exprs), names
+
+
+def merge_partial_states(
+    df: DataFrame, specs: list[AggSpec], key_names: list[str]
+) -> DataFrame:
+    """Collapse a union of partial-state frames to one row per group."""
+    aggs: list[Column] = []
+    for spec in specs:
+        name = spec.output_name
+        if spec.op in ("count", "count_field", "total"):
+            aggs.append(F.sum(name).alias(name))
+        elif spec.op == "min":
+            aggs.append(F.min(name).alias(name))
+        elif spec.op == "max":
+            aggs.append(F.max(name).alias(name))
+        elif spec.op == "avg":
+            s, c = _avg_state(spec.field)
+            aggs.append(F.sum(s).alias(s))
+            aggs.append(F.sum(c).alias(c))
+        elif spec.op == "count_unique":
+            s = _set_state(spec.field)
+            aggs.append(
+                F.array_distinct(F.flatten(F.collect_list(s))).alias(s)
+            )
+        else:
+            raise QueryError(f"unknown aggregate op {spec.op!r}")
+    if key_names:
+        return df.groupBy(*[F.col(k) for k in key_names]).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def finalize_partial_state(
+    df: DataFrame, specs: list[AggSpec], key_names: list[str]
+) -> DataFrame:
+    """Partial state -> the exact output schema apply_aggregation yields
+    (A11 naming, keys first then aggregates in spec order)."""
+    out = df
+    for spec in specs:
+        if spec.op == "avg":
+            s, c = _avg_state(spec.field)
+            out = out.withColumn(spec.output_name, F.col(s) / F.col(c))
+        elif spec.op == "count_unique":
+            out = out.withColumn(
+                spec.output_name,
+                F.size(F.col(_set_state(spec.field))).cast("long"),
+            )
+    return out.select(*key_names, *[s.output_name for s in specs])

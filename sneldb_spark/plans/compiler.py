@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from sneldb_spark.commands import ast
 from sneldb_spark.errors import QueryError
-from sneldb_spark.plans.aggregates import apply_aggregation
+from sneldb_spark.plans.aggregates import (
+    apply_aggregation,
+    apply_partial_aggregation,
+)
 from sneldb_spark.plans.filters import compile_expr, expr_fields, split_sequence_where
 from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
 from sneldb_spark.plans.time_bucket import bucket_column
@@ -143,6 +146,38 @@ class QueryCompiler:
         if q.return_fields:
             return self._project(out, q.return_fields)
         return self._reference_column_order(out, q)
+
+    def compile_aggregate_partial(
+        self, q: ast.QueryCommand, hwm: tuple[int, int] | None = None
+    ) -> tuple[DataFrame, list[str]]:
+        """Mergeable per-group partial state for an aggregate query
+        (REMEMBER/SHOW incremental refresh). With `hwm`, only rows past
+        the (timestamp, event_id) high-water mark are aggregated — the
+        predicate sits directly on the scan columns so Parquet pushdown
+        keeps a refresh from rescanning history. Returns (state frame,
+        group-key names); see plans/aggregates.py for the state layout."""
+        if not q.is_aggregate or q.is_sequence:
+            raise QueryError("partial aggregation needs a plain aggregate query")
+        df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+        if hwm is not None:
+            hwm_ts, hwm_id = hwm
+            df = df.where(
+                (F.col("timestamp") > F.lit(hwm_ts))
+                | (
+                    (F.col("timestamp") == F.lit(hwm_ts))
+                    & (F.col("event_id") > F.lit(hwm_id))
+                )
+            )
+        resolve = self._resolver(df, q.event_type)
+        bucket = None
+        if q.time_bucket:
+            tcol = self._time_column(df, q.time_field, resolve)
+            tc = self.time_config
+            bucket = bucket_column(
+                tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                week_start=tc.week_start,
+            )
+        return apply_partial_aggregation(df, q.aggs, q.group_by, resolve, bucket)
 
     def _reference_column_order(self, df: DataFrame, q: ast.QueryCommand) -> DataFrame:
         """Full-column results use the reference's column order: core

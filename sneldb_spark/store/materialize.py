@@ -5,13 +5,18 @@ src/engine/materialize/, src/command/handlers/show/delta/): a stored result
 plus a high-water mark `(timestamp, event_id)` over the *source* events.
 
 - `REMEMBER <query> AS name` runs the query, persists the result as
-  Parquet, and records the high-water mark of the scanned source.
+  Parquet, and records the high-water mark of the scanned source. For a
+  plain aggregate query it ALSO persists mergeable per-group partial
+  state (see plans/aggregates.py).
 - `SHOW name` refreshes first: for non-aggregate queries only the delta
   (`ts > hwm OR (ts = hwm AND id > hwm_id)`) is scanned, appended, and
   deduped by event_id — at 100 TB this is the difference between an
-  incremental touch-up and a full rescan. Aggregate / sequence results
-  recompute when (and only when) the high-water mark moved; the recompute
-  is itself one Catalyst-planned job.
+  incremental touch-up and a full rescan. Plain aggregate queries merge
+  a delta partial aggregate into the stored state (reference:
+  src/command/handlers/show/delta/refresher.rs) — a delta scan plus a
+  state-sized shuffle, never a history rescan. Sequence results and
+  group-LIMIT aggregates (where new rows can change WHICH groups
+  qualify) recompute when (and only when) the high-water mark moved.
 """
 
 from __future__ import annotations
@@ -62,6 +67,33 @@ class Materializer:
     def _incrementable(self, q: ast.QueryCommand) -> bool:
         return not q.is_aggregate and not q.is_sequence and q.limit is None
 
+    def _agg_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+        """Plain aggregates refresh by partial-state merge. Excluded:
+        sequence aggregates (the match itself isn't mergeable), LIMIT
+        (caps *groups*; a delta could add groups that should compete),
+        and retention options (they filter event-shaped rows, not
+        groups)."""
+        return (
+            q.is_aggregate
+            and not q.is_sequence
+            and q.limit is None
+            and q.offset is None
+            and manifest.get("max_rows") is None
+            and manifest.get("max_age_seconds") is None
+        )
+
+    def _state_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "state")
+
+    def _swap_in(self, df: DataFrame, path: str):
+        """Overwrite `path` with `df` via write-to-tmp + rename, reading
+        never sees a half-written directory."""
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
     def _apply_retention(self, df: DataFrame, manifest: dict) -> DataFrame:
         """Retention per the reference's materialization limits: keep rows
         no older than max_age_seconds, and at most max_rows (newest first).
@@ -103,11 +135,32 @@ class Materializer:
         df = self._apply_retention(self.engine.compiler.compile_query(q), manifest)
         path = os.path.join(self._dir(name), "data")
         df.write.mode("overwrite").parquet(path)
+        if self._agg_incrementable(q, manifest):
+            state, keys = self.engine.compiler.compile_aggregate_partial(q)
+            state.write.mode("overwrite").parquet(self._state_path(name))
+            manifest["state_keys"] = keys
         hwm_ts, hwm_id = self._source_hwm(q)
         manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
         return self.engine.spark.read.parquet(path).count()
+
+    def _merge_agg_delta(self, name: str, q, manifest: dict) -> DataFrame:
+        """Aggregate ONLY the rows past the high-water mark, merge into the
+        stored per-group state, persist the new state, and return it. The
+        history scan is replaced by a delta scan whose hwm predicate
+        reaches the Parquet scan (pushdown-tested)."""
+        from sneldb_spark.plans.aggregates import merge_partial_states
+
+        keys = manifest["state_keys"]
+        delta, _ = self.engine.compiler.compile_aggregate_partial(
+            q, hwm=(manifest["hwm_ts"], manifest["hwm_id"])
+        )
+        spath = self._state_path(name)
+        stored = self.engine.spark.read.parquet(spath)
+        merged = merge_partial_states(stored.unionByName(delta), q.aggs, keys)
+        self._swap_in(merged, spath)
+        return self.engine.spark.read.parquet(spath)
 
     # -- SHOW -------------------------------------------------------------
     def show(self, name: str) -> DataFrame:
@@ -134,16 +187,20 @@ class Materializer:
             merged = self._apply_retention(
                 stored.unionByName(delta_df).dropDuplicates(["event_id"]), manifest
             )
-            tmp = path + ".tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.replace(tmp, path)
+            self._swap_in(merged, path)
+        elif stale and self._agg_incrementable(q, manifest) and manifest.get(
+            "state_keys"
+        ) is not None and os.path.exists(self._state_path(name)):
+            merged_state = self._merge_agg_delta(name, q, manifest)
+            from sneldb_spark.plans.aggregates import finalize_partial_state
+
+            self._swap_in(
+                finalize_partial_state(merged_state, q.aggs, manifest["state_keys"]),
+                path,
+            )
         elif stale:
             df = self.engine.compiler.compile_query(q)
-            tmp = path + ".tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.replace(tmp, path)
+            self._swap_in(df, path)
 
         if stale:
             manifest["hwm_ts"], manifest["hwm_id"] = cur_ts, cur_id

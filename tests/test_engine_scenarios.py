@@ -280,6 +280,83 @@ def test_remember_show_incremental(engine):
         engine.execute("SHOW nope")
 
 
+def test_remember_show_aggregate_incremental_all_ops(spark, tmp_path):
+    """Aggregate SHOW refresh merges a delta partial aggregate into stored
+    per-group state; after more data arrives the result must equal a full
+    recompute for every mergeable op (count/total/avg/min/max) plus the
+    set-merged COUNT UNIQUE, including new groups born in the delta."""
+    from sneldb_spark.engine import SnelDB
+
+    q = (
+        "QUERY sale COUNT, TOTAL amount, AVG amount, MIN amount, "
+        "MAX amount, COUNT UNIQUE amount BY country"
+    )
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE sale FIELDS { "amount": "int", "country": "string" }')
+    first = [("NL", 10), ("NL", 20), ("DE", 5), ("DE", 5)]
+    second = [("NL", 10), ("DE", 7), ("FR", 100)]  # dup value, new group
+
+    for i, (c, amt) in enumerate(first):
+        db.execute(f'STORE sale FOR a{i} PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS sale_stats")
+    for i, (c, amt) in enumerate(second):
+        db.execute(f'STORE sale FOR b{i} PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    db.execute("FLUSH")
+
+    shown = db.execute("SHOW sale_stats").df
+    expected = db.query(q)
+    assert shown.columns == expected.columns
+    key = lambda r: r["country"]  # noqa: E731
+    got = sorted((r.asDict() for r in shown.collect()), key=key)
+    want = sorted((r.asDict() for r in expected.collect()), key=key)
+    assert got == want
+    assert {r["country"] for r in got} == {"NL", "DE", "FR"}
+    # a second SHOW with no new data is a no-op and stays correct
+    again = sorted(
+        (r.asDict() for r in db.execute("SHOW sale_stats").df.collect()), key=key
+    )
+    assert again == want
+
+
+def test_remember_show_aggregate_global_and_bucketed(spark, tmp_path):
+    """Ungrouped (single global row) and PER-bucketed aggregate
+    materializations refresh through the same partial-state merge."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE tick FIELDS { "v": "int" }')
+    db.execute('STORE tick FOR c1 PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY tick COUNT, TOTAL v AS tick_total")
+    db.execute("REMEMBER QUERY tick COUNT PER DAY AS tick_daily")
+    db.execute('STORE tick FOR c2 PAYLOAD { "v": 41 }')
+    db.execute("FLUSH")
+    row = db.execute("SHOW tick_total").df.collect()[0]
+    assert (row["count"], row["total_v"]) == (2, 42)
+    daily = db.execute("SHOW tick_daily").df.collect()
+    assert sum(r["count"] for r in daily) == 2
+
+
+def test_aggregate_refresh_scans_only_delta(spark, tmp_path):
+    """The refresh delta predicate must reach the Parquet scan: a
+    materialized aggregate over 100 TB of history refreshes by reading
+    the post-hwm slice, not by rescanning everything."""
+    from sneldb_spark.commands.parser import parse_command
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE sale FIELDS { "amount": "int", "country": "string" }')
+    db.execute('STORE sale FOR c1 PAYLOAD { "amount": 1, "country": "NL" }')
+    db.execute("FLUSH")
+    q = parse_command("QUERY sale COUNT BY country")
+    delta, keys = db.compiler.compile_aggregate_partial(q, hwm=(10_000, 5))
+    assert keys == ["country"]
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(timestamp,10000)" in plan, plan
+
+
 def test_compare_via_plot(engine):
     engine.execute('DEFINE purchase FIELDS { "amount": "int", "country": "string" }')
     engine.execute('DEFINE refund FIELDS { "amount": "int", "country": "string" }')
