@@ -60,6 +60,7 @@ class SnelDB:
                 self.store.registry.get(et) if self.store.registry.has(et) else None
             ),
             time_config=time_config,
+            topk_source=self.store.read_topk,
         )
         self.materializer = Materializer(self, root)
         self.auth = auth

@@ -46,10 +46,14 @@ class QueryCompiler:
         source: SourceFn,
         schema_lookup: SchemaFn | None = None,
         time_config: TimeConfig | None = None,
+        topk_source: Callable[[str, str, int, bool], Optional[DataFrame]] | None = None,
     ):
         self._source = source
         self._schema = schema_lookup or (lambda et: None)
         self.time_config = time_config or TimeConfig()
+        # Optional (event_type, order_field, n, desc) -> pruned frame for
+        # ORDER BY + LIMIT (EventStore.read_topk); None = full scan.
+        self._topk_source = topk_source
 
     # -- public ----------------------------------------------------------
     def compile(self, cmd: ast.Command) -> DataFrame:
@@ -125,8 +129,29 @@ class QueryCompiler:
             return self._compile_sequence(q)
         return self._compile_single(q)
 
+    def _topk_frame(self, q: ast.QueryCommand) -> DataFrame | None:
+        """File-pruned source for plain `QUERY t ORDER BY f LIMIT n`.
+        Only safe with NO filters: the footer bound counts every row
+        toward the top-n guarantee, and a WHERE/SINCE/FOR could disqualify
+        the counted rows, letting a qualifying row hide in a pruned file."""
+        if (
+            self._topk_source is None
+            or q.is_aggregate
+            or q.order_by is None
+            or not q.limit
+            or q.where is not None
+            or q.since is not None
+            or q.context_id is not None
+            or q.sequence.links
+        ):
+            return None
+        field, desc = q.order_by
+        return self._topk_source(q.event_type, field, q.limit + (q.offset or 0), desc)
+
     def _compile_single(self, q: ast.QueryCommand) -> DataFrame:
-        df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+        df = self._topk_frame(q)
+        if df is None:
+            df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
         resolve = self._resolver(df, q.event_type)
 
         if q.is_aggregate:

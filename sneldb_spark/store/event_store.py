@@ -381,6 +381,43 @@ class EventStore:
             df = df.unionByName(pending)
         return df
 
+    def read_topk(
+        self, event_type: str, order_field: str, n: int, desc: bool
+    ) -> DataFrame | None:
+        """File-pruned read for `ORDER BY <field> LIMIT n` queries: footer
+        min/max stats bound which files can hold a top-n row, and only
+        those are scanned (the reference's RLTE zone skip — see
+        store/topk_prune.py). Returns a frame guaranteed to contain every
+        top-n row by `order_field` (pending memtable rows always
+        included), or None when pruning does not apply — caller falls
+        back to the full read()."""
+        from sneldb_spark.store.topk_prune import (
+            collect_file_stats,
+            select_topk_files,
+        )
+
+        if (
+            event_type == "*"
+            or n <= 0
+            or not self.registry.has(event_type)
+            or not self.has_data(event_type)
+        ):
+            return None
+        schema = self.registry.get(event_type)
+        if order_field not in [f.name for f in schema.spark_struct.fields]:
+            return None
+        stats = collect_file_stats(self._path(event_type), order_field)
+        if stats is None:
+            return None
+        keep, _bound = select_topk_files(stats, n, desc)
+        if not keep:
+            return None
+        df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
+        pending = self._pending_tail(event_type)
+        if pending is not None:
+            df = df.unionByName(pending)
+        return df
+
     def read_stream(self, event_type: str) -> DataFrame:
         """Streaming DataFrame over one event type's Parquet dataset —
         every FLUSH commit surfaces as new files in the file source. The
