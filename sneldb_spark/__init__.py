@@ -19,12 +19,14 @@ multimodal column plumbing.
 """
 
 from sneldb_spark.auth import AuthConfig, AuthManager
+from sneldb_spark.client import SnelDBClient
 from sneldb_spark.config import create_engine, load_config, serve
 from sneldb_spark.engine import SnelDB
 from sneldb_spark.session import get_spark
 
 __all__ = [
     "SnelDB",
+    "SnelDBClient",
     "get_spark",
     "AuthManager",
     "AuthConfig",

@@ -1,0 +1,294 @@
+"""Python client for the SnelDB server frontends.
+
+API parity with the reference's packaged client (reference:
+clients/python/src/sneldb_client/ — connect by URL, execute one command
+text, DEFINE/STORE/QUERY convenience helpers, frame parsing into
+normalized records, HMAC credential handling), implemented against this
+repo's wire protocol:
+
+- TCP (server.py): newline-delimited command in; JSON frames out
+  (`schema` / `batch` / `end` for reads, one `ok` / `error` line for
+  writes). Auth forms: `AUTH user:sig` handshake (sig = HMAC-SHA256 of
+  the user id) answering `OK TOKEN <t>`, then `<cmd> TOKEN <t>`; or
+  stateless `user:sig:<cmd>` with sig over the command text.
+- HTTP (http_server.py): POST /command with the command as body; same
+  frame lines in the response. Credentials ride as `X-Auth-Token` or
+  `X-Auth-User` + `X-Auth-Signature` (sig over the body).
+
+The client is deliberately dependency-free (socket + urllib) so it can
+be vendored next to any PySpark deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import socket
+from dataclasses import dataclass, field
+from typing import Optional
+from urllib.parse import urlparse
+
+
+class ClientError(Exception):
+    """Base class for client-side failures."""
+
+
+class ClientCommandError(ClientError):
+    """The server answered an error frame (parse/validation/query/...)."""
+
+
+class ClientAuthError(ClientError):
+    """Authentication or authorization was refused."""
+
+
+class ClientConnectionError(ClientError):
+    """Transport-level failure (refused, closed mid-response, bad frame)."""
+
+
+def _sign(secret_key: str, message: str) -> str:
+    return hmac.new(
+        secret_key.encode(), message.encode(), hashlib.sha256
+    ).hexdigest()
+
+
+@dataclass
+class ClientResult:
+    """One command's outcome. `rows` are normalized records
+    (column -> value dicts) for read commands, [] for writes."""
+
+    ok: bool
+    rows: list[dict] = field(default_factory=list)
+    columns: list[str] | None = None
+    message: str = ""
+    row_count: int = 0
+
+
+def _frames_to_result(frames: list[dict]) -> ClientResult:
+    """Fold a frame stream (schema/batch/end | ok | error) into a result."""
+    columns: list[str] | None = None
+    rows: list[dict] = []
+    total = 0
+    for frame in frames:
+        kind = frame.get("type")
+        if kind == "error":
+            msg = frame.get("message", "")
+            if "Authentication" in msg or "Authorization" in msg or msg[:3] in ("401", "403"):
+                raise ClientAuthError(msg)
+            raise ClientCommandError(msg)
+        if kind == "ok":
+            return ClientResult(ok=True, message=frame.get("message", ""))
+        if kind == "schema":
+            columns = list(frame.get("columns", []))
+        elif kind == "batch":
+            cols = columns or []
+            for values in frame.get("rows", []):
+                rows.append(dict(zip(cols, values)))
+        elif kind == "end":
+            total = int(frame.get("row_count", len(rows)))
+    if columns is None:
+        raise ClientConnectionError("response ended without schema/ok/error frame")
+    return ClientResult(ok=True, rows=rows, columns=columns, row_count=total)
+
+
+class _TcpTransport:
+    def __init__(self, host: str, port: int, timeout: float):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._io = self._sock.makefile("rwb")
+
+    def round_trip(self, line: str) -> list[dict]:
+        """Send one command line, read frames until its terminal frame.
+        Read results stream schema/batch.../end; everything else answers
+        exactly one ok/error line."""
+        self._io.write((line.strip() + "\n").encode())
+        self._io.flush()
+        frames: list[dict] = []
+        while True:
+            raw = self._io.readline()
+            if not raw:
+                raise ClientConnectionError("connection closed mid-response")
+            try:
+                frame = json.loads(raw)
+            except ValueError as e:
+                raise ClientConnectionError(f"bad frame: {raw[:80]!r}") from e
+            frames.append(frame)
+            if frame.get("type") in ("end", "ok", "error"):
+                return frames
+
+    def close(self):
+        try:
+            self._io.write(b"QUIT\n")
+            self._io.flush()
+        except OSError:
+            pass
+        self._sock.close()
+
+
+class _HttpTransport:
+    def __init__(self, endpoint: str, timeout: float):
+        self._endpoint = endpoint.rstrip("/")
+        self._timeout = timeout
+
+    def post(self, command: str, headers: dict[str, str]) -> list[dict]:
+        from urllib.error import HTTPError, URLError
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            f"{self._endpoint}/command",
+            data=command.encode(),
+            headers={"Content-Type": "text/plain", **headers},
+            method="POST",
+        )
+        try:
+            with urlopen(req, timeout=self._timeout) as resp:
+                body = resp.read()
+        except HTTPError as e:
+            body = e.read()
+            if e.code in (401, 403):
+                raise ClientAuthError(_http_error_message(body)) from e
+            if e.code >= 500:
+                raise ClientConnectionError(_http_error_message(body)) from e
+            raise ClientCommandError(_http_error_message(body)) from e
+        except URLError as e:
+            raise ClientConnectionError(str(e)) from e
+        frames = []
+        for line in body.splitlines():
+            if line.strip():
+                frames.append(json.loads(line))
+        return frames
+
+    def close(self):
+        pass
+
+
+def _http_error_message(body: bytes) -> str:
+    try:
+        frame = json.loads(body.splitlines()[0])
+        return frame.get("message", body.decode(errors="replace"))
+    except Exception:
+        return body.decode(errors="replace")
+
+
+class SnelDBClient:
+    """`SnelDBClient("tcp://host:port")` or `SnelDBClient("http://host:port")`.
+
+    With `user_id` + `secret_key`, TCP commands are signed inline
+    (stateless) until `authenticate()` swaps to a session token; HTTP
+    commands carry signature headers per request. Usable as a context
+    manager."""
+
+    def __init__(
+        self,
+        url: str,
+        user_id: Optional[str] = None,
+        secret_key: Optional[str] = None,
+        timeout: float = 60.0,
+    ):
+        parsed = urlparse(url if "://" in url else f"tcp://{url}")
+        host = parsed.hostname or "localhost"
+        self.user_id = user_id
+        self._secret_key = secret_key
+        self._token: Optional[str] = None
+        if parsed.scheme in ("http", "https"):
+            port = parsed.port or (443 if parsed.scheme == "https" else 80)
+            self._kind = "http"
+            self._http = _HttpTransport(
+                f"{parsed.scheme}://{host}:{port}{parsed.path or ''}", timeout
+            )
+        elif parsed.scheme == "tcp":
+            if parsed.port is None:
+                raise ClientError("tcp:// URL needs an explicit port")
+            self._kind = "tcp"
+            self._tcp = _TcpTransport(host, parsed.port, timeout)
+        else:
+            raise ClientError(f"unsupported scheme {parsed.scheme!r}")
+
+    # -- core --------------------------------------------------------------
+    def try_execute(self, command: str) -> ClientResult:
+        """Run one command; error frames come back as ok=False instead of
+        raising (mirrors SnelDB.try_execute)."""
+        try:
+            return self._execute(command)
+        except (ClientCommandError, ClientAuthError) as e:
+            return ClientResult(ok=False, message=str(e))
+
+    def execute(self, command: str) -> ClientResult:
+        """Run one command; raises ClientCommandError / ClientAuthError on
+        an error reply."""
+        return self._execute(command)
+
+    def query(self, command: str) -> list[dict]:
+        """Run a read command and return its normalized records."""
+        return self._execute(command).rows
+
+    def _execute(self, command: str) -> ClientResult:
+        command = command.strip()
+        if self._kind == "tcp":
+            return _frames_to_result(self._tcp.round_trip(self._format_tcp(command)))
+        return _frames_to_result(self._http.post(command, self._http_headers(command)))
+
+    # -- auth --------------------------------------------------------------
+    def authenticate(self) -> str:
+        """TCP: run the AUTH handshake and cache the session token (later
+        commands send `... TOKEN <t>`). HTTP: commands are signed per
+        request already; this just verifies the credentials work."""
+        if not (self.user_id and self._secret_key):
+            raise ClientAuthError("user_id and secret_key are required")
+        if self._kind == "tcp":
+            sig = _sign(self._secret_key, self.user_id)
+            frames = self._tcp.round_trip(f"AUTH {self.user_id}:{sig}")
+            msg = frames[0].get("message", "")
+            if frames[0].get("type") != "ok" or "TOKEN" not in msg:
+                raise ClientAuthError(msg or "AUTH failed")
+            self._token = msg.rsplit(" ", 1)[-1]
+            return self._token
+        self._execute("PING")
+        return ""
+
+    def _format_tcp(self, command: str) -> str:
+        if self._token:
+            return f"{command} TOKEN {self._token}"
+        if self.user_id and self._secret_key:
+            return f"{self.user_id}:{_sign(self._secret_key, command)}:{command}"
+        return command
+
+    def _http_headers(self, command: str) -> dict[str, str]:
+        if self._token:
+            return {"X-Auth-Token": self._token}
+        if self.user_id and self._secret_key:
+            return {
+                "X-Auth-User": self.user_id,
+                "X-Auth-Signature": _sign(self._secret_key, command),
+            }
+        return {}
+
+    # -- convenience helpers (reference client parity) ---------------------
+    def ping(self) -> bool:
+        return self._execute("PING").message == "PONG"
+
+    def define(self, event_type: str, fields: dict, version: int | None = None) -> ClientResult:
+        ver = f" AS {version}" if version is not None else ""
+        return self._execute(
+            f"DEFINE {event_type}{ver} FIELDS {json.dumps(fields)}"
+        )
+
+    def store(self, event_type: str, context_id: str, payload: dict) -> ClientResult:
+        return self._execute(
+            f"STORE {event_type} FOR {context_id} PAYLOAD {json.dumps(payload)}"
+        )
+
+    def flush(self) -> ClientResult:
+        return self._execute("FLUSH")
+
+    # -- lifecycle ---------------------------------------------------------
+    def close(self):
+        if self._kind == "tcp":
+            self._tcp.close()
+        else:
+            self._http.close()
+
+    def __enter__(self) -> "SnelDBClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
