@@ -49,6 +49,7 @@ class SnelDB:
         auth: AuthManager | None = None,
         wal: bool = True,
         wal_archive_dir: str | None = None,
+        approx_count_unique: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -61,6 +62,7 @@ class SnelDB:
             ),
             time_config=time_config,
             topk_source=self.store.read_topk,
+            approx_count_unique=approx_count_unique,
         )
         self.materializer = Materializer(self, root)
         self.auth = auth

@@ -49,11 +49,34 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _imaging():
+    """The optional codec backend (feature-flag probe): Pillow when
+    importable, else None. Not baked into this container — every API
+    below keeps a deterministic stub path so plumbing stays testable and
+    the oracle gates stay codec-independent."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
+def have_image_codec() -> bool:
+    return _imaging() is not None
+
+
 def decode_image(data: bytes) -> "object":
-    """Real image decode — requires an imaging library not present here."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this environment"
-    )
+    """Real image decode via the optional Pillow backend; raises
+    NotImplementedError when no codec is installed."""
+    image_mod = _imaging()
+    if image_mod is None:
+        raise NotImplementedError(
+            "image decode requires Pillow; pip install pillow to enable"
+        )
+    import io
+
+    return image_mod.open(io.BytesIO(data))
 
 
 def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
@@ -104,18 +127,38 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    df: DataFrame, max_width: int = 256, max_height: int = 256
+    df: DataFrame, max_width: int = 256, max_height: int = 256,
+    codec: str = "fake",
 ) -> DataFrame:
     """Arrow-batched image resize plumbing (aspect-preserving fit into
     max_width x max_height).
 
     The geometry — target dimensions, pass-through of already-small
-    images — is real and computed from metadata; the pixel work is stubbed
-    (``decode_image`` raises here) with a deterministic fake payload whose
-    length scales with the target area, so batch shapes and memory behavior
-    downstream are representative. Swap ``_fake_resize`` for a
-    PIL/opencv call to make it real; nothing else changes.
+    images — is real and computed from metadata. The pixel work follows
+    `codec`:
+
+    - "fake" (default): deterministic payload whose length scales with
+      the target area — batch shapes and memory behavior downstream stay
+      representative, and the oracle gates stay codec-independent.
+    - "real": decode + resize + re-encode through the optional Pillow
+      backend (raises on executors if Pillow is absent).
+    - "auto": "real" when a codec is importable on the driver, else
+      "fake".
     """
+    if codec == "auto":
+        codec = "real" if have_image_codec() else "fake"
+    if codec not in ("real", "fake"):
+        raise ValueError(f"unknown codec mode {codec!r}")
+    use_real = codec == "real"
+
+    def _real_resize(data: bytes, w: int, h: int) -> bytes:
+        import io
+
+        img = decode_image(data)
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((max(w, 1), max(h, 1))).save(buf, format=fmt)
+        return buf.getvalue()
 
     def _fake_resize(data: bytes, need: int) -> bytes:
         # Deterministic stand-in: repeat the digest to ~1 byte/pixel.
@@ -144,7 +187,10 @@ def resize_images(
             out = data.copy()
             need = tw * th
             for i in np.nonzero(~small)[0]:
-                out[i] = _fake_resize(data[i], int(need[i]))
+                if use_real:
+                    out[i] = _real_resize(data[i], int(tw[i]), int(th[i]))
+                else:
+                    out[i] = _fake_resize(data[i], int(need[i]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

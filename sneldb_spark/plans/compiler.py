@@ -47,6 +47,7 @@ class QueryCompiler:
         schema_lookup: SchemaFn | None = None,
         time_config: TimeConfig | None = None,
         topk_source: Callable[[str, str, int, bool], Optional[DataFrame]] | None = None,
+        approx_count_unique: bool = False,
     ):
         self._source = source
         self._schema = schema_lookup or (lambda et: None)
@@ -54,6 +55,10 @@ class QueryCompiler:
         # Optional (event_type, order_field, n, desc) -> pruned frame for
         # ORDER BY + LIMIT (EventStore.read_topk); None = full scan.
         self._topk_source = topk_source
+        # Opt-in: COUNT UNIQUE compiles to approx_count_distinct (HLL++,
+        # O(1) state per group) instead of exact count(distinct). Default
+        # stays exact — reference semantics.
+        self.approx_count_unique = approx_count_unique
 
     # -- public ----------------------------------------------------------
     def compile(self, cmd: ast.Command) -> DataFrame:
@@ -163,7 +168,10 @@ class QueryCompiler:
                     tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
                     week_start=tc.week_start,
                 )
-            out = apply_aggregation(df, q.aggs, q.group_by, resolve, bucket)
+            out = apply_aggregation(
+                df, q.aggs, q.group_by, resolve, bucket,
+                approx_unique=self.approx_count_unique,
+            )
             out = self._order_limit(out, q, agg=True)
             return out
 
@@ -294,7 +302,10 @@ class QueryCompiler:
                     tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
                     week_start=tc.week_start,
                 )
-            out = apply_aggregation(matched, q.aggs, q.group_by, resolve, bucket)
+            out = apply_aggregation(
+                matched, q.aggs, q.group_by, resolve, bucket,
+                approx_unique=self.approx_count_unique,
+            )
             return self._order_limit(out, q, agg=True)
 
         # LIMIT caps matched sequences (reference:

@@ -44,6 +44,47 @@ A_PREFIX = "a_"
 B_PREFIX = "b_"
 
 
+# One window partition processes an entire link group; past this many
+# rows on one key the partition serializes badly and deserves a loud
+# signal instead of a silent stall (see the skew note above).
+HOT_LINK_KEY_THRESHOLD = 5_000_000
+
+
+def check_link_skew(
+    a: DataFrame,
+    b: DataFrame,
+    link_field: str,
+    threshold: int = HOT_LINK_KEY_THRESHOLD,
+) -> list[tuple]:
+    """Diagnostic pre-flight for sequence queries: count rows per link key
+    over both sides and WARN for keys whose group exceeds `threshold` —
+    at 100x scale a hot key serializes one window partition (the bound is
+    inherent to the semantics; the reference's per-group matcher carries
+    the same one). One cheap count aggregate; only the hot tail (top 20)
+    reaches the driver. Returns [(key, rows), ...] so callers can fail
+    fast or repartition the offending groups out of band."""
+    import logging
+
+    hot = (
+        a.select(F.col(link_field).alias("__k"))
+        .unionByName(b.select(F.col(link_field).alias("__k")))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= F.lit(threshold))
+        .orderBy(F.col("__n").desc())
+        .limit(20)
+        .collect()
+    )
+    pairs = [(r["__k"], r["__n"]) for r in hot]
+    if pairs:
+        logging.getLogger(__name__).warning(
+            "sequence link key skew: %d key(s) above %d rows (worst: %r with "
+            "%d); each hot key serializes one window partition",
+            len(pairs), threshold, pairs[0][0], pairs[0][1],
+        )
+    return pairs
+
+
 def sequence_match(
     a: DataFrame,
     b: DataFrame,
@@ -53,10 +94,15 @@ def sequence_match(
     ts_a: Column | str = "timestamp",
     ts_b: Column | str = "timestamp",
     tie: str = "event_id",
+    skew_check: bool = False,
 ) -> DataFrame:
-    """Return one row per matched (A, B) pair with columns a_* and b_*."""
+    """Return one row per matched (A, B) pair with columns a_* and b_*.
+    `skew_check=True` runs the check_link_skew pre-flight (one eager
+    count job) before building the plan."""
     if kind not in (FOLLOWED_BY, PRECEDED_BY):
         raise ValueError(f"unknown sequence link kind {kind!r}")
+    if skew_check:
+        check_link_skew(a, b, link_field)
     ts_a = F.col(ts_a) if isinstance(ts_a, str) else ts_a
     ts_b = F.col(ts_b) if isinstance(ts_b, str) else ts_b
 

@@ -73,6 +73,12 @@ class Materializer:
         (caps *groups*; a delta could add groups that should compete),
         and retention options (they filter event-shaped rows, not
         groups)."""
+        if getattr(self.engine.compiler, "approx_count_unique", False) and any(
+            s.op == "count_unique" for s in q.aggs
+        ):
+            # approx results aren't set-mergeable (the stored exact-set
+            # refresh would silently upgrade an approx REMEMBER to exact)
+            return False
         return (
             q.is_aggregate
             and not q.is_sequence

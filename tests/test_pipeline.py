@@ -216,10 +216,65 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_multimodal_decode_is_stubbed():
-    from sneldb_spark.pipeline.multimodal import decode_image
+    from sneldb_spark.pipeline import multimodal
 
+    if multimodal.have_image_codec():  # pragma: no cover - env-dependent
+        pytest.skip("Pillow installed; stub path not reachable")
     with pytest.raises(NotImplementedError):
-        decode_image(b"bytes")
+        multimodal.decode_image(b"bytes")
+
+
+def test_multimodal_decode_uses_codec_when_present(monkeypatch):
+    """Feature flag: with a PIL-compatible backend importable, decode and
+    the resize codec="real" path run through it (proven with a minimal
+    in-memory backend; the container has no Pillow)."""
+    import io
+    import sys
+    import types
+
+    from sneldb_spark.pipeline import multimodal
+
+    class _FakeImg:
+        format = "PNG"
+
+        def __init__(self, data):
+            self.data = data
+
+        def resize(self, size):
+            self.size = size
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"resized:%dx%d" % self.size)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda b: _FakeImg(b.read()))
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+
+    assert multimodal.have_image_codec()
+    img = multimodal.decode_image(b"\x89PNG...")
+    assert img.data == b"\x89PNG..."
+    out = io.BytesIO()
+    img.resize((4, 3)).save(out, format="PNG")
+    assert out.getvalue() == b"resized:4x3"
+
+
+def test_resize_codec_auto_falls_back_to_fake(spark):
+    from sneldb_spark.pipeline.multimodal import have_image_codec, resize_images
+
+    if have_image_codec():  # pragma: no cover - env-dependent
+        pytest.skip("Pillow installed; auto resolves to real here")
+    media = spark.createDataFrame(
+        [(1, "image/png", b"x" * 64, 512, 256, None)],
+        "media_id long, mime string, data binary, meta_width int, "
+        "meta_height int, meta_duration_ms long",
+    )
+    fake = resize_images(media, codec="fake").collect()
+    auto = resize_images(media, codec="auto").collect()
+    assert [r.asDict() for r in fake] == [r.asDict() for r in auto]
+    with pytest.raises(ValueError):
+        resize_images(media, codec="imaginary")
 
 
 def test_frame_sampling(spark):

@@ -290,3 +290,56 @@ def test_gates_pin_utc_regardless_of_session_timezone(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_sequence_hot_link_key_warns(spark, caplog):
+    """A link key whose group exceeds the threshold serializes one window
+    partition; the pre-flight must say so loudly instead of letting a
+    100x run stall silently."""
+    import logging
+
+    from sneldb_spark.plans.sequence import check_link_skew, sequence_match
+
+    a = spark.createDataFrame(
+        [("hot", i, i) for i in range(50)] + [("cold", 1, 1)],
+        ["user_id", "timestamp", "event_id"],
+    )
+    b = a
+    with caplog.at_level(logging.WARNING, logger="sneldb_spark.plans.sequence"):
+        hot = check_link_skew(a, b, "user_id", threshold=60)
+    assert hot == [("hot", 100)]  # both sides counted
+    assert any("skew" in r.message for r in caplog.records)
+    # quiet below threshold, and the opt-in flag routes through the same check
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sneldb_spark.plans.sequence"):
+        assert check_link_skew(a, b, "user_id", threshold=1_000) == []
+        sequence_match(a, b, "user_id", "followed_by", skew_check=True)
+    assert not any("skew" in r.message and "1000" in r.message for r in caplog.records)
+
+
+def test_count_unique_approx_mode_flag(spark, tmp_path):
+    """Default COUNT UNIQUE stays exact (reference semantics); the
+    approx_count_unique opt-in swaps in HyperLogLog++ with the same
+    output schema."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "exact_db"))
+    db.execute('DEFINE visit FIELDS { "who": "string", "site": "string" }')
+    for i in range(40):
+        db.execute(
+            f'STORE visit FOR c{i} PAYLOAD {{ "who": "u{i % 7}", "site": "s{i % 2}" }}'
+        )
+    db.execute("FLUSH")
+    q = "QUERY visit COUNT UNIQUE who BY site"
+    exact = {r["site"]: r["count_unique_who"] for r in db.query(q).collect()}
+    assert exact == {"s0": 7, "s1": 7}
+    plan = db.query(q)._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" not in plan
+
+    approx_db = SnelDB(spark, db.root, approx_count_unique=True)
+    approx_plan = approx_db.query(q)._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in approx_plan
+    got = {r["site"]: r["count_unique_who"] for r in approx_db.query(q).collect()}
+    assert set(got) == {"s0", "s1"}
+    for v in got.values():  # HLL++ at this cardinality is exact in practice
+        assert abs(v - 7) <= 1
