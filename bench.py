@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "sampling_leakage_safe",
     "corpus_curation",
+    "remember_show_agg",
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_ivf_indexed",
