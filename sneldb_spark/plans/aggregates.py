@@ -108,7 +108,13 @@ def apply_aggregation(
 #   count_unique_f            -> exact value set     (distinct-union; the
 #                                reference's HashSet merge. State is
 #                                O(distinct values per group) — the cost
-#                                exact COUNT UNIQUE inherently carries)
+#                                exact COUNT UNIQUE inherently carries).
+#                                With approx_unique: a DataSketches HLL
+#                                sketch (binary, O(1) per group), merged
+#                                by hll_union_agg and finalized by
+#                                hll_sketch_estimate — approx COUNT
+#                                UNIQUE materializations refresh
+#                                incrementally too, with constant state.
 
 
 def _avg_state(field: str) -> tuple[str, str]:
@@ -119,7 +125,9 @@ def _set_state(field: str) -> str:
     return f"__set_{field}"
 
 
-def partial_agg_exprs(specs: list[AggSpec], resolve) -> list[Column]:
+def partial_agg_exprs(
+    specs: list[AggSpec], resolve, approx_unique: bool = False
+) -> list[Column]:
     """Aggregation expressions producing the mergeable state columns."""
     exprs: list[Column] = []
     for spec in specs:
@@ -139,7 +147,14 @@ def partial_agg_exprs(specs: list[AggSpec], resolve) -> list[Column]:
             exprs.append(F.sum(col).alias(s))
             exprs.append(F.count(col).alias(c))
         elif spec.op == "count_unique":
-            exprs.append(F.collect_set(col).alias(_set_state(spec.field)))
+            if approx_unique:
+                exprs.append(
+                    F.hll_sketch_agg(col.cast("string")).alias(
+                        _set_state(spec.field)
+                    )
+                )
+            else:
+                exprs.append(F.collect_set(col).alias(_set_state(spec.field)))
         else:
             raise QueryError(f"unknown aggregate op {spec.op!r}")
     return exprs
@@ -151,6 +166,7 @@ def apply_partial_aggregation(
     group_cols: list[str],
     resolve,
     bucket: Column | None = None,
+    approx_unique: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Like apply_aggregation but emitting partial state; returns the
     state frame and the group-key column names."""
@@ -164,14 +180,17 @@ def apply_partial_aggregation(
         col, _ = resolve(g)
         keys.append(col.alias(g))
         names.append(g)
-    exprs = partial_agg_exprs(specs, resolve)
+    exprs = partial_agg_exprs(specs, resolve, approx_unique=approx_unique)
     if keys:
         return df.groupBy(*keys).agg(*exprs), names
     return df.agg(*exprs), names
 
 
 def merge_partial_states(
-    df: DataFrame, specs: list[AggSpec], key_names: list[str]
+    df: DataFrame,
+    specs: list[AggSpec],
+    key_names: list[str],
+    approx_unique: bool = False,
 ) -> DataFrame:
     """Collapse a union of partial-state frames to one row per group."""
     aggs: list[Column] = []
@@ -189,9 +208,12 @@ def merge_partial_states(
             aggs.append(F.sum(c).alias(c))
         elif spec.op == "count_unique":
             s = _set_state(spec.field)
-            aggs.append(
-                F.array_distinct(F.flatten(F.collect_list(s))).alias(s)
-            )
+            if approx_unique:
+                aggs.append(F.hll_union_agg(s).alias(s))
+            else:
+                aggs.append(
+                    F.array_distinct(F.flatten(F.collect_list(s))).alias(s)
+                )
         else:
             raise QueryError(f"unknown aggregate op {spec.op!r}")
     if key_names:
@@ -200,7 +222,10 @@ def merge_partial_states(
 
 
 def finalize_partial_state(
-    df: DataFrame, specs: list[AggSpec], key_names: list[str]
+    df: DataFrame,
+    specs: list[AggSpec],
+    key_names: list[str],
+    approx_unique: bool = False,
 ) -> DataFrame:
     """Partial state -> the exact output schema apply_aggregation yields
     (A11 naming, keys first then aggregates in spec order)."""
@@ -210,8 +235,11 @@ def finalize_partial_state(
             s, c = _avg_state(spec.field)
             out = out.withColumn(spec.output_name, F.col(s) / F.col(c))
         elif spec.op == "count_unique":
+            st = F.col(_set_state(spec.field))
             out = out.withColumn(
                 spec.output_name,
-                F.size(F.col(_set_state(spec.field))).cast("long"),
+                F.hll_sketch_estimate(st)
+                if approx_unique
+                else F.size(st).cast("long"),
             )
     return out.select(*key_names, *[s.output_name for s in specs])

@@ -210,7 +210,10 @@ class QueryCompiler:
                 tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
                 week_start=tc.week_start,
             )
-        return apply_partial_aggregation(df, q.aggs, q.group_by, resolve, bucket)
+        return apply_partial_aggregation(
+            df, q.aggs, q.group_by, resolve, bucket,
+            approx_unique=self.approx_count_unique,
+        )
 
     def _reference_column_order(self, df: DataFrame, q: ast.QueryCommand) -> DataFrame:
         """Full-column results use the reference's column order: core

@@ -73,12 +73,6 @@ class Materializer:
         (caps *groups*; a delta could add groups that should compete),
         and retention options (they filter event-shaped rows, not
         groups)."""
-        if getattr(self.engine.compiler, "approx_count_unique", False) and any(
-            s.op == "count_unique" for s in q.aggs
-        ):
-            # approx results aren't set-mergeable (the stored exact-set
-            # refresh would silently upgrade an approx REMEMBER to exact)
-            return False
         return (
             q.is_aggregate
             and not q.is_sequence
@@ -138,13 +132,29 @@ class Materializer:
             "max_rows": max_rows,
             "max_age_seconds": max_age_seconds,
         }
-        df = self._apply_retention(self.engine.compiler.compile_query(q), manifest)
         path = os.path.join(self._dir(name), "data")
-        df.write.mode("overwrite").parquet(path)
         if self._agg_incrementable(q, manifest):
+            # Materialize the RESULT from the partial state's finalize so
+            # the remembered values and every later state-merge refresh go
+            # through the one estimator — with approx COUNT UNIQUE the
+            # query path (approx_count_distinct) and the sketch estimate
+            # differ slightly, and a refresh must never silently change
+            # which one the user is looking at.
+            from sneldb_spark.plans.aggregates import finalize_partial_state
+
+            approx = self.engine.compiler.approx_count_unique
             state, keys = self.engine.compiler.compile_aggregate_partial(q)
             state.write.mode("overwrite").parquet(self._state_path(name))
             manifest["state_keys"] = keys
+            stored_state = self.engine.spark.read.parquet(self._state_path(name))
+            finalize_partial_state(
+                stored_state, q.aggs, keys, approx_unique=approx
+            ).write.mode("overwrite").parquet(path)
+        else:
+            df = self._apply_retention(
+                self.engine.compiler.compile_query(q), manifest
+            )
+            df.write.mode("overwrite").parquet(path)
         hwm_ts, hwm_id = self._source_hwm(q)
         manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
         with open(self._manifest_path(name), "w") as f:
@@ -164,7 +174,10 @@ class Materializer:
         )
         spath = self._state_path(name)
         stored = self.engine.spark.read.parquet(spath)
-        merged = merge_partial_states(stored.unionByName(delta), q.aggs, keys)
+        merged = merge_partial_states(
+            stored.unionByName(delta), q.aggs, keys,
+            approx_unique=self.engine.compiler.approx_count_unique,
+        )
         self._swap_in(merged, spath)
         return self.engine.spark.read.parquet(spath)
 
@@ -201,7 +214,10 @@ class Materializer:
             from sneldb_spark.plans.aggregates import finalize_partial_state
 
             self._swap_in(
-                finalize_partial_state(merged_state, q.aggs, manifest["state_keys"]),
+                finalize_partial_state(
+                    merged_state, q.aggs, manifest["state_keys"],
+                    approx_unique=self.engine.compiler.approx_count_unique,
+                ),
                 path,
             )
         elif stale:

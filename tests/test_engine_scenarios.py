@@ -338,6 +338,35 @@ def test_remember_show_aggregate_global_and_bucketed(spark, tmp_path):
     assert sum(r["count"] for r in daily) == 2
 
 
+def test_remember_show_aggregate_incremental_approx_sketches(spark, tmp_path):
+    """With approx_count_unique on, COUNT UNIQUE materializations keep an
+    HLL sketch per group (O(1) state) and still refresh incrementally;
+    REMEMBER and every refresh go through the same sketch estimator, so
+    SHOW values never flip estimators. Small cardinalities estimate
+    exactly."""
+    from sneldb_spark.engine import SnelDB
+
+    q = "QUERY sale COUNT, COUNT UNIQUE amount BY country"
+    db = SnelDB(spark, str(tmp_path / "db"), approx_count_unique=True)
+    db.execute('DEFINE sale FIELDS { "amount": "int", "country": "string" }')
+    for i, (c, amt) in enumerate([("NL", 10), ("NL", 20), ("DE", 5)]):
+        db.execute(f'STORE sale FOR a{i} PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS sale_u")
+    first = {r["country"]: r["count_unique_amount"]
+             for r in db.execute("SHOW sale_u").df.collect()}
+    assert first == {"NL": 2, "DE": 1}
+    # state is a binary sketch, not a value set
+    state = spark.read.parquet(str(tmp_path / "db/materialized/sale_u/state"))
+    assert dict(state.dtypes)["__set_amount"] == "binary"
+    for i, (c, amt) in enumerate([("NL", 30), ("FR", 1)]):
+        db.execute(f'STORE sale FOR b{i} PAYLOAD {{ "amount": {amt}, "country": "{c}" }}')
+    db.execute("FLUSH")
+    got = {r["country"]: (r["count"], r["count_unique_amount"])
+           for r in db.execute("SHOW sale_u").df.collect()}
+    assert got == {"NL": (3, 3), "DE": (1, 1), "FR": (1, 1)}
+
+
 def test_aggregate_refresh_scans_only_delta(spark, tmp_path):
     """The refresh delta predicate must reach the Parquet scan: a
     materialized aggregate over 100 TB of history refreshes by reading
