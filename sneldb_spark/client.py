@@ -124,6 +124,104 @@ class _TcpTransport:
         self._sock.close()
 
 
+class _WsTransport:
+    """Minimal RFC 6455 client (the server side lives in ws_server.py; no
+    websocket library in the stack, and the framing is ~60 lines). One
+    command per text message; reply frames arrive one per message."""
+
+    def __init__(self, host: str, port: int, timeout: float):
+        import base64
+        import hashlib
+        import os as _os
+        import struct  # noqa: F401  (used by the io helpers below)
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._io = self._sock.makefile("rwb")
+        key = base64.b64encode(_os.urandom(16)).decode()
+        self._io.write(
+            (
+                f"GET / HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        self._io.flush()
+        status = self._io.readline().decode("latin-1")
+        if "101" not in status:
+            raise ClientConnectionError(f"websocket handshake refused: {status.strip()}")
+        accept = None
+        while True:
+            raw = self._io.readline().decode("latin-1")
+            if raw in ("\r\n", "\n", ""):
+                break
+            k, _, v = raw.partition(":")
+            if k.strip().lower() == "sec-websocket-accept":
+                accept = v.strip()
+        guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+        expect = base64.b64encode(hashlib.sha1((key + guid).encode()).digest()).decode()
+        if accept != expect:
+            raise ClientConnectionError("websocket handshake key mismatch")
+
+    def _write_frame(self, payload: bytes, opcode: int = 0x1):
+        import os as _os
+        import struct
+
+        header = bytearray([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            header.append(0x80 | n)  # client frames are masked
+        elif n < (1 << 16):
+            header.append(0x80 | 126)
+            header += struct.pack(">H", n)
+        else:
+            header.append(0x80 | 127)
+            header += struct.pack(">Q", n)
+        mask = _os.urandom(4)
+        header += mask
+        masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        self._io.write(bytes(header) + masked)
+        self._io.flush()
+
+    def _read_frame(self) -> tuple[int, bytes]:
+        import struct
+
+        head = self._io.read(2)
+        if len(head) < 2:
+            raise ClientConnectionError("connection closed mid-response")
+        opcode = head[0] & 0x0F
+        length = head[1] & 0x7F
+        if length == 126:
+            length = struct.unpack(">H", self._io.read(2))[0]
+        elif length == 127:
+            length = struct.unpack(">Q", self._io.read(8))[0]
+        # server frames are unmasked
+        return opcode, self._io.read(length)
+
+    def round_trip(self, line: str) -> list[dict]:
+        self._write_frame(line.strip().encode())
+        frames: list[dict] = []
+        while True:
+            opcode, payload = self._read_frame()
+            if opcode == 0x8:  # close
+                raise ClientConnectionError("server closed mid-response")
+            if opcode == 0x9:  # ping -> pong
+                self._write_frame(payload, 0xA)
+                continue
+            if opcode != 0x1:
+                continue
+            frame = json.loads(payload)
+            frames.append(frame)
+            if frame.get("type") in ("end", "ok", "error"):
+                return frames
+
+    def close(self):
+        try:
+            self._write_frame(b"", 0x8)
+        except OSError:
+            pass
+        self._sock.close()
+
+
 class _HttpTransport:
     def __init__(self, endpoint: str, timeout: float):
         self._endpoint = endpoint.rstrip("/")
@@ -170,9 +268,9 @@ def _http_error_message(body: bytes) -> str:
 
 
 class SnelDBClient:
-    """`SnelDBClient("tcp://host:port")` or `SnelDBClient("http://host:port")`.
+    """`SnelDBClient("tcp://host:port" | "ws://host:port" | "http://host:port")`.
 
-    With `user_id` + `secret_key`, TCP commands are signed inline
+    With `user_id` + `secret_key`, TCP/WS commands are signed inline
     (stateless) until `authenticate()` swaps to a session token; HTTP
     commands carry signature headers per request. Usable as a context
     manager."""
@@ -195,11 +293,12 @@ class SnelDBClient:
             self._http = _HttpTransport(
                 f"{parsed.scheme}://{host}:{port}{parsed.path or ''}", timeout
             )
-        elif parsed.scheme == "tcp":
+        elif parsed.scheme in ("tcp", "ws"):
             if parsed.port is None:
-                raise ClientError("tcp:// URL needs an explicit port")
-            self._kind = "tcp"
-            self._tcp = _TcpTransport(host, parsed.port, timeout)
+                raise ClientError(f"{parsed.scheme}:// URL needs an explicit port")
+            self._kind = "tcp"  # ws shares the line protocol + auth formats
+            transport = _TcpTransport if parsed.scheme == "tcp" else _WsTransport
+            self._tcp = transport(host, parsed.port, timeout)
         else:
             raise ClientError(f"unsupported scheme {parsed.scheme!r}")
 

@@ -60,6 +60,18 @@ def test_http_client_end_to_end(http_server):
         _exercise(client)
 
 
+def test_ws_client_end_to_end(engine):
+    from sneldb_spark.ws_server import SnelDBWsServer
+
+    server = SnelDBWsServer(engine).start()
+    try:
+        host, port = server.address
+        with SnelDBClient(f"ws://{host}:{port}") as client:
+            _exercise(client)
+    finally:
+        server.stop()
+
+
 def test_client_replays_reference_scenarios(tcp_server, engine):
     """Client-driven replay: commands from ported reference scenarios run
     through the packaged client must produce the same records the engine
