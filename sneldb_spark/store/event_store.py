@@ -418,6 +418,33 @@ class EventStore:
             df = df.unionByName(pending)
         return df
 
+    def source_hwm(self, event_type: str) -> tuple[int, int] | None:
+        """(max timestamp, max event_id) for one type from Parquet FOOTER
+        stats plus the in-memory pending buffer — no Spark job, no data
+        pages. The staleness probe behind every SHOW; a full-scan
+        agg(max(...)) over 100 TB just to ask "did anything arrive?"
+        would defeat the delta refresh it guards. Returns None when
+        footer stats are unavailable (caller falls back to the scan);
+        (-1, -1) when the type holds no rows at all."""
+        from sneldb_spark.store.topk_prune import columns_max
+
+        if event_type == "*" or not self.registry.has(event_type):
+            return None
+        hwm_ts, hwm_id = -1, -1
+        if self.has_data(event_type):
+            maxes = columns_max(self._path(event_type), ["timestamp", "event_id"])
+            if maxes is None:
+                return None
+            if maxes["timestamp"] is not None:
+                hwm_ts = int(maxes["timestamp"])
+                hwm_id = int(maxes["event_id"])
+        with self._pending_lock:
+            rows = list(self._pending.get(event_type, ()))
+        for r in rows:
+            hwm_ts = max(hwm_ts, r["timestamp"])
+            hwm_id = max(hwm_id, r["event_id"])
+        return hwm_ts, hwm_id
+
     def read_stream(self, event_type: str) -> DataFrame:
         """Streaming DataFrame over one event type's Parquet dataset —
         every FLUSH commit surfaces as new files in the file source. The

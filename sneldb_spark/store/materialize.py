@@ -49,9 +49,17 @@ class Materializer:
 
     # -- helpers ----------------------------------------------------------
     def _source_hwm(self, q: ast.QueryCommand) -> tuple[int, int]:
-        """(max timestamp, max event_id) over the query's source types."""
+        """(max timestamp, max event_id) over the query's source types.
+        Footer-stats + memtable probe (no Spark job) when available —
+        this runs on EVERY SHOW, so it must stay metadata-cheap — with a
+        full agg(max(...)) scan as the fallback."""
         hwm_ts, hwm_id = -1, -1
         for et in q.sequence.event_types:
+            fast = self.engine.store.source_hwm(et)
+            if fast is not None:
+                hwm_ts = max(hwm_ts, fast[0])
+                hwm_id = max(hwm_id, fast[1])
+                continue
             try:
                 df = self.engine.store.read(et)
             except Exception:

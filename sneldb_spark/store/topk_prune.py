@@ -130,3 +130,58 @@ def select_topk_files(
         elif not desc and s.cmin <= bound:
             keep.append(s.path)
     return keep, bound
+
+
+def columns_max(
+    root: str, columns: list[str], max_files: int = 100_000, max_workers: int = 16
+) -> dict[str, object] | None:
+    """Per-column MAX over every parquet file under `root` from footer
+    stats alone — the high-water-mark probe for incremental refresh.
+    A full-scan `agg(max(...))` over 100 TB just to learn "did anything
+    arrive?" defeats the point of a delta refresh; footers answer it at
+    metadata cost (the same trick the reference's high_water.rs plays
+    with its zone metadata). Returns None when any row group lacks stats
+    for a requested column (caller falls back to the scan)."""
+    import pyarrow.parquet as pq
+
+    paths: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                paths.append(os.path.join(dirpath, f))
+                if len(paths) > max_files:
+                    return None
+    if not paths:
+        return {c: None for c in columns}
+
+    def file_maxes(path: str) -> dict[str, object] | None:
+        md = pq.ParquetFile(path).metadata
+        idx = {}
+        for j in range(md.num_columns):
+            name = md.row_group(0).column(j).path_in_schema
+            if name in columns:
+                idx[name] = j
+        if set(idx) != set(columns):
+            return None
+        out: dict[str, object] = {}
+        for name, j in idx.items():
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(j).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                out[name] = st.max if name not in out else max(out[name], st.max)
+        return out
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+            per_file = list(ex.map(file_maxes, paths))
+    except Exception:
+        return None
+    if any(m is None for m in per_file):
+        return None
+    agg: dict[str, object] = {}
+    for m in per_file:
+        for name, v in m.items():
+            if v is not None:
+                agg[name] = v if name not in agg else max(agg[name], v)
+    return {c: agg.get(c) for c in columns}

@@ -270,3 +270,53 @@ def test_parser_total_on_arbitrary_input(text):
         parse_command(text)
     except SnelDBError:
         pass  # clean engine error is the contract; anything else is a crash
+
+
+# ---------------------------------------------------------------------------
+# Top-k file pruning: for ANY dataset, the kept files must reproduce the
+# exact top-n value multiset under Spark's null ordering (nulls FIRST
+# ascending, LAST descending) — pure-Python property, no Spark round-trip.
+# ---------------------------------------------------------------------------
+
+_file_values = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    files=st.lists(_file_values, min_size=1, max_size=8),
+    n=st.integers(min_value=1, max_value=15),
+    desc=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_topk_prune_preserves_topn_values(files, n, desc):
+    from sneldb_spark.store.topk_prune import FileStat, select_topk_files
+
+    stats = []
+    for i, vals in enumerate(files):
+        known = [v for v in vals if v is not None]
+        stats.append(
+            FileStat(
+                path=str(i),
+                rows=len(vals),
+                cmin=min(known) if known else None,
+                cmax=max(known) if known else None,
+                # a file of only nulls has no min/max stats: unprunable
+                nulls=len(vals) - len(known) if known else 0,
+            )
+        )
+    keep, _bound = select_topk_files(stats, n, desc)
+    kept_vals = [v for i, vals in enumerate(files) if str(i) in keep for v in vals]
+    all_vals = [v for vals in files for v in vals]
+
+    def order_key(v):
+        # Spark: asc -> nulls first; desc -> nulls last
+        if desc:
+            return (1, 0) if v is None else (0, -v)
+        return (0, 0) if v is None else (1, v)
+
+    top_all = sorted(all_vals, key=order_key)[:n]
+    top_kept = sorted(kept_vals, key=order_key)[:n]
+    assert top_kept == top_all, (stats, keep, top_kept, top_all)
