@@ -227,19 +227,30 @@ class _HttpTransport:
         self._endpoint = endpoint.rstrip("/")
         self._timeout = timeout
 
-    def post(self, command: str, headers: dict[str, str]) -> list[dict]:
+    ARROW_MIME = "application/vnd.apache.arrow.stream"
+
+    def post(
+        self, command: str, headers: dict[str, str], arrow: bool = False
+    ) -> list[dict] | tuple[object]:
+        """JSON frame list, or a 1-tuple holding a pyarrow Table when the
+        server answered the Arrow content negotiation."""
         from urllib.error import HTTPError, URLError
         from urllib.request import Request, urlopen
 
         req = Request(
             f"{self._endpoint}/command",
             data=command.encode(),
-            headers={"Content-Type": "text/plain", **headers},
+            headers={
+                "Content-Type": "text/plain",
+                **({"Accept": self.ARROW_MIME} if arrow else {}),
+                **headers,
+            },
             method="POST",
         )
         try:
             with urlopen(req, timeout=self._timeout) as resp:
                 body = resp.read()
+                content_type = resp.headers.get("Content-Type", "")
         except HTTPError as e:
             body = e.read()
             if e.code in (401, 403):
@@ -249,6 +260,10 @@ class _HttpTransport:
             raise ClientCommandError(_http_error_message(body)) from e
         except URLError as e:
             raise ClientConnectionError(str(e)) from e
+        if arrow and self.ARROW_MIME in content_type:
+            import pyarrow as pa
+
+            return (pa.ipc.open_stream(body).read_all(),)
         frames = []
         for line in body.splitlines():
             if line.strip():
@@ -281,12 +296,18 @@ class SnelDBClient:
         user_id: Optional[str] = None,
         secret_key: Optional[str] = None,
         timeout: float = 60.0,
+        output_format: str = "json",
     ):
+        if output_format not in ("json", "arrow"):
+            raise ClientError(f"unknown output_format {output_format!r}")
         parsed = urlparse(url if "://" in url else f"tcp://{url}")
         host = parsed.hostname or "localhost"
         self.user_id = user_id
         self._secret_key = secret_key
         self._token: Optional[str] = None
+        # "arrow" (HTTP only): read results negotiate an Arrow IPC stream
+        # and parse columnar — the reference client's output_format knob.
+        self.output_format = output_format
         if parsed.scheme in ("http", "https"):
             port = parsed.port or (443 if parsed.scheme == "https" else 80)
             self._kind = "http"
@@ -324,7 +345,20 @@ class SnelDBClient:
         command = command.strip()
         if self._kind == "tcp":
             return _frames_to_result(self._tcp.round_trip(self._format_tcp(command)))
-        return _frames_to_result(self._http.post(command, self._http_headers(command)))
+        out = self._http.post(
+            command,
+            self._http_headers(command),
+            arrow=self.output_format == "arrow",
+        )
+        if isinstance(out, tuple):  # Arrow table
+            table = out[0]
+            return ClientResult(
+                ok=True,
+                rows=table.to_pylist(),
+                columns=table.column_names,
+                row_count=table.num_rows,
+            )
+        return _frames_to_result(out)
 
     # -- auth --------------------------------------------------------------
     def authenticate(self) -> str:

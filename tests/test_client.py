@@ -60,6 +60,25 @@ def test_http_client_end_to_end(http_server):
         _exercise(client)
 
 
+def test_http_client_arrow_output(http_server, engine):
+    """output_format="arrow": read results ride the Arrow IPC content
+    negotiation and parse columnar; records match the JSON path."""
+    host, port = http_server.address
+    with SnelDBClient(f"http://{host}:{port}") as setup:
+        setup.define("ar", {"n": "int"})
+        for i in range(3):
+            setup.store("ar", f"c{i}", {"n": i})
+        setup.flush()
+        via_json = setup.query("QUERY ar RETURN [n] ORDER BY n")
+    with SnelDBClient(f"http://{host}:{port}", output_format="arrow") as client:
+        res = client.execute("QUERY ar RETURN [n] ORDER BY n")
+        assert res.row_count == 3 and res.columns is not None
+        assert [r["n"] for r in res.rows] == [0, 1, 2]
+        assert [r["n"] for r in via_json] == [r["n"] for r in res.rows]
+        # writes still answer plain ok frames under arrow mode
+        assert client.execute("PING").message == "PONG"
+
+
 def test_ws_client_end_to_end(engine):
     from sneldb_spark.ws_server import SnelDBWsServer
 
