@@ -1071,6 +1071,149 @@ LIMIT 20
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: min-cost supplier per part within a region — the classic
+    correlated-MIN subquery, decorrelated into a window-min over the
+    region-eligible (part, supplier) cost fact. (No partsupp table in the
+    driver schema: supply cost is the minimum extended price the supplier
+    ever shipped that part for, in exact cents.) The cost fact aggregates
+    lineitem once on (partkey, suppkey); part + supplier/nation/region
+    dims broadcast into it, so the only exchanges are the cost groupBy
+    and the window repartition on p_partkey — both on keys that shrink
+    with the LIKE/size filters already applied. Completes the 22-query
+    TPC-H suite (reference scale target; q2 spec shape from the public
+    TPC-H specification)."""
+    from pyspark.sql import Window
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    parts = F.broadcast(
+        p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_brand")
+    )
+    sup = F.broadcast(
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_cents("l_extendedprice")).alias("cost_c"))
+    )
+    elig = (
+        cost.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("min_cost_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_cost_c"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("cost_c").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_TPCH_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+elig AS (
+  SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS s_acctbal,
+         n_name, cost_c,
+         MIN(cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c
+  FROM cost
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(cost_c AS DOUBLE)/100 AS supplycost
+FROM elig
+WHERE cost_c = min_cost_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-joins with a correlated aggregate threshold
+    — suppliers in a nation group who, for some LIKE-filtered part,
+    shipped more than half of their all-time quantity of that part inside
+    one year. (No partsupp: the spec's `ps_availqty > 0.5 * shipped`
+    threshold becomes `1996 shipped > 0.5 * all-time shipped`, keeping
+    the double-nested IN + HAVING structure.) The part filter broadcasts
+    as a semi join before the only shuffle (the (suppkey, partkey)
+    groupBy); the qualifying supplier ids then broadcast back against the
+    supplier dim, so lineitem is scanned once and never re-shuffled."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    parts = F.broadcast(
+        p.where(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    qty_c = _cents("l_quantity")
+    in_window = (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1)
+    qual = (
+        l.join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            _exact_sum_cents(F.when(in_window, qty_c).otherwise(F.lit(0))).alias("win_qty_c"),
+            _exact_sum_cents(qty_c).alias("tot_qty_c"),
+        )
+        .where(F.col("win_qty_c") * 2 > F.col("tot_qty_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.where(F.col("n_name").like("NATION_1%"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_TPCH_Q20_SQL = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING 2*SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END)
+           > SUM(CAST(round(l_quantity*100) AS BIGINT))
+  )
+ORDER BY s_name
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each context's event stream at inactivity
     gaps > 30 min and aggregate per session — the standard event-analytics
@@ -2319,6 +2462,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries locally every round.
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
+    "tpch_q2", "tpch_q20",
     "remember_show_agg",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
@@ -2455,6 +2599,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q20": q_tpch_q20,
         "events_sessionize": q_events_sessionize,
         "streaming_window_agg": q_streaming_window_agg,
         "streaming_dedup": q_streaming_dedup,
@@ -2636,6 +2782,8 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q9": _TPCH_Q9_SQL,
         "tpch_q11": _TPCH_Q11_SQL,
         "tpch_q21": _TPCH_Q21_SQL,
+        "tpch_q2": _TPCH_Q2_SQL,
+        "tpch_q20": _TPCH_Q20_SQL,
         "streaming_window_agg": _STREAMING_WINDOW_AGG_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q20",
     "events_sessionize",
     "streaming_window_agg",
     "streaming_dedup",
