@@ -1478,6 +1478,53 @@ GROUP BY d.doc_id
 )
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granular exact substring dedup: strip every 10-token span
+    whose text occurs >= 2 times anywhere in the corpus."""
+    from sneldb_spark.pipeline.dedup import duplicated_span_removal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_span_removal(d, n=10, min_count=2).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_dup_tokens", "clean_text"
+    )
+
+
+_DEDUP_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-9)) AS i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT g.doc_id, c.p
+  FROM grams g JOIN dup USING (gram),
+       LATERAL (SELECT unnest(generate_series(g.pos, g.pos+9)) AS p) c
+),
+tok AS (
+  SELECT doc_id, i AS p, w[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+)
+SELECT t.doc_id,
+       len(t.w) AS n_tokens,
+       coalesce(cv.n_dup, 0) AS n_dup_tokens,
+       coalesce(k.clean, '') AS clean_text
+FROM toks t
+LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id) cv
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean FROM kept
+           GROUP BY doc_id) k
+  USING (doc_id)
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate op: no SQL oracle (driver rows-only check); validated in
     # tests against exact Jaccard recall.
@@ -2462,7 +2509,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries locally every round.
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
-    "tpch_q2", "tpch_q20",
+    "tpch_q2", "tpch_q20", "dedup_span_removal",
     "remember_show_agg",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
@@ -2607,6 +2654,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_span_removal": q_dedup_span_removal,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2791,6 +2839,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "count(*) AS dup_count FROM documents GROUP BY content_hash",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_span_removal": _DEDUP_SPAN_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_span_removal",
     "text_quality",
     "text_langid",
     "text_tokens_fingerprint",

@@ -570,3 +570,98 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (token-granular exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def duplicated_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated n-gram span removal: every span of `n`
+    consecutive tokens whose exact text occurs >= `min_count` times across
+    the corpus (any document, including self-repeats) is removed from every
+    document. This is the span-granular complement to document-level dedup
+    (exact/minhash): boilerplate and template text shared by otherwise
+    distinct documents is stripped instead of dropping whole documents
+    (the "exact substring deduplication" step of modern LM data pipelines;
+    doc-level analogue in the reference: tests/integration scenario corpus
+    semantics — no span operator exists there, this is a pipeline
+    extension).
+
+    Returns (id, n_tokens, n_dup_tokens, clean_text) with clean_text the
+    original token sequence minus all covered positions, single-space
+    joined ('' when everything was duplicated).
+
+    Scale design: all-JVM codegen expressions (split / slice / posexplode /
+    sequence), no Python. Four linear shuffles, each on a uniform key:
+    gram-count groupBy, gram semi-join, covered-position distinct, per-doc
+    reassembly groupBy. No window over the corpus, nothing broadcast
+    (the duplicated-gram set is corpus-sized in the worst case, so the
+    semi join must stay a shuffle join — AQE may still pick broadcast when
+    the set is measured small at runtime, which is then safe). At 100 TB
+    the gram string is the shuffle payload; swapping the join/count key to
+    md5(gram) (128-bit, collision-free in practice) caps the key width —
+    kept as the literal gram here so results are exactly reproducible by
+    any engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    # (id, pos, gram) for every n-token window; docs shorter than n emit none
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.array_join(F.slice("w", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "gram"  # 1-based span start
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    # positions covered by any duplicated span: [pos, pos+n-1]
+    covered = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    tok = toks.select("id", F.posexplode("w").alias("p0", "tok")).select(
+        "id", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    kept = tok.join(covered, ["id", "p"], "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    dup_counts = covered.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    base = toks.select("id", F.size("w").alias("n_tokens"))
+    return (
+        base.join(dup_counts, "id", "left")
+        .join(clean, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -820,3 +820,38 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     rep_split = {r["doc_id"]: r["split"] for r in reps}
     for r in out:
         assert r["split"] == rep_split[r["doc_id"] % 300]
+
+
+def test_duplicated_span_removal_semantics(spark):
+    """Shared spans removed from every occurrence; self-repeats count;
+    docs shorter than n pass through; fully-covered docs empty out."""
+    from sneldb_spark.pipeline.dedup import duplicated_span_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shares "a b c" with doc 2
+            (2, "x a b c y"),
+            (3, "u u u u"),     # self-repeated "u u u" at pos 1 and 2
+            (4, "m n"),         # shorter than n: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_tokens"], r["n_dup_tokens"], r["clean_text"])
+        for r in duplicated_span_removal(df, n=3, min_count=2).collect()
+    }
+    assert out == {
+        1: (5, 3, "d e"),
+        2: (5, 3, "x y"),
+        3: (4, 4, ""),
+        4: (2, 0, "m n"),
+    }
+
+
+def test_duplicated_span_removal_all_jvm(docs):
+    """The span pipeline is built entirely from codegen expressions —
+    any Python eval node in the plan means a 10-100x slowdown at scale."""
+    from sneldb_spark.pipeline.dedup import duplicated_span_removal
+
+    plan = duplicated_span_removal(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
