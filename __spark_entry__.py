@@ -2317,6 +2317,36 @@ WHERE bucket < round(least(1.0, n_chars / 400.0) * 10000)
 """
 
 
+def q_sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: docs taken in md5(id) order (stable
+    pseudo-random permutation) until each source's running token total
+    would cross 600 — the quota form of corpus mixing to a target token
+    count. One window shuffle partitioned by source."""
+    from sneldb_spark.pipeline.sampling import token_budget_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return token_budget_sample(t, budget=600, source_col="source")
+
+
+_SAMPLING_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= 600
+"""
+
+
 def q_sampling_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware train/val/test split: the split decision hashes
     each document's duplicate-group representative (min doc_id per
@@ -2509,7 +2539,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries locally every round.
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
-    "tpch_q2", "tpch_q20", "dedup_span_removal",
+    "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "remember_show_agg",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
@@ -2683,6 +2713,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_weighted": q_sampling_weighted,
         "corpus_mix": q_corpus_mix,
         "sampling_leakage_safe": q_sampling_leakage_safe,
+        "sampling_token_budget": q_sampling_token_budget,
         "corpus_curation": q_corpus_curation,
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
@@ -2864,6 +2895,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
         "corpus_mix": _CORPUS_MIX_SQL,
         "sampling_leakage_safe": _SAMPLING_LEAKAGE_SAFE_SQL,
+        "sampling_token_budget": _SAMPLING_TOKEN_BUDGET_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
         # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,

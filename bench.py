@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sampling_weighted",
     "corpus_mix",
     "sampling_leakage_safe",
+    "sampling_token_budget",
     "corpus_curation",
     "remember_show_agg",
     "similarity_topk",

@@ -150,3 +150,38 @@ def leakage_safe_split(
     out = keyed.join(reps, "__digest")
     out = deterministic_split(out, "__rep", splits, split_col)
     return out.drop("__digest", "__rep")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Deterministically fill a token budget: documents are taken in
+    md5(id) order (a stable pseudo-random permutation — no RNG state,
+    engine-portable) until the running token total would exceed `budget`;
+    the first document that crosses the budget, and everything after it,
+    is dropped. With `source_col`, each source fills its own `budget`
+    independently (the per-source quota form used when mixing corpora to
+    a target token count).
+
+    Scale: one shuffle — the cumulative sum is a running-frame window
+    partitioned by source (or a single partition without `source_col`,
+    which is the op's inherent sequential dependency; at 100 TB you
+    always pass `source_col`, and a global budget is taken per-source
+    with budget_i = budget * mix_weight_i). The window frame is
+    rows-unbounded-preceding over an md5 sort — no collect, no loop.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(F.col(source_col)) if source_col else Window.partitionBy()
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("__cum_tokens", F.sum(F.col(token_col)).over(w))
+        .where(F.col("__cum_tokens") <= budget)
+        .drop("__cum_tokens")
+    )

@@ -855,3 +855,26 @@ def test_duplicated_span_removal_all_jvm(docs):
 
     plan = duplicated_span_removal(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_token_budget_sample_per_source(spark):
+    """Budget fills per source in md5(id) order; the doc that would cross
+    the budget is dropped along with everything after it."""
+    from sneldb_spark.pipeline.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "s1" if i < 4 else "s2", 10) for i in range(8)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    # budget 25 -> exactly 2 docs of 10 tokens per source survive
+    out = token_budget_sample(df, budget=25, source_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {len(v) for v in by_src.values()} == {2}
+    # deterministic: same result on re-run
+    out2 = token_budget_sample(df, budget=25, source_col="source").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # global form (no source_col): one budget across everything
+    g = token_budget_sample(df, budget=35).collect()
+    assert len(g) == 3
