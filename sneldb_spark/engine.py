@@ -63,6 +63,7 @@ class SnelDB:
             time_config=time_config,
             topk_source=self.store.read_topk,
             approx_count_unique=approx_count_unique,
+            context_source=self.store.read_for_context,
         )
         self.materializer = Materializer(self, root)
         self.auth = auth

@@ -48,6 +48,7 @@ class QueryCompiler:
         time_config: TimeConfig | None = None,
         topk_source: Callable[[str, str, int, bool], Optional[DataFrame]] | None = None,
         approx_count_unique: bool = False,
+        context_source: Callable[[str, str], Optional[DataFrame]] | None = None,
     ):
         self._source = source
         self._schema = schema_lookup or (lambda et: None)
@@ -55,6 +56,10 @@ class QueryCompiler:
         # Optional (event_type, order_field, n, desc) -> pruned frame for
         # ORDER BY + LIMIT (EventStore.read_topk); None = full scan.
         self._topk_source = topk_source
+        # Optional (event_type, context_id) -> file-pruned superset frame
+        # for FOR/REPLAY (EventStore.read_for_context); None = full scan.
+        # Safe under any filters: the equality filter still applies on top.
+        self._context_source = context_source
         # Opt-in: COUNT UNIQUE compiles to approx_count_distinct (HLL++,
         # O(1) state per group) instead of exact count(distinct). Default
         # stays exact — reference semantics.
@@ -105,7 +110,11 @@ class QueryCompiler:
         where: ast.Expr | None,
         time_field: str | None,
     ) -> DataFrame:
-        df = self._source(event_type)
+        df = None
+        if context_id is not None and self._context_source is not None:
+            df = self._context_source(event_type, context_id)
+        if df is None:
+            df = self._source(event_type)
         if context_id is not None:
             df = df.where(F.col("context_id") == F.lit(context_id))
         if since is not None:

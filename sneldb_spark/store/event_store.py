@@ -265,16 +265,23 @@ class EventStore:
     def append_dataframe(self, event_type: str, df: DataFrame):
         """Bulk/streaming append of already-validated, core-schema rows.
 
-        Hash-repartition on (ingest_date, context_id) so each date's write
-        parallelizes across the cluster — repartitioning on the date alone
-        would serialize a whole day into one task. AQE coalesces the small-
-        batch case back down, and sortWithinPartitions keeps (context_id,
-        timestamp) runs contiguous so row-group stats prune FOR/REPLAY."""
+        RANGE-repartition on (ingest_date, context_id) so each date's
+        write parallelizes across the cluster AND each output file covers
+        a CONTIGUOUS context range — repartitioning on the date alone
+        would serialize a whole day into one task, and a hash repartition
+        would scatter contexts lexically across every file, leaving each
+        footer's context_id min/max spanning the whole domain. With range
+        placement + the within-partition sort, a file's footer bounds a
+        tight context interval, which is what makes read_for_context's
+        FOR/REPLAY file skip selective (the reference's all-events-of-one-
+        context-in-one-shard placement, src/engine/shard/manager.rs:58-61,
+        re-expressed as file layout). The range sampling pass costs one
+        extra tiny job per append; AQE coalesces the small-batch case."""
         (
             df.withColumn(
                 "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
             )
-            .repartition(F.col("ingest_date"), F.col("context_id"))
+            .repartitionByRange(F.col("ingest_date"), F.col("context_id"))
             .sortWithinPartitions("ingest_date", "context_id", "timestamp")
             .write.mode("append")
             .partitionBy("ingest_date")
@@ -413,6 +420,44 @@ class EventStore:
         if not keep:
             return None
         df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
+        pending = self._pending_tail(event_type)
+        if pending is not None:
+            df = df.unionByName(pending)
+        return df
+
+    def read_for_context(
+        self, event_type: str, context_id: str
+    ) -> DataFrame | None:
+        """File-pruned read for `FOR <context>` / REPLAY: footer min/max
+        stats on context_id bound which files can hold the context at all,
+        and only those are scanned. append_dataframe sorts every partition
+        by (context_id, timestamp), so files carry tight context ranges —
+        the Spark analogue of the reference's shard-routing + zone skip
+        for a single context (reference: src/engine/shard/manager.rs:58-61).
+        Returns a SUPERSET frame (pending memtable rows included) — the
+        caller's context_id equality filter still applies on top, so this
+        is safe under any additional WHERE/SINCE. None = fall back to the
+        full read()."""
+        from sneldb_spark.store.topk_prune import (
+            collect_file_stats,
+            select_context_files,
+        )
+
+        if (
+            event_type == "*"
+            or not self.registry.has(event_type)
+            or not self.has_data(event_type)
+        ):
+            return None
+        stats = collect_file_stats(self._path(event_type), "context_id")
+        if stats is None:
+            return None
+        keep = select_context_files(stats, context_id)
+        schema = self.registry.get(event_type)
+        if not keep:
+            df = self.spark.createDataFrame([], schema=schema.spark_struct)
+        else:
+            df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
         pending = self._pending_tail(event_type)
         if pending is not None:
             df = df.unionByName(pending)

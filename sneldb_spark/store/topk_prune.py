@@ -185,3 +185,28 @@ def columns_max(
             if v is not None:
                 agg[name] = v if name not in agg else max(agg[name], v)
     return {c: agg.get(c) for c in columns}
+
+
+def select_context_files(stats: list[FileStat], value) -> list[str]:
+    """Files that can contain rows whose column equals `value` — footer
+    min/max point-lookup pruning for FOR / REPLAY context queries (the
+    reference routes a context to one shard and then zone-skips inside it,
+    reference: src/engine/shard/manager.rs:58-61 + zone_meta.rs; here the
+    (context_id, timestamp)-sorted file layout gives each file a tight
+    context range, so most files exclude the value from footers alone).
+    Unlike top-k pruning this is safe under ANY additional filters: the
+    kept set is a superset of every row with that exact value. Files
+    without stats are always kept; incomparable stats types never prune.
+    """
+    keep = []
+    for s in stats:
+        if s.cmin is None:
+            keep.append(s.path)
+            continue
+        try:
+            inside = s.cmin <= value <= s.cmax
+        except TypeError:
+            inside = True
+        if inside or s.nulls > 0 and value is None:
+            keep.append(s.path)
+    return keep
