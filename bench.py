@@ -61,10 +61,14 @@ BENCH_QUERIES = [
     "streaming_dedup",
     # pipeline extensions
     "dedup_exact",
+    # ngram runs BEFORE clusters: both share the inverted-index pair
+    # kernel, and whichever runs first absorbs its cold (codegen-compile)
+    # cost — attribute it to the standalone kernel gate, not the
+    # components gate stacked on top of it.
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_span_removal",
     "text_quality",
     "text_langid",

@@ -96,6 +96,17 @@ class _TcpTransport:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._io = self._sock.makefile("rwb")
 
+    @classmethod
+    def unix(cls, socket_path: str, timeout: float) -> "_TcpTransport":
+        """Same line protocol over a Unix domain socket
+        (server.SnelDBUnixServer; reference: src/frontend/unix/)."""
+        self = cls.__new__(cls)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.settimeout(timeout)
+        self._sock.connect(socket_path)
+        self._io = self._sock.makefile("rwb")
+        return self
+
     def round_trip(self, line: str) -> list[dict]:
         """Send one command line, read frames until its terminal frame.
         Read results stream schema/batch.../end; everything else answers
@@ -283,7 +294,8 @@ def _http_error_message(body: bytes) -> str:
 
 
 class SnelDBClient:
-    """`SnelDBClient("tcp://host:port" | "ws://host:port" | "http://host:port")`.
+    """`SnelDBClient("tcp://host:port" | "ws://host:port" |
+    "http://host:port" | "unix:///path.sock")`.
 
     With `user_id` + `secret_key`, TCP/WS commands are signed inline
     (stateless) until `authenticate()` swaps to a session token; HTTP
@@ -320,6 +332,10 @@ class SnelDBClient:
             self._kind = "tcp"  # ws shares the line protocol + auth formats
             transport = _TcpTransport if parsed.scheme == "tcp" else _WsTransport
             self._tcp = transport(host, parsed.port, timeout)
+        elif parsed.scheme == "unix":
+            # unix:///var/run/sneldb.sock — same protocol/auth as TCP
+            self._kind = "tcp"
+            self._tcp = _TcpTransport.unix(parsed.path, timeout)
         else:
             raise ClientError(f"unsupported scheme {parsed.scheme!r}")
 

@@ -153,3 +153,15 @@ def test_client_auth_flow(spark, tmp_path):
                 client.execute("PING")
     finally:
         server.stop()
+
+
+def test_unix_socket_client_end_to_end(engine, tmp_path):
+    from sneldb_spark.server import SnelDBUnixServer
+
+    sock = str(tmp_path / "sneldb.sock")
+    server = SnelDBUnixServer(engine, sock).start()
+    try:
+        with SnelDBClient(f"unix://{sock}") as client:
+            _exercise(client)
+    finally:
+        server.stop()
