@@ -1680,6 +1680,29 @@ FROM documents
 """
 
 
+def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts >= 3 (vocab/LM count collection)."""
+    from sneldb_spark.pipeline.text import ngram_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(d, n=2, min_count=3)
+
+
+_TEXT_NGRAM_COUNTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)
+)
+SELECT gram, count(*) AS count
+FROM grams
+GROUP BY gram
+HAVING count(*) >= 3
+"""
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS): rows-only check — the
     Rabin-Karp + window-minimum selection is not expressible in DuckDB SQL."""
@@ -2540,6 +2563,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
+    "text_ngram_counts",
     "remember_show_agg",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
@@ -2685,6 +2709,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_span_removal": q_dedup_span_removal,
+        "text_ngram_counts": q_text_ngram_counts,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2871,6 +2896,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_span_removal": _DEDUP_SPAN_SQL,
+        "text_ngram_counts": _TEXT_NGRAM_COUNTS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_tokens_fingerprint",
+    "text_ngram_counts",
     "text_repetition",
     "text_pii_redact",
     "decontaminate",

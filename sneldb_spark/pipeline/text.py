@@ -298,3 +298,35 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col(f"lang_scores.{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
     return df.withColumn("lang_pred", pred).drop("lang_scores")
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table: (gram, count) for every
+    n-token sequence occurring >= min_count times — the vocabulary /
+    language-model count-collection step of a tokenizer-training
+    pipeline (n=1 is plain vocab counting). Pure built-ins
+    (split / slice / explode / groupBy-count): one shuffle on the gram
+    with map-side partial counts, nothing driver-side. min_count is the
+    standard long-tail cut — at 100 TB the singleton tail IS most of the
+    group count, and the partial aggregation drops it before the shuffle
+    only in effect (post-agg filter), so for aggressive tails add a
+    frequency-sketch pre-filter upstream."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )

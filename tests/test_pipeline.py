@@ -878,3 +878,15 @@ def test_token_budget_sample_per_source(spark):
     # global form (no source_col): one budget across everything
     g = token_budget_sample(df, budget=35).collect()
     assert len(g) == 3
+
+
+def test_ngram_counts_vocab_and_bigrams(spark):
+    from sneldb_spark.pipeline.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "y")], ["doc_id", "text"]
+    )
+    bi = {r["gram"]: r["count"] for r in ngram_counts(df, n=2, min_count=2).collect()}
+    assert bi == {"a b": 3}  # twice in doc 1, once in doc 2
+    uni = {r["gram"]: r["count"] for r in ngram_counts(df, n=1, min_count=2).collect()}
+    assert uni == {"a": 3, "b": 3}
