@@ -1382,6 +1382,64 @@ ORDER BY digest
 """
 
 
+def q_streaming_seq_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: signup FOLLOWED BY purchase matched incrementally
+    with applyInPandasWithState (per-link state = still-unmatched As;
+    streaming/sequence.py). Server-assigned timestamps arrive in order,
+    so the drain equals the batch as-of join — the oracle. Cross-batch
+    incrementality is pinned by tests/test_streaming.py."""
+    import uuid
+
+    from sneldb_spark.streaming.sequence import streaming_followed_by
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = _stream_symlink_dir(sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
+    )
+    ts_type = dict(batch.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        ts_sec = F.expr("ts DIV 1000000000")
+    elif ts_type.startswith("timestamp"):
+        ts_sec = F.col("ts").cast("timestamp").cast("long")
+    else:
+        ts_sec = F.col("ts").cast("long")
+    ev = stream.select(
+        F.col("user_id").cast("string").alias("context_id"),
+        "event_type",
+        ts_sec.alias("timestamp"),
+        "event_id",
+    )
+    pairs = streaming_followed_by(ev, "signup", "purchase", "context_id")
+    name = f"ssq_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # stateful matcher emits append-only pairs
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAMING_SEQ_SQL = f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.context_id AS link, a.event_id AS a_event_id,
+         a."timestamp" AS a_timestamp, b.event_id AS b_event_id,
+         b."timestamp" AS b_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id
+              AND b."timestamp" >= a."timestamp")
+SELECT link, a_event_id, a_timestamp, b_event_id, b_timestamp
+FROM pairs WHERE rn = 1"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = _cents("l_extendedprice") * _cents("l_discount")
@@ -2563,7 +2621,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
-    "text_ngram_counts",
+    "text_ngram_counts", "streaming_seq_followed_by",
     "remember_show_agg",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
@@ -2705,6 +2763,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "streaming_window_agg": q_streaming_window_agg,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_seq_followed_by": q_streaming_seq_followed_by,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -2889,6 +2948,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q2": _TPCH_Q2_SQL,
         "tpch_q20": _TPCH_Q20_SQL,
         "streaming_window_agg": _STREAMING_WINDOW_AGG_SQL,
+        "streaming_seq_followed_by": _STREAMING_SEQ_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "streaming_window_agg",
     "streaming_dedup",
+    "streaming_seq_followed_by",
     # pipeline extensions
     "dedup_exact",
     # ngram runs BEFORE clusters: both share the inverted-index pair
