@@ -1584,17 +1584,113 @@ LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean FROM kept
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate op: no SQL oracle (driver rows-only check); validated in
-    # tests against exact Jaccard recall.
+    """MinHash+LSH near-dup pairs, exact-oracle checked: the md5-low-32
+    shingle hash, the 64 (a*h+b) mod p minwise functions, the 16x4
+    banding, and the estimated-Jaccard verify are replicated bit-for-bit
+    in the DuckDB oracle (coefficients inlined as literals; every product
+    stays below 2^63 so both engines' integer arithmetic agrees)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = minhash_dedup_pairs(d, threshold=0.5)
     return pairs.select("id1", "id2", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def _minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 3,
+                 threshold: float = 0.5) -> str:
+    """DuckDB replica of minhash_dedup_pairs: same coefficients (inlined),
+    same shingling, same banding, same verify."""
+    from sneldb_spark.pipeline.dedup import _MH_PRIME, _minhash_coeffs
+
+    a, b = _minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    seeds = ", ".join(f"({j}, {a[j]}, {b[j]})" for j in range(num_hashes))
+    gram = " || ' ' || ".join(f"ws[i+{d + 1}]" for d in range(n))
+    return rf"""
+WITH seeds(j, a, b) AS (VALUES {seeds}),
+words AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= {n}
+      THEN list_distinct(list_transform(range(len(ws) - {n - 1}), i -> {gram}))
+      ELSE [array_to_string(ws, ' ')] END) AS sh
+  FROM words
+),
+sh_h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shingles),
+sig AS (
+  SELECT doc_id, s.j, CAST(min((s.a::HUGEINT * h + s.b) % {_MH_PRIME}) AS BIGINT) AS v
+  FROM sh_h, seeds s GROUP BY doc_id, s.j
+),
+bands AS (
+  SELECT doc_id, (j // {rows_per_band}) AS band,
+         array_to_string(list(v ORDER BY j), ',') AS bh
+  FROM sig GROUP BY doc_id, (j // {rows_per_band})
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT c.id1, c.id2, SUM(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / {float(num_hashes)} AS est
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.id1
+  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.j = s1.j
+  GROUP BY c.id1, c.id2
+)
+SELECT id1, id2, round(est, 4) AS est_jaccard FROM est WHERE est >= {threshold}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, exact-oracle checked: the md5-based token
+    hash, majority vote, 16-bit pigeonhole banding, and hamming verify are
+    all replicated bit-for-bit in the DuckDB oracle (the banding is part
+    of the SEMANTICS here — a pair with hamming <= 8 that shares no
+    16-bit block is absent from both sides)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fps = simhash_fingerprints(d)
     return simhash_near_pairs(fps, max_hamming=8)
+
+
+_DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, k.k,
+         SUM(CASE WHEN (CASE WHEN k.k < 32 THEN (lo >> k.k) ELSE (hi >> (k.k - 32)) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS k) k
+  GROUP BY doc_id, k.k
+),
+fp0 AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << k) ELSE 0 END) AS fpu
+  FROM votes GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id AS id, coalesce(f.fpu, 0)::HUGEINT AS fpu,
+         CAST(coalesce(f.fpu, 0) - CASE WHEN coalesce(f.fpu, 0) >= 9223372036854775808::HUGEINT
+              THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT) AS fps
+  FROM documents d LEFT JOIN fp0 f USING (doc_id)
+),
+blocks AS (
+  SELECT id, fps, b.b AS block, CAST((fpu >> (b.b * 16)) & 65535 AS BIGINT) AS key
+  FROM fp, (SELECT unnest(range(4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2, l.fps AS h1, r.fps AS h2
+  FROM blocks l JOIN blocks r ON l.block = r.block AND l.key = r.key AND l.id < r.id
+)
+SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,12 +1858,56 @@ HAVING count(*) >= 3
 
 
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (MOSS): rows-only check — the
-    Rabin-Karp + window-minimum selection is not expressible in DuckDB SQL."""
+    """Rolling-hash winnowing fingerprints (MOSS), exact-oracle checked:
+    the Rabin-Karp polynomial hash is plain modular arithmetic (byte *
+    257^j mod 2^31-1), so the DuckDB oracle recomputes every k-gram hash
+    and the w-window minimum selection bit-for-bit. The fingerprint SET
+    (sorted, comma-joined like the other array gates) is compared, not
+    just its size."""
     from sneldb_spark.pipeline.text import winnow_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return winnow_fingerprints(docs).select("id", "n_fingerprints")
+    return winnow_fingerprints(docs).select(
+        "id",
+        F.concat_ws(
+            ",", F.transform("fingerprints", lambda c: c.cast("string"))
+        ).alias("fingerprints"),
+        "n_fingerprints",
+    )
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB replica of winnow_fingerprints. The docs are ASCII (ord ==
+    utf-8 byte); per-term mod keeps every intermediate below 2^42."""
+    m = (1 << 31) - 1
+    powers = [pow(257, k - 1 - j, m) for j in range(k)]
+    terms = " + ".join(
+        f"(ord(substr(norm, i+{j + 1}, 1))::BIGINT * {powers[j]} % {m})"
+        for j in range(k)
+    )
+    least = ", ".join(f"hs[i+{d + 1}]" for d in range(window))
+    return rf"""
+WITH n0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS norm FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(greatest(length(norm) - {k - 1}, 0)),
+                        i -> ({terms}) % {m}) AS hs
+  FROM n0
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= {window} THEN list_sort(list_distinct(hs))
+              ELSE list_sort(list_distinct(
+                     list_transform(range(len(hs) - {window - 1}), i -> least({least}))))
+         END AS fp
+  FROM h
+)
+SELECT doc_id AS id, array_to_string(fp, ',') AS fingerprints,
+       len(fp)::BIGINT AS n_fingerprints
+FROM sel
+"""
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,11 +2257,68 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate ANN path: no oracle (rows-only); recall vs brute force is
-    # asserted in tests.
+    """Hyperplane-LSH ANN, exact-oracle checked. The oracle inlines the
+    same seed-42 Gaussian hyperplanes as literals and recomputes every
+    sign bit with the SAME left-associated double summation Spark's
+    `F.aggregate` fold uses, so the signatures agree bit-for-bit; the
+    banded candidate join is equivalent (by pigeonhole) to the plain
+    hamming<=2 filter the oracle applies."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = lsh_topk(e, e.where(F.col("vec_id") < 10), k=5)
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _lsh_topk_sql(planes: int = 16, dim: int = 64, seed: int = 42,
+                  max_probe_hamming: int = 2, k: int = 5) -> str:
+    """DuckDB replica of lsh_topk on the embeddings table (queries =
+    vec_id < 10). Sign bits are reproduced exactly: identical hyperplane
+    literals, identical left-associated fold order, identical doubles.
+    The pigeonhole banding in the Spark path admits exactly the pairs
+    with hamming <= max_probe_hamming, which is what the oracle filters."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+    def dot_terms(cs):
+        return "0.0 + " + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {cs[j]!r}" for j in range(dim)
+        )
+
+    sig_expr = " + ".join(
+        f"(CASE WHEN ({dot_terms(coeffs[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(planes)
+    )
+    q_dot = "0.0 + " + " + ".join(
+        f"CAST(q.e[{j + 1}] AS DOUBLE) * CAST(c.e[{j + 1}] AS DOUBLE)"
+        for j in range(dim)
+    )
+
+    def nrm(alias):
+        s = "0.0 + " + " + ".join(
+            f"CAST({alias}.e[{j + 1}] AS DOUBLE) * CAST({alias}.e[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        )
+        return f"sqrt({s})"
+
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding AS e, ({sig_expr})::BIGINT AS sig FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(({q_dot}) / ({nrm('q')} * {nrm('c')}), 4) AS sim
+  FROM sig q JOIN sig c
+    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+   AND bit_count(xor(q.sig, c.sig)) <= {max_probe_hamming}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2623,6 +2820,9 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "remember_show_agg",
+    # rows-only -> exact-oracle conversions (md5-based portable hashing;
+    # literal-coefficient oracles): both code and oracle changed
+    "text_winnow", "similarity_lsh_topk",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
     "corpus_mix",                          # oracle literals cast to DOUBLE
@@ -2984,6 +3184,8 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_token_budget": _SAMPLING_TOKEN_BUDGET_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
-        # no oracle (approximate / UDF-shaped): dedup_minhash_lsh,
-        # dedup_simhash, similarity_lsh_topk
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "text_winnow": _winnow_sql(),
+        "similarity_lsh_topk": _lsh_topk_sql(),
     }

@@ -344,6 +344,19 @@ def dedup_clusters(
 _MH_PRIME = 4294967311  # smallest prime > 2^32: (a*h+b) mod p permutes 32-bit hashes
 
 
+def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic minwise coefficients, shared by the Spark kernel and
+    the SQL oracle (which inlines them as literals): odd a_i in [1, 2^31),
+    b_i in [0, p). a_i * h < 2^63 for 32-bit h, so every engine's 64-bit
+    integers hold the product exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = (rng.randint(1, 1 << 30, size=num_hashes).astype(np.uint64) * 2 + 1)
+    b = rng.randint(0, _MH_PRIME, size=num_hashes).astype(np.uint64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -352,7 +365,7 @@ def minhash_signatures(
     n: int = 3,
 ) -> DataFrame:
     """(id, sig: array<long>) — classic minwise family min_i((a_i*h + b_i)
-    mod p) over crc32 shingle hashes, computed per Arrow batch in numpy.
+    mod p) over 32-bit shingle hashes, computed per Arrow batch in numpy.
 
     This was first built as explode + `num_hashes` JVM min-aggregates; the
     Catalyst array expressions (nested transform/slice/concat per shingle)
@@ -361,18 +374,23 @@ def minhash_signatures(
     faster and shuffles nothing — signatures never leave their partition.
     The modular reduction is essential: without it the multiply-add is
     monotone in h and every "hash function" picks the same shingle.
+
+    Engine-portable arithmetic (so a SQL oracle reproduces signatures
+    bit-for-bit): the shingle hash is the top 4 bytes of md5, and the odd
+    multipliers a_i stay below 2^31 so a_i*h + b_i < 2^63 — no uint64
+    wraparound, the same value any 64-bit (or wider) integer SQL engine
+    computes.
     """
+    import hashlib
     import re as _re
-    import zlib
     from collections.abc import Iterator as _It
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rng = np.random.RandomState(42)
-    a = (rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64) * 2 + 1)
-    b = rng.randint(0, _MH_PRIME, size=num_hashes).astype(np.uint64)
+    a, b = _minhash_coeffs(num_hashes)
+    a, b = np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
     p = np.uint64(_MH_PRIME)
     word_re = _re.compile(r"\W+")
 
@@ -386,7 +404,12 @@ def minhash_signatures(
                 else:
                     sh = {" ".join(words)}
                 h = np.fromiter(
-                    (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
                 )
                 m = ((h[:, None] * a[None, :] + b[None, :]) % p).min(axis=0)
                 ids.append(doc_id)
@@ -408,14 +431,24 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs."""
+    """LSH banding: docs sharing any band's signature slice become
+    candidate pairs. The join key is the slice VALUES (concatenated), not
+    a hash of them — identical join semantics, zero false band matches,
+    and engine-portable so the SQL oracle reproduces the candidate set
+    exactly."""
     banded = sigs.select(
         "id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bh"),
                 )
                 for b in range(bands)
             ])
@@ -480,6 +513,12 @@ def simhash_fingerprints(
     conditional-sum JVM aggregates evaluated interpreted and took ~17s at
     sf0.1; one (tokens x 64) bit-unpack + column vote in numpy per doc is
     ~10x faster and emits fingerprints without any shuffle.
+
+    The token hash is the top 8 bytes of md5 — an engine-portable choice
+    (any SQL engine with md5 + hex parsing reproduces it bit-for-bit,
+    which is what lets the driver's DuckDB oracle check this exactly)
+    with the same uniformity as the previous blake2b. Each token
+    OCCURRENCE votes (multiplicity matters); a tied bit votes 0.
     """
     import hashlib
     import re as _re
@@ -505,9 +544,7 @@ def simhash_fingerprints(
                     continue
                 h = np.fromiter(
                     (
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        )
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                         for t in toks
                     ),
                     dtype=np.uint64,
