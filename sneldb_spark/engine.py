@@ -50,6 +50,7 @@ class SnelDB:
         wal: bool = True,
         wal_archive_dir: str | None = None,
         approx_count_unique: bool = False,
+        sequence_slices: int = 0,
     ):
         self.spark = spark
         self.root = root
@@ -64,6 +65,7 @@ class SnelDB:
             topk_source=self.store.read_topk,
             approx_count_unique=approx_count_unique,
             context_source=self.store.read_for_context,
+            sequence_slices=sequence_slices,
         )
         self.materializer = Materializer(self, root)
         self.auth = auth

@@ -24,7 +24,12 @@ from sneldb_spark.plans.aggregates import (
     apply_partial_aggregation,
 )
 from sneldb_spark.plans.filters import compile_expr, expr_fields, split_sequence_where
-from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
+from sneldb_spark.plans.sequence import (
+    A_PREFIX,
+    B_PREFIX,
+    sequence_match,
+    sequence_match_sliced,
+)
 from sneldb_spark.plans.time_bucket import bucket_column
 from sneldb_spark.schema.normalization import try_parse_time_value
 from sneldb_spark.schema.registry import CORE_FIELDS, EventSchema
@@ -49,6 +54,7 @@ class QueryCompiler:
         topk_source: Callable[[str, str, int, bool], Optional[DataFrame]] | None = None,
         approx_count_unique: bool = False,
         context_source: Callable[[str, str], Optional[DataFrame]] | None = None,
+        sequence_slices: int = 0,
     ):
         self._source = source
         self._schema = schema_lookup or (lambda et: None)
@@ -64,6 +70,10 @@ class QueryCompiler:
         # O(1) state per group) instead of exact count(distinct). Default
         # stays exact — reference semantics.
         self.approx_count_unique = approx_count_unique
+        # Opt-in skew mitigation: >= 2 routes sequence queries through the
+        # time-sliced matcher (identical pairs, hot link keys parallelize
+        # n_slices-wide instead of serializing one window partition).
+        self.sequence_slices = sequence_slices
 
     # -- public ----------------------------------------------------------
     def compile(self, cmd: ast.Command) -> DataFrame:
@@ -298,9 +308,15 @@ class QueryCompiler:
                 return F.col(stf).cast("long")
             return F.col("timestamp").cast("long")
 
-        matched = sequence_match(
-            a, b, q.link_field, kind, ts_a=side_ts(a), ts_b=side_ts(b)
-        )
+        if self.sequence_slices >= 2:
+            matched = sequence_match_sliced(
+                a, b, q.link_field, kind, n_slices=self.sequence_slices,
+                ts_a=side_ts(a), ts_b=side_ts(b),
+            )
+        else:
+            matched = sequence_match(
+                a, b, q.link_field, kind, ts_a=side_ts(a), ts_b=side_ts(b)
+            )
 
         if q.is_aggregate:
             resolve = self._seq_resolver(matched, head_type, tail_type)

@@ -24,13 +24,14 @@ them. min/max ignore nulls, and struct comparison is lexicographic on
 on the link key, no join explosion.
 
 Skew note: a single hot link key serializes into one window partition —
-AQE splits skewed JOINs, not windows. That bound is inherent to the
-semantics (each link group must be processed in full time order) and is
-exactly the reference's per-group matcher bound too
-(reference: src/engine/core/read/sequence/group.rs); the running-frame
-evaluation keeps it O(n log n) in the group size. Measured ~1M rows on one
-key locally without spill trouble; beyond that the group itself is the
-product to rethink, not the plan.
+AQE splits skewed JOINs, not windows. The running-frame evaluation keeps
+it O(n log n) in the group size (measured ~1M rows on one key locally
+without spill trouble). For genuinely hot keys, `check_link_skew` is the
+pre-flight diagnostic and `sequence_match_sliced` is the exact
+mitigation: it cuts the timeline into contiguous ts slices, runs the
+same window per (link, slice), and rescues cross-slice pairs from a
+tiny per-slice first/last-B summary — identical output, n_slices-way
+parallelism per key.
 """
 
 from __future__ import annotations
@@ -103,12 +104,26 @@ def sequence_match(
         raise ValueError(f"unknown sequence link kind {kind!r}")
     if skew_check:
         check_link_skew(a, b, link_field)
+    u, a_cols, b_cols = _sided_union(a, b, link_field, ts_a, ts_b, tie)
+    matched = _apply_asof_window(u, kind, b_cols)
+    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
+        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def _sided_union(
+    a: DataFrame,
+    b: DataFrame,
+    link_field: str,
+    ts_a: Column | str,
+    ts_b: Column | str,
+    tie: str,
+) -> tuple[DataFrame, list[str], list[str]]:
     ts_a = F.col(ts_a) if isinstance(ts_a, str) else ts_a
     ts_b = F.col(ts_b) if isinstance(ts_b, str) else ts_b
-
     a_cols = list(a.columns)
     b_cols = list(b.columns)
-
     a_side = a.select(
         F.col(link_field).alias("__link"),
         ts_a.cast("long").alias("__ts"),
@@ -123,21 +138,11 @@ def sequence_match(
         F.lit(1).alias("__side"),
         *[F.col(c).alias(B_PREFIX + c) for c in b_cols],
     )
-    u = a_side.unionByName(b_side, allowMissingColumns=True)
-    matched = _apply_asof_window(u, kind, b_cols)
-    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
-        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
-    ]
-    return matched.select(*out_cols)
+    return a_side.unionByName(b_side, allowMissingColumns=True), a_cols, b_cols
 
 
-def _apply_asof_window(u: DataFrame, kind: str, b_cols: list[str]) -> DataFrame:
-    """Core as-of evaluation over a sided union with (__link, __ts, __tie,
-    __side, b_*...) columns. Returns the A rows with their `__match`."""
-    # Rows with a NULL link value or NULL timestamp can never participate.
-    u = u.where(F.col("__link").isNotNull() & F.col("__ts").isNotNull())
-
-    b_struct = F.when(
+def _b_struct(b_cols: list[str]) -> Column:
+    return F.when(
         F.col("__side") == 1,
         F.struct(
             F.col("__ts").alias("ts"),
@@ -145,6 +150,24 @@ def _apply_asof_window(u: DataFrame, kind: str, b_cols: list[str]) -> DataFrame:
             *[F.col(B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols],
         ),
     )
+
+
+def _apply_asof_window(
+    u: DataFrame,
+    kind: str,
+    b_cols: list[str],
+    *,
+    partition_cols: tuple[str, ...] = ("__link",),
+    keep_unmatched: bool = False,
+) -> DataFrame:
+    """Core as-of evaluation over a sided union with (__link, __ts, __tie,
+    __side, b_*...) columns. Returns the A rows with their `__match`
+    (matched rows only unless `keep_unmatched`, which the sliced matcher
+    uses to rescue cross-slice pairs)."""
+    # Rows with a NULL link value or NULL timestamp can never participate.
+    u = u.where(F.col("__link").isNotNull() & F.col("__ts").isNotNull())
+
+    b_struct = _b_struct(b_cols)
 
     if kind == FOLLOWED_BY:
         # Sort DESCENDING so the forward frame becomes a running
@@ -154,22 +177,23 @@ def _apply_asof_window(u: DataFrame, kind: str, b_cols: list[str]) -> DataFrame:
         # (~9x slower on hot link keys). Side desc keeps same-ts Bs
         # inside the frame; min(struct) is order-independent.
         w = (
-            Window.partitionBy("__link")
+            Window.partitionBy(*partition_cols)
             .orderBy(F.col("__ts").desc(), F.col("__side").desc(), F.col("__tie").desc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         match = F.min(b_struct).over(w)
     else:
         w = (
-            Window.partitionBy("__link")
+            Window.partitionBy(*partition_cols)
             .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         match = F.max(b_struct).over(w)
 
-    return u.withColumn("__match", match).where(
-        (F.col("__side") == 0) & F.col("__match").isNotNull()
-    )
+    out = u.withColumn("__match", match).where(F.col("__side") == 0)
+    if keep_unmatched:
+        return out
+    return out.where(F.col("__match").isNotNull())
 
 
 def sequence_match_unified(
@@ -208,3 +232,110 @@ def sequence_match_unified(
         F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in cols
     ]
     return matched.select(*out_cols)
+
+
+def sequence_match_sliced(
+    a: DataFrame,
+    b: DataFrame,
+    link_field: str,
+    kind: str,
+    *,
+    n_slices: int = 32,
+    ts_a: Column | str = "timestamp",
+    ts_b: Column | str = "timestamp",
+    tie: str = "event_id",
+) -> DataFrame:
+    """`sequence_match` with hot-link-key skew broken by TIME SLICING —
+    identical output, bounded partitions.
+
+    The plain matcher serializes each link group into one window
+    partition (AQE splits skewed joins, not windows). Here the timeline
+    is cut into `n_slices` contiguous ts ranges and the same as-of window
+    runs per (link, slice) — a hot key now parallelizes n_slices-wide and
+    each partition's memory is ~1/n_slices of the group. Cross-slice
+    pairs are rescued EXACTLY with a per-(link, slice) summary:
+
+    - FOLLOWED BY: an A unmatched within its slice pairs with the overall
+      first B after its slice, which is min over later slices of each
+      slice's first-B struct — a running min over the (tiny) summary.
+      Every B in a later slice has strictly greater ts than any row of
+      the A's slice (slices partition the ts domain), so `ts_B >= ts_A`
+      holds and within-slice ordering already settled all same-ts ties.
+    - PRECEDED BY symmetrically: the last B of the latest earlier slice
+      holding any B; strictness of `ts_B < ts_A` is again guaranteed by
+      slice disjointness.
+
+    Costs vs the plain matcher: one extra tiny job for the ts bounds
+    (2 scalars to the driver), one aggregate over the union for the
+    summary (n_slices rows per link), and a broadcast-sized join to
+    rescue unmatched As. Worth it only for skewed data — the compiler
+    uses the plain single-window path by default and callers opt in when
+    `check_link_skew` fires (reference's per-group matcher carries the
+    same serial bound: src/engine/core/read/sequence/group.rs).
+    """
+    if kind not in (FOLLOWED_BY, PRECEDED_BY):
+        raise ValueError(f"unknown sequence link kind {kind!r}")
+    if n_slices < 2:
+        return sequence_match(a, b, link_field, kind, ts_a=ts_a, ts_b=ts_b, tie=tie)
+
+    u, a_cols, b_cols = _sided_union(a, b, link_field, ts_a, ts_b, tie)
+    u = u.where(F.col("__link").isNotNull() & F.col("__ts").isNotNull())
+
+    bounds = u.agg(F.min("__ts").alias("mn"), F.max("__ts").alias("mx")).collect()[0]
+    if bounds["mn"] is None:
+        empty = _apply_asof_window(u, kind, b_cols)
+        return empty.select(
+            *[F.col(A_PREFIX + c) for c in a_cols],
+            *[F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols],
+        )
+    width = max((int(bounds["mx"]) - int(bounds["mn"]) + n_slices) // n_slices, 1)
+    u = u.withColumn(
+        "__slice", ((F.col("__ts") - F.lit(int(bounds["mn"]))) / F.lit(width)).cast("long")
+    )
+
+    within = _apply_asof_window(
+        u, kind, b_cols, partition_cols=("__link", "__slice"), keep_unmatched=True
+    )
+
+    # Per-(link, slice) B summary from a SECOND scan of the union (the
+    # scan aggregates down map-side immediately — n_slices rows per link
+    # cross the wire, never the data): fb/lb are null for slices without
+    # a B and min/max ignore nulls, so every (link, slice) an A occupies
+    # has a summary row to join against. Not cached: persisting a
+    # corpus-sized union would thrash at scale, and re-running a pruned
+    # scan is the cheaper side of that trade.
+    summary = u.groupBy("__link", "__slice").agg(
+        F.min(_b_struct(b_cols)).alias("__fb"), F.max(_b_struct(b_cols)).alias("__lb")
+    )
+    if kind == FOLLOWED_BY:
+        w = (
+            Window.partitionBy("__link")
+            .orderBy(F.col("__slice").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cross = F.min(F.col("__fb")).over(w)
+    else:
+        w = (
+            Window.partitionBy("__link")
+            .orderBy(F.col("__slice").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cross = F.max(F.col("__lb")).over(w)
+    cross_b = summary.select("__link", "__slice", cross.alias("__cross"))
+
+    # ONE pass over the window output: a within-slice match always beats
+    # the cross-slice candidate (it is strictly nearer in time), so the
+    # rescue is a coalesce after a left join against the tiny summary —
+    # no second evaluation of the window, no union of two branches. The
+    # join key equals the window partitioning, so only cross_b moves; the
+    # broadcast-vs-shuffle choice is left to AQE (cross_b is n_slices
+    # rows per link — usually broadcast, but never forced).
+    final = (
+        within.join(cross_b, ["__link", "__slice"], "left")
+        .withColumn("__m", F.coalesce(F.col("__match"), F.col("__cross")))
+        .where(F.col("__m").isNotNull())
+    )
+    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
+        F.col("__m." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
+    ]
+    return final.select(*out_cols)

@@ -343,3 +343,82 @@ def test_count_unique_approx_mode_flag(spark, tmp_path):
     assert set(got) == {"s0", "s1"}
     for v in got.values():  # HLL++ at this cardinality is exact in practice
         assert abs(v - 7) <= 1
+
+
+def test_sliced_sequence_matches_plain_exactly(spark):
+    """sequence_match_sliced must return the same (A, B) pairs as the
+    single-window matcher on adversarial data: hot keys, heavy ts ties
+    (where the A-before-B-at-equal-ts rule decides), Bs before/after
+    every A, and keys with no B at all. Both link kinds."""
+    import random
+
+    from sneldb_spark.commands.ast import FOLLOWED_BY, PRECEDED_BY
+    from sneldb_spark.plans.sequence import sequence_match, sequence_match_sliced
+
+    rng = random.Random(7)
+    rows_a, rows_b, eid = [], [], 0
+    for key in ["hot", "k2", "k3", "only_a", "only_b"]:
+        n = 400 if key == "hot" else 25
+        for _ in range(n):
+            eid += 1
+            ts = rng.randint(0, 99)  # dense -> many exact ts collisions
+            if key != "only_b":
+                rows_a.append((key, ts, eid))
+            eid += 1
+            if key != "only_a":
+                rows_b.append((key, rng.randint(0, 99), eid))
+    a = spark.createDataFrame(rows_a, ["user_id", "timestamp", "event_id"])
+    b = spark.createDataFrame(rows_b, ["user_id", "timestamp", "event_id"])
+
+    for kind in (FOLLOWED_BY, PRECEDED_BY):
+        plain = sorted(
+            (r["a_event_id"], r["b_event_id"])
+            for r in sequence_match(a, b, "user_id", kind).collect()
+        )
+        for n_slices in (2, 7, 64):
+            sliced = sorted(
+                (r["a_event_id"], r["b_event_id"])
+                for r in sequence_match_sliced(
+                    a, b, "user_id", kind, n_slices=n_slices
+                ).collect()
+            )
+            assert sliced == plain, (kind, n_slices)
+    # n_slices wider than the ts domain degenerates safely (width >= 1)
+    assert sorted(
+        (r["a_event_id"], r["b_event_id"])
+        for r in sequence_match_sliced(
+            a, b, "user_id", FOLLOWED_BY, n_slices=1000
+        ).collect()
+    ) == sorted(
+        (r["a_event_id"], r["b_event_id"])
+        for r in sequence_match(a, b, "user_id", FOLLOWED_BY).collect()
+    )
+
+
+def test_sliced_sequence_empty_and_compiler_flag(spark, tmp_path):
+    """Empty inputs survive the bounds probe, and the engine-level
+    sequence_slices opt-in produces the same rows as the default path."""
+    from sneldb_spark.commands.ast import FOLLOWED_BY
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.plans.sequence import sequence_match_sliced
+
+    empty = spark.createDataFrame([], "user_id string, timestamp long, event_id long")
+    assert sequence_match_sliced(empty, empty, "user_id", FOLLOWED_BY).count() == 0
+
+    q = 'QUERY signup FOLLOWED BY purchase LINKED BY user_id'
+    rows = []
+    for slices, root in ((0, "seq_plain"), (8, "seq_sliced")):
+        db = SnelDB(spark, str(tmp_path / root), sequence_slices=slices)
+        db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+        db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+        for i in range(40):
+            u = f"u{i % 5}"
+            db.execute(f'STORE signup FOR c{i} PAYLOAD {{ "user_id": "{u}" }}')
+            db.execute(f'STORE purchase FOR c{i} PAYLOAD {{ "user_id": "{u}" }}')
+        db.execute("FLUSH")
+        # event_ids are time-minted snowflakes, different per instance;
+        # context ids are the stable pair identity here
+        rows.append(sorted(
+            (r["a_context_id"], r["b_context_id"]) for r in db.query(q).collect()
+        ))
+    assert rows[0] == rows[1] and len(rows[0]) > 0
