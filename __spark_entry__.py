@@ -2449,6 +2449,77 @@ _REMEMBER_SHOW_SQL = (
 )
 
 
+def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEQUENCE materialization: REMEMBER a FOLLOWED BY
+    funnel over the first half of the timeline (split at a ts boundary —
+    server stamps are append-ordered, which is the invariant the delta
+    matcher rests on), ingest the rest, then SHOW. The refresh matches
+    only (pending A's + delta) against (boundary B's + delta) — never the
+    history (reference: src/command/handlers/show/delta/refresher.rs) —
+    yet must equal the as-of join over ALL events, which is what the
+    oracle computes."""
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+
+    frame = _events_frame(spark, sf_dir).where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
+
+    root = tempfile.mkdtemp(prefix="sneldb_gate_")
+    try:
+        db = SnelDB(spark, root)
+        cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
+                "value", "value_cents"]
+        for et in ("signup", "purchase"):
+            db.store.registry.define(
+                et,
+                {"k": "int | null", "props": "string", "value": "float",
+                 "value_cents": "int"},
+            )
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
+                ).select(cols),
+            )
+        db.execute(
+            "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id "
+            "AS funnel_mat"
+        )
+        for et in ("signup", "purchase"):
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
+                ).select(cols),
+            )
+        out = db.execute("SHOW funnel_mat").df.select(
+            "a_event_id", "a_context_id", "a_timestamp", "a_k",
+            "b_event_id", "b_timestamp", "b_value_cents",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REMEMBER_SHOW_SEQ_SQL = f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.event_id AS a_event_id, a.context_id AS a_context_id,
+         a."timestamp" AS a_timestamp, a.k AS a_k,
+         b.event_id AS b_event_id, b."timestamp" AS b_timestamp,
+         b.value_cents AS b_value_cents,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+SELECT a_event_id, a_context_id, a_timestamp, a_k, b_event_id, b_timestamp, b_value_cents
+FROM pairs WHERE rn = 1"""
+
+
 def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental AGGREGATE materialization: REMEMBER a grouped
     multi-aggregate over half the purchase events, ingest the rest, then
@@ -2819,10 +2890,13 @@ _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
-    "remember_show_agg",
+    "remember_show_agg", "remember_show_seq",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
     # literal-coefficient oracles): both code and oracle changed
     "text_winnow", "similarity_lsh_topk",
+    # sequence core refactored for the sliced matcher (default path
+    # equivalent, but re-check representatives of both kinds + USING)
+    "seq_followed_by", "seq_preceded_by", "seq_using_time",
     # code (or oracle) changed since last green row
     "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
     "corpus_mix",                          # oracle literals cast to DOUBLE
@@ -2831,23 +2905,19 @@ _DRIVER_PRIORITY = [
     "remember_show",                       # materializer refresh refactor
     "order_limit_offset",                  # top-k file pruning landed
     # r1/r2-only rows rotate back into the 50-window (VERDICT r3 item 9)
-    "agg_count_field", "agg_multi", "agg_per_hour_by", "agg_per_month_naive",
-    "agg_per_week", "agg_per_year", "agg_per_year_naive", "compare_daily",
+    "agg_count_field", "agg_multi", "agg_per_hour_by",
+    "agg_per_week", "agg_per_year", "agg_per_year_naive",
     "dedup_minhash_lsh", "dedup_simhash", "filter_in_not", "filter_parens",
     "for_context", "replay_context", "replay_typed", "return_projection",
     "text_quality",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
-    # one fresh representative per family (all r3-green, unchanged code;
-    # compare/text/seq-agg families are already covered above by
-    # compare_daily / text_quality / the rotated-in agg gates)
-    "filter_where", "agg_count_by", "agg_count_unique", "agg_per_day",
-    "seq_followed_by", "events_sessionize",
-    "dedup_clusters", "dedup_ngram_jaccard", "semantic_dedup",
-    "similarity_topk",
     # (the rest of the r3-checked pipeline/TPC-H gates rotate to the tail:
-    # all double-green with unchanged code)
+    # all double-green with unchanged code. compare_daily and
+    # agg_per_month_naive were independently re-oracled by the r3 judge,
+    # so they yield their slots to keep this list at the driver's
+    # 50-entry window.)
 ]
 
 
@@ -3002,6 +3072,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
         "remember_show_agg": q_remember_show_agg,
+        "remember_show_seq": q_remember_show_seq,
     }
 
 
@@ -3184,6 +3255,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_token_budget": _SAMPLING_TOKEN_BUDGET_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
+        "remember_show_seq": _REMEMBER_SHOW_SEQ_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "text_winnow": _winnow_sql(),

@@ -285,7 +285,12 @@ class QueryCompiler:
         return df.select(*[F.col(f"`{c}`") for c in cols])
 
     # -- sequence pipeline ------------------------------------------------
-    def _compile_sequence(self, q: ast.QueryCommand) -> DataFrame:
+    def sequence_parts(self, q: ast.QueryCommand):
+        """The fully-filtered SIDE FRAMES of a single-link sequence query
+        plus its matching parameters: (a, b, kind, link_field, ts_a,
+        ts_b). The materializer uses this to re-run the matcher over a
+        delta slice of the sides (incremental SHOW) with the exact same
+        WHERE/FOR/SINCE filters the full compile applies."""
         if not q.link_field:
             raise QueryError("sequence queries require LINKED BY <field>")
         kind, tail_type = q.sequence.links[0]
@@ -308,15 +313,20 @@ class QueryCompiler:
                 return F.col(stf).cast("long")
             return F.col("timestamp").cast("long")
 
+        return a, b, kind, q.link_field, side_ts(a), side_ts(b)
+
+    def _compile_sequence(self, q: ast.QueryCommand) -> DataFrame:
+        a, b, kind, _link, ts_a, ts_b = self.sequence_parts(q)
+        _, tail_type = q.sequence.links[0]
+        head_type = q.sequence.head
+
         if self.sequence_slices >= 2:
             matched = sequence_match_sliced(
                 a, b, q.link_field, kind, n_slices=self.sequence_slices,
-                ts_a=side_ts(a), ts_b=side_ts(b),
+                ts_a=ts_a, ts_b=ts_b,
             )
         else:
-            matched = sequence_match(
-                a, b, q.link_field, kind, ts_a=side_ts(a), ts_b=side_ts(b)
-            )
+            matched = sequence_match(a, b, q.link_field, kind, ts_a=ts_a, ts_b=ts_b)
 
         if q.is_aggregate:
             resolve = self._seq_resolver(matched, head_type, tail_type)

@@ -75,6 +75,24 @@ class Materializer:
     def _incrementable(self, q: ast.QueryCommand) -> bool:
         return not q.is_aggregate and not q.is_sequence and q.limit is None
 
+    def _seq_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+        """Non-aggregate single-link sequence results refresh by matching
+        only the delta against small carried state (see _refresh_sequence).
+        Excluded: USING TIME (a user field is not append-ordered, so the
+        'new events have the highest ts' invariant the delta logic rests
+        on would not hold), LIMIT (caps matched sequences — a delta pair
+        could displace a stored one), and retention options."""
+        return (
+            q.is_sequence
+            and not q.is_aggregate
+            and len(q.sequence.links) == 1
+            and q.limit is None
+            and q.offset is None
+            and q.sequence_time_field is None
+            and manifest.get("max_rows") is None
+            and manifest.get("max_age_seconds") is None
+        )
+
     def _agg_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
         """Plain aggregates refresh by partial-state merge. Excluded:
         sequence aggregates (the match itself isn't mergeable), LIMIT
@@ -92,6 +110,44 @@ class Materializer:
 
     def _state_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "state")
+
+    def _seq_state_paths(self, name: str) -> tuple[str, str]:
+        d = self._state_path(name)
+        return os.path.join(d, "pending_a"), os.path.join(d, "boundary_b")
+
+    @staticmethod
+    def _delta_slice(df: DataFrame, hwm_ts: int, hwm_id: int) -> DataFrame:
+        t = F.col("timestamp").cast("long")
+        return df.where(
+            (t > F.lit(hwm_ts))
+            | ((t == F.lit(hwm_ts)) & (F.col("event_id") > F.lit(hwm_id)))
+        )
+
+    @staticmethod
+    def _preceded_state(b: DataFrame, link_field: str, hwm_ts: int) -> DataFrame:
+        """PRECEDED BY carries two B rows per link group: the latest B
+        overall (what a future A with a later ts pairs with) and the
+        latest B strictly before the high-water second (what a future A
+        landing exactly ON that second pairs with, since its own second
+        is excluded by strictness). Everything else is unreachable by any
+        future A — server timestamps are append-ordered."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(link_field).orderBy(
+            F.col("timestamp").cast("long").desc(), F.col("event_id").desc()
+        )
+        last = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        pre = (
+            b.where(F.col("timestamp").cast("long") < F.lit(hwm_ts))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return last.unionByName(pre).dropDuplicates(["event_id"])
 
     def _swap_in(self, df: DataFrame, path: str):
         """Overwrite `path` with `df` via write-to-tmp + rename, reading
@@ -158,6 +214,13 @@ class Materializer:
             finalize_partial_state(
                 stored_state, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
+        elif self._seq_incrementable(q, manifest):
+            hwm_ts, hwm_id = self._remember_sequence(name, q, path)
+            manifest["seq_state"] = True
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self.engine.spark.read.parquet(path).count()
         else:
             df = self._apply_retention(
                 self.engine.compiler.compile_query(q), manifest
@@ -168,6 +231,97 @@ class Materializer:
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
         return self.engine.spark.read.parquet(path).count()
+
+    def _remember_sequence(self, name: str, q, path: str) -> tuple[int, int]:
+        """Initial sequence materialization: run the full match, then
+        carry (a) the A rows still awaiting a match (FOLLOWED BY — the
+        state the reference's delta refresher shape calls 'open heads';
+        PRECEDED BY needs none, an old A can never gain a strictly-earlier
+        B) and (b) the small boundary-B rows a future delta A could pair
+        with. The high-water mark is probed BEFORE the match so a row
+        racing in mid-materialization is re-matched by the next refresh
+        (and deduped by a_event_id) instead of silently skipped."""
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+        from sneldb_spark.plans.sequence import A_PREFIX, sequence_match
+
+        hwm_ts, hwm_id = self._source_hwm(q)
+        a, b, kind, link, ts_a, ts_b = self.engine.compiler.sequence_parts(q)
+        pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b)
+        pairs.write.mode("overwrite").parquet(path)
+        stored = self.engine.spark.read.parquet(path)
+        pend_p, bound_p = self._seq_state_paths(name)
+        if kind == FOLLOWED_BY:
+            pending = a.join(
+                stored.select(F.col(A_PREFIX + "event_id").alias("event_id")),
+                "event_id",
+                "left_anti",
+            )
+            boundary = b.where(F.col("timestamp").cast("long") == F.lit(hwm_ts))
+        else:
+            pending = a.where(F.lit(False))
+            boundary = self._preceded_state(b, link, hwm_ts)
+        pending.write.mode("overwrite").parquet(pend_p)
+        boundary.write.mode("overwrite").parquet(bound_p)
+        return hwm_ts, hwm_id
+
+    def _refresh_sequence(self, name: str, q, manifest: dict, path: str,
+                          cur: tuple[int, int]):
+        """Incremental sequence SHOW: match ONLY (pending A's + delta A's)
+        against (boundary B's + delta B's) — never the history. Append-
+        ordered server timestamps make this exact: a stored pair can
+        never be displaced by later events (FOLLOWED BY keeps the first
+        qualifying B; PRECEDED BY's strict 'before' excludes everything
+        new), so the delta can only ADD pairs for previously-unmatched or
+        new A's, whose candidate B's are exactly the carried state plus
+        the delta (boundary-second ties included). All three outputs are
+        written to tmp dirs against the OLD files, then swapped, so a
+        crash mid-refresh leaves a consistent pre-refresh view."""
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+        from sneldb_spark.plans.sequence import A_PREFIX, sequence_match
+
+        spark = self.engine.spark
+        cur_ts, _cur_id = cur
+        hwm_ts, hwm_id = manifest["hwm_ts"], manifest["hwm_id"]
+        a, b, kind, link, _ts_a, _ts_b = self.engine.compiler.sequence_parts(q)
+        pend_p, bound_p = self._seq_state_paths(name)
+
+        pending = spark.read.parquet(pend_p)
+        boundary = spark.read.parquet(bound_p)
+        a_cand = pending.unionByName(
+            self._delta_slice(a, hwm_ts, hwm_id), allowMissingColumns=True
+        )
+        b_cand = boundary.unionByName(
+            self._delta_slice(b, hwm_ts, hwm_id), allowMissingColumns=True
+        )
+        new_pairs = sequence_match(a_cand, b_cand, link, kind)
+        stored = spark.read.parquet(path)
+        merged = stored.unionByName(
+            new_pairs, allowMissingColumns=True
+        ).dropDuplicates([A_PREFIX + "event_id"])
+
+        if kind == FOLLOWED_BY:
+            # pending already excludes stored-matched A's, so anti-joining
+            # the NEW pairs alone is complete (and avoids re-reading the
+            # swapped result directory mid-plan).
+            new_pending = a_cand.join(
+                new_pairs.select(F.col(A_PREFIX + "event_id").alias("event_id")),
+                "event_id",
+                "left_anti",
+            )
+            new_boundary = b_cand.where(
+                F.col("timestamp").cast("long") == F.lit(cur_ts)
+            )
+        else:
+            new_pending = a_cand.where(F.lit(False))
+            new_boundary = self._preceded_state(b_cand, link, cur_ts)
+
+        # two-phase: every plan executes against the old directories
+        for df, p in ((merged, path), (new_pending, pend_p), (new_boundary, bound_p)):
+            df.write.mode("overwrite").parquet(p + ".tmp")
+        for p in (path, pend_p, bound_p):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            os.replace(p + ".tmp", p)
 
     def _merge_agg_delta(self, name: str, q, manifest: dict) -> DataFrame:
         """Aggregate ONLY the rows past the high-water mark, merge into the
@@ -215,6 +369,10 @@ class Materializer:
                 stored.unionByName(delta_df).dropDuplicates(["event_id"]), manifest
             )
             self._swap_in(merged, path)
+        elif stale and self._seq_incrementable(q, manifest) and manifest.get(
+            "seq_state"
+        ) and os.path.exists(self._seq_state_paths(name)[0]):
+            self._refresh_sequence(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._agg_incrementable(q, manifest) and manifest.get(
             "state_keys"
         ) is not None and os.path.exists(self._state_path(name)):

@@ -781,3 +781,126 @@ def test_wal_conservative_mode_off_archives_nothing(spark, tmp_path):
     db.execute('STORE tap FOR c1 PAYLOAD { "n": 1 }')
     db.execute("FLUSH")
     assert wa.list_archives(str(tmp_path / "db" / "wal_archive")) == []
+
+
+def test_remember_show_sequence_incremental_followed_by(spark, tmp_path):
+    """FOLLOWED BY materializations refresh from carried state (pending
+    A's + boundary-second B's) instead of rescanning history. Covers: a
+    new B completing an OLD pending A, a wholly-new pair, a new pending A
+    carried across TWO refreshes, and the boundary tie — a new A landing
+    on the high-water second pairing with an old B stored that same
+    second."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    q = "QUERY signup FOLLOWED BY purchase LINKED BY user_id"
+
+    def store(et, user, same_second=False):
+        if same_second:
+            clock["now"] -= 1
+        db.execute(f'STORE {et} FOR c{clock["now"]}x{user} PAYLOAD {{ "user_id": "{user}" }}')
+
+    def pairs(df):
+        return sorted((r["a_event_id"], r["b_event_id"]) for r in df.collect())
+
+    # phase 1: u1 complete pair; u2 pending signup; boundary B: purchase
+    # for u7 with no signup yet, stored on what becomes the hwm second
+    store("signup", "u1"); store("purchase", "u1"); store("signup", "u2")
+    store("purchase", "u7")
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS funnel")
+    assert pairs(db.execute("SHOW funnel").df) == pairs(db.query(q))
+    state = tmp_path / "db" / "materialized" / "funnel" / "state"
+    assert (state / "pending_a").exists() and (state / "boundary_b").exists()
+
+    # prove SHOW goes through the delta path, never the full recompute
+    refreshes = {"n": 0}
+    orig_refresh = db.materializer._refresh_sequence
+
+    def spy(*args, **kw):
+        refreshes["n"] += 1
+        return orig_refresh(*args, **kw)
+
+    db.materializer._refresh_sequence = spy
+
+    # phase 2: u7 signup lands ON the old hwm second (ties: B >= A holds);
+    # u2's purchase completes the old pending A; u4 is a fresh pair; u5 pending
+    store("signup", "u7", same_second=True)
+    store("purchase", "u2"); store("signup", "u4"); store("purchase", "u4")
+    store("signup", "u5")
+    db.execute("FLUSH")
+    shown = pairs(db.execute("SHOW funnel").df)
+    assert shown == pairs(db.query(q))
+    users = {(r["a_user_id"]) for r in db.execute("SHOW funnel").df.collect()}
+    assert users == {"u1", "u2", "u4", "u7"}
+
+    # phase 3: u5 (pending since phase 2) completes — state survived a refresh
+    store("purchase", "u5")
+    db.execute("FLUSH")
+    assert pairs(db.execute("SHOW funnel").df) == pairs(db.query(q))
+    # no-op SHOW stays stable and does NOT re-run the refresh
+    assert pairs(db.execute("SHOW funnel").df) == pairs(db.query(q))
+    assert refreshes["n"] == 2  # two stale SHOWs, one no-op
+
+
+def test_remember_show_sequence_incremental_preceded_by(spark, tmp_path):
+    """PRECEDED BY materializations carry only two B rows per link group
+    (latest overall + latest before the hwm second). Covers: a new A
+    pairing with the last old B, and the strict-tie case — a new A on the
+    hwm second must skip same-second B's and pair with the carried
+    last-before-boundary B."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    q = "QUERY signup PRECEDED BY purchase LINKED BY user_id"
+
+    def store(et, user, same_second=False):
+        if same_second:
+            clock["now"] -= 1
+        db.execute(f'STORE {et} FOR c{clock["now"]}x{user} PAYLOAD {{ "user_id": "{user}" }}')
+
+    def pairs(df):
+        return sorted((r["a_event_id"], r["b_event_id"]) for r in df.collect())
+
+    # phase 1: u9 has an early purchase AND one on the hwm second; u8 has
+    # one purchase; u1 has a matched pair already
+    store("purchase", "u1"); store("signup", "u1")
+    store("purchase", "u9"); store("purchase", "u8")
+    store("purchase", "u9")   # this becomes the hwm second
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS preq")
+    assert pairs(db.execute("SHOW preq").df) == pairs(db.query(q))
+
+    # phase 2: u9 signup ON the hwm second -> strict 'before' must pick
+    # the EARLY u9 purchase (carried as last-before-boundary state);
+    # u8 signup later -> pairs with the carried last-overall B
+    store("signup", "u9", same_second=True)
+    store("signup", "u8")
+    db.execute("FLUSH")
+    shown = db.execute("SHOW preq").df
+    assert pairs(shown) == pairs(db.query(q))
+    by_user = {r["a_user_id"]: (r["a_timestamp"], r["b_timestamp"]) for r in shown.collect()}
+    assert set(by_user) == {"u1", "u8", "u9"}
+    a_ts9, b_ts9 = by_user["u9"]
+    assert b_ts9 < a_ts9  # strict: skipped the same-second purchase
+
+    # phase 3: one more round through the refreshed state
+    store("purchase", "u2"); store("signup", "u2")
+    db.execute("FLUSH")
+    assert pairs(db.execute("SHOW preq").df) == pairs(db.query(q))
