@@ -234,6 +234,35 @@ class QueryCompiler:
             approx_unique=self.approx_count_unique,
         )
 
+    def compile_sequence_aggregate_partial(
+        self, q: ast.QueryCommand, matched: DataFrame
+    ) -> tuple[DataFrame, list[str]]:
+        """Mergeable per-group partial state for a SEQUENCE aggregate,
+        computed over an (already matched) pair frame — the materializer
+        feeds either the full match (REMEMBER) or just the delta pairs
+        (SHOW refresh). Field resolution and bucketing mirror
+        _compile_sequence's aggregate path exactly, so finalize produces
+        the same columns as a direct compile."""
+        if not (q.is_aggregate and q.is_sequence):
+            raise QueryError("needs a sequence aggregate query")
+        head_type = q.sequence.head
+        _, tail_type = q.sequence.links[0]
+        resolve = self._seq_resolver(matched, head_type, tail_type)
+        bucket = None
+        if q.time_bucket:
+            tcol = resolve(q.time_field)[0].cast("long") if q.time_field else F.col(
+                A_PREFIX + "timestamp"
+            ).cast("long")
+            tc = self.time_config
+            bucket = bucket_column(
+                tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                week_start=tc.week_start,
+            )
+        return apply_partial_aggregation(
+            matched, q.aggs, q.group_by, resolve, bucket,
+            approx_unique=self.approx_count_unique,
+        )
+
     def _reference_column_order(self, df: DataFrame, q: ast.QueryCommand) -> DataFrame:
         """Full-column results use the reference's column order: core
         fields, then the (sorted) filter columns, then the remaining

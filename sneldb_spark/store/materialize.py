@@ -82,9 +82,19 @@ class Materializer:
         'new events have the highest ts' invariant the delta logic rests
         on would not hold), LIMIT (caps matched sequences — a delta pair
         could displace a stored one), and retention options."""
+        return not q.is_aggregate and self._seq_delta_safe(q, manifest)
+
+    def _seq_agg_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+        """Sequence AGGREGATES refresh by aggregating only the DELTA
+        PAIRS into mergeable per-group state (pairs are append-only under
+        server timestamps, so the same merge the plain aggregates use is
+        exact over them)."""
+        return q.is_aggregate and self._seq_delta_safe(q, manifest)
+
+    @staticmethod
+    def _seq_delta_safe(q: ast.QueryCommand, manifest: dict) -> bool:
         return (
             q.is_sequence
-            and not q.is_aggregate
             and len(q.sequence.links) == 1
             and q.limit is None
             and q.offset is None
@@ -114,6 +124,34 @@ class Materializer:
     def _seq_state_paths(self, name: str) -> tuple[str, str]:
         d = self._state_path(name)
         return os.path.join(d, "pending_a"), os.path.join(d, "boundary_b")
+
+    def _seq_agg_state_path(self, name: str) -> str:
+        return os.path.join(self._state_path(name), "agg_state")
+
+    def _seq_carry_state(
+        self, a_frame: DataFrame, b_frame: DataFrame, kind: str, link: str,
+        pairs: DataFrame, hwm_ts: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(pending A's, boundary B's) to carry for the next delta match.
+        `pairs` must cover every A in `a_frame` that is matched (full
+        pairs at REMEMBER; just the new pairs at refresh, where carried
+        pending already excludes previously-matched A's)."""
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+        from sneldb_spark.plans.sequence import A_PREFIX
+
+        if kind == FOLLOWED_BY:
+            pending = a_frame.join(
+                pairs.select(F.col(A_PREFIX + "event_id").alias("event_id")),
+                "event_id",
+                "left_anti",
+            )
+            boundary = b_frame.where(
+                F.col("timestamp").cast("long") == F.lit(hwm_ts)
+            )
+        else:
+            pending = a_frame.where(F.lit(False))
+            boundary = self._preceded_state(b_frame, link, hwm_ts)
+        return pending, boundary
 
     @staticmethod
     def _delta_slice(df: DataFrame, hwm_ts: int, hwm_id: int) -> DataFrame:
@@ -214,6 +252,13 @@ class Materializer:
             finalize_partial_state(
                 stored_state, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
+        elif self._seq_agg_incrementable(q, manifest):
+            hwm_ts, hwm_id = self._remember_sequence_agg(name, q, manifest, path)
+            manifest["seq_state"] = True
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self.engine.spark.read.parquet(path).count()
         elif self._seq_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_sequence(name, q, path)
             manifest["seq_state"] = True
@@ -250,18 +295,42 @@ class Materializer:
         pairs.write.mode("overwrite").parquet(path)
         stored = self.engine.spark.read.parquet(path)
         pend_p, bound_p = self._seq_state_paths(name)
-        if kind == FOLLOWED_BY:
-            pending = a.join(
-                stored.select(F.col(A_PREFIX + "event_id").alias("event_id")),
-                "event_id",
-                "left_anti",
-            )
-            boundary = b.where(F.col("timestamp").cast("long") == F.lit(hwm_ts))
-        else:
-            pending = a.where(F.lit(False))
-            boundary = self._preceded_state(b, link, hwm_ts)
+        pending, boundary = self._seq_carry_state(a, b, kind, link, stored, hwm_ts)
         pending.write.mode("overwrite").parquet(pend_p)
         boundary.write.mode("overwrite").parquet(bound_p)
+        return hwm_ts, hwm_id
+
+    def _remember_sequence_agg(self, name: str, q, manifest: dict,
+                               path: str) -> tuple[int, int]:
+        """Initial sequence-AGGREGATE materialization: run the full
+        match once (persisted for the duration), store mergeable partial
+        state over the pairs plus the sequence carry state, and derive
+        the visible result from the state's finalize — the same
+        one-estimator rule the plain aggregate path follows."""
+        from sneldb_spark.plans.aggregates import finalize_partial_state
+        from sneldb_spark.plans.sequence import sequence_match
+
+        spark = self.engine.spark
+        approx = self.engine.compiler.approx_count_unique
+        hwm_ts, hwm_id = self._source_hwm(q)
+        a, b, kind, link, ts_a, ts_b = self.engine.compiler.sequence_parts(q)
+        pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b).persist()
+        try:
+            state, keys = self.engine.compiler.compile_sequence_aggregate_partial(
+                q, pairs
+            )
+            spath = self._seq_agg_state_path(name)
+            state.write.mode("overwrite").parquet(spath)
+            manifest["state_keys"] = keys
+            finalize_partial_state(
+                spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
+            ).write.mode("overwrite").parquet(path)
+            pend_p, bound_p = self._seq_state_paths(name)
+            pending, boundary = self._seq_carry_state(a, b, kind, link, pairs, hwm_ts)
+            pending.write.mode("overwrite").parquet(pend_p)
+            boundary.write.mode("overwrite").parquet(bound_p)
+        finally:
+            pairs.unpersist()
         return hwm_ts, hwm_id
 
     def _refresh_sequence(self, name: str, q, manifest: dict, path: str,
@@ -299,29 +368,91 @@ class Materializer:
             new_pairs, allowMissingColumns=True
         ).dropDuplicates([A_PREFIX + "event_id"])
 
-        if kind == FOLLOWED_BY:
-            # pending already excludes stored-matched A's, so anti-joining
-            # the NEW pairs alone is complete (and avoids re-reading the
-            # swapped result directory mid-plan).
-            new_pending = a_cand.join(
-                new_pairs.select(F.col(A_PREFIX + "event_id").alias("event_id")),
-                "event_id",
-                "left_anti",
-            )
-            new_boundary = b_cand.where(
-                F.col("timestamp").cast("long") == F.lit(cur_ts)
-            )
-        else:
-            new_pending = a_cand.where(F.lit(False))
-            new_boundary = self._preceded_state(b_cand, link, cur_ts)
+        # pending already excludes stored-matched A's, so anti-joining the
+        # NEW pairs alone is complete (and avoids re-reading the swapped
+        # result directory mid-plan).
+        new_pending, new_boundary = self._seq_carry_state(
+            a_cand, b_cand, kind, link, new_pairs, cur_ts
+        )
 
         # two-phase: every plan executes against the old directories
-        for df, p in ((merged, path), (new_pending, pend_p), (new_boundary, bound_p)):
+        self._swap_all(
+            ((merged, path), (new_pending, pend_p), (new_boundary, bound_p))
+        )
+
+    @staticmethod
+    def _swap_all(writes):
+        """Write every frame to <target>.tmp first (all plans still read
+        the OLD directories), then replace all targets — a crash leaves
+        either the full old view or the full new one per directory."""
+        for df, p in writes:
             df.write.mode("overwrite").parquet(p + ".tmp")
-        for p in (path, pend_p, bound_p):
+        for _, p in writes:
             if os.path.exists(p):
                 shutil.rmtree(p)
             os.replace(p + ".tmp", p)
+
+    def _refresh_sequence_agg(self, name: str, q, manifest: dict, path: str,
+                              cur: tuple[int, int]):
+        """Incremental sequence-aggregate SHOW: compute the DELTA PAIRS
+        exactly as the event-shaped refresh does, partial-aggregate only
+        them, merge into the stored per-group state, finalize. Exact
+        because the pair set is append-only (see _refresh_sequence) and
+        every aggregate op merges over disjoint row sets."""
+        from sneldb_spark.plans.aggregates import (
+            finalize_partial_state,
+            merge_partial_states,
+        )
+        from sneldb_spark.plans.sequence import sequence_match
+
+        spark = self.engine.spark
+        approx = self.engine.compiler.approx_count_unique
+        cur_ts, _cur_id = cur
+        hwm_ts, hwm_id = manifest["hwm_ts"], manifest["hwm_id"]
+        keys = manifest["state_keys"]
+        a, b, kind, link, _ts_a, _ts_b = self.engine.compiler.sequence_parts(q)
+        pend_p, bound_p = self._seq_state_paths(name)
+        spath = self._seq_agg_state_path(name)
+
+        pending = spark.read.parquet(pend_p)
+        boundary = spark.read.parquet(bound_p)
+        a_cand = pending.unionByName(
+            self._delta_slice(a, hwm_ts, hwm_id), allowMissingColumns=True
+        )
+        b_cand = boundary.unionByName(
+            self._delta_slice(b, hwm_ts, hwm_id), allowMissingColumns=True
+        )
+        new_pairs = sequence_match(a_cand, b_cand, link, kind).persist()
+        try:
+            delta_state, _ = self.engine.compiler.compile_sequence_aggregate_partial(
+                q, new_pairs
+            )
+            merged_state = merge_partial_states(
+                spark.read.parquet(spath).unionByName(
+                    delta_state, allowMissingColumns=True
+                ),
+                q.aggs, keys, approx_unique=approx,
+            )
+            # materialize the merge ONCE; finalize reads the tmp files so
+            # the merge isn't recomputed, and everything below still sees
+            # only pre-refresh directories until the swap loop
+            merged_state.write.mode("overwrite").parquet(spath + ".tmp")
+            final = finalize_partial_state(
+                spark.read.parquet(spath + ".tmp"), q.aggs, keys,
+                approx_unique=approx,
+            )
+            new_pending, new_boundary = self._seq_carry_state(
+                a_cand, b_cand, kind, link, new_pairs, cur_ts
+            )
+            for df, p in ((final, path), (new_pending, pend_p),
+                          (new_boundary, bound_p)):
+                df.write.mode("overwrite").parquet(p + ".tmp")
+            for p in (spath, path, pend_p, bound_p):
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                os.replace(p + ".tmp", p)
+        finally:
+            new_pairs.unpersist()
 
     def _merge_agg_delta(self, name: str, q, manifest: dict) -> DataFrame:
         """Aggregate ONLY the rows past the high-water mark, merge into the
@@ -369,6 +500,12 @@ class Materializer:
                 stored.unionByName(delta_df).dropDuplicates(["event_id"]), manifest
             )
             self._swap_in(merged, path)
+        elif stale and self._seq_agg_incrementable(q, manifest) and manifest.get(
+            "seq_state"
+        ) and manifest.get("state_keys") is not None and os.path.exists(
+            self._seq_agg_state_path(name)
+        ):
+            self._refresh_sequence_agg(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._seq_incrementable(q, manifest) and manifest.get(
             "seq_state"
         ) and os.path.exists(self._seq_state_paths(name)[0]):

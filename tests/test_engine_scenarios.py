@@ -904,3 +904,72 @@ def test_remember_show_sequence_incremental_preceded_by(spark, tmp_path):
     store("purchase", "u2"); store("signup", "u2")
     db.execute("FLUSH")
     assert pairs(db.execute("SHOW preq").df) == pairs(db.query(q))
+
+
+def test_remember_show_sequence_aggregate_incremental(spark, tmp_path):
+    """Sequence AGGREGATE materializations refresh by aggregating only
+    the delta pairs into the stored per-group state. After new events
+    complete old pending A's, create new pairs, and birth a new group,
+    SHOW must equal a full recompute — including COUNT UNIQUE via exact
+    set union — and must go through the delta path, not a recompute."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string", "k": "int" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    q = ("QUERY signup FOLLOWED BY purchase LINKED BY user_id "
+         "COUNT, COUNT UNIQUE user_id BY k")
+
+    def store(et, user, k=None):
+        payload = f'{{ "user_id": "{user}" }}' if k is None else (
+            f'{{ "user_id": "{user}", "k": {k} }}')
+        db.execute(f'STORE {et} FOR c{clock["now"]}x{user} PAYLOAD {payload}')
+
+    def rows(df):
+        return sorted((r.asDict() for r in df.collect()), key=lambda d: repr(d))
+
+    # phase 1: k=1 has one pair (u1) and a pending signup (u2); k=2 empty
+    store("signup", "u1", 1); store("purchase", "u1")
+    store("signup", "u2", 1)
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS funnel_by_k")
+    assert rows(db.execute("SHOW funnel_by_k").df) == rows(db.query(q))
+
+    refreshes = {"n": 0}
+    orig = db.materializer._refresh_sequence_agg
+
+    def spy(*a, **k):
+        refreshes["n"] += 1
+        return orig(*a, **k)
+
+    db.materializer._refresh_sequence_agg = spy
+
+    # phase 2: u2's purchase completes the pending pair (k=1 count grows);
+    # u3/u4 create a brand-new group k=7
+    store("purchase", "u2")
+    store("signup", "u3", 7); store("purchase", "u3")
+    store("signup", "u4", 7); store("purchase", "u4")
+    db.execute("FLUSH")
+    shown = db.execute("SHOW funnel_by_k").df
+    assert rows(shown) == rows(db.query(q))
+    got = {r["k"]: (r["count"], r["count_unique_user_id"]) for r in shown.collect()}
+    assert got == {1: (2, 2), 7: (2, 2)}
+
+    # phase 3: one more delta through the refreshed state
+    store("signup", "u5", 7); store("purchase", "u5")
+    db.execute("FLUSH")
+    assert rows(db.execute("SHOW funnel_by_k").df) == rows(db.query(q))
+    assert refreshes["n"] == 2
+
+    # ungrouped sequence aggregate refreshes through the same path
+    g = "QUERY signup FOLLOWED BY purchase LINKED BY user_id COUNT"
+    db.execute(f"REMEMBER {g} AS funnel_total")
+    store("signup", "u6", 1); store("purchase", "u6")
+    db.execute("FLUSH")
+    assert rows(db.execute("SHOW funnel_total").df) == rows(db.query(g))
