@@ -212,14 +212,9 @@ class QueryCompiler:
             raise QueryError("partial aggregation needs a plain aggregate query")
         df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
         if hwm is not None:
-            hwm_ts, hwm_id = hwm
-            df = df.where(
-                (F.col("timestamp") > F.lit(hwm_ts))
-                | (
-                    (F.col("timestamp") == F.lit(hwm_ts))
-                    & (F.col("event_id") > F.lit(hwm_id))
-                )
-            )
+            from sneldb_spark.plans.filters import hwm_after
+
+            df = df.where(hwm_after(*hwm))
         resolve = self._resolver(df, q.event_type)
         bucket = None
         if q.time_bucket:

@@ -213,3 +213,24 @@ def split_sequence_where(
                 acc = ast.And(acc, c)
             result[et] = acc
     return result
+
+
+def hwm_after(hwm_ts: int, hwm_id: int) -> Column:
+    """Predicate selecting rows STRICTLY past a (timestamp, event_id)
+    high-water mark — the delta side of every incremental refresh. Sits
+    directly on the scan columns so Parquet pushdown applies."""
+    t = F.col("timestamp").cast("long")
+    return (t > F.lit(hwm_ts)) | (
+        (t == F.lit(hwm_ts)) & (F.col("event_id") > F.lit(hwm_id))
+    )
+
+
+def hwm_at_or_before(hwm_ts: int, hwm_id: int) -> Column:
+    """Complement of `hwm_after`: rows at or before the mark. Bounding a
+    materialization's read side with this makes the (probe hwm, run
+    query) pair atomic — rows racing in after the probe are excluded now
+    and picked up exactly once by the next delta."""
+    t = F.col("timestamp").cast("long")
+    return (t < F.lit(hwm_ts)) | (
+        (t == F.lit(hwm_ts)) & (F.col("event_id") <= F.lit(hwm_id))
+    )

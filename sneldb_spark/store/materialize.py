@@ -155,11 +155,40 @@ class Materializer:
 
     @staticmethod
     def _delta_slice(df: DataFrame, hwm_ts: int, hwm_id: int) -> DataFrame:
-        t = F.col("timestamp").cast("long")
-        return df.where(
-            (t > F.lit(hwm_ts))
-            | ((t == F.lit(hwm_ts)) & (F.col("event_id") > F.lit(hwm_id)))
+        from sneldb_spark.plans.filters import hwm_after
+
+        return df.where(hwm_after(hwm_ts, hwm_id))
+
+    def _seq_sides(self, q, upper: tuple[int, int] | None = None):
+        """sequence_parts with the read side optionally CLOSED at the
+        just-probed high-water mark: rows racing in after the probe are
+        excluded from this materialization pass and picked up exactly
+        once by the next delta — this is what makes the agg-state merge
+        (pure addition, no dedup possible) race-safe."""
+        from sneldb_spark.plans.filters import hwm_at_or_before
+
+        a, b, kind, link, ts_a, ts_b = self.engine.compiler.sequence_parts(q)
+        if upper is not None:
+            bound = hwm_at_or_before(*upper)
+            a, b = a.where(bound), b.where(bound)
+        return a, b, kind, link, ts_a, ts_b
+
+    def _seq_delta_candidates(
+        self, name: str, q, lower: tuple[int, int], upper: tuple[int, int]
+    ):
+        """(a_cand, b_cand, kind, link): carried state unioned with the
+        (lower, upper]-bounded delta of each side — the full candidate
+        set for an incremental re-match."""
+        spark = self.engine.spark
+        a, b, kind, link, _ts_a, _ts_b = self._seq_sides(q, upper=upper)
+        pend_p, bound_p = self._seq_state_paths(name)
+        a_cand = spark.read.parquet(pend_p).unionByName(
+            self._delta_slice(a, *lower), allowMissingColumns=True
         )
+        b_cand = spark.read.parquet(bound_p).unionByName(
+            self._delta_slice(b, *lower), allowMissingColumns=True
+        )
+        return a_cand, b_cand, kind, link
 
     @staticmethod
     def _preceded_state(b: DataFrame, link_field: str, hwm_ts: int) -> DataFrame:
@@ -286,11 +315,10 @@ class Materializer:
         with. The high-water mark is probed BEFORE the match so a row
         racing in mid-materialization is re-matched by the next refresh
         (and deduped by a_event_id) instead of silently skipped."""
-        from sneldb_spark.commands.ast import FOLLOWED_BY
-        from sneldb_spark.plans.sequence import A_PREFIX, sequence_match
+        from sneldb_spark.plans.sequence import sequence_match
 
         hwm_ts, hwm_id = self._source_hwm(q)
-        a, b, kind, link, ts_a, ts_b = self.engine.compiler.sequence_parts(q)
+        a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
         pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b)
         pairs.write.mode("overwrite").parquet(path)
         stored = self.engine.spark.read.parquet(path)
@@ -313,7 +341,7 @@ class Materializer:
         spark = self.engine.spark
         approx = self.engine.compiler.approx_count_unique
         hwm_ts, hwm_id = self._source_hwm(q)
-        a, b, kind, link, ts_a, ts_b = self.engine.compiler.sequence_parts(q)
+        a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
         pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b).persist()
         try:
             state, keys = self.engine.compiler.compile_sequence_aggregate_partial(
@@ -321,6 +349,7 @@ class Materializer:
             )
             spath = self._seq_agg_state_path(name)
             state.write.mode("overwrite").parquet(spath)
+            self._write_state_hwm(spath, hwm_ts, hwm_id)
             manifest["state_keys"] = keys
             finalize_partial_state(
                 spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
@@ -342,25 +371,15 @@ class Materializer:
         qualifying B; PRECEDED BY's strict 'before' excludes everything
         new), so the delta can only ADD pairs for previously-unmatched or
         new A's, whose candidate B's are exactly the carried state plus
-        the delta (boundary-second ties included). All three outputs are
-        written to tmp dirs against the OLD files, then swapped, so a
-        crash mid-refresh leaves a consistent pre-refresh view."""
-        from sneldb_spark.commands.ast import FOLLOWED_BY
+        the delta (boundary-second ties included). Every output plan
+        executes against the OLD directories; the result is then replaced
+        and the state dir swapped as one unit (_swap_state_dir)."""
         from sneldb_spark.plans.sequence import A_PREFIX, sequence_match
 
         spark = self.engine.spark
         cur_ts, _cur_id = cur
-        hwm_ts, hwm_id = manifest["hwm_ts"], manifest["hwm_id"]
-        a, b, kind, link, _ts_a, _ts_b = self.engine.compiler.sequence_parts(q)
-        pend_p, bound_p = self._seq_state_paths(name)
-
-        pending = spark.read.parquet(pend_p)
-        boundary = spark.read.parquet(bound_p)
-        a_cand = pending.unionByName(
-            self._delta_slice(a, hwm_ts, hwm_id), allowMissingColumns=True
-        )
-        b_cand = boundary.unionByName(
-            self._delta_slice(b, hwm_ts, hwm_id), allowMissingColumns=True
+        a_cand, b_cand, kind, link = self._seq_delta_candidates(
+            name, q, (manifest["hwm_ts"], manifest["hwm_id"]), cur
         )
         new_pairs = sequence_match(a_cand, b_cand, link, kind)
         stored = spark.read.parquet(path)
@@ -375,22 +394,34 @@ class Materializer:
             a_cand, b_cand, kind, link, new_pairs, cur_ts
         )
 
-        # two-phase: every plan executes against the old directories
-        self._swap_all(
-            ((merged, path), (new_pending, pend_p), (new_boundary, bound_p))
-        )
+        # every plan executes against the OLD directories; then data is
+        # replaced and the whole state dir swaps as one unit (see
+        # _swap_state_dir for the crash-window reasoning)
+        nxt = self._state_path(name) + ".next"
+        shutil.rmtree(nxt, ignore_errors=True)
+        new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
+        new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
+        merged.write.mode("overwrite").parquet(path + ".tmp")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(path + ".tmp", path)
+        self._swap_state_dir(name)
 
-    @staticmethod
-    def _swap_all(writes):
-        """Write every frame to <target>.tmp first (all plans still read
-        the OLD directories), then replace all targets — a crash leaves
-        either the full old view or the full new one per directory."""
-        for df, p in writes:
-            df.write.mode("overwrite").parquet(p + ".tmp")
-        for _, p in writes:
-            if os.path.exists(p):
-                shutil.rmtree(p)
-            os.replace(p + ".tmp", p)
+    def _swap_state_dir(self, name: str):
+        """Promote <state>.next to <state> with two renames. Crash
+        analysis: before the first rename, everything is old (a rerun
+        redoes the delta — idempotent for both refresh shapes); between
+        the renames there is NO state dir, which the show() guards treat
+        as 'state missing' and fall back to a sound full recompute; after
+        the second rename the state is fully new, and a stale manifest is
+        covered by dedup (event-shaped) or the in-state hwm marker
+        (aggregate). No window leaves the dirs mutually inconsistent."""
+        state = self._state_path(name)
+        old = state + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(state, old)
+        os.rename(state + ".next", state)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _refresh_sequence_agg(self, name: str, q, manifest: dict, path: str,
                               cur: tuple[int, int]):
@@ -408,19 +439,19 @@ class Materializer:
         spark = self.engine.spark
         approx = self.engine.compiler.approx_count_unique
         cur_ts, _cur_id = cur
-        hwm_ts, hwm_id = manifest["hwm_ts"], manifest["hwm_id"]
         keys = manifest["state_keys"]
-        a, b, kind, link, _ts_a, _ts_b = self.engine.compiler.sequence_parts(q)
-        pend_p, bound_p = self._seq_state_paths(name)
         spath = self._seq_agg_state_path(name)
 
-        pending = spark.read.parquet(pend_p)
-        boundary = spark.read.parquet(bound_p)
-        a_cand = pending.unionByName(
-            self._delta_slice(a, hwm_ts, hwm_id), allowMissingColumns=True
-        )
-        b_cand = boundary.unionByName(
-            self._delta_slice(b, hwm_ts, hwm_id), allowMissingColumns=True
+        # Crash recovery: the hwm marker INSIDE the state dir swaps
+        # atomically with the state, so if a previous refresh died after
+        # the swap but before the manifest write, the marker is ahead of
+        # the manifest and the already-merged slice is NOT re-merged.
+        lower = manifest["hwm_ts"], manifest["hwm_id"]
+        marker = self._read_state_hwm(spath)
+        if marker is not None and marker > lower:
+            lower = marker
+        a_cand, b_cand, kind, link = self._seq_delta_candidates(
+            name, q, lower, cur
         )
         new_pairs = sequence_match(a_cand, b_cand, link, kind).persist()
         try:
@@ -436,23 +467,47 @@ class Materializer:
             # materialize the merge ONCE; finalize reads the tmp files so
             # the merge isn't recomputed, and everything below still sees
             # only pre-refresh directories until the swap loop
-            merged_state.write.mode("overwrite").parquet(spath + ".tmp")
+            nxt = self._state_path(name) + ".next"
+            shutil.rmtree(nxt, ignore_errors=True)
+            nxt_agg = os.path.join(nxt, "agg_state")
+            merged_state.write.mode("overwrite").parquet(nxt_agg)
+            self._write_state_hwm(nxt_agg, cur[0], cur[1])
             final = finalize_partial_state(
-                spark.read.parquet(spath + ".tmp"), q.aggs, keys,
+                spark.read.parquet(nxt_agg), q.aggs, keys,
                 approx_unique=approx,
             )
             new_pending, new_boundary = self._seq_carry_state(
                 a_cand, b_cand, kind, link, new_pairs, cur_ts
             )
-            for df, p in ((final, path), (new_pending, pend_p),
-                          (new_boundary, bound_p)):
-                df.write.mode("overwrite").parquet(p + ".tmp")
-            for p in (spath, path, pend_p, bound_p):
-                if os.path.exists(p):
-                    shutil.rmtree(p)
-                os.replace(p + ".tmp", p)
+            new_pending.write.mode("overwrite").parquet(
+                os.path.join(nxt, "pending_a")
+            )
+            new_boundary.write.mode("overwrite").parquet(
+                os.path.join(nxt, "boundary_b")
+            )
+            final.write.mode("overwrite").parquet(path + ".tmp")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(path + ".tmp", path)
+            self._swap_state_dir(name)
         finally:
             new_pairs.unpersist()
+
+    @staticmethod
+    def _write_state_hwm(state_dir: str, hwm_ts: int, hwm_id: int):
+        """Underscore-prefixed so Spark's parquet listing ignores it;
+        rides inside the state dir so it swaps atomically with it."""
+        with open(os.path.join(state_dir, "_hwm.json"), "w") as f:
+            json.dump({"ts": int(hwm_ts), "id": int(hwm_id)}, f)
+
+    @staticmethod
+    def _read_state_hwm(state_dir: str):
+        p = os.path.join(state_dir, "_hwm.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return d["ts"], d["id"]
 
     def _merge_agg_delta(self, name: str, q, manifest: dict) -> DataFrame:
         """Aggregate ONLY the rows past the high-water mark, merge into the
@@ -487,13 +542,9 @@ class Materializer:
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
         if stale and self._incrementable(q):
-            hwm_ts, hwm_id = manifest["hwm_ts"], manifest["hwm_id"]
-            delta_df = self.engine.compiler.compile_query(q).where(
-                (F.col("timestamp") > F.lit(hwm_ts))
-                | (
-                    (F.col("timestamp") == F.lit(hwm_ts))
-                    & (F.col("event_id") > F.lit(hwm_id))
-                )
+            delta_df = self._delta_slice(
+                self.engine.compiler.compile_query(q),
+                manifest["hwm_ts"], manifest["hwm_id"],
             )
             stored = self.engine.spark.read.parquet(path)
             merged = self._apply_retention(

@@ -973,3 +973,47 @@ def test_remember_show_sequence_aggregate_incremental(spark, tmp_path):
     store("signup", "u6", 1); store("purchase", "u6")
     db.execute("FLUSH")
     assert rows(db.execute("SHOW funnel_total").df) == rows(db.query(g))
+
+
+def test_sequence_aggregate_refresh_is_crash_idempotent(spark, tmp_path):
+    """If a refresh dies after swapping the agg state but before the
+    manifest hwm write, the next SHOW must NOT re-merge the same delta
+    (the state-dir hwm marker is authoritative). Simulated by resetting
+    the manifest hwm to its pre-refresh value after a successful SHOW."""
+    import json as _json
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    q = "QUERY signup FOLLOWED BY purchase LINKED BY user_id COUNT"
+
+    def store(et, user):
+        db.execute(f'STORE {et} FOR c{clock["now"]}x{user} PAYLOAD {{ "user_id": "{user}" }}')
+
+    store("signup", "u1"); store("purchase", "u1")
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS ft")
+    mpath = tmp_path / "db" / "materialized" / "ft" / "manifest.json"
+    pre = _json.loads(mpath.read_text())
+
+    store("signup", "u2"); store("purchase", "u2")
+    db.execute("FLUSH")
+    assert db.execute("SHOW ft").df.collect()[0]["count"] == 2
+
+    # crash simulation: manifest hwm rolls back, state dirs stay swapped
+    post = _json.loads(mpath.read_text())
+    post["hwm_ts"], post["hwm_id"] = pre["hwm_ts"], pre["hwm_id"]
+    mpath.write_text(_json.dumps(post))
+    assert db.execute("SHOW ft").df.collect()[0]["count"] == 2  # not 3
+    # and the system has healed: further data still refreshes exactly once
+    store("signup", "u3"); store("purchase", "u3")
+    db.execute("FLUSH")
+    assert db.execute("SHOW ft").df.collect()[0]["count"] == 3
