@@ -2340,8 +2340,14 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.pipeline.similarity import ivf_build_index, ivf_topk_indexed
 
+    import hashlib
+    import os as _os
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    # deterministic per-sf dir, reused across invocations (the build is
+    # mode=overwrite) — bench/correctness reruns must not leak mkdtemps
+    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = _os.path.join(tempfile.gettempdir(), f"sneldb_ivf_idx_{key}")
     # one Lloyd round: list quality only affects recall at nprobe < nlist
     # (pinned by tests on the in-memory path); exhaustive probes stay
     # exact regardless, and the gate measures build+serve end-to-end.

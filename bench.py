@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "sampling_token_budget",
     "corpus_curation",
     "remember_show_agg",
+    "remember_show_seq",
+    "remember_show_seq_agg",
+    "text_winnow",
+    "similarity_lsh_topk",
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_ivf_indexed",
