@@ -1842,6 +1842,65 @@ def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(d, n=2, min_count=3)
 
 
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training kernel: word-frequency-weighted adjacent character
+    pair counts — the statistic one merge round maximizes. Exact-integer
+    arithmetic, so the oracle reproduces it verbatim."""
+    from sneldb_spark.pipeline.text import bpe_pair_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_pair_counts(d, min_count=2)
+    return out.select(
+        F.col("left").alias("lsym"), F.col("right").alias("rsym"), "pair_count"
+    )
+
+
+_TEXT_BPE_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, count(*) AS wc FROM words GROUP BY w),
+pairs AS (
+  SELECT wc, unnest(list_transform(range(length(w) - 1),
+                                   i -> {l: w[i+1], r: w[i+2]})) AS p
+  FROM wc WHERE length(w) >= 2
+)
+SELECT p.l AS lsym, p.r AS rsym, CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2 HAVING sum(wc) >= 2
+"""
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: add-1-smoothed unigram LM fit on
+    the corpus itself; each doc scored by mean token log-probability.
+    The log/avg arithmetic rounds to 4 decimals on both sides."""
+    from sneldb_spark.pipeline.text import lm_quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_quality_score(d)
+
+
+_TEXT_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+  FROM documents
+),
+lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+scored AS (
+  SELECT t.id, ln((lm.c + 1.0) / (tot.total + 1.0 * tot.vocab)) AS lp
+  FROM toks t JOIN lm USING (tok), tot
+),
+per_doc AS (
+  SELECT id, count(*) AS n, round(avg(lp), 4) AS sc FROM scored GROUP BY id
+)
+SELECT d.doc_id AS id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens, p.sc AS lm_score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+"""
+
+
 _TEXT_NGRAM_COUNTS_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2968,6 +3027,7 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
+    "text_bpe_pairs", "text_lm_score",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
     # literal-coefficient oracles): both code and oracle changed
     "text_winnow", "similarity_lsh_topk",
@@ -2982,9 +3042,9 @@ _DRIVER_PRIORITY = [
     "remember_show",                       # materializer refresh refactor
     "order_limit_offset",                  # top-k file pruning landed
     # r1/r2-only rows rotate back into the 50-window (VERDICT r3 item 9)
-    "agg_count_field", "agg_multi", "agg_per_hour_by",
+    "agg_count_field", "agg_per_hour_by",
     "agg_per_week", "agg_per_year", "agg_per_year_naive",
-    "dedup_minhash_lsh", "dedup_simhash", "filter_in_not", "filter_parens",
+    "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
     "for_context", "replay_context", "replay_typed", "return_projection",
     "text_quality",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
@@ -3116,6 +3176,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_span_removal": q_dedup_span_removal,
         "text_ngram_counts": q_text_ngram_counts,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "text_lm_score": q_text_lm_score,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3338,5 +3400,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "text_winnow": _winnow_sql(),
+        "text_bpe_pairs": _TEXT_BPE_PAIRS_SQL,
+        "text_lm_score": _TEXT_LM_SCORE_SQL,
         "similarity_lsh_topk": _lsh_topk_sql(),
     }

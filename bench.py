@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "text_langid",
     "text_tokens_fingerprint",
     "text_ngram_counts",
+    "text_bpe_pairs",
+    "text_lm_score",
     "text_repetition",
     "text_pii_redact",
     "decontaminate",

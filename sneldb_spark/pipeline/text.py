@@ -330,3 +330,162 @@ def ngram_counts(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """The inner kernel of BPE tokenizer training: corpus-wide counts of
+    ADJACENT CHARACTER PAIRS, weighted by word frequency — the statistic
+    one merge round maximizes over. Two map-side-combined shuffles (word
+    counts, then pair counts over DISTINCT words only), pure codegen; the
+    corpus text itself is scanned once and never reshuffled. At 100 TB
+    the distinct-word table is vocabulary-scale, so the second stage is
+    tiny regardless of corpus size.
+
+    Output: (left, right, pair_count) with pair_count >= min_count.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.struct(
+                        F.col("w").substr(i, F.lit(1)).alias("left"),
+                        F.col("w").substr(i + 1, F.lit(1)).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("wc").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+) -> list[tuple[str, str]]:
+    """Classic BPE training: the corpus-scale work (word frequency
+    collection) runs in Spark ONCE; the merge loop then iterates over the
+    vocabulary-sized frequency table driver-side, like every practical
+    BPE trainer (the table is bounded by vocabulary, not corpus, so this
+    is a broadcast-scale collect by contract — ~1e5-1e7 rows at web
+    scale, independent of corpus bytes).
+
+    Returns the ordered merge list [(left, right), ...]. Ties on count
+    break lexicographically so training is deterministic across runs and
+    partitionings.
+    """
+    from collections import Counter
+
+    rows = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["wc"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: Counter = Counter()
+        for syms, wc in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += wc
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        if c < 2:
+            break
+        merges.append((l, r))
+        merged = l + r
+        nxt = {}
+        for syms, wc in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + wc
+        vocab = nxt
+    return merges
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: fit a unigram LM with
+    add-k smoothing on the CORPUS ITSELF, then score every document by
+    its average token log-probability (higher = more typical; the
+    filtering step keeps the upper quantiles). Self-scoring is the
+    standard bootstrap when no held-out LM exists.
+
+    Two corpus scans, both ending in map-side-combined aggregates (token
+    counts; per-doc score via a vocabulary-sized shuffle join between doc
+    tokens and the LM table — never a broadcast of an unbounded side).
+    score = avg_i ln((count(w_i) + k) / (total + k * |V|)), with unseen
+    tokens impossible by construction (the LM is fit on the same corpus).
+
+    Output: (id, n_tokens, lm_score), score rounded to 4 decimals so the
+    value survives libm differences across engines.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = lm.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).collect()[0]
+    total, vocab = int(totals["total"] or 0), int(totals["vocab"] or 0)
+    denom = float(total) + add_k * float(vocab)
+    logp = F.log((F.col("c") + F.lit(add_k)) / F.lit(denom))
+    scored = toks.join(lm.select("tok", logp.alias("lp")), "tok")
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("lm_score"),
+    )
+    # empty/stopword-only docs score NULL, not silently dropped
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "lm_score",
+        )
+    )

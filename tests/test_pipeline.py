@@ -890,3 +890,39 @@ def test_ngram_counts_vocab_and_bigrams(spark):
     assert bi == {"a b": 3}  # twice in doc 1, once in doc 2
     uni = {r["gram"]: r["count"] for r in ngram_counts(df, n=1, min_count=2).collect()}
     assert uni == {"a": 3, "b": 3}
+
+
+def test_bpe_train_and_pair_counts(spark):
+    """bpe_train reproduces the classic merge order on a textbook corpus,
+    and bpe_pair_counts matches a hand count. 'ab' is the most frequent
+    weighted pair, so it must merge first; after merging, 'ab'+'c' leads."""
+    from sneldb_spark.pipeline.text import bpe_pair_counts, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "abc abc abd"), (2, "abc xy")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in bpe_pair_counts(df, min_count=1).collect()
+    }
+    # words: abc x3, abd x1, xy x1 -> (a,b)=4, (b,c)=3, (b,d)=1, (x,y)=1
+    assert pairs == {("a", "b"): 4, ("b", "c"): 3, ("b", "d"): 1, ("x", "y"): 1}
+
+    merges = bpe_train(df, num_merges=3)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "c")  # after merge 1: (ab,c)=3, (ab,d)=1
+    # (ab,d) and any leftover pairs are below the count-2 floor -> stop
+    assert len(merges) == 2
+
+
+def test_lm_quality_score_semantics(spark):
+    """Docs made of frequent tokens must outscore docs of rare tokens;
+    empty docs keep a row with n_tokens 0 and NULL score."""
+    from sneldb_spark.pipeline.text import lm_quality_score
+
+    rows = [(1, "the the the the"), (2, "zyxw qvut"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in lm_quality_score(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
+    assert out[1]["lm_score"] > out[2]["lm_score"]
+    assert out[3]["n_tokens"] == 0 and out[3]["lm_score"] is None
