@@ -1881,6 +1881,50 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(d)
 
 
+def q_text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles over the LM score, thresholds
+    from an exact cumulative histogram (integer arithmetic — engine
+    portable)."""
+    from sneldb_spark.pipeline.text import quality_buckets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_buckets(d)
+
+
+_TEXT_QUALITY_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+  FROM documents
+),
+lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+scored AS (
+  SELECT t.id, ln((lm.c + 1.0) / (tot.total + 1.0 * tot.vocab)) AS lp
+  FROM toks t JOIN lm USING (tok), tot
+),
+per_doc AS (
+  SELECT id, count(*) AS n, round(avg(lp), 4) AS sc FROM scored GROUP BY id
+),
+hist AS (
+  SELECT sc, count(*) AS c, sum(count(*)) OVER (ORDER BY sc) AS cum
+  FROM per_doc GROUP BY sc
+),
+nn AS (SELECT sum(c) AS n FROM hist),
+mapping AS (
+  SELECT sc, CASE WHEN 3 * cum <= nn.n THEN 'tail'
+                  WHEN 3 * cum <= 2 * nn.n THEN 'middle'
+                  ELSE 'head' END AS bucket
+  FROM hist, nn
+)
+SELECT d.doc_id AS id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+       p.sc AS lm_score, coalesce(m.bucket, 'tail') AS bucket
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.id
+LEFT JOIN mapping m ON p.sc = m.sc
+"""
+
+
 _TEXT_LM_SCORE_SQL = r"""
 WITH toks AS (
   SELECT doc_id AS id,
@@ -3027,7 +3071,7 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
-    "text_bpe_pairs", "text_lm_score",
+    "text_bpe_pairs", "text_lm_score", "text_quality_buckets",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
     # literal-coefficient oracles): both code and oracle changed
     "text_winnow", "similarity_lsh_topk",
@@ -3045,7 +3089,7 @@ _DRIVER_PRIORITY = [
     "agg_count_field", "agg_per_hour_by",
     "agg_per_week", "agg_per_year", "agg_per_year_naive",
     "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
-    "for_context", "replay_context", "replay_typed", "return_projection",
+    "for_context", "replay_typed", "return_projection",
     "text_quality",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
@@ -3178,6 +3222,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_counts": q_text_ngram_counts,
         "text_bpe_pairs": q_text_bpe_pairs,
         "text_lm_score": q_text_lm_score,
+        "text_quality_buckets": q_text_quality_buckets,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3402,5 +3447,6 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_winnow": _winnow_sql(),
         "text_bpe_pairs": _TEXT_BPE_PAIRS_SQL,
         "text_lm_score": _TEXT_LM_SCORE_SQL,
+        "text_quality_buckets": _TEXT_QUALITY_BUCKETS_SQL,
         "similarity_lsh_topk": _lsh_topk_sql(),
     }

@@ -489,3 +489,43 @@ def lm_quality_score(
             "lm_score",
         )
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score every doc with the corpus
+    unigram LM, then bucket by score TERCILE. Thresholds come from an
+    exact cumulative histogram over DISTINCT (4-decimal-rounded) scores —
+    bounded rows regardless of corpus size, so the single ordered window
+    that computes the running count is metadata-scale, and equal-score
+    docs always share a bucket (the rule is integer arithmetic on
+    cumulative counts: tail while 3*cum <= N, middle while 3*cum <= 2N,
+    else head). The corpus itself only does the LM-score join plus a
+    small-table join against the score->bucket mapping; docs with no
+    tokens (NULL score) land in 'tail'."""
+    from pyspark.sql import Window
+
+    scored = lm_quality_score(df, id_col, text_col)
+    hist = (
+        scored.where(F.col("lm_score").isNotNull())
+        .groupBy("lm_score")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = hist.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
+    w = Window.orderBy("lm_score").rowsBetween(Window.unboundedPreceding, 0)
+    mapping = hist.withColumn("cum", F.sum("c").over(w)).select(
+        "lm_score",
+        F.when(3 * F.col("cum") <= F.lit(n), F.lit("tail"))
+        .when(3 * F.col("cum") <= F.lit(2 * n), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    return scored.join(mapping, "lm_score", "left").select(
+        "id",
+        "n_tokens",
+        "lm_score",
+        F.coalesce("bucket", F.lit("tail")).alias("bucket"),
+    )

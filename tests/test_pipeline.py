@@ -926,3 +926,28 @@ def test_lm_quality_score_semantics(spark):
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
     assert out[1]["lm_score"] > out[2]["lm_score"]
     assert out[3]["n_tokens"] == 0 and out[3]["lm_score"] is None
+
+
+def test_quality_buckets_terciles(spark):
+    """Tercile split: equal-score docs share a bucket, higher scores
+    bucket higher, empty docs land in tail, and the three buckets are
+    roughly balanced on distinct scores."""
+    from sneldb_spark.pipeline.text import quality_buckets
+
+    rows = [(i, "common " * 5 + f"rare{i}") for i in range(9)] + [(99, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["bucket"] for r in quality_buckets(df).collect()}
+    assert out[99] == "tail"
+    # docs 0..8 have identical score structure -> identical score -> one bucket
+    assert len({out[i] for i in range(9)}) == 1
+
+    rows2 = (
+        [(i, "the the the the") for i in range(3)]        # frequent -> high
+        + [(10 + i, "the alpha") for i in range(3)]       # mixed
+        + [(20 + i, f"zz{i} qq{i}") for i in range(3)]    # rare -> low
+    )
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = {r["id"]: (r["bucket"], r["lm_score"]) for r in quality_buckets(df2).collect()}
+    assert all(out2[i][0] == "head" for i in range(3))
+    assert all(out2[20 + i][0] == "tail" for i in range(3))
+    assert all(out2[10 + i][0] == "middle" for i in range(3))
