@@ -1440,6 +1440,63 @@ SELECT link, a_event_id, a_timestamp, b_event_id, b_timestamp
 FROM pairs WHERE rn = 1"""
 
 
+def q_streaming_seq_preceded_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PRECEDED BY: each arriving error pairs with the latest
+    click strictly before it — O(1) state per link key (one (ts, id)
+    pair; streaming/sequence.py). The drain over append-ordered server
+    timestamps equals the batch as-of join, which is the oracle."""
+    import uuid
+
+    from sneldb_spark.streaming.sequence import streaming_preceded_by
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = _stream_symlink_dir(sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
+    )
+    ts_type = dict(batch.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        ts_sec = F.expr("ts DIV 1000000000")
+    elif ts_type.startswith("timestamp"):
+        ts_sec = F.col("ts").cast("timestamp").cast("long")
+    else:
+        ts_sec = F.col("ts").cast("long")
+    ev = stream.select(
+        F.col("user_id").cast("string").alias("context_id"),
+        "event_type",
+        ts_sec.alias("timestamp"),
+        "event_id",
+    )
+    pairs = streaming_preceded_by(ev, "error", "click", "context_id")
+    name = f"ssp_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAMING_SEQ_PRECEDED_SQL = f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'error'),
+b AS (SELECT * FROM ev WHERE event_type = 'click'),
+pairs AS (
+  SELECT a.context_id AS link, a.event_id AS a_event_id,
+         a."timestamp" AS a_timestamp, b.event_id AS b_event_id,
+         b."timestamp" AS b_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" DESC, b.event_id DESC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id
+              AND b."timestamp" < a."timestamp")
+SELECT link, a_event_id, a_timestamp, b_event_id, b_timestamp
+FROM pairs WHERE rn = 1"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = _cents("l_extendedprice") * _cents("l_discount")
@@ -3070,6 +3127,7 @@ _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
+    "streaming_seq_preceded_by",
     "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
     "text_bpe_pairs", "text_lm_score", "text_quality_buckets",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
@@ -3090,7 +3148,6 @@ _DRIVER_PRIORITY = [
     "agg_per_week", "agg_per_year", "agg_per_year_naive",
     "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
     "for_context", "replay_typed", "return_projection",
-    "text_quality",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
@@ -3215,6 +3272,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": q_streaming_window_agg,
         "streaming_dedup": q_streaming_dedup,
         "streaming_seq_followed_by": q_streaming_seq_followed_by,
+        "streaming_seq_preceded_by": q_streaming_seq_preceded_by,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -3405,6 +3463,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "tpch_q20": _TPCH_Q20_SQL,
         "streaming_window_agg": _STREAMING_WINDOW_AGG_SQL,
         "streaming_seq_followed_by": _STREAMING_SEQ_SQL,
+        "streaming_seq_preceded_by": _STREAMING_SEQ_PRECEDED_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "streaming_window_agg",
     "streaming_dedup",
     "streaming_seq_followed_by",
+    "streaming_seq_preceded_by",
     # pipeline extensions
     "dedup_exact",
     # ngram runs BEFORE clusters: both share the inverted-index pair
