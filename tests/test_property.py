@@ -70,6 +70,39 @@ def test_sequence_match_equals_brute_force(spark, kind, groups):
     assert got == _brute_force(rows, kind)
 
 
+@pytest.mark.parametrize("kind", [FOLLOWED_BY, PRECEDED_BY])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(_group, min_size=1, max_size=6),
+    n_slices=st.sampled_from([2, 3, 16]),
+)
+def test_sliced_sequence_match_equals_brute_force(spark, kind, groups, n_slices):
+    """The time-sliced matcher must agree with the brute-force oracle for
+    arbitrary slice counts over arbitrary tie-heavy group layouts."""
+    from sneldb_spark.plans.sequence import sequence_match_sliced
+
+    rows = []
+    tie = 0
+    for g, events in enumerate(groups):
+        for ts, side in events:
+            rows.append((f"g{g}", ts, tie, side))
+            tie += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "link string, timestamp long, event_id long, side int")
+    a = df.where(F.col("side") == 0).drop("side")
+    b = df.where(F.col("side") == 1).drop("side")
+    got = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in sequence_match_sliced(a, b, "link", kind, n_slices=n_slices).collect()
+    }
+    assert got == _brute_force(rows, kind)
+
+
 # --- parser round-trip: Expr tree -> command text -> parse -> same tree ---
 
 _field = st.sampled_from(["amount", "country", "is_active", "a.b"])
