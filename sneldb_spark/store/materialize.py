@@ -121,6 +121,15 @@ class Materializer:
     def _state_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "state")
 
+    def _read_segments(self, path: str):
+        """Sequence (event-shaped) results are a directory of append-only
+        interval segments; recursiveFileLookup reads them all (and reads
+        a legacy flat layout identically)."""
+        return (
+            self.engine.spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
     def _seq_state_paths(self, name: str) -> tuple[str, str]:
         d = self._state_path(name)
         return os.path.join(d, "pending_a"), os.path.join(d, "boundary_b")
@@ -294,7 +303,7 @@ class Materializer:
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
-            return self.engine.spark.read.parquet(path).count()
+            return self._read_segments(path).count()
         else:
             df = self._apply_retention(
                 self.engine.compiler.compile_query(q), manifest
@@ -320,12 +329,13 @@ class Materializer:
         hwm_ts, hwm_id = self._source_hwm(q)
         a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
         pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b)
-        pairs.write.mode("overwrite").parquet(path)
-        stored = self.engine.spark.read.parquet(path)
+        pairs.write.mode("overwrite").parquet(os.path.join(path, "base"))
+        stored = self._read_segments(path)
         pend_p, bound_p = self._seq_state_paths(name)
         pending, boundary = self._seq_carry_state(a, b, kind, link, stored, hwm_ts)
         pending.write.mode("overwrite").parquet(pend_p)
         boundary.write.mode("overwrite").parquet(bound_p)
+        self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
         return hwm_ts, hwm_id
 
     def _remember_sequence_agg(self, name: str, q, manifest: dict,
@@ -374,37 +384,37 @@ class Materializer:
         the delta (boundary-second ties included). Every output plan
         executes against the OLD directories; the result is then replaced
         and the state dir swapped as one unit (_swap_state_dir)."""
-        from sneldb_spark.plans.sequence import A_PREFIX, sequence_match
+        from sneldb_spark.plans.sequence import sequence_match
 
-        spark = self.engine.spark
         cur_ts, _cur_id = cur
+        # The in-state marker overrides a manifest that a crash left stale
+        # (same recovery contract as the aggregate path).
+        lower = manifest["hwm_ts"], manifest["hwm_id"]
+        marker = self._read_state_hwm(self._state_path(name))
+        if marker is not None and tuple(marker) > tuple(lower):
+            lower = marker
         a_cand, b_cand, kind, link = self._seq_delta_candidates(
-            name, q, (manifest["hwm_ts"], manifest["hwm_id"]), cur
+            name, q, lower, cur
         )
         new_pairs = sequence_match(a_cand, b_cand, link, kind)
-        stored = spark.read.parquet(path)
-        merged = stored.unionByName(
-            new_pairs, allowMissingColumns=True
-        ).dropDuplicates([A_PREFIX + "event_id"])
 
-        # pending already excludes stored-matched A's, so anti-joining the
-        # NEW pairs alone is complete (and avoids re-reading the swapped
-        # result directory mid-plan).
         new_pending, new_boundary = self._seq_carry_state(
             a_cand, b_cand, kind, link, new_pairs, cur_ts
         )
 
-        # every plan executes against the OLD directories; then data is
-        # replaced and the whole state dir swaps as one unit (see
-        # _swap_state_dir for the crash-window reasoning)
+        # APPEND-ONLY result: the delta pairs land in an interval-named
+        # segment dir (deterministic for this (lower, cur] slice, so a
+        # crashed refresh that reruns OVERWRITES the same segment instead
+        # of duplicating it) — refresh IO scales with the delta, never
+        # with the accumulated result. The stored history is never read
+        # or rewritten.
+        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
         nxt = self._state_path(name) + ".next"
         shutil.rmtree(nxt, ignore_errors=True)
         new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
         new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
-        merged.write.mode("overwrite").parquet(path + ".tmp")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(path + ".tmp", path)
+        self._write_state_hwm(nxt, cur[0], cur[1])
+        new_pairs.write.mode("overwrite").parquet(seg)
         self._swap_state_dir(name)
 
     def _swap_state_dir(self, name: str):
@@ -582,4 +592,6 @@ class Materializer:
             manifest["hwm_ts"], manifest["hwm_id"] = cur_ts, cur_id
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
+        if manifest.get("seq_state") and manifest.get("state_keys") is None:
+            return self._read_segments(path)
         return self.engine.spark.read.parquet(path)
