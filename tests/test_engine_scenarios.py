@@ -1017,3 +1017,46 @@ def test_sequence_aggregate_refresh_is_crash_idempotent(spark, tmp_path):
     store("signup", "u3"); store("purchase", "u3")
     db.execute("FLUSH")
     assert db.execute("SHOW ft").df.collect()[0]["count"] == 3
+
+
+def test_sequence_event_refresh_is_crash_idempotent(spark, tmp_path):
+    """Event-shaped sequence refresh: rolling the manifest hwm back (a
+    crash between the state swap and the manifest write) must not
+    duplicate pairs — the in-state marker wins and the interval segment
+    overwrites itself."""
+    import json as _json
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    q = "QUERY signup FOLLOWED BY purchase LINKED BY user_id"
+
+    def store(et, user):
+        db.execute(f'STORE {et} FOR c{clock["now"]}x{user} PAYLOAD {{ "user_id": "{user}" }}')
+
+    store("signup", "u1"); store("purchase", "u1")
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS fx")
+    mpath = tmp_path / "db" / "materialized" / "fx" / "manifest.json"
+    pre = _json.loads(mpath.read_text())
+
+    store("signup", "u2"); store("purchase", "u2")
+    db.execute("FLUSH")
+    assert db.execute("SHOW fx").df.count() == 2
+
+    post = _json.loads(mpath.read_text())
+    post["hwm_ts"], post["hwm_id"] = pre["hwm_ts"], pre["hwm_id"]
+    mpath.write_text(_json.dumps(post))
+    assert db.execute("SHOW fx").df.count() == 2  # not 3/4
+
+    store("signup", "u3"); store("purchase", "u3")
+    db.execute("FLUSH")
+    assert db.execute("SHOW fx").df.count() == 3
