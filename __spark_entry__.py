@@ -1382,15 +1382,15 @@ ORDER BY digest
 """
 
 
-def q_streaming_seq_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming funnel: signup FOLLOWED BY purchase matched incrementally
-    with applyInPandasWithState (per-link state = still-unmatched As;
-    streaming/sequence.py). Server-assigned timestamps arrive in order,
-    so the drain equals the batch as-of join — the oracle. Cross-batch
-    incrementality is pinned by tests/test_streaming.py."""
+def _drain_streaming_seq(
+    spark: SparkSession, sf_dir: str, matcher, head: str, tail: str, prefix: str
+) -> DataFrame:
+    """Shared stream-setup + availableNow drain for the streaming
+    sequence gates: events replayed as a file stream, ts normalized to
+    epoch seconds across the parquet encodings the driver has used,
+    matched with the given applyInPandasWithState matcher, drained to a
+    memory sink."""
     import uuid
-
-    from sneldb_spark.streaming.sequence import streaming_followed_by
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1412,17 +1412,30 @@ def q_streaming_seq_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_sec.alias("timestamp"),
         "event_id",
     )
-    pairs = streaming_followed_by(ev, "signup", "purchase", "context_id")
-    name = f"ssq_gate_{uuid.uuid4().hex[:8]}"
+    pairs = matcher(ev, head, tail, "context_id")
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         pairs.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")  # stateful matcher emits append-only pairs
+        .outputMode("append")  # stateful matchers emit append-only pairs
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def q_streaming_seq_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: signup FOLLOWED BY purchase matched incrementally
+    with applyInPandasWithState (per-link state = still-unmatched As;
+    streaming/sequence.py). Server-assigned timestamps arrive in order,
+    so the drain equals the batch as-of join — the oracle. Cross-batch
+    incrementality is pinned by tests/test_streaming.py."""
+    from sneldb_spark.streaming.sequence import streaming_followed_by
+
+    return _drain_streaming_seq(
+        spark, sf_dir, streaming_followed_by, "signup", "purchase", "ssq_gate"
+    )
 
 
 _STREAMING_SEQ_SQL = f"""WITH {_EV_CTE},
@@ -1445,41 +1458,11 @@ def q_streaming_seq_preceded_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     click strictly before it — O(1) state per link key (one (ts, id)
     pair; streaming/sequence.py). The drain over append-ordered server
     timestamps equals the batch as-of join, which is the oracle."""
-    import uuid
-
     from sneldb_spark.streaming.sequence import streaming_preceded_by
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream_dir = _stream_symlink_dir(sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
+    return _drain_streaming_seq(
+        spark, sf_dir, streaming_preceded_by, "error", "click", "ssp_gate"
     )
-    ts_type = dict(batch.dtypes).get("ts", "")
-    if ts_type == "bigint":
-        ts_sec = F.expr("ts DIV 1000000000")
-    elif ts_type.startswith("timestamp"):
-        ts_sec = F.col("ts").cast("timestamp").cast("long")
-    else:
-        ts_sec = F.col("ts").cast("long")
-    ev = stream.select(
-        F.col("user_id").cast("string").alias("context_id"),
-        "event_type",
-        ts_sec.alias("timestamp"),
-        "event_id",
-    )
-    pairs = streaming_preceded_by(ev, "error", "click", "context_id")
-    name = f"ssp_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 _STREAMING_SEQ_PRECEDED_SQL = f"""WITH {_EV_CTE},
@@ -2500,14 +2483,15 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.pipeline.similarity import ivf_build_index, ivf_topk_indexed
 
-    import hashlib
-    import os as _os
+    import atexit
+    import shutil as _shutil
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # deterministic per-sf dir, reused across invocations (the build is
-    # mode=overwrite) — bench/correctness reruns must not leak mkdtemps
-    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = _os.path.join(tempfile.gettempdir(), f"sneldb_ivf_idx_{key}")
+    # fresh private dir per invocation (two concurrent runs must not
+    # overwrite each other's index mid-read), removed at process exit so
+    # bench/correctness reruns don't accumulate leaks
+    idx = tempfile.mkdtemp(prefix="sneldb_ivf_idx_")
+    atexit.register(_shutil.rmtree, idx, ignore_errors=True)
     # one Lloyd round: list quality only affects recall at nprobe < nlist
     # (pinned by tests on the in-memory path); exhaustive probes stay
     # exact regardless, and the gate measures build+serve end-to-end.

@@ -457,6 +457,9 @@ def lm_quality_score(
     tokens and the LM table — never a broadcast of an unbounded side).
     score = avg_i ln((count(w_i) + k) / (total + k * |V|)), with unseen
     tokens impossible by construction (the LM is fit on the same corpus).
+    The denominator joins in as a 1-row aggregate (the oracle's `tot`
+    CTE shape) — ONE lazy plan, no eager driver collect, so callers can
+    compose/cache without triggering extra corpus scans.
 
     Output: (id, n_tokens, lm_score), score rounded to 4 decimals so the
     value survives libm differences across engines.
@@ -468,13 +471,18 @@ def lm_quality_score(
         ).alias("tok"),
     )
     lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = lm.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
-    ).collect()[0]
-    total, vocab = int(totals["total"] or 0), int(totals["vocab"] or 0)
-    denom = float(total) + add_k * float(vocab)
-    logp = F.log((F.col("c") + F.lit(add_k)) / F.lit(denom))
-    scored = toks.join(lm.select("tok", logp.alias("lp")), "tok")
+    tot = lm.agg(
+        F.sum("c").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"),
+    )
+    lm_p = lm.crossJoin(tot).select(
+        "tok",
+        F.log(
+            (F.col("c") + F.lit(add_k))
+            / (F.col("__total") + F.lit(add_k) * F.col("__vocab"))
+        ).alias("lp"),
+    )
+    scored = toks.join(lm_p, "tok")
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 4).alias("lm_score"),
@@ -514,12 +522,13 @@ def quality_buckets(
         .groupBy("lm_score")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n = hist.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
+    # total joins in as a 1-row aggregate — one lazy plan, no eager collect
+    nn = hist.agg(F.sum("c").alias("__n"))
     w = Window.orderBy("lm_score").rowsBetween(Window.unboundedPreceding, 0)
-    mapping = hist.withColumn("cum", F.sum("c").over(w)).select(
+    mapping = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(nn).select(
         "lm_score",
-        F.when(3 * F.col("cum") <= F.lit(n), F.lit("tail"))
-        .when(3 * F.col("cum") <= F.lit(2 * n), F.lit("middle"))
+        F.when(3 * F.col("cum") <= F.col("__n"), F.lit("tail"))
+        .when(3 * F.col("cum") <= 2 * F.col("__n"), F.lit("middle"))
         .otherwise(F.lit("head"))
         .alias("bucket"),
     )

@@ -127,6 +127,7 @@ class Materializer:
         a legacy flat layout identically)."""
         return (
             self.engine.spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
             .parquet(path)
         )
 
@@ -321,9 +322,10 @@ class Materializer:
         state the reference's delta refresher shape calls 'open heads';
         PRECEDED BY needs none, an old A can never gain a strictly-earlier
         B) and (b) the small boundary-B rows a future delta A could pair
-        with. The high-water mark is probed BEFORE the match so a row
-        racing in mid-materialization is re-matched by the next refresh
-        (and deduped by a_event_id) instead of silently skipped."""
+        with. The read side is CLOSED at the pre-probed high-water mark,
+        so a row racing in mid-materialization is excluded here and
+        picked up exactly once by the next delta (there is no row-level
+        dedup — the bounded slices are what keep pairs unique)."""
         from sneldb_spark.plans.sequence import sequence_match
 
         hwm_ts, hwm_id = self._source_hwm(q)
@@ -411,27 +413,52 @@ class Materializer:
         seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
         nxt = self._state_path(name) + ".next"
         shutil.rmtree(nxt, ignore_errors=True)
+        # segment FIRST: until the state swap lands, a rerun recomputes the
+        # same slice and overwrites this segment idempotently
+        new_pairs.write.mode("overwrite").parquet(seg)
         new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
         new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
         self._write_state_hwm(nxt, cur[0], cur[1])
-        new_pairs.write.mode("overwrite").parquet(seg)
+        self._mark_state_complete(nxt)
         self._swap_state_dir(name)
 
     def _swap_state_dir(self, name: str):
         """Promote <state>.next to <state> with two renames. Crash
-        analysis: before the first rename, everything is old (a rerun
-        redoes the delta — idempotent for both refresh shapes); between
-        the renames there is NO state dir, which the show() guards treat
-        as 'state missing' and fall back to a sound full recompute; after
-        the second rename the state is fully new, and a stale manifest is
-        covered by dedup (event-shaped) or the in-state hwm marker
-        (aggregate). No window leaves the dirs mutually inconsistent."""
+        analysis: before the first rename, everything is old and a rerun
+        redoes the delta idempotently (the in-state hwm marker plus the
+        interval-named segment overwrite make re-execution safe for both
+        refresh shapes — there is NO row-level dedup anymore, so that
+        idempotence is load-bearing); between the renames there is no
+        state dir, but the completed .next (its _COMPLETE flag is written
+        only after every result/segment write landed) is promoted by
+        _recover_state_dir on the next SHOW; after the second rename the
+        state is fully new and a stale manifest is overridden by the
+        marker."""
         state = self._state_path(name)
         old = state + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(state, old)
         os.rename(state + ".next", state)
         shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _mark_state_complete(nxt: str):
+        with open(os.path.join(nxt, "_COMPLETE"), "w") as f:
+            f.write("1")
+
+    def _recover_state_dir(self, name: str):
+        """If a crash hit between _swap_state_dir's renames, the state
+        dir is missing but a COMPLETE .next exists (its flag is only
+        written after all result writes) — promote it so incrementality
+        survives. An incomplete .next is stale scratch: with the state
+        dir also missing the guards fall back to a sound full recompute;
+        otherwise the next refresh clears it."""
+        state = self._state_path(name)
+        nxt = state + ".next"
+        if not os.path.exists(state) and os.path.exists(
+            os.path.join(nxt, "_COMPLETE")
+        ):
+            os.rename(nxt, state)
 
     def _refresh_sequence_agg(self, name: str, q, manifest: dict, path: str,
                               cur: tuple[int, int]):
@@ -499,6 +526,9 @@ class Materializer:
             if os.path.exists(path):
                 shutil.rmtree(path)
             os.replace(path + ".tmp", path)
+            # flag AFTER the data replace: a promoted .next must imply the
+            # visible result already reflects the merged state
+            self._mark_state_complete(nxt)
             self._swap_state_dir(name)
         finally:
             new_pairs.unpersist()
@@ -548,6 +578,8 @@ class Materializer:
         q = query_from_json(manifest["query"])
         path = os.path.join(self._dir(name), "data")
 
+        if manifest.get("seq_state"):
+            self._recover_state_dir(name)
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
