@@ -2504,6 +2504,41 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding covariance (the PCA/whitening input): one
+    distributed pass of per-batch partial v/vv^T sums — only O(d^2)
+    reaches the driver. The oracle recomputes every entry as
+    sum(e_i*e_j)/n - mean_i*mean_j; rounded to 6 decimals, well above
+    double accumulation-order noise."""
+    from sneldb_spark.pipeline.embeddings import embedding_moments
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, _, cov = embedding_moments(e)
+    rows = [
+        (i, j, round(cov[i][j], 6))
+        for i in range(len(cov))
+        for j in range(len(cov))
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+_EMBEDDING_COVARIANCE_SQL = """
+WITH idx AS (SELECT unnest(range(64)) AS i),
+cells AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(embedding[a.i + 1] AS DOUBLE) * CAST(embedding[b.i + 1] AS DOUBLE)) AS sxy,
+         avg(CAST(embedding[a.i + 1] AS DOUBLE)) AS mx,
+         avg(CAST(embedding[b.i + 1] AS DOUBLE)) AS my,
+         count(*) AS n
+  FROM embeddings, idx a, idx b
+  GROUP BY a.i, b.i
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       round(sxy / n - mx * my, 6) AS cov
+FROM cells
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column — 8x smaller
     storage for ANN serving tiers, pure codegen array expressions (no
@@ -3114,6 +3149,7 @@ _DRIVER_PRIORITY = [
     "streaming_seq_preceded_by",
     "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
     "text_bpe_pairs", "text_lm_score", "text_quality_buckets",
+    "embedding_covariance",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
     # literal-coefficient oracles): both code and oracle changed
     "text_winnow", "similarity_lsh_topk",
@@ -3131,9 +3167,9 @@ _DRIVER_PRIORITY = [
     "agg_count_field", "agg_per_hour_by",
     "agg_per_week", "agg_per_year", "agg_per_year_naive",
     "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
-    "for_context", "replay_typed", "return_projection",
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "for_context", "replay_context", "replay_typed", "return_projection",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q10",
+    "tpch_q14", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     # (the rest of the r3-checked pipeline/TPC-H gates rotate to the tail:
     # all double-green with unchanged code. compare_daily,
@@ -3285,6 +3321,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_quantize": q_embedding_quantize,
+        "embedding_covariance": q_embedding_covariance,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3471,6 +3508,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
+        "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,

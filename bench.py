@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "similarity_ivf_indexed",
     "embedding_near_pairs",
     "embedding_quantize",
+    "embedding_covariance",
 ]
 
 

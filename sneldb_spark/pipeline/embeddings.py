@@ -41,3 +41,97 @@ def quantize_embeddings(
 def dequantize(codes: Column, scale: Column) -> Column:
     """Approximate reconstruction: code / 127 * scale (array<double>)."""
     return F.transform(codes, lambda c: c.cast("double") / 127.0 * scale)
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, list[float], list[list[float]]]:
+    """(n, mean, covariance) of an embedding column in ONE distributed
+    pass: per-Arrow-batch partial sums of v and v v^T reduce to d + d*d
+    numbers per batch — only O(d^2) ever reaches the driver, never rows.
+    Population covariance (divide by n), the PCA convention."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("embedding_moments on an empty frame")
+    d = len(first[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0)],
+                    "ss": [(m.T @ m).reshape(-1)],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(d)
+    ss = np.zeros(d * d)
+    for r in rows:
+        s += np.array(r["s"])
+        ss += np.array(r["ss"])
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean.tolist(), cov.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components —
+    the standard dimensionality-reduction step before ANN serving or
+    clustering. The covariance reduces to the driver (O(d^2), see
+    embedding_moments), the eigendecomposition is numpy-local, and the
+    projection streams per Arrow batch as one GEMM against the broadcast
+    (d x k) basis. Components are sign-normalized (largest-|coefficient|
+    entry positive) so output is deterministic across BLAS builds."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _, mean, cov = embedding_moments(df, vec_col)
+    mean_v = np.array(mean)
+    vals, vecs = np.linalg.eigh(np.array(cov))
+    order = np.argsort(vals)[::-1][:k]
+    basis = vecs[:, order]  # (d, k)
+    for j in range(basis.shape[1]):
+        i = int(np.abs(basis[:, j]).argmax())
+        if basis[i, j] < 0:
+            basis[:, j] = -basis[:, j]
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mean_v
+            proj = m @ basis
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "pca": [row for row in proj.astype(np.float32)]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("pca", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(project, schema=schema)

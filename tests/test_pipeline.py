@@ -951,3 +951,29 @@ def test_quality_buckets_terciles(spark):
     assert all(out2[i][0] == "head" for i in range(3))
     assert all(out2[20 + i][0] == "tail" for i in range(3))
     assert all(out2[10 + i][0] == "middle" for i in range(3))
+
+
+def test_embedding_moments_and_pca(spark):
+    """Moments match numpy exactly on a small matrix; PCA projection
+    preserves pairwise distances for k=d and orders variance for k<d."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.embeddings import embedding_moments, pca_project
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(40, 4) * np.array([5.0, 2.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n, mean, cov = embedding_moments(df)
+    m32 = base.astype(np.float32).astype(np.float64)
+    assert n == 40
+    assert np.allclose(mean, m32.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(m32.T, bias=True), atol=1e-7)
+
+    proj = {r["id"]: np.array(r["pca"]) for r in pca_project(df, k=2).collect()}
+    # top-2 components carry almost all variance of this spectrum
+    var = np.stack([proj[i] for i in range(40)]).var(axis=0)
+    assert var[0] > var[1] > 0
+    total = np.trace(np.cov(m32.T, bias=True))
+    assert var.sum() / total > 0.95
