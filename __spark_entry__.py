@@ -2952,6 +2952,41 @@ SELECT doc_id, source, n_tokens FROM c WHERE cum <= 600
 """
 
 
+def q_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsampling to integer weights 6/3/1: small sources
+    replicate to hit the ratios. Pure integer replication arithmetic, so
+    the oracle reproduces every copy count bit-for-bit."""
+    from sneldb_spark.pipeline.sampling import upsample_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = upsample_corpus(d, "doc_id", "source", {"src0": 6, "src1": 3, "src2": 1})
+    return out.select("doc_id", "source", "copy")
+
+
+_CORPUS_UPSAMPLE_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+sc AS (SELECT max((n * 10 + wt - 1) // wt) AS scale FROM j),
+plan AS (
+  SELECT source, n, (wt * sc.scale // 10) // n AS copies,
+         ((wt * sc.scale // 10) % n) * 10000 // n AS thr
+  FROM j, sc
+),
+b AS (
+  SELECT d.doc_id, d.source,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents d
+)
+SELECT b.doc_id, b.source,
+       unnest(range(p.copies + CASE WHEN b.bucket < p.thr THEN 1 ELSE 0 END)) AS copy
+FROM b JOIN plan p USING (source)
+"""
+
+
 def q_sampling_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware train/val/test split: the split decision hashes
     each document's duplicate-group representative (min doc_id per
@@ -3149,7 +3184,7 @@ _DRIVER_PRIORITY = [
     "streaming_seq_preceded_by",
     "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
     "text_bpe_pairs", "text_lm_score", "text_quality_buckets",
-    "embedding_covariance",
+    "embedding_covariance", "corpus_upsample",
     # rows-only -> exact-oracle conversions (md5-based portable hashing;
     # literal-coefficient oracles): both code and oracle changed
     "text_winnow", "similarity_lsh_topk",
@@ -3169,7 +3204,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
     "for_context", "replay_context", "replay_typed", "return_projection",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q10",
-    "tpch_q14", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q14", "tpch_q16", "tpch_q18",
     "tpch_q19", "tpch_q22",
     # (the rest of the r3-checked pipeline/TPC-H gates rotate to the tail:
     # all double-green with unchanged code. compare_daily,
@@ -3329,6 +3364,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_stratified": q_sampling_stratified,
         "sampling_weighted": q_sampling_weighted,
         "corpus_mix": q_corpus_mix,
+        "corpus_upsample": q_corpus_upsample,
         "sampling_leakage_safe": q_sampling_leakage_safe,
         "sampling_token_budget": q_sampling_token_budget,
         "corpus_curation": q_corpus_curation,
@@ -3517,6 +3553,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
         "corpus_mix": _CORPUS_MIX_SQL,
+        "corpus_upsample": _CORPUS_UPSAMPLE_SQL,
         "sampling_leakage_safe": _SAMPLING_LEAKAGE_SAFE_SQL,
         "sampling_token_budget": _SAMPLING_TOKEN_BUDGET_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "sampling_split",
     "sampling_weighted",
     "corpus_mix",
+    "corpus_upsample",
     "sampling_leakage_safe",
     "sampling_token_budget",
     "corpus_curation",

@@ -185,3 +185,58 @@ def token_budget_sample(
         .where(F.col("__cum_tokens") <= budget)
         .drop("__cum_tokens")
     )
+
+
+def upsample_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic UPSAMPLING to integer target weights — the data-mixing
+    step when the high-quality sources are the SMALL ones ("weight books
+    3x against web"), so rows replicate instead of dropping. The smallest
+    corpus hitting the exact ratios is taken: with W = sum(weights),
+    scale = max_s ceil(count_s * W / w_s) total rows, each source emits
+    n_s = w_s * scale // W rows as floor(n_s/count_s) full copies plus a
+    bucket-thresholded extra copy (same md5-bucket granularity contract
+    as mix_corpus). All arithmetic is INTEGER, so any engine reproduces
+    the replication factors bit-for-bit — no float-threshold fragility.
+
+    One count aggregate (|weights| scalars to the driver) + a broadcast
+    of the |sources|-row replication table + one codegen explode — the
+    corpus itself never shuffles. Output: input columns + `copy`
+    (0-based replica index). Sources absent from `weights` are dropped.
+    """
+    ws = {s: int(w) for s, w in weights.items() if int(w) > 0}
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[source_col] in ws
+    }
+    if not counts:
+        return df.where(F.lit(False)).withColumn("copy", F.lit(0).cast("long"))
+    w_total = sum(ws.values())
+    scale = max((counts[s] * w_total + ws[s] - 1) // ws[s] for s in counts)
+    spark = df.sparkSession
+    plan = []
+    for s in counts:
+        n_s = ws[s] * scale // w_total
+        copies, rem = divmod(n_s, counts[s])
+        thr = rem * BUCKETS // counts[s]
+        plan.append((s, copies, thr))
+    rep = F.broadcast(
+        spark.createDataFrame(plan, f"{source_col} string, __copies long, __thr long")
+    )
+    bucket = hash_bucket(F.col(id_col))
+    n_col = F.col("__copies") + F.when(bucket < F.col("__thr"), 1).otherwise(0)
+    return (
+        df.join(rep, source_col)
+        .select(
+            *df.columns,
+            F.explode(
+                F.when(n_col > 0, F.sequence(F.lit(0).cast("long"), n_col - 1))
+                .otherwise(F.array().cast("array<long>"))
+            ).alias("copy"),
+        )
+    )

@@ -977,3 +977,26 @@ def test_embedding_moments_and_pca(spark):
     assert var[0] > var[1] > 0
     total = np.trace(np.cov(m32.T, bias=True))
     assert var.sum() / total > 0.95
+
+
+def test_upsample_corpus_integer_ratios(spark):
+    """Exact integer replication: weights 4/1 over equal-sized sources
+    replicate the heavy source 4x; copy indices are dense from 0; sources
+    outside the weight map are dropped."""
+    from sneldb_spark.pipeline.sampling import upsample_corpus
+
+    rows = [(i, "web" if i < 10 else ("code" if i < 20 else "junk"), f"t{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = upsample_corpus(df, "doc_id", "source", {"web": 4, "code": 1}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["copy"]))
+    assert set(by_src) == {"web", "code"}
+    # scale = max(ceil(10*5/4)=13, 50) = 50 -> web 40 rows, code 10 rows
+    assert len(by_src["web"]) == 40 and len(by_src["code"]) == 10
+    # every web doc appears with copies 0..3
+    from collections import Counter
+    c = Counter(d for d, _ in by_src["web"])
+    assert set(c.values()) == {4}
+    assert {cp for _, cp in by_src["code"]} == {0}
