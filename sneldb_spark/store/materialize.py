@@ -291,6 +291,25 @@ class Materializer:
             finalize_partial_state(
                 stored_state, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
+        elif self._incrementable(q) and max_rows is None and max_age_seconds is None:
+            # retention-free event materializations use the append-only
+            # segment layout from day one: REMEMBER writes data/base with
+            # the read closed at the probed mark, every refresh appends an
+            # interval segment, and a marker file inside data/ carries the
+            # consumed hwm (no multi-part state, so no swap machinery).
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            hwm_ts, hwm_id = self._source_hwm(q)
+            base = self.engine.compiler.compile_query(q).where(
+                hwm_at_or_before(hwm_ts, hwm_id)
+            )
+            base.write.mode("overwrite").parquet(os.path.join(path, "base"))
+            self._write_state_hwm(path, hwm_ts, hwm_id)
+            manifest["segments"] = True
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self._read_segments(path).count()
         elif self._seq_agg_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_sequence_agg(name, q, manifest, path)
             manifest["seq_state"] = True
@@ -583,7 +602,27 @@ class Materializer:
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
-        if stale and self._incrementable(q):
+        if stale and self._incrementable(q) and manifest.get("segments"):
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            # marker overrides a manifest that a crash left stale
+            lower = manifest["hwm_ts"], manifest["hwm_id"]
+            marker = self._read_state_hwm(path)
+            if marker is not None and tuple(marker) > tuple(lower):
+                lower = marker
+            delta_df = self._delta_slice(
+                self.engine.compiler.compile_query(q).where(
+                    hwm_at_or_before(cur_ts, cur_id)
+                ),
+                *lower,
+            )
+            # deterministic interval name: a crashed refresh overwrites
+            # its own segment; marker written after, so a crash between
+            # the two just reruns the same idempotent slice
+            seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
+            delta_df.write.mode("overwrite").parquet(seg)
+            self._write_state_hwm(path, cur_ts, cur_id)
+        elif stale and self._incrementable(q):
             delta_df = self._delta_slice(
                 self.engine.compiler.compile_query(q),
                 manifest["hwm_ts"], manifest["hwm_id"],
@@ -624,6 +663,8 @@ class Materializer:
             manifest["hwm_ts"], manifest["hwm_id"] = cur_ts, cur_id
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
-        if manifest.get("seq_state") and manifest.get("state_keys") is None:
+        if manifest.get("segments") or (
+            manifest.get("seq_state") and manifest.get("state_keys") is None
+        ):
             return self._read_segments(path)
         return self.engine.spark.read.parquet(path)
