@@ -3151,6 +3151,161 @@ FROM resized
 """
 
 
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus k-NN graph (every vector's top-5 cosine neighbors).
+    Both sides are corpus-sized, so the kernel is the blocked-GEMM pair
+    grid (nothing broadcast/collected); the oracle recomputes the full
+    pair matrix with the same round-before-rank and id tiebreak."""
+    from sneldb_spark.pipeline.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_graph(e, k=5)
+    return out.select(
+        "src_id", "dst_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_KNN_GRAPH_SQL = """
+WITH exploded AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         CAST(unnest(a.embedding) AS DOUBLE) AS qx,
+         CAST(unnest(b.embedding) AS DOUBLE) AS cx
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+),
+sims AS (
+  SELECT src_id, dst_id,
+         round(SUM(qx*cx) / (sqrt(SUM(qx*qx)) * sqrt(SUM(cx*cx))), 4) AS sim
+  FROM exploded GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src_id, dst_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id ASC) AS rank
+  FROM sims
+)
+SELECT src_id, dst_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords; smoothed idf so corpus-wide terms
+    still rank; round-before-rank + term tiebreak for determinism."""
+    from sneldb_spark.pipeline.text import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(d, k=3)
+    return out.select(
+        "id", "term", "tf", "df", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_TEXT_TFIDF_SQL = """
+WITH tf AS (
+  SELECT id, term, count(*) AS tf
+  FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term != ''
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT id) AS n FROM tf),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, d.df,
+         round(tf.tf * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0), 4) AS score
+  FROM tf JOIN dfreq d USING (term), n
+),
+ranked AS (
+  SELECT id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-word blocklist gate: exact token-level hit counts + keep flag
+    (zero-shuffle codegen)."""
+    from sneldb_spark.pipeline.text import blocklist_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = blocklist_filter(d, ("slow", "spark", "vector"), max_hits=2)
+    return out.select(
+        "id",
+        F.col("n_blocked").cast("long").alias("n_blocked"),
+        F.col("n_blocked_distinct").cast("long").alias("n_blocked_distinct"),
+        "keep",
+    )
+
+
+_TEXT_BLOCKLIST_SQL = """
+SELECT doc_id AS id,
+       len(hits) AS n_blocked,
+       len(list_distinct(hits)) AS n_blocked_distinct,
+       len(hits) <= 2 AS keep
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     w -> w != '' AND list_contains(['slow', 'spark', 'vector'], w)) AS hits
+  FROM documents
+)
+"""
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest (the decode-free first pass of
+    any image/audio pipeline) — sha2 over the binary column, digest-keyed
+    window for canonical pick + dup counts, zero Python."""
+    from sneldb_spark.pipeline.multimodal import media_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return media_dedup(media).select(
+        "media_id",
+        "content_digest",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        "is_canonical",
+    )
+
+
+_MULTIMODAL_DEDUP_SQL = """
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS content_digest FROM documents)
+SELECT media_id, content_digest,
+       count(*) OVER (PARTITION BY content_digest) AS dup_count,
+       media_id = min(media_id) OVER (PARTITION BY content_digest) AS is_canonical
+FROM h
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 surface at pipeline scale: typed extraction from the JSON props
+    column (JVM-side get_json_object, no Python) feeding a grouped
+    aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("total_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS total_k,
+       round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3179,6 +3334,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries locally every round.
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
+    "similarity_knn_graph", "text_tfidf", "text_blocklist",
+    "multimodal_dedup", "events_json_extract",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3351,6 +3508,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": q_text_chunk,
         "pack_sequences": q_pack_sequences,
         "similarity_topk": q_similarity_topk,
+        "similarity_knn_graph": q_similarity_knn_graph,
+        "text_tfidf": q_text_tfidf,
+        "text_blocklist": q_text_blocklist,
+        "multimodal_dedup": q_multimodal_dedup,
+        "events_json_extract": q_events_json_extract,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3540,6 +3702,11 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_chunk": _TEXT_CHUNK_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "similarity_topk": _SIMILARITY_TOPK_SQL,
+        "similarity_knn_graph": _KNN_GRAPH_SQL,
+        "text_tfidf": _TEXT_TFIDF_SQL,
+        "text_blocklist": _TEXT_BLOCKLIST_SQL,
+        "multimodal_dedup": _MULTIMODAL_DEDUP_SQL,
+        "events_json_extract": _EVENTS_JSON_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

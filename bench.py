@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "embedding_near_pairs",
     "embedding_quantize",
     "embedding_covariance",
+    "similarity_knn_graph",
+    "text_tfidf",
+    "text_blocklist",
+    "multimodal_dedup",
+    "events_json_extract",
 ]
 
 

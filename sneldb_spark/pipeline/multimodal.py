@@ -254,3 +254,26 @@ def segment_audio(df: DataFrame, segment_ms: int = 5_000) -> DataFrame:
         n_samples.alias("n_samples"),
         F.round(loudness, 3).alias("pseudo_loudness"),
     )
+
+
+def media_dedup(df: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
+    """Exact media dedup by content digest — the first pass of every
+    image/audio/video pipeline (collapse byte-identical blobs BEFORE any
+    decode or model forward). All JVM codegen: sha2 over the binary
+    column, one digest-keyed window to pick the canonical copy
+    (min id), map-side-combined count per digest. No Python touches the
+    blobs; one shuffle on the digest.
+
+    Output: (media_id, content_digest, dup_count, is_canonical)."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(id_col).alias("media_id"),
+        F.lower(F.sha2(F.col(data_col), 256)).alias("content_digest"),
+    )
+    w = Window.partitionBy("content_digest")
+    return (
+        hashed.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("media_id") == F.min("media_id").over(w))
+        .select("media_id", "content_digest", "dup_count", "is_canonical")
+    )

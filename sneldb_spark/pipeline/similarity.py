@@ -381,6 +381,115 @@ _PAIR_SCHEMA = T.StructType(
     ]
 )
 
+_KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("src_id", T.LongType(), False),
+        T.StructField("dst_id", T.LongType(), False),
+        T.StructField("sim", T.DoubleType(), True),
+    ]
+)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the corpus: for EVERY vector,
+    its top-k cosine neighbors (self excluded). Output
+    (src_id, dst_id, sim, rank) — the adjacency list semantic clustering,
+    diversity analysis, and hard-negative mining start from.
+
+    Unlike `brute_force_topk` (small query set broadcast against the
+    corpus), both sides here are corpus-sized, so nothing is collected or
+    broadcast: rows hash into `n_blocks` blocks, every unordered block
+    pair gets one float64 GEMM (`applyInPandas`, same blocking as
+    `embedding_near_pairs`), and each pair group emits only the per-row
+    LOCAL top-k against the other block (ties at the k-th value kept so
+    the global rank sees every tied candidate). The global window then
+    ranks O(|C| * n_blocks * k) candidate rows — linear in the corpus —
+    instead of the |C|^2 pair matrix.
+
+    Scale accounting: shuffle volume is n_blocks * |C| rows in, ~k *
+    n_blocks * |C| candidate rows out; executor memory is two blocks of
+    vectors per group (pick n_blocks as in `embedding_near_pairs`);
+    compute is the inherent O(|C|^2) of an exact graph — swap in the
+    IVF/LSH families when approximate recall suffices at 100 TB.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    rep = base.select(
+        "id",
+        "v",
+        "b",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("o"),
+    ).select(
+        "id",
+        "v",
+        "b",
+        F.least("b", "o").alias("b1"),
+        F.greatest("b", "o").alias("b2"),
+    )
+
+    def _local_topk(src_ids, dst_ids, sims, exclude_self: bool):
+        """Rows of `sims` are sources; emit per-row candidates >= the
+        k-th best value (ties included; self dropped when square)."""
+        out = []
+        for i, sid in enumerate(src_ids):
+            row = sims[i]
+            if exclude_self:
+                mask = dst_ids != sid
+                cand_ids, cand = dst_ids[mask], row[mask]
+            else:
+                cand_ids, cand = dst_ids, row
+            if not len(cand_ids):
+                continue
+            take = min(k, len(cand_ids))
+            kth = np.partition(cand, len(cand) - take)[len(cand) - take]
+            sel = cand >= kth
+            out.append(
+                pd.DataFrame(
+                    {"src_id": sid, "dst_id": cand_ids[sel], "sim": cand[sel]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["src_id", "dst_id", "sim"])
+        return pd.concat(out, ignore_index=True)
+
+    def score_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = key
+        ids = pdf["id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        if b1 == b2:
+            sims = unit @ unit.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            return _local_topk(ids, ids, sims, exclude_self=True)
+        lmask = pdf["b"].to_numpy() == b1
+        lids, rids = ids[lmask], ids[~lmask]
+        if not len(lids) or not len(rids):
+            return pd.DataFrame(columns=["src_id", "dst_id", "sim"])
+        sims = unit[lmask] @ unit[~lmask].T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        # Each cross block-pair is seen exactly once: emit both directions.
+        fwd = _local_topk(lids, rids, sims, exclude_self=False)
+        rev = _local_topk(rids, lids, sims.T, exclude_self=False)
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    cand = rep.groupBy("b1", "b2").applyInPandas(score_pair, schema=_KNN_SCHEMA)
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("dst_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
 
 def embedding_near_pairs(
     df: DataFrame,

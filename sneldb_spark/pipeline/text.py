@@ -538,3 +538,85 @@ def quality_buckets(
         "lm_score",
         F.coalesce("bucket", F.lit("tail")).alias("bucket"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    relevance-weighting step (used for topic tagging, corpus slicing, and
+    quality heuristics over training corpora).
+
+    tf = raw in-doc term count; idf = ln((1+N)/(1+df)) + 1 (the smoothed
+    form, so corpus-wide terms still score > 0); score = tf * idf rounded
+    before ranking; ties broken by term ascending, so the output is
+    deterministic across engines and partitionings.
+
+    Plan shape: explode -> (doc, term) count with map-side partials ->
+    per-term document frequency as a SECOND aggregate over that table
+    (each (doc, term) row is one distinct doc, so no countDistinct pass
+    over the raw corpus) -> vocabulary-keyed join back with NO forced
+    broadcast hint: Catalyst broadcasts the df table only while its
+    estimate fits the threshold and falls back to a shuffle join when a
+    web-scale vocabulary outgrows it -> one per-doc window for top-k.
+    The corpus text itself is scanned exactly once.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = tf.select(F.countDistinct("id").alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Bad-word / policy blocklist gate (the C4 'dirty word list' step):
+    count blocklisted token occurrences per document and keep documents
+    with at most `max_hits`. Matching is exact on lower-cased whitespace
+    tokens (no substring false positives). Pure codegen — one filtered
+    array per row, zero shuffles, so at 100 TB this is a free rider on
+    whatever scan already reads the text."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    lit_list = F.array(*[F.lit(t) for t in sorted(set(blocklist))])
+    hits = F.filter(words, lambda t: F.array_contains(lit_list, t))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(hits).alias("n_blocked"),
+        F.size(F.array_distinct(hits)).alias("n_blocked_distinct"),
+        (F.size(hits) <= max_hits).alias("keep"),
+    )

@@ -1000,3 +1000,93 @@ def test_upsample_corpus_integer_ratios(spark):
     c = Counter(d for d, _ in by_src["web"])
     assert set(c.values()) == {4}
     assert {cp for _, cp in by_src["code"]} == {0}
+
+
+def test_knn_graph_matches_brute_force(emb, spark):
+    """The blocked corpus k-NN graph must equal the broadcast brute-force
+    path queried with the whole corpus as the query set."""
+    from sneldb_spark.pipeline.similarity import brute_force_topk, knn_graph
+
+    got = {
+        (r["src_id"], r["rank"]): (r["dst_id"], r["sim"])
+        for r in knn_graph(emb, k=3, n_blocks=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_block_invariance(spark):
+    """Result must not depend on the blocking factor (pure execution
+    knob), including under heavy ties."""
+    from sneldb_spark.pipeline.similarity import knn_graph
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, knn_graph(df, k=4, n_blocks=1).collect()))
+    b = sorted(map(tuple, knn_graph(df, k=4, n_blocks=5).collect()))
+    assert a == b and len(a) == 12 * 4
+
+
+def test_tfidf_top_terms_scores_and_ties(spark):
+    import math
+
+    from sneldb_spark.pipeline.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        ["doc_id", "text"],
+    )
+    out = {(r["id"], r["rank"]): r for r in tfidf_top_terms(df, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*(ln(4/2)+1); banana tf=1 df=2
+    top = out[(1, 1)]
+    assert top["term"] == "apple" and top["tf"] == 2 and top["df"] == 1
+    assert top["score"] == round(2 * (math.log(4 / 2) + 1), 4)
+    assert out[(1, 2)]["term"] == "banana"
+    # doc 3: only one distinct term -> single row
+    assert (3, 1) in out and (3, 2) not in out
+
+
+def test_tfidf_plan_has_no_forced_broadcast(docs):
+    """The document-frequency side must reach its join WITHOUT a forced
+    broadcast hint (Catalyst may still size-pick broadcast while the
+    vocabulary estimate is small — that choice flips to a shuffle join at
+    scale; a hint would not). The only nested-loop join allowed is the
+    single-row corpus-count attach."""
+    from sneldb_spark.pipeline.text import tfidf_top_terms
+
+    df = tfidf_top_terms(docs)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "broadcast" not in optimized.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    # the 1-row count attach is the single permitted BNL (scalar subquery shape)
+    assert len(bnl) <= 1, plan
+
+
+def test_blocklist_filter_counts(spark):
+    from sneldb_spark.pipeline.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "Bad bad word here"), (2, "all clean text"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in blocklist_filter(df, ("bad", "word"), max_hits=2).collect()}
+    assert out[1]["n_blocked"] == 3 and out[1]["n_blocked_distinct"] == 2
+    assert not out[1]["keep"]
+    assert out[2]["n_blocked"] == 0 and out[2]["keep"]
+    assert out[3]["n_blocked"] == 0 and out[3]["keep"]
+
+
+def test_media_dedup_canonical_and_counts(spark):
+    from sneldb_spark.pipeline.multimodal import media_dedup
+
+    df = spark.createDataFrame(
+        [(1, b"xx"), (2, b"xx"), (3, b"yy")], ["media_id", "data"]
+    )
+    out = {r["media_id"]: r for r in media_dedup(df).collect()}
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"] and out[3]["is_canonical"]
+    assert out[1]["dup_count"] == 2 == out[2]["dup_count"]
+    assert out[1]["content_digest"] == out[2]["content_digest"] != out[3]["content_digest"]
