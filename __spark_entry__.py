@@ -2826,6 +2826,69 @@ FROM ev WHERE event_type = 'purchase' GROUP BY k
 """
 
 
+def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COMPARE materialization (extension): REMEMBER a PLOT
+    (purchase daily count VS click daily value total) over half the
+    events, ingest the rest, SHOW. Each side refreshes by merging only
+    its post-hwm delta into stored per-group partial state; the
+    group-count-sized full-outer side merge then re-runs — the result
+    must equal the PLOT over ALL events."""
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+
+    frame = _events_frame(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+
+    root = tempfile.mkdtemp(prefix="sneldb_gate_")
+    try:
+        db = SnelDB(spark, root)
+        fields = {"k": "int | null", "props": "string", "value": "float",
+                  "value_cents": "int"}
+        cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
+                "value", "value_cents"]
+        for et in ("purchase", "click"):
+            db.store.registry.define(et, dict(fields))
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("event_id") <= mid)
+                ).select(cols),
+            )
+        db.execute(
+            "REMEMBER PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
+            "OVER day(timestamp) AS daily_board"
+        )
+        for et in ("purchase", "click"):
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("event_id") > mid)
+                ).select(cols),
+            )
+        out = db.execute("SHOW daily_board").df
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REMEMBER_SHOW_COMPARE_SQL = f"""
+WITH {_EV_CTE},
+p AS (SELECT (("timestamp" // 86400) * 86400) AS bucket, count(*) AS cnt
+      FROM ev WHERE event_type = 'purchase' GROUP BY bucket),
+c AS (SELECT (("timestamp" // 86400) * 86400) AS bucket,
+             CAST(SUM(value_cents) AS BIGINT) AS total
+      FROM ev WHERE event_type = 'click' GROUP BY bucket)
+SELECT COALESCE(p.bucket, c.bucket) AS bucket, p.cnt AS purchase_count,
+       c.total AS click_total_value_cents
+FROM p FULL OUTER JOIN c ON p.bucket = c.bucket
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes stand in for media blobs; the
     Arrow-batched mapInPandas path computes real digests/sizes."""
@@ -3335,7 +3398,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
-    "multimodal_dedup", "events_json_extract",
+    "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3533,6 +3596,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- materialization (REMEMBER/SHOW incremental refresh) ---
         "remember_show": q_remember_show,
         "remember_show_agg": q_remember_show_agg,
+        "remember_show_compare": q_remember_show_compare,
         "remember_show_seq": q_remember_show_seq,
         "remember_show_seq_agg": q_remember_show_seq_agg,
     }
@@ -3725,6 +3789,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_token_budget": _SAMPLING_TOKEN_BUDGET_SQL,
         "remember_show": _REMEMBER_SHOW_SQL,
         "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
+        "remember_show_compare": _REMEMBER_SHOW_COMPARE_SQL,
         "remember_show_seq": _REMEMBER_SHOW_SEQ_SQL,
         "remember_show_seq_agg": _REMEMBER_SHOW_SEQ_AGG_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

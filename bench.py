@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "sampling_token_budget",
     "corpus_curation",
     "remember_show_agg",
+    "remember_show_compare",
     "remember_show_seq",
     "remember_show_seq_agg",
     "text_winnow",

@@ -549,8 +549,11 @@ def _parse_remember(text: str) -> ast.RememberCommand:
     if not _ALIAS_RE.match(name):
         raise ParseError(f"invalid materialization name: {name!r}")
     cmd = parse_command(query_part)
-    if not isinstance(cmd, ast.QueryCommand):
-        raise ParseError("REMEMBER expects a QUERY command")
+    # QUERY matches the reference surface (remember.rs:52); COMPARE/PLOT
+    # is our extension — a remembered dashboard whose aggregate sides
+    # refresh incrementally from stored partial state.
+    if not isinstance(cmd, (ast.QueryCommand, ast.CompareCommand)):
+        raise ParseError("REMEMBER expects a QUERY or COMPARE/PLOT command")
     return ast.RememberCommand(name=name, query=cmd)
 
 

@@ -76,3 +76,18 @@ def query_from_json(obj: dict) -> ast.QueryCommand:
         limit=obj["limit"],
         offset=obj["offset"],
     )
+
+
+def compare_to_json(c: ast.CompareCommand) -> dict:
+    return {
+        "compare": True,
+        "queries": [query_to_json(q) for q in c.queries],
+        "labels": list(c.labels) if c.labels else None,
+    }
+
+
+def compare_from_json(obj: dict) -> ast.CompareCommand:
+    return ast.CompareCommand(
+        queries=[query_from_json(q) for q in obj["queries"]],
+        labels=list(obj["labels"]) if obj.get("labels") else None,
+    )

@@ -33,18 +33,18 @@ def side_labels(queries: list[ast.QueryCommand], labels=None) -> list[str]:
     return [_FALLBACK[i] if i < len(_FALLBACK) else f"q{i}" for i in range(len(names))]
 
 
-def compile_compare(compiler, cmd: ast.CompareCommand) -> DataFrame:
-    if not cmd.queries:
-        raise QueryError("COMPARE requires at least one query")
-    for q in cmd.queries:
-        if not q.is_aggregate:
-            raise QueryError("COMPARE sides must be aggregate queries")
-
-    labels = side_labels(cmd.queries, cmd.labels)
+def merge_sides(
+    queries: list[ast.QueryCommand],
+    labels: list[str],
+    dfs: list[DataFrame],
+) -> DataFrame:
+    """Label-prefix each side's metric columns and full-outer join on the
+    shared group key. Shared by the direct COMPARE compile and the
+    materializer's incremental refresh (which feeds per-side frames
+    finalized from stored partial state instead of fresh scans)."""
     key_cols: list[str] | None = None
     sides: list[DataFrame] = []
-    for q, label in zip(cmd.queries, labels):
-        df = compiler.compile_query(q)
+    for q, label, df in zip(queries, labels, dfs):
         keys = (["bucket"] if q.time_bucket else []) + list(q.group_by)
         if key_cols is None:
             key_cols = keys
@@ -61,3 +61,15 @@ def compile_compare(compiler, cmd: ast.CompareCommand) -> DataFrame:
         # Global (ungrouped) metrics: single-row sides, cross join them.
         return reduce(lambda l, r: l.crossJoin(r), sides)
     return reduce(lambda l, r: l.join(r, on=key_cols, how="full_outer"), sides)
+
+
+def compile_compare(compiler, cmd: ast.CompareCommand) -> DataFrame:
+    if not cmd.queries:
+        raise QueryError("COMPARE requires at least one query")
+    for q in cmd.queries:
+        if not q.is_aggregate:
+            raise QueryError("COMPARE sides must be aggregate queries")
+
+    labels = side_labels(cmd.queries, cmd.labels)
+    dfs = [compiler.compile_query(q) for q in cmd.queries]
+    return merge_sides(cmd.queries, labels, dfs)

@@ -200,14 +200,20 @@ class QueryCompiler:
         return self._reference_column_order(out, q)
 
     def compile_aggregate_partial(
-        self, q: ast.QueryCommand, hwm: tuple[int, int] | None = None
+        self,
+        q: ast.QueryCommand,
+        hwm: tuple[int, int] | None = None,
+        upper: tuple[int, int] | None = None,
     ) -> tuple[DataFrame, list[str]]:
         """Mergeable per-group partial state for an aggregate query
         (REMEMBER/SHOW incremental refresh). With `hwm`, only rows past
         the (timestamp, event_id) high-water mark are aggregated — the
         predicate sits directly on the scan columns so Parquet pushdown
-        keeps a refresh from rescanning history. Returns (state frame,
-        group-key names); see plans/aggregates.py for the state layout."""
+        keeps a refresh from rescanning history. With `upper`, the read
+        is CLOSED at that mark, so rows racing in mid-refresh are
+        excluded now and consumed exactly once by the next delta.
+        Returns (state frame, group-key names); see plans/aggregates.py
+        for the state layout."""
         if not q.is_aggregate or q.is_sequence:
             raise QueryError("partial aggregation needs a plain aggregate query")
         df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
@@ -215,6 +221,10 @@ class QueryCompiler:
             from sneldb_spark.plans.filters import hwm_after
 
             df = df.where(hwm_after(*hwm))
+        if upper is not None:
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            df = df.where(hwm_at_or_before(*upper))
         resolve = self._resolver(df, q.event_type)
         bucket = None
         if q.time_bucket:

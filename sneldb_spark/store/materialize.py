@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sneldb_spark.commands import ast
-from sneldb_spark.commands.serde import query_from_json, query_to_json
+from sneldb_spark.commands.serde import (
+    compare_from_json,
+    compare_to_json,
+    query_from_json,
+    query_to_json,
+)
 from sneldb_spark.errors import MaterializationError
 
 
@@ -48,11 +53,17 @@ class Materializer:
         return os.path.exists(self._manifest_path(name))
 
     # -- helpers ----------------------------------------------------------
-    def _source_hwm(self, q: ast.QueryCommand) -> tuple[int, int]:
+    def _source_hwm(self, q) -> tuple[int, int]:
         """(max timestamp, max event_id) over the query's source types.
         Footer-stats + memtable probe (no Spark job) when available —
         this runs on EVERY SHOW, so it must stay metadata-cheap — with a
-        full agg(max(...)) scan as the fallback."""
+        full agg(max(...)) scan as the fallback. For a COMPARE the mark
+        is the max across all sides (event_ids are globally monotonic
+        across types — the same invariant wildcard and sequence hwms
+        already rely on)."""
+        if isinstance(q, ast.CompareCommand):
+            marks = [self._source_hwm(s) for s in q.queries]
+            return max(m[0] for m in marks), max(m[1] for m in marks)
         hwm_ts, hwm_id = -1, -1
         for et in q.sequence.event_types:
             fast = self.engine.store.source_hwm(et)
@@ -72,29 +83,63 @@ class Materializer:
                 hwm_id = max(hwm_id, row["id"])
         return hwm_ts, hwm_id
 
-    def _incrementable(self, q: ast.QueryCommand) -> bool:
-        return not q.is_aggregate and not q.is_sequence and q.limit is None
+    def _incrementable(self, q) -> bool:
+        return (
+            isinstance(q, ast.QueryCommand)
+            and not q.is_aggregate
+            and not q.is_sequence
+            and q.limit is None
+        )
 
-    def _seq_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+    def _compare_incrementable(self, c, manifest: dict) -> bool:
+        """A remembered COMPARE refreshes incrementally when every side is
+        a plain (non-sequence, uncapped) aggregate — each side then keeps
+        its own mergeable partial state, exactly like a standalone
+        aggregate REMEMBER, and only the full-outer side merge re-runs
+        (group-count-sized, not scan-sized)."""
+        return (
+            isinstance(c, ast.CompareCommand)
+            and len(c.queries) > 0
+            and manifest.get("max_rows") is None
+            and manifest.get("max_age_seconds") is None
+            and all(
+                s.is_aggregate
+                and not s.is_sequence
+                and s.limit is None
+                and s.offset is None
+                for s in c.queries
+            )
+        )
+
+    def _seq_incrementable(self, q, manifest: dict) -> bool:
         """Non-aggregate single-link sequence results refresh by matching
         only the delta against small carried state (see _refresh_sequence).
         Excluded: USING TIME (a user field is not append-ordered, so the
         'new events have the highest ts' invariant the delta logic rests
         on would not hold), LIMIT (caps matched sequences — a delta pair
         could displace a stored one), and retention options."""
-        return not q.is_aggregate and self._seq_delta_safe(q, manifest)
+        return (
+            isinstance(q, ast.QueryCommand)
+            and not q.is_aggregate
+            and self._seq_delta_safe(q, manifest)
+        )
 
-    def _seq_agg_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+    def _seq_agg_incrementable(self, q, manifest: dict) -> bool:
         """Sequence AGGREGATES refresh by aggregating only the DELTA
         PAIRS into mergeable per-group state (pairs are append-only under
         server timestamps, so the same merge the plain aggregates use is
         exact over them)."""
-        return q.is_aggregate and self._seq_delta_safe(q, manifest)
+        return (
+            isinstance(q, ast.QueryCommand)
+            and q.is_aggregate
+            and self._seq_delta_safe(q, manifest)
+        )
 
     @staticmethod
-    def _seq_delta_safe(q: ast.QueryCommand, manifest: dict) -> bool:
+    def _seq_delta_safe(q, manifest: dict) -> bool:
         return (
-            q.is_sequence
+            isinstance(q, ast.QueryCommand)
+            and q.is_sequence
             and len(q.sequence.links) == 1
             and q.limit is None
             and q.offset is None
@@ -103,14 +148,15 @@ class Materializer:
             and manifest.get("max_age_seconds") is None
         )
 
-    def _agg_incrementable(self, q: ast.QueryCommand, manifest: dict) -> bool:
+    def _agg_incrementable(self, q, manifest: dict) -> bool:
         """Plain aggregates refresh by partial-state merge. Excluded:
         sequence aggregates (the match itself isn't mergeable), LIMIT
         (caps *groups*; a delta could add groups that should compete),
         and retention options (they filter event-shaped rows, not
         groups)."""
         return (
-            q.is_aggregate
+            isinstance(q, ast.QueryCommand)
+            and q.is_aggregate
             and not q.is_sequence
             and q.limit is None
             and q.offset is None
@@ -265,15 +311,31 @@ class Materializer:
     ):
         if self.exists(name):
             raise MaterializationError(f"materialization {name!r} already exists")
+        is_compare = isinstance(q, ast.CompareCommand)
         manifest = {
             "name": name,
-            "query": query_to_json(q),
+            "query": compare_to_json(q) if is_compare else query_to_json(q),
             "hwm_ts": -1,
             "hwm_id": -1,
             "max_rows": max_rows,
             "max_age_seconds": max_age_seconds,
         }
         path = os.path.join(self._dir(name), "data")
+        if is_compare:
+            if self._compare_incrementable(q, manifest):
+                # manifest hwm = the mark the side reads were closed at,
+                # so rows racing in mid-materialization land in the next
+                # delta exactly once
+                hwm_ts, hwm_id = self._remember_compare(name, q, manifest, path)
+            else:
+                self._apply_retention(
+                    self.engine.compiler.compile(q), manifest
+                ).write.mode("overwrite").parquet(path)
+                hwm_ts, hwm_id = self._source_hwm(q)
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self.engine.spark.read.parquet(path).count()
         if self._agg_incrementable(q, manifest):
             # Materialize the RESULT from the partial state's finalize so
             # the remembered values and every later state-merge refresh go
@@ -284,13 +346,23 @@ class Materializer:
             from sneldb_spark.plans.aggregates import finalize_partial_state
 
             approx = self.engine.compiler.approx_count_unique
-            state, keys = self.engine.compiler.compile_aggregate_partial(q)
+            hwm = self._source_hwm(q)
+            # read closed at the probed mark: a row racing in lands in
+            # the next delta exactly once, never in both
+            state, keys = self.engine.compiler.compile_aggregate_partial(
+                q, upper=hwm
+            )
             state.write.mode("overwrite").parquet(self._state_path(name))
+            self._write_state_hwm(self._state_path(name), *hwm)
             manifest["state_keys"] = keys
             stored_state = self.engine.spark.read.parquet(self._state_path(name))
             finalize_partial_state(
                 stored_state, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self.engine.spark.read.parquet(path).count()
         elif self._incrementable(q) and max_rows is None and max_age_seconds is None:
             # retention-free event materializations use the append-only
             # segment layout from day one: REMEMBER writes data/base with
@@ -568,25 +640,125 @@ class Materializer:
             d = json.load(f)
         return d["ts"], d["id"]
 
-    def _merge_agg_delta(self, name: str, q, manifest: dict) -> DataFrame:
-        """Aggregate ONLY the rows past the high-water mark, merge into the
-        stored per-group state, persist the new state, and return it. The
-        history scan is replaced by a delta scan whose hwm predicate
-        reaches the Parquet scan (pushdown-tested)."""
+    def _swap_in_with_marker(self, df: DataFrame, path: str, mark: tuple[int, int]):
+        """_swap_in plus a consumed-hwm marker written INSIDE the new
+        directory before the rename, so state and its mark move
+        atomically — a crash right after the swap leaves a state that
+        self-describes how far it has merged (the refresh reads the
+        marker in preference to a stale manifest and never re-merges the
+        same delta)."""
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        self._write_state_hwm(tmp, *mark)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def _merge_state_delta(
+        self,
+        spath: str,
+        q: ast.QueryCommand,
+        keys: list[str],
+        lower: tuple[int, int],
+        cur: tuple[int, int],
+    ):
+        """Merge the (lower, cur] delta of one aggregate query into the
+        partial state stored at `spath`. The state's own hwm marker wins
+        over the caller's lower bound (a crash between state swap and
+        manifest write must not double-merge), and the read is closed at
+        `cur` so a row racing in mid-refresh is consumed exactly once by
+        the next delta."""
         from sneldb_spark.plans.aggregates import merge_partial_states
 
-        keys = manifest["state_keys"]
+        marker = self._read_state_hwm(spath)
+        if marker is not None and tuple(marker) > tuple(lower):
+            lower = tuple(marker)
+        if tuple(lower) >= tuple(cur):
+            return
         delta, _ = self.engine.compiler.compile_aggregate_partial(
-            q, hwm=(manifest["hwm_ts"], manifest["hwm_id"])
+            q, hwm=lower, upper=cur
         )
-        spath = self._state_path(name)
         stored = self.engine.spark.read.parquet(spath)
         merged = merge_partial_states(
             stored.unionByName(delta), q.aggs, keys,
             approx_unique=self.engine.compiler.approx_count_unique,
         )
-        self._swap_in(merged, spath)
+        self._swap_in_with_marker(merged, spath, cur)
+
+    def _merge_agg_delta(self, name: str, q, manifest: dict,
+                         cur: tuple[int, int]) -> DataFrame:
+        """Aggregate ONLY the rows past the high-water mark, merge into the
+        stored per-group state, persist the new state, and return it. The
+        history scan is replaced by a delta scan whose hwm predicate
+        reaches the Parquet scan (pushdown-tested)."""
+        spath = self._state_path(name)
+        self._merge_state_delta(
+            spath, q, manifest["state_keys"],
+            (manifest["hwm_ts"], manifest["hwm_id"]), cur,
+        )
         return self.engine.spark.read.parquet(spath)
+
+    # -- COMPARE materialization (extension) -------------------------------
+    def _compare_state_dir(self, name: str, i: int) -> str:
+        return os.path.join(self._dir(name), "cstate", f"side_{i}")
+
+    def _remember_compare(self, name: str, c, manifest: dict,
+                          path: str) -> tuple[int, int]:
+        """Initial COMPARE materialization: one mergeable partial state
+        PER SIDE (each side is a plain aggregate), reads closed at the
+        probed high-water mark, visible result derived from the states'
+        finalize + the same full-outer side merge a direct COMPARE
+        compiles — so a refresh and a fresh run go through one estimator
+        and one merge implementation."""
+        from sneldb_spark.plans.aggregates import finalize_partial_state
+        from sneldb_spark.plans.compare import merge_sides, side_labels
+
+        approx = self.engine.compiler.approx_count_unique
+        labels = side_labels(c.queries, c.labels)
+        hwm = self._source_hwm(c)
+        keys_list, finals = [], []
+        for i, s in enumerate(c.queries):
+            state, keys = self.engine.compiler.compile_aggregate_partial(
+                s, upper=hwm
+            )
+            sp = self._compare_state_dir(name, i)
+            state.write.mode("overwrite").parquet(sp)
+            self._write_state_hwm(sp, *hwm)
+            keys_list.append(keys)
+            finals.append(
+                finalize_partial_state(
+                    self.engine.spark.read.parquet(sp), s.aggs, keys,
+                    approx_unique=approx,
+                )
+            )
+        merge_sides(c.queries, labels, finals).write.mode("overwrite").parquet(path)
+        manifest["compare_state_keys"] = keys_list
+        return hwm
+
+    def _refresh_compare(self, name: str, c, manifest: dict, path: str,
+                         cur: tuple[int, int]):
+        """Incremental COMPARE SHOW: each side merges only ITS delta into
+        its stored partial state (per-side hwm markers make a mid-refresh
+        crash resumable without double-merging), then the group-count-
+        sized side merge re-runs — the sources are never rescanned."""
+        from sneldb_spark.plans.aggregates import finalize_partial_state
+        from sneldb_spark.plans.compare import merge_sides, side_labels
+
+        approx = self.engine.compiler.approx_count_unique
+        labels = side_labels(c.queries, c.labels)
+        lower = (manifest["hwm_ts"], manifest["hwm_id"])
+        finals = []
+        for i, s in enumerate(c.queries):
+            keys = manifest["compare_state_keys"][i]
+            sp = self._compare_state_dir(name, i)
+            self._merge_state_delta(sp, s, keys, lower, cur)
+            finals.append(
+                finalize_partial_state(
+                    self.engine.spark.read.parquet(sp), s.aggs, keys,
+                    approx_unique=approx,
+                )
+            )
+        self._swap_in(merge_sides(c.queries, labels, finals), path)
 
     # -- SHOW -------------------------------------------------------------
     def show(self, name: str) -> DataFrame:
@@ -594,7 +766,10 @@ class Materializer:
             raise MaterializationError(f"Materialization '{name}' not found")
         with open(self._manifest_path(name)) as f:
             manifest = json.load(f)
-        q = query_from_json(manifest["query"])
+        if manifest["query"].get("compare"):
+            q = compare_from_json(manifest["query"])
+        else:
+            q = query_from_json(manifest["query"])
         path = os.path.join(self._dir(name), "data")
 
         if manifest.get("seq_state"):
@@ -645,7 +820,7 @@ class Materializer:
         elif stale and self._agg_incrementable(q, manifest) and manifest.get(
             "state_keys"
         ) is not None and os.path.exists(self._state_path(name)):
-            merged_state = self._merge_agg_delta(name, q, manifest)
+            merged_state = self._merge_agg_delta(name, q, manifest, (cur_ts, cur_id))
             from sneldb_spark.plans.aggregates import finalize_partial_state
 
             self._swap_in(
@@ -655,8 +830,12 @@ class Materializer:
                 ),
                 path,
             )
+        elif stale and self._compare_incrementable(q, manifest) and manifest.get(
+            "compare_state_keys"
+        ) is not None and os.path.exists(self._compare_state_dir(name, 0)):
+            self._refresh_compare(name, q, manifest, path, (cur_ts, cur_id))
         elif stale:
-            df = self.engine.compiler.compile_query(q)
+            df = self.engine.compiler.compile(q)
             self._swap_in(df, path)
 
         if stale:

@@ -1060,3 +1060,87 @@ def test_sequence_event_refresh_is_crash_idempotent(spark, tmp_path):
     store("signup", "u3"); store("purchase", "u3")
     db.execute("FLUSH")
     assert db.execute("SHOW fx").df.count() == 3
+
+
+def test_remember_show_compare_incremental(spark, tmp_path):
+    """REMEMBER of a COMPARE/PLOT (extension): each aggregate side keeps
+    its own partial state; SHOW after new data merges only per-side
+    deltas and re-runs the group-count-sized side merge — the result must
+    equal a fresh COMPARE compile, including groups born in the delta on
+    one side only (full-outer null semantics)."""
+    from sneldb_spark.engine import SnelDB
+
+    cmp_q = "PLOT COUNT OF buy VS TOTAL(ms) OF visit OVER day(timestamp)"
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE buy FIELDS { "amount": "int" }')
+    db.execute('DEFINE visit FIELDS { "ms": "int" }')
+    db.execute('STORE buy FOR c1 PAYLOAD { "amount": 5 }')
+    db.execute('STORE visit FOR c1 PAYLOAD { "ms": 30 }')
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {cmp_q} AS funnel_board")
+    db.execute('STORE buy FOR c2 PAYLOAD { "amount": 7 }')
+    db.execute('STORE visit FOR c2 PAYLOAD { "ms": 12 }')
+    db.execute('STORE visit FOR c3 PAYLOAD { "ms": 9 }')
+    db.execute("FLUSH")
+
+    shown = db.execute(f"SHOW funnel_board").df
+    expected = db.execute(cmp_q).df
+    assert shown.columns == expected.columns
+    got = sorted((tuple(r) for r in shown.collect()))
+    want = sorted((tuple(r) for r in expected.collect()))
+    assert got == want and len(got) >= 1
+    # refresh state advanced: a second SHOW with no new data is stable
+    again = sorted(tuple(r) for r in db.execute("SHOW funnel_board").df.collect())
+    assert again == want
+
+
+def test_remember_show_compare_refresh_is_delta_scan(spark, tmp_path):
+    """The compare refresh must aggregate only rows past the stored
+    high-water mark: the per-side delta plan carries the hwm predicate
+    down to the scan."""
+    from sneldb_spark.commands.serde import compare_from_json
+    import json as _json
+    import os as _os
+
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE m1 FIELDS { "v": "int" }')
+    db.execute('DEFINE m2 FIELDS { "v": "int" }')
+    db.execute('STORE m1 FOR c1 PAYLOAD { "v": 1 }')
+    db.execute('STORE m2 FOR c1 PAYLOAD { "v": 2 }')
+    db.execute("FLUSH")
+    db.execute("REMEMBER PLOT COUNT OF m1 VS COUNT OF m2 "
+               "BREAKDOWN BY context_id AS board")
+    mp = _os.path.join(str(tmp_path / "db"), "materialized", "board", "manifest.json")
+    with open(mp) as f:
+        manifest = _json.load(f)
+    assert manifest["query"].get("compare") and len(
+        manifest["compare_state_keys"]) == 2
+    c = compare_from_json(manifest["query"])
+    plan = db.compiler.compile_aggregate_partial(
+        c.queries[0], hwm=(manifest["hwm_ts"], manifest["hwm_id"])
+    )[0]._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "timestamp" in plan
+
+
+def test_remember_compare_with_limit_side_recomputes(spark, tmp_path):
+    """A COMPARE side with LIMIT is not state-mergeable (the capped group
+    set can change); the materialization must fall back to full recompute
+    and still be correct."""
+    from sneldb_spark.engine import SnelDB
+
+    # TOP caps each side's group set -> sides carry LIMIT -> not mergeable
+    cmp_q = "PLOT COUNT OF a1 VS COUNT OF a2 BREAKDOWN BY context_id TOP 1"
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE a1 FIELDS { "v": "int" }')
+    db.execute('DEFINE a2 FIELDS { "v": "int" }')
+    db.execute('STORE a1 FOR x PAYLOAD { "v": 1 }')
+    db.execute('STORE a2 FOR x PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {cmp_q} AS capped_board")
+    db.execute('STORE a1 FOR x PAYLOAD { "v": 2 }')
+    db.execute("FLUSH")
+    got = sorted(tuple(r) for r in db.execute("SHOW capped_board").df.collect())
+    want = sorted(tuple(r) for r in db.execute(cmp_q).df.collect())
+    assert got == want
