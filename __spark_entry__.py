@@ -3313,6 +3313,32 @@ FROM (
 """
 
 
+def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap in deterministic md5(id) order (the
+    per-domain ceiling of a crawl-curation pipeline)."""
+    from sneldb_spark.pipeline.sampling import cap_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_group(d, group_col="source", cap=40, id_col="doc_id")
+    return out.select(
+        "doc_id", "source", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
+_SAMPLING_GROUP_CAP_SQL = """
+SELECT doc_id, source, group_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS group_rank
+  FROM documents
+)
+WHERE group_rank <= 40
+"""
+
+
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedup by content digest (the decode-free first pass of
     any image/audio pipeline) — sha2 over the binary column, digest-keyed
@@ -3399,6 +3425,7 @@ _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
+    "sampling_group_cap",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3576,6 +3603,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_blocklist": q_text_blocklist,
         "multimodal_dedup": q_multimodal_dedup,
         "events_json_extract": q_events_json_extract,
+        "sampling_group_cap": q_sampling_group_cap,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3771,6 +3799,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "text_blocklist": _TEXT_BLOCKLIST_SQL,
         "multimodal_dedup": _MULTIMODAL_DEDUP_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
+        "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "corpus_upsample",
     "sampling_leakage_safe",
     "sampling_token_budget",
+    "sampling_group_cap",
     "corpus_curation",
     "remember_show_agg",
     "remember_show_compare",

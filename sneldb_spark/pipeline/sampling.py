@@ -240,3 +240,37 @@ def upsample_corpus(
             ).alias("copy"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain / per-source document cap — the crawl-curation step
+    that stops a handful of giant domains from dominating the corpus.
+
+    Keeps at most `cap` documents per group, chosen deterministically in
+    md5(id) order (id as the tiebreak), so the decision is
+    engine-portable and independent of partitioning. Note the kept SET
+    can change as a group grows past the cap (an inherent property of
+    any exact cap — rank is relative); use `weighted_sample` when
+    per-row stability under growth matters more than an exact ceiling.
+
+    One window shuffle on the group key; at 100 TB group skew is the
+    planning concern (a mega-domain serializes its partition) — AQE skew
+    handling applies because the window input is a plain hash exchange.
+
+    Output: input columns + `group_rank` (1-based within the group),
+    filtered to the kept rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= cap)
+    )

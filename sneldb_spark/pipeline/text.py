@@ -453,8 +453,10 @@ def lm_quality_score(
     standard bootstrap when no held-out LM exists.
 
     Two corpus scans, both ending in map-side-combined aggregates (token
-    counts; per-doc score via a vocabulary-sized shuffle join between doc
-    tokens and the LM table — never a broadcast of an unbounded side).
+    counts; per-doc score via a vocabulary-keyed join between doc tokens
+    and the LM table — no forced broadcast hint, so Catalyst broadcasts
+    only while the vocabulary estimate fits the threshold and degrades
+    to a shuffle join when a web-scale vocabulary outgrows it).
     score = avg_i ln((count(w_i) + k) / (total + k * |V|)), with unseen
     tokens impossible by construction (the LM is fit on the same corpus).
     The denominator joins in as a 1-row aggregate (the oracle's `tot`

@@ -1090,3 +1090,23 @@ def test_media_dedup_canonical_and_counts(spark):
     assert out[1]["is_canonical"] and not out[2]["is_canonical"] and out[3]["is_canonical"]
     assert out[1]["dup_count"] == 2 == out[2]["dup_count"]
     assert out[1]["content_digest"] == out[2]["content_digest"] != out[3]["content_digest"]
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from sneldb_spark.pipeline.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 20 else "small") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_group(df, group_col="source", cap=5, id_col="doc_id")
+    got = [(r["doc_id"], r["source"], r["group_rank"]) for r in out.collect()]
+    per = {}
+    for d, s, rk in got:
+        per.setdefault(s, []).append((d, rk))
+    assert len(per["big"]) == 5 and len(per["small"]) == 5
+    assert sorted(rk for _, rk in per["big"]) == [1, 2, 3, 4, 5]
+    # deterministic across partitionings
+    again = cap_per_group(df.repartition(7), group_col="source", cap=5,
+                          id_col="doc_id")
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["source"], r["group_rank"]) for r in again.collect()
+    )
