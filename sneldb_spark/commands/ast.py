@@ -183,6 +183,14 @@ class ShowCommand:
 
 
 @dataclass
+class ForgetCommand:
+    """Drop a materialization (extension — the reference has no explicit
+    drop; a managed store needs one)."""
+
+    name: str
+
+
+@dataclass
 class FlushCommand:
     pass
 
@@ -244,6 +252,7 @@ Command = Union[
     CompareCommand,
     RememberCommand,
     ShowCommand,
+    ForgetCommand,
     FlushCommand,
     PingCommand,
     BatchCommand,

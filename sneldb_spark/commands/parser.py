@@ -159,6 +159,13 @@ def parse_command(text: str) -> ast.Command:
         return _parse_replay(stripped)
     if head == "REMEMBER":
         return _parse_remember(stripped)
+    if head == "FORGET":
+        parts = stripped.split()
+        if len(parts) != 2:
+            raise ParseError("FORGET expects exactly one argument")
+        if not _ALIAS_RE.match(parts[1]):
+            raise ParseError(f"invalid materialization name: {parts[1]!r}")
+        return ast.ForgetCommand(name=parts[1])
     if head == "SHOW":
         # SHOW PERMISSIONS FOR <user> is user management; SHOW <name> is a
         # materialization read (reference routes on the second word too).

@@ -180,6 +180,9 @@ class SnelDB:
         if isinstance(cmd, ast.ShowCommand):
             self.store.flush()
             return Result(ok=True, df=self.materializer.show(cmd.name))
+        if isinstance(cmd, ast.ForgetCommand):
+            self.materializer.forget(cmd.name)
+            return Result(ok=True, message=f"forgot materialization '{cmd.name}'")
         if isinstance(cmd, ast.FlushCommand):
             self.store.flush()
             return Result(ok=True, message="flushed")

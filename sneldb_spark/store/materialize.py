@@ -847,3 +847,80 @@ class Materializer:
         ):
             return self._read_segments(path)
         return self.engine.spark.read.parquet(path)
+
+    # -- lifecycle ---------------------------------------------------------
+    def names(self) -> list[str]:
+        """All materialization names (sorted; manifest presence is what
+        makes a directory a materialization)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.exists(self._manifest_path(n))
+        )
+
+    def describe(self, name: str) -> dict:
+        """Manifest summary + current staleness (metadata-cheap: the
+        source probe reads Parquet footers and the memtable, no Spark
+        job)."""
+        if not self.exists(name):
+            raise MaterializationError(f"Materialization '{name}' not found")
+        with open(self._manifest_path(name)) as f:
+            manifest = json.load(f)
+        if manifest["query"].get("compare"):
+            q = compare_from_json(manifest["query"])
+        else:
+            q = query_from_json(manifest["query"])
+        cur = self._source_hwm(q)
+        return {
+            "name": name,
+            "kind": (
+                "compare" if manifest["query"].get("compare")
+                else "sequence" if manifest.get("seq_state")
+                else "aggregate" if manifest.get("state_keys") is not None
+                else "events"
+            ),
+            "hwm_ts": manifest["hwm_ts"],
+            "hwm_id": manifest["hwm_id"],
+            "stale": tuple(cur) != (manifest["hwm_ts"], manifest["hwm_id"]),
+        }
+
+    def forget(self, name: str):
+        """Drop a materialization: result data, partial state, manifest.
+        (Extension — the reference keeps materializations until restart
+        config changes; a managed store needs an explicit drop.)"""
+        if not self.exists(name):
+            raise MaterializationError(f"Materialization '{name}' not found")
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    def compact(self, name: str):
+        """Rewrite an append-only segment layout (event-shaped plain or
+        sequence materializations) into a single fresh base segment.
+
+        Refreshes keep IO delta-scale by appending interval segments and
+        never touching history — the cost is file-count growth, one
+        directory per refresh. Compaction is the S7 analogue for results:
+        read everything once, rewrite as `base`, drop the consumed
+        intervals. Result rows are unchanged (the reader unions segments
+        either way); the consumed-hwm marker is preserved so refresh
+        bookkeeping is untouched. No-op for state-merged (aggregate /
+        compare) materializations — their result is already one compact
+        group-count-sized table."""
+        if not self.exists(name):
+            raise MaterializationError(f"Materialization '{name}' not found")
+        path = os.path.join(self._dir(name), "data")
+        with open(self._manifest_path(name)) as f:
+            manifest = json.load(f)
+        segmented = manifest.get("segments") or (
+            manifest.get("seq_state") and manifest.get("state_keys") is None
+        )
+        if not segmented:
+            return
+        marker = self._read_state_hwm(path)
+        merged = self._read_segments(path)
+        tmp = path + ".compact"
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
+        if marker is not None:
+            self._write_state_hwm(tmp, *marker)
+        shutil.rmtree(path)
+        os.replace(tmp, path)

@@ -1144,3 +1144,62 @@ def test_remember_compare_with_limit_side_recomputes(spark, tmp_path):
     got = sorted(tuple(r) for r in db.execute("SHOW capped_board").df.collect())
     want = sorted(tuple(r) for r in db.execute(cmp_q).df.collect())
     assert got == want
+
+
+def test_materializer_lifecycle_forget_names_describe(spark, tmp_path):
+    """names/describe/forget lifecycle: describe reports kind + staleness
+    without running a Spark job; FORGET drops everything; SHOW after
+    FORGET errors."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    db.execute('STORE t FOR c1 PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY t COUNT AS t_count")
+    db.execute("REMEMBER QUERY t AS t_rows")
+    m = db.materializer
+    assert m.names() == ["t_count", "t_rows"]
+    d = m.describe("t_count")
+    assert d["kind"] == "aggregate" and d["stale"] is False
+    assert m.describe("t_rows")["kind"] == "events"
+    db.execute('STORE t FOR c2 PAYLOAD { "v": 2 }')
+    db.execute("FLUSH")
+    assert m.describe("t_count")["stale"] is True
+    r = db.execute("FORGET t_count")
+    assert r.ok and m.names() == ["t_rows"]
+    bad = db.try_execute("SHOW t_count")
+    assert not bad.ok
+
+
+def test_materializer_compact_segments(spark, tmp_path):
+    """Segment compaction rewrites the append-only interval layout into
+    one base segment: same rows, fewer directories, refresh bookkeeping
+    (consumed-hwm marker) preserved so later SHOWs stay incremental."""
+    import os as _os
+
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE ev FIELDS { "v": "int" }')
+    db.execute('STORE ev FOR c0 PAYLOAD { "v": 0 }')
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS ev_all")
+    for i in range(1, 4):  # three refreshes -> three interval segments
+        db.execute(f'STORE ev FOR c{i} PAYLOAD {{ "v": {i} }}')
+        db.execute("FLUSH")
+        db.execute("SHOW ev_all")
+    data = _os.path.join(str(tmp_path / "db"), "materialized", "ev_all", "data")
+    before = {d for d in _os.listdir(data) if d.startswith("d_")}
+    assert len(before) == 3
+    db.materializer.compact("ev_all")
+    after = {d for d in _os.listdir(data) if d.startswith("d_")}
+    assert after == set()
+    rows = sorted(r["v"] for r in db.execute("SHOW ev_all").df.collect())
+    assert rows == [0, 1, 2, 3]
+    # still incremental after compaction
+    db.execute('STORE ev FOR c9 PAYLOAD { "v": 9 }')
+    db.execute("FLUSH")
+    rows = sorted(r["v"] for r in db.execute("SHOW ev_all").df.collect())
+    assert rows == [0, 1, 2, 3, 9]
+    assert any(d.startswith("d_") for d in _os.listdir(data))
