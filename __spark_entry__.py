@@ -128,6 +128,7 @@ def _compiler(
     sf_dir: str,
     mode: str = "calendar",
     pre_since: int | None = None,
+    multi_link: bool = False,
 ) -> QueryCompiler:
     frame = _events_frame(spark, sf_dir, pre_since=pre_since)
 
@@ -136,10 +137,10 @@ def _compiler(
             return frame
         return frame.where(F.col("event_type") == event_type)
 
-    return QueryCompiler(source, None, TimeConfig(mode=mode))
+    return QueryCompiler(source, None, TimeConfig(mode=mode), multi_link=multi_link)
 
 
-def _cmd(text: str, mode: str = "calendar", post=None):
+def _cmd(text: str, mode: str = "calendar", post=None, multi_link: bool = False):
     """queries() entry that runs `text` through the real parser+compiler.
 
     SINCE pushdown note: the events adapter derives `timestamp` as
@@ -165,7 +166,9 @@ def _cmd(text: str, mode: str = "calendar", post=None):
             bound = try_parse_time_value(cmd.since)
             if bound is not None:
                 pre_since = int(bound)
-        df = _compiler(spark, sf_dir, mode, pre_since=pre_since).compile(cmd)
+        df = _compiler(
+            spark, sf_dir, mode, pre_since=pre_since, multi_link=multi_link
+        ).compile(cmd)
         return post(df) if post else df
 
     return run
@@ -3425,7 +3428,7 @@ _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
-    "sampling_group_cap",
+    "sampling_group_cap", "seq_chain",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3538,6 +3541,15 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'USING TIME event_id SINCE "2024-01-10"'
         ),
         # --- compare (J3) / PlotQL (W3) ---
+        "seq_chain": _cmd(
+            "QUERY signup FOLLOWED BY purchase FOLLOWED BY click "
+            "LINKED BY context_id",
+            multi_link=True,
+            post=lambda df: df.select(
+                "s0_context_id", "s0_event_id", "s1_event_id", "s2_event_id",
+                "s0_timestamp", "s1_timestamp", "s2_timestamp",
+            ),
+        ),
         "compare_daily": _cmd("PLOT COUNT OF purchase VS COUNT OF click OVER day(timestamp)"),
         "plot_breakdown": _cmd(
             "PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
@@ -3683,6 +3695,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM ev WHERE event_type = 'purchase' GROUP BY k ORDER BY k LIMIT 5",
         "order_limit_offset": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50 OFFSET 10",
+        "seq_chain": f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+p1 AS (
+  SELECT a.event_id AS s0_event_id, a.context_id AS s0_context_id,
+         a."timestamp" AS s0_timestamp,
+         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
+s1 AS (SELECT * FROM p1 WHERE rn = 1),
+p2 AS (
+  SELECT s1.s0_context_id, s1.s0_event_id, s1.s1_event_id,
+         c.event_id AS s2_event_id,
+         s1.s0_timestamp, s1.s1_timestamp, c."timestamp" AS s2_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
+                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
+  FROM s1 JOIN c ON c.context_id = s1.s0_context_id
+              AND c."timestamp" >= s1.s1_timestamp)
+SELECT s0_context_id, s0_event_id, s1_event_id, s2_event_id,
+       s0_timestamp, s1_timestamp, s2_timestamp
+FROM p2 WHERE rn2 = 1""",
         "seq_followed_by": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),

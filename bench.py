@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "tpch_q2",
     "tpch_q20",
     "events_sessionize",
+    "seq_chain",
     "streaming_window_agg",
     "streaming_dedup",
     "streaming_seq_followed_by",

@@ -51,6 +51,7 @@ class SnelDB:
         wal_archive_dir: str | None = None,
         approx_count_unique: bool = False,
         sequence_slices: int = 0,
+        multi_link: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -66,6 +67,7 @@ class SnelDB:
             approx_count_unique=approx_count_unique,
             context_source=self.store.read_for_context,
             sequence_slices=sequence_slices,
+            multi_link=multi_link,
         )
         self.materializer = Materializer(self, root)
         self.auth = auth

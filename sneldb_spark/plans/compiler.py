@@ -55,6 +55,7 @@ class QueryCompiler:
         approx_count_unique: bool = False,
         context_source: Callable[[str, str], Optional[DataFrame]] | None = None,
         sequence_slices: int = 0,
+        multi_link: bool = False,
     ):
         self._source = source
         self._schema = schema_lookup or (lambda et: None)
@@ -74,6 +75,11 @@ class QueryCompiler:
         # time-sliced matcher (identical pairs, hot link keys parallelize
         # n_slices-wide instead of serializing one window partition).
         self.sequence_slices = sequence_slices
+        # Opt-in extension: compile multi-link chains (A -> B -> C ...)
+        # as composed as-of windows instead of the reference's
+        # warn-and-return-empty (matcher.rs:297-307). Default keeps
+        # reference parity.
+        self.multi_link = multi_link
 
     # -- public ----------------------------------------------------------
     def compile(self, cmd: ast.Command) -> DataFrame:
@@ -141,6 +147,10 @@ class QueryCompiler:
 
     def compile_query(self, q: ast.QueryCommand) -> DataFrame:
         if len(q.sequence.links) > 1 and q.link_field is not None:
+            if self.multi_link:
+                if q.offset is not None and q.limit is None:
+                    raise QueryError("OFFSET requires LIMIT")
+                return self._compile_chain(q)
             # Reference: multi-link chains warn and return empty
             # (reference: src/engine/core/read/sequence/matcher.rs:297-307).
             # Without LINKED BY even a multi-link query is a plain head
@@ -393,6 +403,74 @@ class QueryCompiler:
         if q.offset:
             raise QueryError("OFFSET is not supported on sequence queries")
         return out
+
+    def _compile_chain(self, q: ast.QueryCommand) -> DataFrame:
+        """Multi-link chain compile (extension, opt-in via multi_link):
+        one fully-filtered side frame per step, composed as-of windows
+        (plans/sequence.py sequence_match_chain), then the same
+        aggregate / ORDER / LIMIT surface single-link sequences have.
+        LIMIT caps matched CHAINS, like the single link caps pairs."""
+        from sneldb_spark.plans.sequence import sequence_match_chain
+
+        types = [q.sequence.head] + [t for _, t in q.sequence.links]
+        kinds = [k for k, _ in q.sequence.links]
+        sides = split_sequence_where(q.where, types)
+        frames = [
+            self._base_frame(t, q.context_id, q.since, sides[t], q.time_field)
+            for t in types
+        ]
+        stf = q.sequence_time_field
+        ts = stf if stf and all(stf in f.columns for f in frames) else "timestamp"
+        matched = sequence_match_chain(frames, q.link_field, kinds, ts=ts)
+        resolve = self._chain_resolver(matched, types)
+
+        if q.is_aggregate:
+            bucket = None
+            if q.time_bucket:
+                tcol = resolve(q.time_field)[0].cast("long") if q.time_field else F.col(
+                    "s0_timestamp"
+                ).cast("long")
+                tc = self.time_config
+                bucket = bucket_column(
+                    tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                    week_start=tc.week_start,
+                )
+            out = apply_aggregation(
+                matched, q.aggs, q.group_by, resolve, bucket,
+                approx_unique=self.approx_count_unique,
+            )
+            return self._order_limit(out, q, agg=True)
+
+        out = matched
+        if q.order_by is not None:
+            field, desc = q.order_by
+            col = resolve(field)[0]
+            out = out.orderBy(col.desc() if desc else col.asc())
+        if q.limit is not None:
+            out = out.where(F.lit(False)) if q.limit == 0 else out.limit(q.limit)
+        if q.offset:
+            raise QueryError("OFFSET is not supported on sequence queries")
+        return out
+
+    def _chain_resolver(self, matched: DataFrame, types: list[str]):
+        cols = set(matched.columns)
+
+        def resolve(field: str):
+            # Qualified names pick the FIRST step of that type; unqualified
+            # prefer the head, then later steps in order.
+            if "." in field:
+                prefix, rest = field.split(".", 1)
+                for i, t in enumerate(types):
+                    if t == prefix and f"s{i}_{rest}" in cols:
+                        return F.col(f"s{i}_{rest}"), None
+            for i in range(len(types)):
+                if f"s{i}_{field}" in cols:
+                    return F.col(f"s{i}_{field}"), None
+            if field in cols:
+                return F.col(f"`{field}`"), None
+            raise QueryError(f"unknown field {field!r} in sequence result")
+
+        return resolve
 
     def _seq_resolver(self, matched: DataFrame, head_type: str, tail_type: str):
         cols = set(matched.columns)

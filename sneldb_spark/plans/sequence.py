@@ -36,6 +36,8 @@ parallelism per key.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,3 +341,69 @@ def sequence_match_sliced(
         F.col("__m." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
     ]
     return final.select(*out_cols)
+
+
+def sequence_match_chain(
+    frames: list[DataFrame],
+    link_field: str,
+    kinds: list[str],
+    *,
+    ts: str = "timestamp",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Multi-step funnel matching (extension — the reference caps chains
+    at one link and warns, matcher.rs:297-307; composed as-of windows
+    express the rest naturally in Spark).
+
+    `frames` is [E0, E1, ..., EN]; `kinds[i]` links step i to step i+1.
+    Output has every step's columns under `s{i}_` prefixes, one row per
+    fully-matched chain. Each link applies the single-link semantics with
+    the CURSOR advanced to the previously matched event:
+
+    - FOLLOWED_BY: step i+1 = earliest E_{i+1} with ts >= matched
+      E_i's ts (ties allowed — the same one-match-per-head, B-reusable
+      rule as the single link);
+    - PRECEDED_BY: step i+1 = latest E_{i+1} with ts < matched E_i's ts.
+
+    Matching is greedy left-to-right (each step commits before the next
+    is considered) — the standard funnel interpretation, NOT a global
+    constraint solve. When two adjacent steps share an event type, an
+    equal-timestamp event can serve both steps (the cursor constraint is
+    on ts only, mirroring the single link's tie rule).
+
+    Plan shape: one as-of window shuffle per link, all on the link key —
+    N links cost N window passes over (chain ∪ next-side) rows, never a
+    join explosion. The per-key skew bound of the single matcher applies
+    per step.
+    """
+    if len(frames) != len(kinds) + 1:
+        raise ValueError("chain needs len(frames) == len(kinds) + 1")
+    if not kinds:
+        raise ValueError("chain needs at least one link")
+
+    step_cols = [list(f.columns) for f in frames]
+    chain = sequence_match(frames[0], frames[1], link_field, kinds[0])
+    chain = chain.select(
+        *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in step_cols[0]],
+        *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in step_cols[1]],
+    )
+    for i, (kind, nxt) in enumerate(zip(kinds[1:], frames[2:]), start=1):
+        # Cursor view: expose plain link/ts/tie names (s-prefixed chain
+        # columns can't collide) so the pairwise matcher applies as-is.
+        cursor = chain.select(
+            F.col(f"s0_{link_field}").alias(link_field),
+            F.col(f"s{i}_{ts}").alias(ts),
+            F.col(f"s{i}_{tie}").alias(tie),
+            *[F.col(c) for c in chain.columns],
+        )
+        matched = sequence_match(cursor, nxt, link_field, kind, ts_a=ts, ts_b=ts, tie=tie)
+        step_re = re.compile(r"^s\d+_")
+        chain = matched.select(
+            *[
+                F.col(A_PREFIX + c).alias(c)
+                for c in cursor.columns
+                if step_re.match(c)
+            ],
+            *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in step_cols[i + 1]],
+        )
+    return chain

@@ -1203,3 +1203,60 @@ def test_materializer_compact_segments(spark, tmp_path):
     rows = sorted(r["v"] for r in db.execute("SHOW ev_all").df.collect())
     assert rows == [0, 1, 2, 3, 9]
     assert any(d.startswith("d_") for d in _os.listdir(data))
+
+
+def test_multi_link_chain_extension(spark, tmp_path):
+    """Default keeps reference parity (multi-link chains return empty);
+    with multi_link=True the same query compiles as composed as-of
+    windows — including WHERE side-rewrites, chain aggregates, and LIMIT
+    capping matched chains."""
+    from sneldb_spark.engine import SnelDB
+
+    def seed(db):
+        db.execute('DEFINE visit FIELDS { "page": "string" }')
+        db.execute('DEFINE signup FIELDS { "plan": "string" }')
+        db.execute('DEFINE buy FIELDS { "amount": "int" }')
+        for ctx, cmds in {
+            "u1": [('visit', '{ "page": "/" }'), ('signup', '{ "plan": "pro" }'),
+                   ('buy', '{ "amount": 10 }')],
+            "u2": [('visit', '{ "page": "/" }'), ('signup', '{ "plan": "basic" }')],
+            "u3": [('signup', '{ "plan": "pro" }'), ('visit', '{ "page": "/" }'),
+                   ('buy', '{ "amount": 5 }')],
+        }.items():
+            for et, payload in cmds:
+                db.execute(f"STORE {et} FOR {ctx} PAYLOAD {payload}")
+        db.execute("FLUSH")
+
+    q = "QUERY visit FOLLOWED BY signup FOLLOWED BY buy LINKED BY context_id"
+
+    def ticking(start):
+        clock = {"now": start}
+
+        def tick():
+            clock["now"] += 1
+            return clock["now"]
+
+        return tick
+
+    plain = SnelDB(spark, str(tmp_path / "plain"), clock=ticking(1_700_000_000))
+    seed(plain)
+    assert plain.query(q).count() == 0  # reference parity
+
+    db = SnelDB(spark, str(tmp_path / "ext"), multi_link=True,
+                clock=ticking(1_700_000_000))
+    seed(db)
+    rows = db.query(q).collect()
+    # u1: visit -> signup -> buy in order. u2: no buy. u3: signup precedes
+    # visit, but a LATER signup does not exist, so no chain (the cursor
+    # needs signup at-or-after the visit -> absent).
+    assert {r["s0_context_id"] for r in rows} == {"u1"}
+    r = rows[0]
+    assert r["s0_timestamp"] <= r["s1_timestamp"] <= r["s2_timestamp"]
+
+    # WHERE on a step + chain aggregate + LIMIT caps chains
+    agg = db.query(
+        "QUERY visit FOLLOWED BY signup FOLLOWED BY buy LINKED BY context_id "
+        'WHERE signup.plan = "pro" COUNT BY context_id'
+    ).collect()
+    assert {(r["context_id"], r["count"]) for r in agg} == {("u1", 1)}
+    assert db.query(q + " LIMIT 0").count() == 0

@@ -353,3 +353,74 @@ def test_topk_prune_preserves_topn_values(files, n, desc):
     top_all = sorted(all_vals, key=order_key)[:n]
     top_kept = sorted(kept_vals, key=order_key)[:n]
     assert top_kept == top_all, (stats, keep, top_kept, top_all)
+
+
+def _brute_force_chain(rows, kinds):
+    """rows: (link, ts, tie, side) with side in {0..N}. Greedy
+    left-to-right chain: step i+1 = single-link pick with the cursor at
+    the matched step-i event's ts. Returns the set of matched tie
+    tuples."""
+    out = set()
+    sides = {}
+    for r in rows:
+        sides.setdefault(r[3], []).append(r)
+    for link, ts0, tie0, _ in sides.get(0, []):
+        chain = [tie0]
+        cur_ts, ok = ts0, True
+        for step, kind in enumerate(kinds, start=1):
+            cands = [r for r in sides.get(step, []) if r[0] == link]
+            if kind == FOLLOWED_BY:
+                cands = [r for r in cands if r[1] >= cur_ts]
+                pick = min(cands, key=lambda r: (r[1], r[2]), default=None)
+            else:
+                cands = [r for r in cands if r[1] < cur_ts]
+                pick = max(cands, key=lambda r: (r[1], r[2]), default=None)
+            if pick is None:
+                ok = False
+                break
+            chain.append(pick[2])
+            cur_ts = pick[1]
+        if ok:
+            out.add(tuple(chain))
+    return out
+
+
+_chain_group = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.sampled_from([0, 1, 2])),
+    min_size=0,
+    max_size=12,
+)
+
+
+@pytest.mark.parametrize(
+    "kinds",
+    [
+        [FOLLOWED_BY, FOLLOWED_BY],
+        [FOLLOWED_BY, PRECEDED_BY],
+        [PRECEDED_BY, FOLLOWED_BY],
+    ],
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(groups=st.lists(_chain_group, min_size=1, max_size=6))
+def test_sequence_chain_equals_brute_force(spark, kinds, groups):
+    from sneldb_spark.plans.sequence import sequence_match_chain
+
+    rows = []
+    tie = 0
+    for g, events in enumerate(groups):
+        for ts, side in events:
+            rows.append((f"g{g}", ts, tie, side))
+            tie += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "link string, timestamp long, event_id long, side int")
+    frames = [df.where(F.col("side") == s).drop("side") for s in range(3)]
+    got = {
+        (r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
+        for r in sequence_match_chain(frames, "link", kinds).collect()
+    }
+    assert got == _brute_force_chain(rows, kinds)
