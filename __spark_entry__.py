@@ -3316,6 +3316,40 @@ FROM (
 """
 
 
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-scale near-dup dedup composition at LSH cost:
+    MinHash banded candidates -> estimated-Jaccard verify -> connected
+    components -> cluster id per document. The oracle nests the exact
+    minhash pair replica inside the recursive-CTE components."""
+    from sneldb_spark.pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(d, threshold=0.5).select("id1", "id2")
+    return dedup_clusters(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+def _minhash_clusters_sql() -> str:
+    return (
+        "WITH RECURSIVE mh AS (" + _minhash_sql() + "), "
+        """
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM mh
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM mh
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+    )
+
+
 def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic md5(id) order (the
     per-domain ceiling of a crawl-curation pipeline)."""
@@ -3428,7 +3462,7 @@ _DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
-    "sampling_group_cap", "seq_chain",
+    "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3616,6 +3650,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "events_json_extract": q_events_json_extract,
         "sampling_group_cap": q_sampling_group_cap,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3835,6 +3870,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "multimodal_dedup": _MULTIMODAL_DEDUP_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
+        "dedup_minhash_clusters": _minhash_clusters_sql(),
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
