@@ -3350,6 +3350,50 @@ GROUP BY d.doc_id
     )
 
 
+def q_seq_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-wise funnel conversion over a 3-step chain (signup ->
+    purchase -> click): reached counts are prefix-chain head counts, the
+    oracle recomputes them from the nested as-of joins."""
+    from sneldb_spark.plans.sequence import funnel_report
+
+    frame = _events_frame(spark, sf_dir)
+    frames = [
+        frame.where(F.col("event_type") == et)
+        for et in ("signup", "purchase", "click")
+    ]
+    return funnel_report(frames, "context_id",
+                         labels=["signup", "purchase", "click"])
+
+
+_SEQ_FUNNEL_SQL = f"""
+WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+p1 AS (
+  SELECT a.event_id AS head, a.context_id AS link, b."timestamp" AS b_ts,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
+s1 AS (SELECT * FROM p1 WHERE rn = 1),
+p2 AS (
+  SELECT s1.head,
+         ROW_NUMBER() OVER (PARTITION BY s1.head
+                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
+  FROM s1 JOIN c ON c.context_id = s1.link AND c."timestamp" >= s1.b_ts),
+s2 AS (SELECT * FROM p2 WHERE rn2 = 1),
+n AS (SELECT (SELECT count(*) FROM a) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2)
+SELECT 0 AS step, 'signup' AS label, n0 AS reached,
+       CAST(NULL AS DOUBLE) AS conversion, round(n0 / n0, 4) AS overall FROM n
+UNION ALL
+SELECT 1, 'purchase', n1, round(n1 / n0, 4), round(n1 / n0, 4) FROM n
+UNION ALL
+SELECT 2, 'click', n2, round(n2 / n1, 4), round(n2 / n0, 4) FROM n
+"""
+
+
 def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic md5(id) order (the
     per-domain ceiling of a crawl-curation pipeline)."""
@@ -3463,6 +3507,7 @@ _DRIVER_PRIORITY = [
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
+    "seq_funnel_report",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3651,6 +3696,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "sampling_group_cap": q_sampling_group_cap,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "seq_funnel_report": q_seq_funnel_report,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3871,6 +3917,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "events_json_extract": _EVENTS_JSON_SQL,
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
+        "seq_funnel_report": _SEQ_FUNNEL_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "events_sessionize",
     "seq_chain",
+    "seq_funnel_report",
     "streaming_window_agg",
     "streaming_dedup",
     "streaming_seq_followed_by",
@@ -71,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_simhash",
     "dedup_span_removal",
     "text_quality",

@@ -407,3 +407,63 @@ def sequence_match_chain(
             *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in step_cols[i + 1]],
         )
     return chain
+
+
+def funnel_report(
+    frames: list[DataFrame],
+    link_field: str,
+    kinds: list[str] | None = None,
+    labels: list[str] | None = None,
+    *,
+    ts: str = "timestamp",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Step-wise funnel conversion table over an event chain.
+
+    Row per step: (step, label, reached, conversion, overall) where
+    `reached` counts funnel entries (step-0 rows) whose greedy chain
+    survives through that step — chains are one-per-head, so prefix-chain
+    row counts ARE head counts. `conversion` = reached_i / reached_{i-1},
+    `overall` = reached_i / reached_0, both rounded to 4 digits.
+
+    Runs one bounded count job per step (len(frames) is user-written and
+    tiny); each prefix chain is the composed as-of window plan, so the
+    whole report costs O(steps) link-key window passes — no joins beyond
+    the chain matcher itself. The result is a driver-assembled
+    steps-row DataFrame (it IS a scalar report)."""
+    from pyspark.sql import types as T
+
+    kinds = kinds or [FOLLOWED_BY] * (len(frames) - 1)
+    if len(frames) != len(kinds) + 1:
+        raise ValueError("funnel needs len(frames) == len(kinds) + 1")
+    labels = labels or [f"step{i}" for i in range(len(frames))]
+
+    reached = [frames[0].count()]
+    for i in range(1, len(frames)):
+        reached.append(
+            sequence_match_chain(frames[: i + 1], link_field, kinds[:i],
+                                 ts=ts, tie=tie).count()
+        )
+    rows = []
+    for i, (label, n) in enumerate(zip(labels, reached)):
+        prev = reached[i - 1] if i else None
+        rows.append(
+            (
+                i,
+                label,
+                n,
+                round(n / prev, 4) if prev else None,
+                round(n / reached[0], 4) if reached[0] else None,
+            )
+        )
+    spark = frames[0].sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("step", T.LongType(), False),
+            T.StructField("label", T.StringType(), False),
+            T.StructField("reached", T.LongType(), False),
+            T.StructField("conversion", T.DoubleType(), True),
+            T.StructField("overall", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -424,3 +424,24 @@ def test_sequence_chain_equals_brute_force(spark, kinds, groups):
         for r in sequence_match_chain(frames, "link", kinds).collect()
     }
     assert got == _brute_force_chain(rows, kinds)
+
+
+def test_funnel_report_counts_and_conversions(spark):
+    from sneldb_spark.plans.sequence import funnel_report
+
+    rows = [
+        # link, ts, id, side (0=A entry, 1=B, 2=C)
+        ("u1", 1, 1, 0), ("u1", 2, 2, 1), ("u1", 3, 3, 2),
+        ("u2", 1, 4, 0), ("u2", 2, 5, 1),            # no C
+        ("u3", 5, 6, 0),                              # no B
+        ("u4", 1, 7, 0), ("u4", 1, 8, 1), ("u4", 1, 9, 2),  # all tied
+    ]
+    df = spark.createDataFrame(
+        rows, "link string, timestamp long, event_id long, side int"
+    )
+    frames = [df.where(F.col("side") == s).drop("side") for s in range(3)]
+    out = {r["step"]: r for r in funnel_report(frames, "link").collect()}
+    assert (out[0]["reached"], out[1]["reached"], out[2]["reached"]) == (4, 3, 2)
+    assert out[0]["conversion"] is None and out[0]["overall"] == 1.0
+    assert out[1]["conversion"] == 0.75
+    assert out[2]["conversion"] == round(2 / 3, 4) and out[2]["overall"] == 0.5
