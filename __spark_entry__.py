@@ -3350,6 +3350,47 @@ GROUP BY d.doc_id
     )
 
 
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the raw events table (cohort =
+    naive 7-day bucket of the user's first signup; activity = any event
+    at-or-after it)."""
+    from sneldb_spark.pipeline.analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NTZ -> TIMESTAMP -> LONG is exact under the pinned UTC session tz
+    # (same normalization _events_frame applies)
+    ev = ev.withColumn(
+        "__epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    return cohort_retention(ev, ts_col="__epoch")
+
+
+_COHORT_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+  FROM events
+),
+first AS (
+  SELECT u, min(t) AS first_ts,
+         (min(t) // 604800) * 604800 AS cohort
+  FROM e WHERE event_type = 'signup' GROUP BY u
+),
+act AS (
+  SELECT f.cohort, (e.t - f.first_ts) // 604800 AS periods_since, e.u
+  FROM e JOIN first f ON e.u = f.u
+  WHERE e.t >= f.first_ts
+),
+matrix AS (
+  SELECT cohort, periods_since, count(DISTINCT u) AS active_users
+  FROM act GROUP BY cohort, periods_since
+),
+sizes AS (SELECT cohort, count(DISTINCT u) AS cohort_size FROM first GROUP BY cohort)
+SELECT m.cohort, m.periods_since, m.active_users, s.cohort_size,
+       round(CAST(m.active_users AS DOUBLE) / s.cohort_size, 4) AS retention
+FROM matrix m JOIN sizes s ON m.cohort = s.cohort
+"""
+
+
 def q_seq_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-wise funnel conversion over a 3-step chain (signup ->
     purchase -> click): reached counts are prefix-chain head counts, the
@@ -3507,7 +3548,7 @@ _DRIVER_PRIORITY = [
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
-    "seq_funnel_report",
+    "seq_funnel_report", "events_cohort_retention",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3697,6 +3738,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_group_cap": q_sampling_group_cap,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "seq_funnel_report": q_seq_funnel_report,
+        "events_cohort_retention": q_events_cohort_retention,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3918,6 +3960,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
+        "events_cohort_retention": _COHORT_RETENTION_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "tpch_q2",
     "tpch_q20",
     "events_sessionize",
+    "events_cohort_retention",
     "seq_chain",
     "seq_funnel_report",
     "streaming_window_agg",

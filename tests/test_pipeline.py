@@ -1110,3 +1110,28 @@ def test_cap_per_group_deterministic_and_capped(spark):
     assert sorted(got) == sorted(
         (r["doc_id"], r["source"], r["group_rank"]) for r in again.collect()
     )
+
+
+def test_cohort_retention_matrix(spark):
+    from sneldb_spark.pipeline.analytics import cohort_retention
+
+    W = 7 * 86400
+    rows = [
+        # user, ts, type — u1/u2 sign up week 0; u2 returns week 1;
+        # u3 signs up week 1; pre-signup activity (u1 at -1s) excluded
+        (1, 0 * W, "signup"), (1, 0 * W - 1, "click"), (1, 0 * W + 10, "click"),
+        (2, 0 * W + 5, "signup"), (2, 1 * W + 6, "click"),
+        (3, 1 * W, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {
+        (r["cohort"], r["periods_since"]): r
+        for r in cohort_retention(df, ts_col="ts").collect()
+    }
+    wk0 = out[(0, 0)]
+    assert wk0["active_users"] == 2 and wk0["cohort_size"] == 2
+    assert wk0["retention"] == 1.0
+    wk0w1 = out[(0, 1)]
+    assert wk0w1["active_users"] == 1 and wk0w1["retention"] == 0.5
+    assert out[(W, 0)]["cohort_size"] == 1
+    assert (0, -1) not in out  # pre-signup activity excluded
