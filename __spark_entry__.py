@@ -3391,6 +3391,38 @@ FROM matrix m JOIN sizes s ON m.cohort = s.cohort
 """
 
 
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-7-day WAU per report day (distinct-user
+    membership explode over the reduced (user, day) set)."""
+    from sneldb_spark.pipeline.analytics import active_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("__epoch", F.col("ts").cast("timestamp").cast("long"))
+    return active_users(ev, ts_col="__epoch", windows=(1, 7))
+
+
+_ACTIVE_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day
+  FROM events
+),
+mx AS (SELECT max(day) AS max_day FROM ud),
+win(w) AS (VALUES (1), (7)),
+member AS (
+  SELECT g.day_report, win.w, ud.u
+  FROM ud, win,
+       LATERAL (SELECT unnest(generate_series(ud.day,
+                                              ud.day + (win.w - 1) * 86400,
+                                              86400)) AS day_report) g
+  WHERE g.day_report <= (SELECT max_day FROM mx)
+)
+SELECT day_report AS day, CAST(w AS BIGINT) AS window_days,
+       count(DISTINCT u) AS active_users
+FROM member GROUP BY day_report, w
+"""
+
+
 def q_seq_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-wise funnel conversion over a 3-step chain (signup ->
     purchase -> click): reached counts are prefix-chain head counts, the
@@ -3548,7 +3580,7 @@ _DRIVER_PRIORITY = [
     "similarity_knn_graph", "text_tfidf", "text_blocklist",
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
-    "seq_funnel_report", "events_cohort_retention",
+    "seq_funnel_report", "events_cohort_retention", "events_active_users",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3739,6 +3771,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "seq_funnel_report": q_seq_funnel_report,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_active_users": q_events_active_users,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3961,6 +3994,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
         "events_cohort_retention": _COHORT_RETENTION_SQL,
+        "events_active_users": _ACTIVE_USERS_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "events_sessionize",
     "events_cohort_retention",
+    "events_active_users",
     "seq_chain",
     "seq_funnel_report",
     "streaming_window_agg",

@@ -61,3 +61,55 @@ def cohort_retention(
         "cohort_size",
         F.round(F.col("active_users") / F.col("cohort_size"), 4).alias("retention"),
     )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: Column | str = "ts",
+    windows: tuple[int, ...] = (1, 7, 30),
+    day_s: int = 86400,
+) -> DataFrame:
+    """Rolling active-user counts (DAU/WAU/MAU family): for each report
+    day and trailing window length w (in days), the EXACT distinct users
+    with any activity in the w days ending on that day.
+
+    Output: (day, window_days, active_users) with `day` the epoch-second
+    day bucket. Report days beyond the data's last activity day are not
+    emitted.
+
+    Plan shape: the corpus first collapses to distinct (user, day) — the
+    only corpus-scale shuffle; each membership row then explodes into
+    the <= max(windows) report days it supports (bounded constant
+    fan-out over the REDUCED set, not the raw events) and one grouped
+    exact count-distinct per (day, window) finishes. This is the exact
+    path; swap the final aggregate for approx_count_distinct / HLL
+    sketch union when trillion-user-day scale calls for it.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    day = (F.floor(ts.cast("long") / day_s) * day_s).cast("long")
+    ud = events.select(
+        F.col(user_col).alias("user"), day.alias("day")
+    ).distinct()
+    max_day = ud.agg(F.max("day").alias("__max"))
+    out = None
+    for w in windows:
+        member = (
+            ud.withColumn(
+                "day_report",
+                F.explode(
+                    F.sequence(
+                        F.col("day"),
+                        F.col("day") + F.lit((w - 1) * day_s),
+                        F.lit(day_s),
+                    )
+                ),
+            )
+            .crossJoin(max_day)
+            .where(F.col("day_report") <= F.col("__max"))
+            .groupBy(F.col("day_report").alias("day"))
+            .agg(F.countDistinct("user").alias("active_users"))
+            .withColumn("window_days", F.lit(w).cast("long"))
+        )
+        out = member if out is None else out.unionByName(member)
+    return out.select("day", "window_days", "active_users")

@@ -1135,3 +1135,23 @@ def test_cohort_retention_matrix(spark):
     assert wk0w1["active_users"] == 1 and wk0w1["retention"] == 0.5
     assert out[(W, 0)]["cohort_size"] == 1
     assert (0, -1) not in out  # pre-signup activity excluded
+
+
+def test_active_users_rolling_windows(spark):
+    from sneldb_spark.pipeline.analytics import active_users
+
+    D = 86400
+    rows = [(1, 0), (1, 0 + 10), (2, 0), (2, 2 * D), (3, 1 * D)]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r["day"], r["window_days"]): r["active_users"]
+        for r in active_users(df, ts_col="ts", windows=(1, 3)).collect()
+    }
+    # DAU
+    assert out[(0, 1)] == 2 and out[(D, 1)] == 1 and out[(2 * D, 1)] == 1
+    # trailing-3-day actives
+    assert out[(0, 3)] == 2          # u1, u2
+    assert out[(D, 3)] == 3          # u1, u2, u3
+    assert out[(2 * D, 3)] == 3      # all still inside the window
+    # no report days past the data
+    assert all(d <= 2 * D for d, _ in out)
