@@ -3423,6 +3423,67 @@ FROM member GROUP BY day_report, w
 """
 
 
+def q_events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: variant = parity of props.k on the user's first
+    signup; conversion = any purchase at-or-after it. Lift and
+    two-proportion z vs control, deterministic to 4 digits."""
+    from sneldb_spark.pipeline.analytics import experiment_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("__epoch", F.col("ts").cast("timestamp").cast("long"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    variant = F.when(k % 2 == 0, F.lit("v0")).otherwise(F.lit("v1"))
+    return experiment_report(
+        ev, assignment_type="signup", conversion_type="purchase",
+        ts_col="__epoch", variant_col=variant, control="v0",
+        tie_col="event_id",
+    )
+
+
+_EVENTS_EXPERIMENT_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         event_type,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+              THEN 'v0' ELSE 'v1' END AS variant
+  FROM events
+),
+assigned AS (
+  SELECT u, t AS assign_ts, variant FROM (
+    SELECT u, t, variant,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY t ASC, event_id ASC) AS rn
+    FROM e WHERE event_type = 'signup')
+  WHERE rn = 1
+),
+per_user AS (
+  SELECT a.u, a.variant,
+         max(CASE WHEN c.t IS NOT NULL AND c.t >= a.assign_ts
+                  THEN 1 ELSE 0 END) AS converted
+  FROM assigned a
+  LEFT JOIN (SELECT u, t FROM e WHERE event_type = 'purchase') c ON c.u = a.u
+  GROUP BY a.u, a.variant
+),
+pv AS (SELECT variant, count(*) AS users,
+              CAST(sum(converted) AS BIGINT) AS conversions
+       FROM per_user GROUP BY variant),
+ctrl AS (SELECT users AS c_users, conversions AS c_conv
+         FROM pv WHERE variant = 'v0')
+SELECT pv.variant, pv.users, pv.conversions,
+       round(pv.conversions / pv.users, 4) AS rate,
+       CASE WHEN pv.variant = 'v0' THEN NULL
+            ELSE round((pv.conversions / pv.users) /
+                       NULLIF(c.c_conv / c.c_users, 0) - 1, 4)
+       END AS lift,
+       CASE WHEN pv.variant = 'v0' THEN NULL
+            ELSE round(((pv.conversions / pv.users) - (c.c_conv / c.c_users)) /
+                 NULLIF(sqrt(((pv.conversions + c.c_conv) / (pv.users + c.c_users)) *
+                      (1 - (pv.conversions + c.c_conv) / (pv.users + c.c_users)) *
+                      (1 / pv.users + 1 / c.c_users)), 0), 4)
+       END AS z
+FROM pv, ctrl c
+"""
+
+
 def q_seq_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-wise funnel conversion over a 3-step chain (signup ->
     purchase -> click): reached counts are prefix-chain head counts, the
@@ -3581,6 +3642,7 @@ _DRIVER_PRIORITY = [
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
     "seq_funnel_report", "events_cohort_retention", "events_active_users",
+    "events_experiment",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3772,6 +3834,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_funnel_report": q_seq_funnel_report,
         "events_cohort_retention": q_events_cohort_retention,
         "events_active_users": q_events_active_users,
+        "events_experiment": q_events_experiment,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
@@ -3995,6 +4058,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_active_users": _ACTIVE_USERS_SQL,
+        "events_experiment": _EVENTS_EXPERIMENT_SQL,
         "similarity_ivf_topk": _SIMILARITY_TOPK_SQL,
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_cohort_retention",
     "events_active_users",
+    "events_experiment",
     "seq_chain",
     "seq_funnel_report",
     "streaming_window_agg",

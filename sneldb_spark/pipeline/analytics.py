@@ -1,11 +1,12 @@
 """Event-analytics extensions over event frames (beyond the reference's
-command surface): cohort retention. Pure DataFrame compositions — every
-step is a built-in aggregate or join, so Catalyst owns the plan.
+command surface): cohort retention, rolling active users (DAU/WAU/MAU),
+A/B experiment readouts. Pure DataFrame compositions — every step is a
+built-in aggregate or join, so Catalyst owns the plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,3 +114,96 @@ def active_users(
         )
         out = member if out is None else out.unionByName(member)
     return out.select("day", "window_days", "active_users")
+
+
+def experiment_report(
+    events: DataFrame,
+    assignment_type: str = "assign",
+    conversion_type: str = "convert",
+    user_col: str = "user_id",
+    ts_col: Column | str = "ts",
+    type_col: str = "event_type",
+    variant_col: Column | str = "variant",
+    control: str = "control",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """A/B experiment readout: per-variant exposed users, conversions
+    (first conversion at-or-after the user's FIRST assignment — pass
+    `tie_col` (e.g. event_id) so same-timestamp assignments resolve
+    deterministically), rate,
+    lift vs the control variant, and the two-proportion z-score.
+
+    Output: (variant, users, conversions, rate, lift, z) — rate/lift/z
+    rounded to 4 digits; control rows carry NULL lift/z. Deterministic
+    arithmetic end to end (counts -> IEEE doubles -> round), so any SQL
+    engine reproduces it.
+
+    Plan shape: one user-keyed aggregate per side (first assignment,
+    first qualifying conversion), one user-keyed shuffle join, one
+    variant-keyed aggregate; the per-variant table is experiment-sized
+    (a handful of rows) before the control attach.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    ts = ts.cast("long")
+    variant = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    assigned = (
+        events.where(F.col(type_col) == assignment_type)
+        .select(
+            F.col(user_col).alias("user"), ts.alias("__ts"),
+            variant.alias("variant"),
+            *([F.col(tie_col).alias("__tie")] if tie_col else []),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user").orderBy(
+                    F.col("__ts").asc(),
+                    *([F.col("__tie").asc()] if tie_col else []),
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("user", F.col("__ts").alias("assign_ts"), "variant")
+    )
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"), ts.alias("conv_ts")
+    )
+    joined = assigned.join(conv, "user", "left").withColumn(
+        "converted",
+        (F.col("conv_ts").isNotNull() & (F.col("conv_ts") >= F.col("assign_ts"))),
+    )
+    per_user = joined.groupBy("user", "variant").agg(
+        F.max(F.col("converted").cast("int")).alias("converted")
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("converted").alias("conversions"),
+    )
+    ctrl = per_variant.where(F.col("variant") == control).select(
+        F.col("users").alias("c_users"), F.col("conversions").alias("c_conv")
+    )
+    out = per_variant.crossJoin(ctrl)
+    p = F.col("conversions") / F.col("users")
+    p0 = F.col("c_conv") / F.col("c_users")
+    pool = (F.col("conversions") + F.col("c_conv")) / (
+        F.col("users") + F.col("c_users")
+    )
+    # z is undefined at pool in {0, 1} (zero variance) and lift at
+    # p0 = 0 — emit NULL there instead of an ANSI divide-by-zero.
+    z = F.try_divide(
+        p - p0,
+        F.sqrt(pool * (1 - pool) * (1 / F.col("users") + 1 / F.col("c_users"))),
+    )
+    is_ctrl = F.col("variant") == control
+    return out.select(
+        "variant",
+        "users",
+        "conversions",
+        F.round(p, 4).alias("rate"),
+        F.when(is_ctrl, F.lit(None).cast("double"))
+        .otherwise(F.round(F.try_divide(p, p0) - 1, 4))
+        .alias("lift"),
+        F.when(is_ctrl, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 4))
+        .alias("z"),
+    )

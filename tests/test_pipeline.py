@@ -1155,3 +1155,33 @@ def test_active_users_rolling_windows(spark):
     assert out[(2 * D, 3)] == 3      # all still inside the window
     # no report days past the data
     assert all(d <= 2 * D for d, _ in out)
+
+
+def test_experiment_report_rates_and_z(spark):
+    import math
+
+    from sneldb_spark.pipeline.analytics import experiment_report
+
+    rows = [
+        # user, ts, id, type, variant
+        (1, 10, 1, "assign", "control"), (1, 20, 2, "convert", None),
+        (2, 10, 3, "assign", "control"),
+        (3, 10, 4, "assign", "treat"), (3, 15, 5, "convert", None),
+        (4, 10, 6, "assign", "treat"), (4, 12, 7, "convert", None),
+        (5, 10, 8, "assign", "treat"),
+        (6, 30, 9, "assign", "treat"), (6, 20, 10, "convert", None),  # pre-assign
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string, variant string"
+    )
+    out = {r["variant"]: r for r in experiment_report(
+        df, ts_col="ts", tie_col="event_id").collect()}
+    ctrl, treat = out["control"], out["treat"]
+    assert (ctrl["users"], ctrl["conversions"], ctrl["rate"]) == (2, 1, 0.5)
+    assert ctrl["lift"] is None and ctrl["z"] is None
+    assert (treat["users"], treat["conversions"], treat["rate"]) == (4, 2, 0.5)
+    assert treat["lift"] == 0.0
+    p, p0 = 0.5, 0.5
+    pool = 3 / 6
+    z = (p - p0) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 2))
+    assert treat["z"] == round(z, 4) == 0.0
