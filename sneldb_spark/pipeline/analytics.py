@@ -179,10 +179,14 @@ def experiment_report(
         F.count(F.lit(1)).alias("users"),
         F.sum("converted").alias("conversions"),
     )
-    ctrl = per_variant.where(F.col("variant") == control).select(
-        F.col("users").alias("c_users"), F.col("conversions").alias("c_conv")
-    )
-    out = per_variant.crossJoin(ctrl)
+    # Attach the control row via a global window over the per-variant
+    # table — it is experiment-sized (a handful of rows post-aggregate),
+    # so one unpartitioned window beats a cartesian scalar attach.
+    wall = Window.partitionBy()
+    is_c = F.col("variant") == control
+    out = per_variant.withColumn(
+        "c_users", F.max(F.when(is_c, F.col("users"))).over(wall)
+    ).withColumn("c_conv", F.max(F.when(is_c, F.col("conversions"))).over(wall))
     p = F.col("conversions") / F.col("users")
     p0 = F.col("c_conv") / F.col("c_users")
     pool = (F.col("conversions") + F.col("c_conv")) / (
