@@ -425,6 +425,8 @@ def funnel_report(
     survives through that step — chains are one-per-head, so prefix-chain
     row counts ARE head counts. `conversion` = reached_i / reached_{i-1},
     `overall` = reached_i / reached_0, both rounded to 4 digits.
+    Step-0 rows with a NULL link or timestamp still count as funnel
+    entries (they can never advance, like any other drop-off).
 
     Runs one bounded count job per step (len(frames) is user-written and
     tiny); each prefix chain is the composed as-of window plan, so the
