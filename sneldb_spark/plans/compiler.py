@@ -421,7 +421,9 @@ class QueryCompiler:
         ]
         stf = q.sequence_time_field
         ts = stf if stf and all(stf in f.columns for f in frames) else "timestamp"
-        matched = sequence_match_chain(frames, q.link_field, kinds, ts=ts)
+        matched = sequence_match_chain(
+            frames, q.link_field, kinds, ts=ts, n_slices=self.sequence_slices
+        )
         resolve = self._chain_resolver(matched, types)
 
         if q.is_aggregate:

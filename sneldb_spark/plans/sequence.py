@@ -350,6 +350,7 @@ def sequence_match_chain(
     *,
     ts: str = "timestamp",
     tie: str = "event_id",
+    n_slices: int = 0,
 ) -> DataFrame:
     """Multi-step funnel matching (extension — the reference caps chains
     at one link and warns, matcher.rs:297-307; composed as-of windows
@@ -374,15 +375,23 @@ def sequence_match_chain(
     Plan shape: one as-of window shuffle per link, all on the link key —
     N links cost N window passes over (chain ∪ next-side) rows, never a
     join explosion. The per-key skew bound of the single matcher applies
-    per step.
+    per step; `n_slices >= 2` routes every step through the time-sliced
+    matcher (identical pairs, hot keys parallelize n_slices-wide per
+    step — the same exact mitigation the single link offers).
     """
     if len(frames) != len(kinds) + 1:
         raise ValueError("chain needs len(frames) == len(kinds) + 1")
     if not kinds:
         raise ValueError("chain needs at least one link")
 
+    def match(a, b, kind, **kw):
+        if n_slices >= 2:
+            return sequence_match_sliced(a, b, link_field, kind,
+                                         n_slices=n_slices, **kw)
+        return sequence_match(a, b, link_field, kind, **kw)
+
     step_cols = [list(f.columns) for f in frames]
-    chain = sequence_match(frames[0], frames[1], link_field, kinds[0])
+    chain = match(frames[0], frames[1], kinds[0])
     chain = chain.select(
         *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in step_cols[0]],
         *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in step_cols[1]],
@@ -396,7 +405,7 @@ def sequence_match_chain(
             F.col(f"s{i}_{tie}").alias(tie),
             *[F.col(c) for c in chain.columns],
         )
-        matched = sequence_match(cursor, nxt, link_field, kind, ts_a=ts, ts_b=ts, tie=tie)
+        matched = match(cursor, nxt, kind, ts_a=ts, ts_b=ts, tie=tie)
         step_re = re.compile(r"^s\d+_")
         chain = matched.select(
             *[

@@ -419,11 +419,18 @@ def test_sequence_chain_equals_brute_force(spark, kinds, groups):
         return
     df = spark.createDataFrame(rows, "link string, timestamp long, event_id long, side int")
     frames = [df.where(F.col("side") == s).drop("side") for s in range(3)]
+    want = _brute_force_chain(rows, kinds)
     got = {
         (r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
         for r in sequence_match_chain(frames, "link", kinds).collect()
     }
-    assert got == _brute_force_chain(rows, kinds)
+    assert got == want
+    # sliced chain: identical output under the same tie-heavy inputs
+    sliced = {
+        (r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
+        for r in sequence_match_chain(frames, "link", kinds, n_slices=3).collect()
+    }
+    assert sliced == want
 
 
 def test_funnel_report_counts_and_conversions(spark):
