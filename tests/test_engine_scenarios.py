@@ -1260,3 +1260,42 @@ def test_multi_link_chain_extension(spark, tmp_path):
     ).collect()
     assert {(r["context_id"], r["count"]) for r in agg} == {("u1", 1)}
     assert db.query(q + " LIMIT 0").count() == 0
+
+
+def test_remember_compare_crash_between_side_merge_and_manifest(spark, tmp_path):
+    """A crash after side 0's state swap (marker advanced) but before the
+    manifest write must NOT double-merge side 0's delta on the next SHOW:
+    the in-state hwm marker wins over the stale manifest lower bound."""
+    from sneldb_spark.commands.serde import compare_from_json
+    from sneldb_spark.engine import SnelDB
+    import json as _json
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE m1 FIELDS { "v": "int" }')
+    db.execute('DEFINE m2 FIELDS { "v": "int" }')
+    db.execute('STORE m1 FOR c1 PAYLOAD { "v": 1 }')
+    db.execute('STORE m2 FOR c1 PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+    db.execute("REMEMBER PLOT COUNT OF m1 VS COUNT OF m2 "
+               "BREAKDOWN BY context_id AS board")
+    db.execute('STORE m1 FOR c1 PAYLOAD { "v": 2 }')
+    db.execute('STORE m2 FOR c1 PAYLOAD { "v": 2 }')
+    db.execute("FLUSH")
+
+    m = db.materializer
+    with open(m._manifest_path("board")) as f:
+        manifest = _json.load(f)
+    c = compare_from_json(manifest["query"])
+    cur = m._source_hwm(c)
+    # simulate the partial refresh: side 0 merged + marker advanced, then crash
+    m._merge_state_delta(
+        m._compare_state_dir("board", 0), c.queries[0],
+        manifest["compare_state_keys"][0],
+        (manifest["hwm_ts"], manifest["hwm_id"]), cur,
+    )
+    # next SHOW resumes: side 0 skipped via marker, side 1 merged, result exact
+    got = sorted(tuple(r) for r in db.execute("SHOW board").df.collect())
+    want = sorted(tuple(r) for r in db.execute(
+        "PLOT COUNT OF m1 VS COUNT OF m2 BREAKDOWN BY context_id").df.collect())
+    assert got == want
+    assert got[0][1] == 2 and got[0][2] == 2  # counts include the delta ONCE
