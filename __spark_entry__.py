@@ -3528,6 +3528,39 @@ SELECT 2, 'click', n2, round(n2 / n1, 4), round(n2 / n0, 4) FROM n
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: n-gram-Jaccard duplicate clusters, keeping
+    the LONGEST member (n_chars) of each cluster rather than the min id."""
+    from sneldb_spark.pipeline.dedup import cluster_keep_best, dedup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    clusters = dedup_clusters(d.select("doc_id"), pairs, id_col="doc_id")
+    return cluster_keep_best(clusters, d, "n_chars").select(
+        "id", "cluster_id", F.col("score").cast("long").alias("score")
+    )
+
+
+def _keep_best_sql() -> str:
+    return (
+        _DEDUP_CLUSTERS_SQL.replace(
+            ")\nSELECT d.doc_id AS id,",
+            "),\nclusters AS (SELECT d.doc_id AS id,",
+        ).replace(
+            "GROUP BY d.doc_id\n",
+            "GROUP BY d.doc_id)\n",
+        )
+        + """
+SELECT id, cluster_id, score FROM (
+  SELECT c.id, c.cluster_id, d.n_chars AS score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+) WHERE rn = 1
+"""
+    )
+
+
 def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic md5(id) order (the
     per-domain ceiling of a crawl-curation pipeline)."""
@@ -3642,7 +3675,7 @@ _DRIVER_PRIORITY = [
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
     "seq_funnel_report", "events_cohort_retention", "events_active_users",
-    "events_experiment",
+    "events_experiment", "dedup_keep_best",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3831,6 +3864,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "sampling_group_cap": q_sampling_group_cap,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "seq_funnel_report": q_seq_funnel_report,
         "events_cohort_retention": q_events_cohort_retention,
         "events_active_users": q_events_active_users,
@@ -4055,6 +4089,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "events_json_extract": _EVENTS_JSON_SQL,
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
+        "dedup_keep_best": _keep_best_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_active_users": _ACTIVE_USERS_SQL,

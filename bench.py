@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # components gate stacked on top of it.
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_keep_best",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_simhash",

@@ -702,3 +702,36 @@ def duplicated_span_removal(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup: keep the BEST-scoring member of each
+    duplicate cluster instead of the first-seen copy (the curation rule
+    real pipelines want — dedup should discard the worse duplicates).
+
+    `clusters` is any (id, cluster_id) assignment (e.g. from
+    `dedup_clusters`); `docs` carries the quality signal. Deterministic:
+    ties break on ascending id. One id-keyed join plus one cluster-keyed
+    window — both shuffles on bounded keys, nothing broadcast.
+
+    Output: (id, cluster_id, score) — one row per cluster.
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "cluster_id", "score")
+    )

@@ -1185,3 +1185,18 @@ def test_experiment_report_rates_and_z(spark):
     pool = 3 / 6
     z = (p - p0) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 2))
     assert treat["z"] == round(z, 4) == 0.0
+
+
+def test_cluster_keep_best_picks_highest_score(spark):
+    from sneldb_spark.pipeline.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], ["id", "cluster_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 7), (4, 7), (5, 1)], ["doc_id", "q"]
+    )
+    out = {r["cluster_id"]: r for r in cluster_keep_best(clusters, docs, "q").collect()}
+    assert out[1]["id"] == 2 and out[1]["score"] == 99   # best score wins
+    assert out[3]["id"] == 3                              # tie -> min id
+    assert out[5]["id"] == 5
