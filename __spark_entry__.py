@@ -3484,6 +3484,37 @@ FROM pv, ctrl c
 """
 
 
+def q_seq_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (extension): signup FOLLOWED BY purchase
+    counted only when the purchase lands within one hour — exact because
+    the as-of matcher already picks the closest qualifying B."""
+    from sneldb_spark.plans.sequence import sequence_match
+
+    frame = _events_frame(spark, sf_dir)
+    a = frame.where(F.col("event_type") == "signup")
+    b = frame.where(F.col("event_type") == "purchase")
+    pairs = sequence_match(a, b, "context_id", "followed_by", max_gap_s=3600)
+    return pairs.select(
+        "a_context_id", "a_event_id", "b_event_id", "a_timestamp", "b_timestamp"
+    )
+
+
+_SEQ_WITHIN_SQL = f"""
+WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.context_id AS a_context_id, a.event_id AS a_event_id,
+         b.event_id AS b_event_id,
+         a."timestamp" AS a_timestamp, b."timestamp" AS b_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+SELECT a_context_id, a_event_id, b_event_id, a_timestamp, b_timestamp
+FROM pairs WHERE rn = 1 AND b_timestamp - a_timestamp <= 3600
+"""
+
+
 def q_seq_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-wise funnel conversion over a 3-step chain (signup ->
     purchase -> click): reached counts are prefix-chain head counts, the
@@ -3675,7 +3706,7 @@ _DRIVER_PRIORITY = [
     "multimodal_dedup", "events_json_extract", "remember_show_compare",
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
     "seq_funnel_report", "events_cohort_retention", "events_active_users",
-    "events_experiment", "dedup_keep_best",
+    "events_experiment", "dedup_keep_best", "seq_within_window",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3866,6 +3897,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "seq_funnel_report": q_seq_funnel_report,
+        "seq_within_window": q_seq_within_window,
         "events_cohort_retention": q_events_cohort_retention,
         "events_active_users": q_events_active_users,
         "events_experiment": q_events_experiment,
@@ -4091,6 +4123,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
+        "seq_within_window": _SEQ_WITHIN_SQL,
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_active_users": _ACTIVE_USERS_SQL,
         "events_experiment": _EVENTS_EXPERIMENT_SQL,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_experiment",
     "seq_chain",
     "seq_funnel_report",
+    "seq_within_window",
     "streaming_window_agg",
     "streaming_dedup",
     "streaming_seq_followed_by",

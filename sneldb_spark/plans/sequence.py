@@ -98,16 +98,29 @@ def sequence_match(
     ts_b: Column | str = "timestamp",
     tie: str = "event_id",
     skew_check: bool = False,
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Return one row per matched (A, B) pair with columns a_* and b_*.
     `skew_check=True` runs the check_link_skew pre-flight (one eager
-    count job) before building the plan."""
+    count job) before building the plan.
+
+    `max_gap_s` adds a CONVERSION WINDOW (extension — the reference has
+    no gap bound): the pair only counts when |ts_B - ts_A| <= max_gap_s.
+    Because the matcher already picks the closest qualifying B (first
+    at-or-after for FOLLOWED BY, last strictly-before for PRECEDED BY),
+    a post-filter on the matched pair IS the exact windowed semantics —
+    if the closest B misses the window, every other candidate misses it
+    by more. Zero extra shuffles."""
     if kind not in (FOLLOWED_BY, PRECEDED_BY):
         raise ValueError(f"unknown sequence link kind {kind!r}")
     if skew_check:
         check_link_skew(a, b, link_field)
     u, a_cols, b_cols = _sided_union(a, b, link_field, ts_a, ts_b, tie)
     matched = _apply_asof_window(u, kind, b_cols)
+    if max_gap_s is not None:
+        matched = matched.where(
+            F.abs(F.col("__match.ts") - F.col("__ts")) <= F.lit(int(max_gap_s))
+        )
     out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
         F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
     ]

@@ -452,3 +452,25 @@ def test_funnel_report_counts_and_conversions(spark):
     assert out[0]["conversion"] is None and out[0]["overall"] == 1.0
     assert out[1]["conversion"] == 0.75
     assert out[2]["conversion"] == round(2 / 3, 4) and out[2]["overall"] == 0.5
+
+
+def test_sequence_match_max_gap_window(spark):
+    from sneldb_spark.plans.sequence import sequence_match
+
+    rows = [
+        # link, ts, id, side — u1 converts in-window, u2 out-of-window,
+        # u3's FIRST B is out-of-window (no fallback to a later in-window
+        # B for an earlier A? there is none earlier; closest-B semantics)
+        ("u1", 0, 1, 0), ("u1", 5, 2, 1),
+        ("u2", 0, 3, 0), ("u2", 100, 4, 1),
+        ("u3", 0, 5, 0), ("u3", 50, 6, 1), ("u3", 7, 7, 1),
+    ]
+    df = spark.createDataFrame(rows, "link string, timestamp long, event_id long, side int")
+    a = df.where(F.col("side") == 0).drop("side")
+    b = df.where(F.col("side") == 1).drop("side")
+    got = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in sequence_match(a, b, "link", FOLLOWED_BY, max_gap_s=10).collect()
+    }
+    # u3's closest B is id=7 at ts=7 (within window) — order by ts, not id
+    assert got == {(1, 2), (5, 7)}
