@@ -121,6 +121,10 @@ class QueryCommand:
     # handlers/query/orchestrator.rs:78-81). Distinct from time_field:
     # a query can bucket on one field and sequence-match on another.
     sequence_time_field: Optional[str] = None
+    # WITHIN <seconds> (extension — no reference analogue): conversion
+    # window on sequence matches; a pair counts only when the matched
+    # event lands within this many seconds of the head.
+    sequence_within: Optional[int] = None
     order_by: Optional[tuple[str, bool]] = None  # (field, desc)
     limit: Optional[int] = None
     offset: Optional[int] = None

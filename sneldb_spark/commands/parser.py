@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
 
 _CLAUSE_KEYWORDS = {
     "PER", "BY", "USING", "SINCE", "LIMIT", "OFFSET", "ORDER", "RETURN",
-    "LINKED", "WHERE", "FOR", "FOLLOWED", "PRECEDED",
+    "LINKED", "WHERE", "FOR", "FOLLOWED", "PRECEDED", "WITHIN",
 }
 
 
@@ -292,6 +292,13 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
         elif cur.at_kw("LINKED"):
             cur.next(); cur.expect_kw("BY")
             q.link_field = cur.expect_ident()
+        elif cur.at_kw("WITHIN"):
+            # extension: conversion window on the sequence match
+            cur.next()
+            t = cur.next()
+            if t is None or t.kind != "number":
+                raise ParseError("WITHIN expects a number of seconds")
+            q.sequence_within = int(float(t.text))
         elif cur.eat_kw("WHERE"):
             q.where = _parse_expr(cur)
         elif cur.eat_kw("USING"):

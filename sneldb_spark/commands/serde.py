@@ -50,6 +50,7 @@ def query_to_json(q: ast.QueryCommand) -> dict:
         "group_by": q.group_by,
         "time_bucket": q.time_bucket,
         "time_field": q.time_field,
+        "sequence_within": q.sequence_within,
         "order_by": list(q.order_by) if q.order_by else None,
         "limit": q.limit,
         "offset": q.offset,
@@ -72,6 +73,7 @@ def query_from_json(obj: dict) -> ast.QueryCommand:
         group_by=list(obj["group_by"]),
         time_bucket=obj["time_bucket"],
         time_field=obj["time_field"],
+        sequence_within=obj.get("sequence_within"),
         order_by=tuple(obj["order_by"]) if obj["order_by"] else None,
         limit=obj["limit"],
         offset=obj["offset"],

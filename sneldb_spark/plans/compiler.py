@@ -372,6 +372,8 @@ class QueryCompiler:
         else:
             matched = sequence_match(a, b, q.link_field, kind, ts_a=ts_a, ts_b=ts_b)
 
+        matched = self._apply_within(matched, q, A_PREFIX, B_PREFIX)
+
         if q.is_aggregate:
             resolve = self._seq_resolver(matched, head_type, tail_type)
             bucket = None
@@ -424,6 +426,14 @@ class QueryCompiler:
         matched = sequence_match_chain(
             frames, q.link_field, kinds, ts=ts, n_slices=self.sequence_slices
         )
+        if q.sequence_within is not None:
+            # WITHIN bounds EVERY adjacent step gap in a chain
+            for i in range(len(types) - 1):
+                self_ts, next_ts = f"s{i}_{ts}", f"s{i + 1}_{ts}"
+                gap = F.abs(
+                    F.col(next_ts).cast("long") - F.col(self_ts).cast("long")
+                )
+                matched = matched.where(gap <= F.lit(int(q.sequence_within)))
         resolve = self._chain_resolver(matched, types)
 
         if q.is_aggregate:
@@ -453,6 +463,24 @@ class QueryCompiler:
         if q.offset:
             raise QueryError("OFFSET is not supported on sequence queries")
         return out
+
+    @staticmethod
+    def _apply_within(matched: DataFrame, q: ast.QueryCommand,
+                      left_pfx: str, right_pfx: str) -> DataFrame:
+        """WITHIN <seconds> (extension): keep only pairs whose matched
+        sides land within the window. Exact as a post-filter — the as-of
+        match already picked the closest candidate (see
+        plans/sequence.py sequence_match max_gap_s)."""
+        if q.sequence_within is None:
+            return matched
+        tsf = "timestamp"
+        stf = q.sequence_time_field
+        if stf and left_pfx + stf in matched.columns and right_pfx + stf in matched.columns:
+            tsf = stf
+        gap = F.abs(
+            F.col(right_pfx + tsf).cast("long") - F.col(left_pfx + tsf).cast("long")
+        )
+        return matched.where(gap <= F.lit(int(q.sequence_within)))
 
     def _chain_resolver(self, matched: DataFrame, types: list[str]):
         cols = set(matched.columns)

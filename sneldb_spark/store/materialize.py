@@ -144,6 +144,7 @@ class Materializer:
             and q.limit is None
             and q.offset is None
             and q.sequence_time_field is None
+            and q.sequence_within is None
             and manifest.get("max_rows") is None
             and manifest.get("max_age_seconds") is None
         )

@@ -1299,3 +1299,41 @@ def test_remember_compare_crash_between_side_merge_and_manifest(spark, tmp_path)
         "PLOT COUNT OF m1 VS COUNT OF m2 BREAKDOWN BY context_id").df.collect())
     assert got == want
     assert got[0][1] == 2 and got[0][2] == 2  # counts include the delta ONCE
+
+
+def test_within_conversion_window(spark, tmp_path):
+    """WITHIN <seconds> (extension): a funnel pair only counts when the
+    matched event lands inside the window; the closest-candidate rule
+    means no fallback to a later in-window event."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE s FIELDS { "v": "int" }')
+    db.execute('DEFINE p FIELDS { "v": "int" }')
+    db.execute('STORE s FOR fast PAYLOAD { "v": 1 }')
+    db.execute('STORE p FOR fast PAYLOAD { "v": 1 }')   # gap 1s
+    db.execute('STORE s FOR slow PAYLOAD { "v": 1 }')
+    for _ in range(10):
+        db.execute("PING")  # PING doesn't tick; pad with stores elsewhere
+    for i in range(8):
+        db.execute(f'STORE s FOR pad{i} PAYLOAD {{ "v": 1 }}')
+    db.execute('STORE p FOR slow PAYLOAD { "v": 1 }')   # gap 9s
+    db.execute("FLUSH")
+
+    base = "QUERY s FOLLOWED BY p LINKED BY context_id"
+    assert {r["a_context_id"] for r in db.query(base).collect()} == {"fast", "slow"}
+    within = db.query(base + " WITHIN 5").collect()
+    assert {r["a_context_id"] for r in within} == {"fast"}
+    # WITHIN survives the materializer round trip (full-recompute path)
+    db.execute(f"REMEMBER {base} WITHIN 5 AS fast_funnel")
+    db.execute('STORE s FOR x PAYLOAD { "v": 1 }')
+    db.execute('STORE p FOR x PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+    got = {r["a_context_id"] for r in db.execute("SHOW fast_funnel").df.collect()}
+    assert got == {"fast", "x"}
