@@ -165,3 +165,28 @@ def test_unix_socket_client_end_to_end(engine, tmp_path):
             _exercise(client)
     finally:
         server.stop()
+
+
+def test_client_materialization_lifecycle_and_within(tcp_server):
+    """FORGET and WITHIN ride the generic line protocol: REMEMBER a
+    windowed funnel over TCP, SHOW it, FORGET it, and confirm the drop."""
+    host, port = tcp_server.address
+    c = SnelDBClient(f"tcp://{host}:{port}")
+    try:
+        c.define("a", {"v": "int"})
+        c.define("b", {"v": "int"})
+        c.store("a", "u1", {"v": 1})
+        c.store("b", "u1", {"v": 2})
+        c.flush()
+        r = c.execute(
+            "REMEMBER QUERY a FOLLOWED BY b LINKED BY context_id "
+            "WITHIN 3600 AS funnel_w"
+        )
+        assert r.ok
+        rows = c.query("SHOW funnel_w")
+        assert len(rows) == 1 and rows[0]["a_context_id"] == "u1"
+        assert c.execute("FORGET funnel_w").ok
+        bad = c.try_execute("SHOW funnel_w")
+        assert not bad.ok
+    finally:
+        c.close()
