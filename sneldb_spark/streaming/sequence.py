@@ -56,10 +56,19 @@ def streaming_followed_by(
     tail_type: str,
     link_field: str,
     state_ttl_rows: int = 100_000,
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """events: a streaming DataFrame with at least
     (event_type, timestamp, event_id, <link_field>). Returns the matched
-    pair stream (append mode)."""
+    pair stream (append mode).
+
+    `max_gap_s` adds the conversion window (batch `sequence_match`
+    parity): a pending A only matches a B within the window — and, more
+    importantly for an unbounded stream, an A older than the window
+    relative to the newest event on its key can NEVER match again, so
+    it is dropped from state. With a window set, state per key is
+    bounded by the arrival rate times the window instead of the
+    `state_ttl_rows` backstop."""
 
     def match_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -90,15 +99,28 @@ def streaming_followed_by(
                     keep_ts, keep_id = [], []
                     for a_ts, a_id in zip(pend_ts, pend_id):
                         if a_ts <= ts:
-                            out["link"].append(link)
-                            out["a_event_id"].append(a_id)
-                            out["a_timestamp"].append(a_ts)
-                            out["b_event_id"].append(int(eid))
-                            out["b_timestamp"].append(int(ts))
+                            if max_gap_s is None or ts - a_ts <= max_gap_s:
+                                out["link"].append(link)
+                                out["a_event_id"].append(a_id)
+                                out["a_timestamp"].append(a_ts)
+                                out["b_event_id"].append(int(eid))
+                                out["b_timestamp"].append(int(ts))
+                            # matched OR expired (first B was out of
+                            # window; later Bs are even further): either
+                            # way the A leaves the state
                         else:
                             keep_ts.append(a_ts)
                             keep_id.append(a_id)
                     pend_ts, pend_id = keep_ts, keep_id
+                if max_gap_s is not None and pend_ts:
+                    # expire As that can never match again: every future
+                    # event on this key has ts >= the newest seen ts
+                    horizon = int(ts) - max_gap_s
+                    alive = [
+                        (a, i) for a, i in zip(pend_ts, pend_id) if a >= horizon
+                    ]
+                    pend_ts = [a for a, _ in alive]
+                    pend_id = [i for _, i in alive]
         if len(pend_ts) > state_ttl_rows:  # bound memory on hot keys
             pend_ts = pend_ts[-state_ttl_rows:]
             pend_id = pend_id[-state_ttl_rows:]

@@ -777,3 +777,64 @@ def test_streaming_dedup_filter_state_evicted_past_horizon(spark, tmp_path):
         assert kept == [1, 2, 3]  # both "aa" copies survive across horizons
     finally:
         q.stop()
+
+
+def test_streaming_followed_by_conversion_window(spark, tmp_path):
+    """max_gap_s: only in-window Bs pair, the FIRST B settles an A even
+    when out-of-window (no fallback — batch parity), and As older than
+    the window relative to the newest event are expired from state."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sequence import streaming_followed_by
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("session", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for et, ts, eid, sess in rows:
+                f.write(_json.dumps({
+                    "event_type": et, "timestamp": ts, "event_id": eid,
+                    "session": sess}) + "\n")
+
+    # s1 converts in-window; s2's first B is out of window (gap 50);
+    # s3's A expires silently (newest key event moves past the horizon)
+    write_batch("b1.jsonl", [
+        ("view", 10, 1, "s1"), ("buy", 12, 2, "s1"),
+        ("view", 10, 3, "s2"),
+        ("view", 10, 5, "s3"),
+    ])
+    write_batch("b2.jsonl", [
+        ("buy", 60, 4, "s2"),
+        ("view", 100, 6, "s3"),  # advances s3's horizon; old A expired
+        ("buy", 101, 7, "s3"),   # only the NEW A should pair
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    matches = streaming_followed_by(stream, "view", "buy", "session", max_gap_s=10)
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("funnel_window")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["link"], r["a_event_id"], r["b_event_id"])
+            for r in spark.sql("SELECT * FROM funnel_window").collect()
+        }
+        assert got == {("s1", 1, 2), ("s3", 6, 7)}
+    finally:
+        q.stop()
