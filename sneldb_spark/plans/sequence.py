@@ -439,6 +439,7 @@ def funnel_report(
     *,
     ts: str = "timestamp",
     tie: str = "event_id",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Step-wise funnel conversion table over an event chain.
 
@@ -449,6 +450,8 @@ def funnel_report(
     `overall` = reached_i / reached_0, both rounded to 4 digits.
     Step-0 rows with a NULL link or timestamp still count as funnel
     entries (they can never advance, like any other drop-off).
+    `max_gap_s` applies the conversion window to every adjacent step
+    (closest-candidate semantics make the post-filter exact).
 
     Runs one bounded count job per step (len(frames) is user-written and
     tiny); each prefix chain is the composed as-of window plan, so the
@@ -464,10 +467,17 @@ def funnel_report(
 
     reached = [frames[0].count()]
     for i in range(1, len(frames)):
-        reached.append(
-            sequence_match_chain(frames[: i + 1], link_field, kinds[:i],
-                                 ts=ts, tie=tie).count()
-        )
+        chain = sequence_match_chain(frames[: i + 1], link_field, kinds[:i],
+                                     ts=ts, tie=tie)
+        if max_gap_s is not None:
+            # conversion window: every adjacent step gap inside the bound
+            for j in range(i):
+                gap = F.abs(
+                    F.col(f"s{j + 1}_{ts}").cast("long")
+                    - F.col(f"s{j}_{ts}").cast("long")
+                )
+                chain = chain.where(gap <= F.lit(int(max_gap_s)))
+        reached.append(chain.count())
     rows = []
     for i, (label, n) in enumerate(zip(labels, reached)):
         prev = reached[i - 1] if i else None

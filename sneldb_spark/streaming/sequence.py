@@ -151,11 +151,15 @@ def streaming_preceded_by(
     head_type: str,
     tail_type: str,
     link_field: str,
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """``A PRECEDED BY B``: each arriving A pairs with the LATEST B seen
     strictly before it. State per link key is a single (ts, id) — the
     smallest possible stateful operator: O(1) memory per key however hot
-    the stream."""
+    the stream. `max_gap_s` adds the conversion window: the pair only
+    counts when the A lands within the window of that latest B (the
+    latest B is the closest, so the filter is exact — batch
+    `sequence_match(max_gap_s=...)` parity)."""
 
     def match_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -175,7 +179,11 @@ def streaming_preceded_by(
             ):
                 if side == 1:  # B: becomes the latest candidate
                     b_ts, b_id = int(ts), int(eid)
-                elif b_ts is not None and b_ts < ts:  # strict before
+                elif (
+                    b_ts is not None
+                    and b_ts < ts
+                    and (max_gap_s is None or ts - b_ts <= max_gap_s)
+                ):  # strict before, inside the window
                     out["link"].append(link)
                     out["a_event_id"].append(int(eid))
                     out["a_timestamp"].append(int(ts))

@@ -474,3 +474,18 @@ def test_sequence_match_max_gap_window(spark):
     }
     # u3's closest B is id=7 at ts=7 (within window) — order by ts, not id
     assert got == {(1, 2), (5, 7)}
+
+
+def test_funnel_report_with_window(spark):
+    from sneldb_spark.plans.sequence import funnel_report
+
+    rows = [
+        ("u1", 0, 1, 0), ("u1", 2, 2, 1), ("u1", 4, 3, 2),     # all in window
+        ("u2", 0, 4, 0), ("u2", 50, 5, 1),                      # step1 gap 50
+        ("u3", 0, 6, 0), ("u3", 3, 7, 1), ("u3", 90, 8, 2),     # step2 gap 87
+    ]
+    df = spark.createDataFrame(rows, "link string, timestamp long, event_id long, side int")
+    frames = [df.where(F.col("side") == s).drop("side") for s in range(3)]
+    out = {r["step"]: r["reached"]
+           for r in funnel_report(frames, "link", max_gap_s=10).collect()}
+    assert out == {0: 3, 1: 2, 2: 1}
