@@ -726,3 +726,57 @@ def ivf_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    existing trained centroids and append them into the partitioned list
+    layout — no retrain, no rewrite of the stored lists. Serving
+    (`ivf_topk_indexed`) is unchanged: probes still arrive as partition
+    filters over the union of old and appended files.
+
+    This is the standard IVF trade: assignments stay exact against the
+    FROZEN centroids (at nprobe = nlist results remain bit-identical to
+    brute force over the grown corpus), while recall at partial probes
+    drifts only as the data distribution drifts from the trained
+    centroids — rebuild with `ivf_build_index` when drift warrants.
+
+    One Arrow pass to tag + one repartition-by-list append; returns the
+    number of vectors appended.
+    """
+    import json as _json
+
+    with open(f"{path}/centroids.json", encoding="utf-8") as f:
+        cents = np.array(_json.load(f), dtype=np.float64)
+
+    base = new_vectors.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("ivf_cluster", T.IntegerType(), False)]
+    )
+
+    def tag(batches: Iterator[pd.DataFrame], centroids=cents) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            pdf = pdf.copy()
+            pdf["ivf_cluster"] = ((mat / norms) @ centroids.T).argmax(axis=1).astype(
+                "int32"
+            )
+            yield pdf
+
+    tagged = ensure_min_partitions(base).mapInPandas(tag, schema=out_schema)
+    (
+        tagged.repartition("ivf_cluster")
+        .write.mode("append")
+        .partitionBy("ivf_cluster")
+        .parquet(f"{path}/lists")
+    )
+    return new_vectors.count()

@@ -1200,3 +1200,34 @@ def test_cluster_keep_best_picks_highest_score(spark):
     assert out[1]["id"] == 2 and out[1]["score"] == 99   # best score wins
     assert out[3]["id"] == 3                              # tie -> min id
     assert out[5]["id"] == 5
+
+
+def test_ivf_index_append_serves_grown_corpus_exactly(spark, tmp_path, emb):
+    """Index maintenance: build on half the corpus, append the rest with
+    frozen centroids, then serve at nprobe = nlist — results must equal
+    brute force over the FULL corpus (scoring is exact regardless of
+    which list holds a vector)."""
+    from sneldb_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    ivf_build_index(old, path, nlist=4, iters=1)
+    appended = ivf_index_append(new, path)
+    assert appended == new.count()
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_indexed(spark, path, queries, k=3, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    assert got == want
