@@ -3592,6 +3592,32 @@ SELECT id, cluster_id, score FROM (
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-card rollup: docs, token totals/means, language
+    count, exact duplicate rate — one grouped aggregate, one scan."""
+    from sneldb_spark.pipeline.text import corpus_report
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(d)
+
+
+_CORPUS_REPORT_SQL = r"""
+SELECT source,
+       count(*) AS docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(avg(toks), 4) AS mean_tokens,
+       count(DISTINCT lang) AS languages,
+       round(1 - count(DISTINCT digest) / count(*), 4) AS dup_rate
+FROM (
+  SELECT source, lang,
+         len(regexp_extract_all(text, '\w+')) AS toks,
+         md5(text) AS digest
+  FROM documents
+)
+GROUP BY source
+"""
+
+
 def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic md5(id) order (the
     per-domain ceiling of a crawl-curation pipeline)."""
@@ -3707,6 +3733,7 @@ _DRIVER_PRIORITY = [
     "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
     "seq_funnel_report", "events_cohort_retention", "events_active_users",
     "events_experiment", "dedup_keep_best", "seq_within_window",
+    "corpus_report",
     "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
     "text_ngram_counts", "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
@@ -3894,6 +3921,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "events_json_extract": q_events_json_extract,
         "sampling_group_cap": q_sampling_group_cap,
+        "corpus_report": q_corpus_report,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "seq_funnel_report": q_seq_funnel_report,
@@ -4120,6 +4148,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "multimodal_dedup": _MULTIMODAL_DEDUP_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
+        "corpus_report": _CORPUS_REPORT_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sampling_token_budget",
     "sampling_group_cap",
     "corpus_curation",
+    "corpus_report",
     "remember_show_agg",
     "remember_show_compare",
     "remember_show_seq",

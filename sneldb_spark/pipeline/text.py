@@ -622,3 +622,38 @@ def blocklist_filter(
         F.size(F.array_distinct(hits)).alias("n_blocked_distinct"),
         (F.size(hits) <= max_hits).alias("keep"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The per-source 'data card' rollup: documents, token totals and
+    means, distinct languages, and the exact duplicate rate (1 - distinct
+    content digests / docs) — the one-screen summary a corpus release
+    ships with. One grouped aggregate over a single corpus scan (the
+    digest is computed inline); every figure deterministic, so any SQL
+    engine reproduces it."""
+    toks = token_count(F.col(text_col))
+    digest = F.md5(F.col(text_col))
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            toks.alias("__toks"),
+            digest.alias("__digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("__toks").alias("total_tokens"),
+            F.round(F.avg("__toks"), 4).alias("mean_tokens"),
+            F.countDistinct("lang").alias("languages"),
+            F.round(
+                1 - F.countDistinct("__digest") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )

@@ -1231,3 +1231,23 @@ def test_ivf_index_append_serves_grown_corpus_exactly(spark, tmp_path, emb):
         for r in brute_force_topk(emb, queries, k=3).collect()
     }
     assert got == want
+
+
+def test_corpus_report_dup_rate_and_tokens(spark):
+    from sneldb_spark.pipeline.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "one two three", "en", "web"),     # exact dup
+            (3, "vier", "de", "web"),
+            (4, "cinq six", "fr", "books"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    web = out["web"]
+    assert (web["docs"], web["total_tokens"], web["languages"]) == (3, 7, 2)
+    assert web["dup_rate"] == round(1 - 2 / 3, 4)
+    books = out["books"]
+    assert (books["docs"], books["dup_rate"]) == (1, 0.0)
