@@ -247,6 +247,13 @@ def _parse_query(text: str) -> ast.QueryCommand:
     _parse_clauses(cur, q)
     if not cur.done():
         raise ParseError(f"unexpected trailing token: {cur.peek()}")
+    if q.sequence_within is not None and not q.sequence.links:
+        # WITHIN is a conversion window on sequence matches; on a plain
+        # query it would be silently ignored — reject instead (mirrors the
+        # OFFSET-on-sequence validation in the compiler).
+        raise ParseError(
+            "WITHIN requires a sequence (FOLLOWED BY / PRECEDED BY) match"
+        )
     return q
 
 

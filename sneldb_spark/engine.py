@@ -183,6 +183,11 @@ class SnelDB:
             self.store.flush()
             return Result(ok=True, df=self.materializer.show(cmd.name))
         if isinstance(cmd, ast.ForgetCommand):
+            # FORGET permanently deletes a materialization's data, state,
+            # and manifest — destructive, so it is admin-gated exactly like
+            # DEFINE (which can also rewrite shared state).
+            if self.auth is not None:
+                self._require_admin(user_id, "forget materializations")
             self.materializer.forget(cmd.name)
             return Result(ok=True, message=f"forgot materialization '{cmd.name}'")
         if isinstance(cmd, ast.FlushCommand):

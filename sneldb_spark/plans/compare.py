@@ -63,7 +63,12 @@ def merge_sides(
     return reduce(lambda l, r: l.join(r, on=key_cols, how="full_outer"), sides)
 
 
-def compile_compare(compiler, cmd: ast.CompareCommand) -> DataFrame:
+def compile_compare(
+    compiler, cmd: ast.CompareCommand, upper=None
+) -> DataFrame:
+    """`upper` closes every side's scan at a pre-probed (ts, event_id)
+    high-water mark — see Compiler.compile; rows racing in during a
+    materialization land in the next delta exactly once."""
     if not cmd.queries:
         raise QueryError("COMPARE requires at least one query")
     for q in cmd.queries:
@@ -71,5 +76,5 @@ def compile_compare(compiler, cmd: ast.CompareCommand) -> DataFrame:
             raise QueryError("COMPARE sides must be aggregate queries")
 
     labels = side_labels(cmd.queries, cmd.labels)
-    dfs = [compiler.compile_query(q) for q in cmd.queries]
+    dfs = [compiler.compile_query(q, upper=upper) for q in cmd.queries]
     return merge_sides(cmd.queries, labels, dfs)

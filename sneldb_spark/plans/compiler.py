@@ -82,15 +82,21 @@ class QueryCompiler:
         self.multi_link = multi_link
 
     # -- public ----------------------------------------------------------
-    def compile(self, cmd: ast.Command) -> DataFrame:
+    def compile(
+        self, cmd: ast.Command, upper: tuple[int, int] | None = None
+    ) -> DataFrame:
+        """`upper` CLOSES every source read at the given (timestamp,
+        event_id) mark — the materializer probes the high-water mark
+        first and compiles with it so rows racing in mid-materialization
+        are excluded now and consumed exactly once by the next delta."""
         if isinstance(cmd, ast.QueryCommand):
-            return self.compile_query(cmd)
+            return self.compile_query(cmd, upper=upper)
         if isinstance(cmd, ast.ReplayCommand):
             return self.compile_replay(cmd)
         if isinstance(cmd, ast.CompareCommand):
             from sneldb_spark.plans.compare import compile_compare
 
-            return compile_compare(self, cmd)
+            return compile_compare(self, cmd, upper=upper)
         raise QueryError(f"not a readable command: {type(cmd).__name__}")
 
     # -- resolvers -------------------------------------------------------
@@ -145,12 +151,14 @@ class QueryCompiler:
             df = df.where(compile_expr(where, resolve))
         return df
 
-    def compile_query(self, q: ast.QueryCommand) -> DataFrame:
+    def compile_query(
+        self, q: ast.QueryCommand, upper: tuple[int, int] | None = None
+    ) -> DataFrame:
         if len(q.sequence.links) > 1 and q.link_field is not None:
             if self.multi_link:
                 if q.offset is not None and q.limit is None:
                     raise QueryError("OFFSET requires LIMIT")
-                return self._compile_chain(q)
+                return self._compile_chain(q, upper=upper)
             # Reference: multi-link chains warn and return empty
             # (reference: src/engine/core/read/sequence/matcher.rs:297-307).
             # Without LINKED BY even a multi-link query is a plain head
@@ -160,8 +168,8 @@ class QueryCompiler:
         if q.offset is not None and q.limit is None:
             raise QueryError("OFFSET requires LIMIT")
         if q.is_sequence:
-            return self._compile_sequence(q)
-        return self._compile_single(q)
+            return self._compile_sequence(q, upper=upper)
+        return self._compile_single(q, upper=upper)
 
     def _topk_frame(self, q: ast.QueryCommand) -> DataFrame | None:
         """File-pruned source for plain `QUERY t ORDER BY f LIMIT n`.
@@ -182,10 +190,20 @@ class QueryCompiler:
         field, desc = q.order_by
         return self._topk_source(q.event_type, field, q.limit + (q.offset or 0), desc)
 
-    def _compile_single(self, q: ast.QueryCommand) -> DataFrame:
-        df = self._topk_frame(q)
+    def _compile_single(
+        self, q: ast.QueryCommand, upper: tuple[int, int] | None = None
+    ) -> DataFrame:
+        # With a closed read the top-k footer bound is unsafe (rows past
+        # the mark count toward the guarantee but are filtered out), so
+        # the pruned source is skipped — `upper` only arrives from the
+        # materializer, never the interactive path.
+        df = self._topk_frame(q) if upper is None else None
         if df is None:
             df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+        if upper is not None:
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            df = df.where(hwm_at_or_before(*upper))
         resolve = self._resolver(df, q.event_type)
 
         if q.is_aggregate:
@@ -359,8 +377,15 @@ class QueryCompiler:
 
         return a, b, kind, q.link_field, side_ts(a), side_ts(b)
 
-    def _compile_sequence(self, q: ast.QueryCommand) -> DataFrame:
+    def _compile_sequence(
+        self, q: ast.QueryCommand, upper: tuple[int, int] | None = None
+    ) -> DataFrame:
         a, b, kind, _link, ts_a, ts_b = self.sequence_parts(q)
+        if upper is not None:
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            bound = hwm_at_or_before(*upper)
+            a, b = a.where(bound), b.where(bound)
         _, tail_type = q.sequence.links[0]
         head_type = q.sequence.head
 
@@ -406,7 +431,9 @@ class QueryCompiler:
             raise QueryError("OFFSET is not supported on sequence queries")
         return out
 
-    def _compile_chain(self, q: ast.QueryCommand) -> DataFrame:
+    def _compile_chain(
+        self, q: ast.QueryCommand, upper: tuple[int, int] | None = None
+    ) -> DataFrame:
         """Multi-link chain compile (extension, opt-in via multi_link):
         one fully-filtered side frame per step, composed as-of windows
         (plans/sequence.py sequence_match_chain), then the same
@@ -421,6 +448,11 @@ class QueryCompiler:
             self._base_frame(t, q.context_id, q.since, sides[t], q.time_field)
             for t in types
         ]
+        if upper is not None:
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            bound = hwm_at_or_before(*upper)
+            frames = [f.where(bound) for f in frames]
         stf = q.sequence_time_field
         ts = stf if stf and all(stf in f.columns for f in frames) else "timestamp"
         matched = sequence_match_chain(

@@ -125,8 +125,22 @@ class EventStore:
         # Conservative mode (reference wal_archiving.md): archive retired
         # WAL files into this directory before deleting them; None = off.
         self._wal_archive_dir = wal_archive_dir
+        self._recover_event_dirs()
         if wal:
             self._replay_wal()
+
+    def _recover_event_dirs(self):
+        """Repair any per-type directory whose compaction publish was cut
+        short (store/storage.py crash matrix) — run once at open, before
+        anything reads."""
+        from sneldb_spark.store.storage import LOCAL as storage
+
+        events = os.path.join(self.root, "events")
+        if not os.path.isdir(events):
+            return
+        for n in os.listdir(events):
+            if n.endswith((".old", ".staging")):
+                storage.recover_dir(os.path.join(events, n.rsplit(".", 1)[0]))
 
     # -- write path -------------------------------------------------------
     def store(self, event_type: str, context_id: str, payload: dict,
@@ -570,20 +584,22 @@ class EventStore:
         reference parks readers during handover too); on a shared 100 TB
         lake the same rewrite belongs in a transactional table format
         (Delta/Iceberg OPTIMIZE) instead of a rename."""
+        from sneldb_spark.store.storage import LOCAL as storage
+
         path = self._path(event_type)
         if not os.path.isdir(path):
             return
         df = self.spark.read.parquet(path)
-        tmp = path + ".compact"
+        staging = storage.stage_path(path)
+        storage.remove_tree(staging)
         (
             df.repartition(F.col("ingest_date"))
             .sortWithinPartitions("context_id", "timestamp")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 4_000_000)
             .partitionBy("ingest_date")
-            .parquet(tmp)
+            .parquet(staging)
         )
-        import shutil
-
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        # publish keeps the old layout readable until the compacted copy
+        # is complete and never has a zero-copy window (store/storage.py)
+        storage.publish_dir(path)

@@ -39,9 +39,12 @@ from sneldb_spark.errors import MaterializationError
 
 
 class Materializer:
-    def __init__(self, engine, root: str):
+    def __init__(self, engine, root: str, storage=None):
+        from sneldb_spark.store.storage import LOCAL
+
         self.engine = engine
         self.root = os.path.join(root, "materialized")
+        self.storage = storage if storage is not None else LOCAL
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -274,13 +277,13 @@ class Materializer:
         return last.unionByName(pre).dropDuplicates(["event_id"])
 
     def _swap_in(self, df: DataFrame, path: str):
-        """Overwrite `path` with `df` via write-to-tmp + rename, reading
-        never sees a half-written directory."""
-        tmp = path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        """Overwrite `path` with `df` via write-to-staging + publish:
+        a reader never sees a half-written directory, and there is no
+        crash window with zero readable copies (store/storage.py
+        publish protocol; recover_dir in show() repairs a mid-publish
+        crash)."""
+        df.write.mode("overwrite").parquet(self.storage.stage_path(path))
+        self.storage.publish_dir(path)
 
     def _apply_retention(self, df: DataFrame, manifest: dict) -> DataFrame:
         """Retention per the reference's materialization limits: keep rows
@@ -329,10 +332,16 @@ class Materializer:
                 # delta exactly once
                 hwm_ts, hwm_id = self._remember_compare(name, q, manifest, path)
             else:
-                self._apply_retention(
-                    self.engine.compiler.compile(q), manifest
-                ).write.mode("overwrite").parquet(path)
+                # probe FIRST, compile with the read closed at the probed
+                # mark: a row racing in after the probe is excluded from
+                # this result and lands in the next refresh exactly once —
+                # probing after the write would record it as consumed
+                # while it is absent from the stored rows.
                 hwm_ts, hwm_id = self._source_hwm(q)
+                self._apply_retention(
+                    self.engine.compiler.compile(q, upper=(hwm_ts, hwm_id)),
+                    manifest,
+                ).write.mode("overwrite").parquet(path)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
@@ -398,11 +407,13 @@ class Materializer:
                 json.dump(manifest, f, indent=1)
             return self._read_segments(path).count()
         else:
+            # same probe-then-closed-read ordering as the COMPARE branch
+            hwm_ts, hwm_id = self._source_hwm(q)
             df = self._apply_retention(
-                self.engine.compiler.compile_query(q), manifest
+                self.engine.compiler.compile_query(q, upper=(hwm_ts, hwm_id)),
+                manifest,
             )
             df.write.mode("overwrite").parquet(path)
-        hwm_ts, hwm_id = self._source_hwm(q)
         manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -614,10 +625,8 @@ class Materializer:
             new_boundary.write.mode("overwrite").parquet(
                 os.path.join(nxt, "boundary_b")
             )
-            final.write.mode("overwrite").parquet(path + ".tmp")
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.replace(path + ".tmp", path)
+            final.write.mode("overwrite").parquet(self.storage.stage_path(path))
+            self.storage.publish_dir(path)
             # flag AFTER the data replace: a promoted .next must imply the
             # visible result already reflects the merged state
             self._mark_state_complete(nxt)
@@ -648,12 +657,10 @@ class Materializer:
         self-describes how far it has merged (the refresh reads the
         marker in preference to a stale manifest and never re-merges the
         same delta)."""
-        tmp = path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        self._write_state_hwm(tmp, *mark)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        staging = self.storage.stage_path(path)
+        df.write.mode("overwrite").parquet(staging)
+        self._write_state_hwm(staging, *mark)
+        self.storage.publish_dir(path)
 
     def _merge_state_delta(
         self,
@@ -772,6 +779,15 @@ class Materializer:
         else:
             q = query_from_json(manifest["query"])
         path = os.path.join(self._dir(name), "data")
+        # repair a crashed swap/compact before the first read (no-op and
+        # metadata-cheap when clean); ditto the marker-carrying state dirs
+        self.storage.recover_dir(path)
+        if manifest.get("state_keys") is not None and not manifest.get("seq_state"):
+            # (seq-agg states use the .next/_COMPLETE convention below)
+            self.storage.recover_dir(self._state_path(name))
+        if manifest.get("compare_state_keys") is not None:
+            for i in range(len(manifest["compare_state_keys"])):
+                self.storage.recover_dir(self._compare_state_dir(name, i))
 
         if manifest.get("seq_state"):
             self._recover_state_dir(name)
@@ -836,7 +852,11 @@ class Materializer:
         ) is not None and os.path.exists(self._compare_state_dir(name, 0)):
             self._refresh_compare(name, q, manifest, path, (cur_ts, cur_id))
         elif stale:
-            df = self.engine.compiler.compile(q)
+            # closed at the already-probed mark: the stored rows and the
+            # recorded hwm always describe the same snapshot
+            df = self._apply_retention(
+                self.engine.compiler.compile(q, upper=(cur_ts, cur_id)), manifest
+            )
             self._swap_in(df, path)
 
         if stale:
@@ -892,7 +912,7 @@ class Materializer:
         config changes; a managed store needs an explicit drop.)"""
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
-        shutil.rmtree(self._dir(name), ignore_errors=True)
+        self.storage.remove_tree(self._dir(name))
 
     def compact(self, name: str):
         """Rewrite an append-only segment layout (event-shaped plain or
@@ -910,6 +930,7 @@ class Materializer:
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
         path = os.path.join(self._dir(name), "data")
+        self.storage.recover_dir(path)
         with open(self._manifest_path(name)) as f:
             manifest = json.load(f)
         segmented = manifest.get("segments") or (
@@ -919,9 +940,14 @@ class Materializer:
             return
         marker = self._read_state_hwm(path)
         merged = self._read_segments(path)
-        tmp = path + ".compact"
-        merged.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
+        # staged rewrite + publish: the previous segment layout stays
+        # readable until the compacted copy is complete, and a crash at
+        # any step leaves at least one readable copy (recover_dir in
+        # show() repairs the pointer) — rmtree-before-rename would have
+        # a window with zero copies.
+        staging = self.storage.stage_path(path)
+        self.storage.remove_tree(staging)
+        merged.write.mode("overwrite").parquet(os.path.join(staging, "base"))
         if marker is not None:
-            self._write_state_hwm(tmp, *marker)
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+            self._write_state_hwm(staging, *marker)
+        self.storage.publish_dir(path)

@@ -71,18 +71,21 @@ def _file_stat(path: str, column: str) -> FileStat:
 
 
 def collect_file_stats(
-    root: str, column: str, max_files: int = 100_000, max_workers: int = 16
+    root: str, column: str, max_files: int = 100_000, max_workers: int = 16,
+    storage=None,
 ) -> list[FileStat] | None:
     """Footer stats for every parquet file under `root` (recursing through
     partition dirs), or None when the sweep should not be attempted
-    (too many files / unreadable footer)."""
+    (too many files / unreadable footer). The file enumeration goes
+    through the storage layer (store/storage.py): local = os.walk,
+    object store = one LIST over the prefix."""
+    if storage is None:
+        from sneldb_spark.store.storage import LOCAL as storage
     paths: list[str] = []
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for f in filenames:
-            if f.endswith(".parquet"):
-                paths.append(os.path.join(dirpath, f))
-                if len(paths) > max_files:
-                    return None
+    for p in storage.walk_parquet(root):
+        paths.append(p)
+        if len(paths) > max_files:
+            return None
     if not paths:
         return None
     try:
@@ -133,7 +136,8 @@ def select_topk_files(
 
 
 def columns_max(
-    root: str, columns: list[str], max_files: int = 100_000, max_workers: int = 16
+    root: str, columns: list[str], max_files: int = 100_000, max_workers: int = 16,
+    storage=None,
 ) -> dict[str, object] | None:
     """Per-column MAX over every parquet file under `root` from footer
     stats alone — the high-water-mark probe for incremental refresh.
@@ -144,13 +148,13 @@ def columns_max(
     for a requested column (caller falls back to the scan)."""
     import pyarrow.parquet as pq
 
+    if storage is None:
+        from sneldb_spark.store.storage import LOCAL as storage
     paths: list[str] = []
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for f in filenames:
-            if f.endswith(".parquet"):
-                paths.append(os.path.join(dirpath, f))
-                if len(paths) > max_files:
-                    return None
+    for p in storage.walk_parquet(root):
+        paths.append(p)
+        if len(paths) > max_files:
+            return None
     if not paths:
         return {c: None for c in columns}
 

@@ -84,16 +84,25 @@ def streaming_followed_by(
             "b_event_id": [], "b_timestamp": [],
         }
         link = key[0]
-        for pdf in pdfs:
+        # One sort across ALL of this micro-batch's chunks: chunk
+        # boundaries within a group carry no ordering guarantee, and a
+        # per-chunk sort alone would let a late chunk's B see an
+        # already-expired A (or miss a pending one).
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             # A before B at equal timestamps so same-ts pairs match.
-            pdf = pdf.sort_values(
+            batch = batch.sort_values(
                 ["timestamp", "__side", "event_id"], kind="stable"
             )
+            batch_max_ts: int | None = None
             for ts, side, eid in zip(
-                pdf["timestamp"], pdf["__side"], pdf["event_id"]
+                batch["timestamp"], batch["__side"], batch["event_id"]
             ):
+                ts = int(ts)
+                batch_max_ts = ts if batch_max_ts is None else max(batch_max_ts, ts)
                 if side == 0:  # A: becomes pending
-                    pend_ts.append(int(ts))
+                    pend_ts.append(ts)
                     pend_id.append(int(eid))
                 else:  # B: first B at-or-after every pending A with ts_A <= ts_B
                     keep_ts, keep_id = [], []
@@ -104,7 +113,7 @@ def streaming_followed_by(
                                 out["a_event_id"].append(a_id)
                                 out["a_timestamp"].append(a_ts)
                                 out["b_event_id"].append(int(eid))
-                                out["b_timestamp"].append(int(ts))
+                                out["b_timestamp"].append(ts)
                             # matched OR expired (first B was out of
                             # window; later Bs are even further): either
                             # way the A leaves the state
@@ -112,15 +121,21 @@ def streaming_followed_by(
                             keep_ts.append(a_ts)
                             keep_id.append(a_id)
                     pend_ts, pend_id = keep_ts, keep_id
-                if max_gap_s is not None and pend_ts:
-                    # expire As that can never match again: every future
-                    # event on this key has ts >= the newest seen ts
-                    horizon = int(ts) - max_gap_s
-                    alive = [
-                        (a, i) for a, i in zip(pend_ts, pend_id) if a >= horizon
-                    ]
-                    pend_ts = [a for a, _ in alive]
-                    pend_id = [i for _, i in alive]
+            if max_gap_s is not None and pend_ts and batch_max_ts is not None:
+                # Expire ONLY after the whole batch, from the batch's max
+                # ts (ADVICE r4): a mid-batch horizon could evict an A
+                # that a not-yet-processed in-window B would still match.
+                # Cross-BATCH order is guaranteed by server-assigned
+                # ingest timestamps (see module docstring): every event
+                # of a later micro-batch has ts >= this batch's max, so
+                # an A older than the window relative to it can never
+                # match again.
+                horizon = batch_max_ts - max_gap_s
+                alive = [
+                    (a, i) for a, i in zip(pend_ts, pend_id) if a >= horizon
+                ]
+                pend_ts = [a for a, _ in alive]
+                pend_id = [i for _, i in alive]
         if len(pend_ts) > state_ttl_rows:  # bound memory on hot keys
             pend_ts = pend_ts[-state_ttl_rows:]
             pend_id = pend_id[-state_ttl_rows:]
@@ -170,12 +185,17 @@ def streaming_preceded_by(
             "b_event_id": [], "b_timestamp": [],
         }
         link = key[0]
-        for pdf in pdfs:
-            pdf = pdf.sort_values(
+        # single sort across all chunks — see streaming_followed_by: an
+        # unordered chunk boundary must not make an A pair with a stale
+        # "latest" B when the true latest sits in a later chunk
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.sort_values(
                 ["timestamp", "__side", "event_id"], kind="stable"
             )
             for ts, side, eid in zip(
-                pdf["timestamp"], pdf["__side"], pdf["event_id"]
+                batch["timestamp"], batch["__side"], batch["event_id"]
             ):
                 if side == 1:  # B: becomes the latest candidate
                     b_ts, b_id = int(ts), int(eid)

@@ -267,3 +267,18 @@ def test_bypass_mode_skips_all_checks(spark, tmp_path):
         assert r["type"] == "ok"
     finally:
         server.stop()
+
+
+def test_forget_requires_admin(auth_engine):
+    """FORGET permanently drops a materialization — gated like DEFINE
+    (ADVICE r4: it was previously callable unauthenticated)."""
+    auth_engine.execute(
+        "REMEMBER QUERY products WHERE product_id >= 0 AS pmat", user_id=ADMIN
+    )
+    auth_engine.execute('CREATE USER pleb WITH KEY "k"', user_id=ADMIN)
+    r = auth_engine.try_execute("FORGET pmat", user_id="pleb")
+    assert not r.ok and "Only admin users can forget materializations" in r.message
+    r = auth_engine.try_execute("FORGET pmat")  # unauthenticated
+    assert not r.ok and "401" in r.message
+    r = auth_engine.execute("FORGET pmat", user_id=ADMIN)
+    assert r.ok

@@ -1337,3 +1337,42 @@ def test_within_conversion_window(spark, tmp_path):
     db.execute("FLUSH")
     got = {r["a_context_id"] for r in db.execute("SHOW fast_funnel").df.collect()}
     assert got == {"fast", "x"}
+
+
+def test_remember_compare_closes_read_at_probed_hwm(spark, tmp_path):
+    """ADVICE r4: non-incrementable COMPARE remember must probe the
+    high-water mark BEFORE compiling and close the scan at it. A row
+    racing in mid-materialization is then excluded from the stored rows
+    AND from the recorded hwm, so the next SHOW sees staleness and
+    recomputes — instead of serving the pre-race rows as fresh."""
+    from sneldb_spark.engine import SnelDB
+
+    cmp_q = "PLOT COUNT OF a1 VS COUNT OF a2 BREAKDOWN BY context_id TOP 1"
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE a1 FIELDS { "v": "int" }')
+    db.execute('DEFINE a2 FIELDS { "v": "int" }')
+    db.execute('STORE a1 FOR x PAYLOAD { "v": 1 }')
+    db.execute('STORE a2 FOR x PAYLOAD { "v": 1 }')
+    db.execute("FLUSH")
+
+    m = db.materializer
+    real_probe = m._source_hwm
+    raced = {"done": False}
+
+    def racing_probe(q):
+        mark = real_probe(q)
+        if not raced["done"]:
+            raced["done"] = True
+            db.store.store("a1", "x", {"v": 99})
+            db.store.flush()
+        return mark
+
+    m._source_hwm = racing_probe
+    try:
+        db.execute(f"REMEMBER {cmp_q} AS raceboard")
+    finally:
+        m._source_hwm = real_probe
+
+    got = sorted(tuple(r) for r in db.execute("SHOW raceboard").df.collect())
+    want = sorted(tuple(r) for r in db.execute(cmp_q).df.collect())
+    assert got == want  # the raced row is visible after SHOW's refresh

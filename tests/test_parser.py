@@ -185,3 +185,23 @@ def test_using_field_named_time():
     cmd = parse_command("QUERY t COUNT PER DAY USING time")
     assert cmd.time_field == "time"
     assert cmd.sequence_time_field is None
+
+
+def test_within_without_sequence_rejected():
+    # WITHIN is a conversion window on sequence matches; on a plain query
+    # it would be silently ignored, so the parser rejects it (ADVICE r4).
+    import pytest
+
+    from sneldb_spark.errors import ParseError
+
+    with pytest.raises(ParseError):
+        parse_command("QUERY purchase WITHIN 60")
+    with pytest.raises(ParseError):
+        parse_command('QUERY purchase WHERE amount > 3 WITHIN 60 LIMIT 5')
+    # ... but stays valid on single links and chains
+    cmd = parse_command("QUERY a FOLLOWED BY b LINKED BY ctx WITHIN 60")
+    assert cmd.sequence_within == 60
+    cmd = parse_command(
+        "QUERY a FOLLOWED BY b FOLLOWED BY c LINKED BY ctx WITHIN 60"
+    )
+    assert cmd.sequence_within == 60
