@@ -384,6 +384,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 100,
+    min_word_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Classic BPE training: the corpus-scale work (word frequency
     collection) runs in Spark ONCE; the merge loop then iterates over the
@@ -392,13 +393,26 @@ def bpe_train(
     is a broadcast-scale collect by contract — ~1e5-1e7 rows at web
     scale, independent of corpus bytes).
 
+    Scale levers (VERDICT r4):
+    - `min_word_count` prunes the vocabulary BEFORE the collect (the
+      predicate runs Spark-side on the aggregated counts). At web scale
+      the count-1 tail — URLs, hex ids, typos — dominates the distinct
+      word table while contributing nothing a count-2 merge floor can
+      accept; set 2+ there. Default 1 preserves exact small-corpus
+      behavior.
+    - The merge loop maintains pair counts INCREMENTALLY with an
+      inverted pair->words index: each merge touches only the words
+      containing the merged pair (re-counting their local pairs),
+      instead of rescanning the entire vocabulary per merge —
+      O(touched words) per merge, not O(V).
+
     Returns the ordered merge list [(left, right), ...]. Ties on count
     break lexicographically so training is deterministic across runs and
     partitionings.
     """
-    from collections import Counter
+    from collections import Counter, defaultdict
 
-    rows = (
+    words_df = (
         df.select(
             F.explode(
                 F.filter(
@@ -408,25 +422,40 @@ def bpe_train(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .collect()
     )
-    vocab = {tuple(r["w"]): r["wc"] for r in rows}
+    if min_word_count > 1:
+        words_df = words_df.where(F.col("wc") >= F.lit(int(min_word_count)))
+    rows = words_df.collect()
+
+    words: list[list[str]] = [list(r["w"]) for r in rows]
+    wcs: list[int] = [r["wc"] for r in rows]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, wc) in enumerate(zip(words, wcs)):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += wc
+            pair_words[(a, b)].add(idx)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        counts: Counter = Counter()
-        for syms, wc in vocab.items():
-            for i in range(len(syms) - 1):
-                counts[(syms[i], syms[i + 1])] += wc
-        if not counts:
+        if not pair_counts:
             break
-        best = max(counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
-        (l, r), c = best
+        (l, r), c = max(
+            pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
         if c < 2:
             break
         merges.append((l, r))
         merged = l + r
-        nxt = {}
-        for syms, wc in vocab.items():
+        for idx in list(pair_words.get((l, r), ())):
+            syms, wc = words[idx], wcs[idx]
+            # retract this word's pair contributions, apply the merge,
+            # then re-add — only words containing the merged pair move
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= wc
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(idx)
             out, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
@@ -435,8 +464,12 @@ def bpe_train(
                 else:
                     out.append(syms[i])
                     i += 1
-            nxt[tuple(out)] = nxt.get(tuple(out), 0) + wc
-        vocab = nxt
+            words[idx] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += wc
+                pair_words[(a, b)].add(idx)
+        pair_counts.pop((l, r), None)
+        pair_words.pop((l, r), None)
     return merges
 
 

@@ -364,10 +364,19 @@ def sequence_match_chain(
     ts: str = "timestamp",
     tie: str = "event_id",
     n_slices: int = 0,
+    step_hook=None,
 ) -> DataFrame:
     """Multi-step funnel matching (extension — the reference caps chains
     at one link and warns, matcher.rs:297-307; composed as-of windows
     express the rest naturally in Spark).
+
+    `step_hook(chain, i)`, when given, is applied to the chain right
+    after link i lands and its RETURN VALUE becomes the chain the next
+    link builds on — funnel_report uses it to count/persist each prefix
+    so an N-step report costs N window passes, not 1+2+...+N. Matching
+    is per-chain-row independent (each row as-of picks its own next
+    event), so a hook that filters or persists rows never changes which
+    events the surviving chains match.
 
     `frames` is [E0, E1, ..., EN]; `kinds[i]` links step i to step i+1.
     Output has every step's columns under `s{i}_` prefixes, one row per
@@ -409,6 +418,8 @@ def sequence_match_chain(
         *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in step_cols[0]],
         *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in step_cols[1]],
     )
+    if step_hook is not None:
+        chain = step_hook(chain, 1)
     for i, (kind, nxt) in enumerate(zip(kinds[1:], frames[2:]), start=1):
         # Cursor view: expose plain link/ts/tie names (s-prefixed chain
         # columns can't collide) so the pairwise matcher applies as-is.
@@ -428,6 +439,8 @@ def sequence_match_chain(
             ],
             *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in step_cols[i + 1]],
         )
+        if step_hook is not None:
+            chain = step_hook(chain, i + 1)
     return chain
 
 
@@ -453,10 +466,15 @@ def funnel_report(
     `max_gap_s` applies the conversion window to every adjacent step
     (closest-candidate semantics make the post-filter exact).
 
-    Runs one bounded count job per step (len(frames) is user-written and
-    tiny); each prefix chain is the composed as-of window plan, so the
-    whole report costs O(steps) link-key window passes — no joins beyond
-    the chain matcher itself. The result is a driver-assembled
+    The chain is built ONCE, stepwise: after each link lands, the new
+    adjacent gap is window-filtered, the prefix chain is persisted and
+    counted, and the NEXT link builds on that persisted frame — so an
+    N-step report costs N link-key window passes total (each executed
+    once), the same as matching the chain itself, instead of the
+    1+2+...+(N-1) passes a rebuild-each-prefix loop costs. Filtering a
+    gap-violating chain before the next link is exact: matching is
+    per-chain-row independent, and a chain violating any gap is dropped
+    by the full filter either way. The result is a driver-assembled
     steps-row DataFrame (it IS a scalar report)."""
     from pyspark.sql import types as T
 
@@ -466,18 +484,30 @@ def funnel_report(
     labels = labels or [f"step{i}" for i in range(len(frames))]
 
     reached = [frames[0].count()]
-    for i in range(1, len(frames)):
-        chain = sequence_match_chain(frames[: i + 1], link_field, kinds[:i],
-                                     ts=ts, tie=tie)
+    persisted: list[DataFrame] = []
+
+    def count_and_pin(chain: DataFrame, i: int) -> DataFrame:
         if max_gap_s is not None:
-            # conversion window: every adjacent step gap inside the bound
-            for j in range(i):
-                gap = F.abs(
-                    F.col(f"s{j + 1}_{ts}").cast("long")
-                    - F.col(f"s{j}_{ts}").cast("long")
-                )
-                chain = chain.where(gap <= F.lit(int(max_gap_s)))
-        reached.append(chain.count())
+            # conversion window on the gap this link just created; earlier
+            # gaps were filtered when their links landed
+            gap = F.abs(
+                F.col(f"s{i}_{ts}").cast("long")
+                - F.col(f"s{i - 1}_{ts}").cast("long")
+            )
+            chain = chain.where(gap <= F.lit(int(max_gap_s)))
+        chain = chain.persist()
+        reached.append(chain.count())  # materializes from the previous pin
+        if persisted:
+            persisted.pop().unpersist()
+        persisted.append(chain)
+        return chain
+
+    try:
+        sequence_match_chain(frames, link_field, kinds, ts=ts, tie=tie,
+                             step_hook=count_and_pin)
+    finally:
+        while persisted:
+            persisted.pop().unpersist()
     rows = []
     for i, (label, n) in enumerate(zip(labels, reached)):
         prev = reached[i - 1] if i else None

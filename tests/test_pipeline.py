@@ -1251,3 +1251,74 @@ def test_corpus_report_dup_rate_and_tokens(spark):
     assert web["dup_rate"] == round(1 - 2 / 3, 4)
     books = out["books"]
     assert (books["docs"], books["dup_rate"]) == (1, 0.0)
+
+
+def test_bpe_train_incremental_matches_naive(spark):
+    """The incremental pair-count maintenance must replay the classic
+    full-rescan algorithm merge for merge (tie-break included)."""
+    import random
+
+    from sneldb_spark.pipeline.text import bpe_train
+
+    def naive(vocab, num_merges):
+        from collections import Counter
+
+        merges = []
+        vocab = dict(vocab)
+        for _ in range(num_merges):
+            counts = Counter()
+            for syms, wc in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += wc
+            if not counts:
+                break
+            (l, r), c = max(
+                counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+            )
+            if c < 2:
+                break
+            merges.append((l, r))
+            nxt = {}
+            for syms, wc in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + wc
+            vocab = nxt
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(3):
+        corpus_words = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 8)))
+            for _ in range(60)
+        ]
+        text = " ".join(
+            w for w in corpus_words for _ in range(rng.randint(1, 4))
+        )
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        want_vocab = {}
+        for w in text.split():
+            want_vocab[tuple(w)] = want_vocab.get(tuple(w), 0) + 1
+        assert bpe_train(df, num_merges=12) == naive(want_vocab, 12), trial
+
+
+def test_bpe_train_min_word_count_prunes_tail(spark):
+    """min_word_count drops sub-threshold words BEFORE the collect; the
+    merges then come from the frequent words only."""
+    from sneldb_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "abc abc abc qzx")], ["doc_id", "text"]
+    )
+    # qzx is count-1 tail; with the floor it contributes no pairs.
+    # (a,b) and (b,c) tie at 3; the lexicographically-greatest pair wins
+    # the tie (max over (count, left, right)), so (b,c) merges first.
+    assert bpe_train(df, num_merges=2, min_word_count=2) == [
+        ("b", "c"), ("a", "bc")
+    ]
