@@ -5,7 +5,7 @@ one of the training-data pipeline extensions) and has a DuckDB oracle in
 `oracle_sql()` unless the op is non-SQL-expressible (minhash/simhash LSH,
 multimodal UDF plumbing), which the driver records as rows-only checks.
 
-Determinism rules used throughout (see .claude/skills/verify/SKILL.md):
+Determinism rules used throughout:
 - timestamps reduced to epoch-second longs on both sides;
 - every LIMIT query is fully ordered with a unique tiebreak;
 - money math in integer cents summed exactly (decimal/hugeint), floats
@@ -3727,45 +3727,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # new this round — no driver row yet
-    "similarity_knn_graph", "text_tfidf", "text_blocklist",
-    "multimodal_dedup", "events_json_extract", "remember_show_compare",
-    "sampling_group_cap", "seq_chain", "dedup_minhash_clusters",
-    "seq_funnel_report", "events_cohort_retention", "events_active_users",
-    "events_experiment", "dedup_keep_best", "seq_within_window",
-    "corpus_report",
-    "tpch_q2", "tpch_q20", "dedup_span_removal", "sampling_token_budget",
-    "text_ngram_counts", "streaming_seq_followed_by",
-    "streaming_seq_preceded_by",
-    "remember_show_agg", "remember_show_seq", "remember_show_seq_agg",
-    "text_bpe_pairs", "text_lm_score", "text_quality_buckets",
-    "embedding_covariance", "corpus_upsample",
-    # rows-only -> exact-oracle conversions (md5-based portable hashing;
-    # literal-coefficient oracles): both code and oracle changed
-    "text_winnow", "similarity_lsh_topk",
-    # sequence core refactored for the sliced matcher (default path
-    # equivalent, but re-check representatives of both kinds + USING)
+    # r5 item 1 (VERDICT r4): dedup_simhash is the ONLY gate whose driver
+    # history predates its exact-oracle conversion (r4's window cut at 50
+    # and it sat at position 51) — it leads the round-5 window.
+    "dedup_simhash",
+    # code changed this round — materializer storage-layer swap +
+    # closed-read probes (remember_*), single-pass funnel/chain step_hook
+    # (seq_*), compiler upper-threading representatives (since_bound,
+    # order_limit_offset), micro-batch chunk-sort in the streaming
+    # matchers, bpe kernel module touched
+    "remember_show", "remember_show_agg", "remember_show_seq",
+    "remember_show_seq_agg", "remember_show_compare",
+    "seq_funnel_report", "seq_chain", "seq_within_window",
     "seq_followed_by", "seq_preceded_by", "seq_using_time",
-    # code (or oracle) changed since last green row
-    "dedup_exact", "corpus_curation",      # exact_dedup rewritten (window keeper)
-    "corpus_mix",                          # oracle literals cast to DOUBLE
-    "streaming_window_agg", "streaming_dedup",  # cached symlink source dirs
-    "since_bound",                         # sargable raw-ts SINCE pre-filter
-    "remember_show",                       # materializer refresh refactor
-    "order_limit_offset",                  # top-k file pruning landed
-    # r1/r2-only rows rotate back into the 50-window (VERDICT r3 item 9)
-    "agg_count_field", "agg_per_hour_by",
-    "agg_per_week", "agg_per_year", "agg_per_year_naive",
-    "dedup_minhash_lsh", "dedup_simhash", "filter_in_not",
-    "for_context", "replay_context", "replay_typed", "return_projection",
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q10",
-    "tpch_q14", "tpch_q16", "tpch_q18",
-    "tpch_q19", "tpch_q22",
-    # (the rest of the r3-checked pipeline/TPC-H gates rotate to the tail:
-    # all double-green with unchanged code. compare_daily,
-    # agg_per_month_naive, and tpch_q13 were independently re-oracled by
-    # the r3 judge, so they yield their slots to keep this list at the
-    # driver's 50-entry window.)
+    "since_bound", "order_limit_offset",
+    "streaming_seq_followed_by", "streaming_seq_preceded_by",
+    "text_bpe_pairs",
+    # oldest driver rows next: gates whose last green row is r1/r2
+    "filter_in_not", "filter_parens", "for_context", "return_projection",
+    "replay_context", "replay_typed", "agg_multi", "agg_per_month_naive",
+    "compare_daily", "text_quality",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q22",
+    # oldest r3 rows fill the remaining slots
+    "filter_where", "agg_count_by", "agg_count_unique", "agg_per_day",
+    "agg_order_limit", "seq_where_sides", "seq_agg", "plot_breakdown",
+    "compare_three",
+    # (everything r4-green with unchanged code rotates to the tail;
+    # tools/check_correctness.py still verifies ALL entries locally.)
 ]
 
 

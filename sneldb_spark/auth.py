@@ -55,6 +55,48 @@ class AuthConfig:
     initial_admin_user: Optional[str] = None
     initial_admin_key: Optional[str] = None
     session_token_expiry_seconds: int = 300
+    # Per-IP rate limiting of FAILED auth attempts (successful auths are
+    # never limited) — reference [auth] config keys and defaults
+    # (config/dev.toml:53-55, engine/auth/manager.rs verify_signature).
+    rate_limit_enabled: bool = True
+    rate_limit_per_second: int = 10
+
+
+class _TokenBucketLimiter:
+    """Per-key token bucket: burst == rate, refilled `rate`/second —
+    the reference's governor Quota::per_second semantics
+    (src/engine/auth/types.rs:337-349). Thread-safe; clock injectable
+    for tests. Full buckets are pruned when the key table grows past
+    `max_keys` so an address-spraying attacker can't balloon memory."""
+
+    def __init__(self, rate: int, clock=time.time, max_keys: int = 100_000):
+        if rate <= 0:
+            raise ValueError("rate_limit_per_second must be greater than 0")
+        import threading
+
+        self.rate = float(rate)
+        self.clock = clock
+        self.max_keys = max_keys
+        self._lock = threading.Lock()
+        self._buckets: dict[str, tuple[float, float]] = {}  # key -> (tokens, ts)
+
+    def allow(self, key: str) -> bool:
+        now = float(self.clock())
+        with self._lock:
+            tokens, ts = self._buckets.get(key, (self.rate, now))
+            tokens = min(self.rate, tokens + (now - ts) * self.rate)
+            ok = tokens >= 1.0
+            if ok:
+                tokens -= 1.0
+            self._buckets[key] = (tokens, now)
+            if len(self._buckets) > self.max_keys:
+                self._buckets = {
+                    k: v
+                    for k, v in self._buckets.items()
+                    if min(self.rate, v[0] + (now - v[1]) * self.rate)
+                    < self.rate
+                }
+            return ok
 
 
 @dataclass
@@ -99,6 +141,11 @@ class AuthManager:
         self._lock = threading.Lock()
         self.users: dict[str, User] = {}
         self.sessions: dict[str, tuple[str, float]] = {}  # token -> (user, expiry)
+        self._rate_limiter = (
+            _TokenBucketLimiter(self.config.rate_limit_per_second, clock=clock)
+            if self.config.rate_limit_enabled
+            else None
+        )
         if path and os.path.exists(path):
             self._load()
         if self.config.initial_admin_user and self.config.initial_admin_key:
@@ -272,7 +319,27 @@ class AuthManager:
         return bool(set(user.roles) & _WRITE_ROLES)
 
     # -- authentication ---------------------------------------------------
-    def verify_signature(self, message: str, user_id: str, signature: str):
+    def verify_signature(
+        self,
+        message: str,
+        user_id: str,
+        signature: str,
+        client_ip: Optional[str] = None,
+    ):
+        """HMAC check. With a `client_ip`, FAILED attempts are rate
+        limited per IP (reference manager.rs:86-113: verify first,
+        successful auths bypass the limiter entirely; once the bucket is
+        drained the caller sees 'Rate limit exceeded' instead of the
+        per-attempt failure)."""
+        try:
+            self._verify_signature_inner(message, user_id, signature)
+        except AuthError:
+            if client_ip is not None and self._rate_limiter is not None:
+                if not self._rate_limiter.allow(client_ip):
+                    raise AuthError("429 Rate limit exceeded") from None
+            raise
+
+    def _verify_signature_inner(self, message: str, user_id: str, signature: str):
         if len(signature) > MAX_SIGNATURE_LENGTH or len(user_id) > MAX_USER_ID_LENGTH:
             raise AuthError("Authentication failed")
         user = self.users.get(user_id)
@@ -282,10 +349,12 @@ class AuthManager:
         if not hmac.compare_digest(signature.encode(), expected.encode()):
             raise AuthError("Authentication failed")
 
-    def authenticate(self, user_id: str, signature: str) -> str:
+    def authenticate(
+        self, user_id: str, signature: str, client_ip: Optional[str] = None
+    ) -> str:
         """AUTH handshake: signature is HMAC(key, user_id). Returns a
         session token."""
-        self.verify_signature(user_id, user_id, signature)
+        self.verify_signature(user_id, user_id, signature, client_ip=client_ip)
         token = secrets.token_hex(32)
         expiry = self.clock() + self.config.session_token_expiry_seconds
         with self._lock:

@@ -57,7 +57,9 @@ class _Handler(BaseHTTPRequestHandler):
         signature = self.headers.get("X-Auth-Signature")
         if not user_id or not signature:
             raise AuthError("401 Authentication required")
-        auth.verify_signature(body, user_id, signature)
+        auth.verify_signature(
+            body, user_id, signature, client_ip=self.client_address[0]
+        )
         return user_id
 
     # -- plumbing ----------------------------------------------------------
@@ -112,6 +114,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/ping":
             self._send(200, b"PONG\n", "text/plain")
+        elif self.path in ("/", "/index.html"):
+            # self-contained browser playground (reference:
+            # src/frontend/http/static_files.rs serves its SPA from `/`)
+            from sneldb_spark.playground import PLAYGROUND_HTML
+
+            self._send(
+                200, PLAYGROUND_HTML.encode(), "text/html; charset=utf-8"
+            )
         else:
             self._send(404, b"not found\n", "text/plain")
 

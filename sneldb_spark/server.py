@@ -33,6 +33,18 @@ from sneldb_spark.errors import SnelDBError
 from sneldb_spark.response import json_frames
 
 
+def _peer_ip(handler) -> Optional[str]:
+    """Rate-limit key for failed auth. TCP: the peer IP. Unix domain
+    sockets have no meaningful peer address (client_address is the
+    path or ''), so they are not rate limited — local-socket access
+    already implies filesystem-level trust (matches the reference,
+    whose limiter keys on client_ip only)."""
+    addr = handler.client_address
+    if isinstance(addr, tuple) and addr and isinstance(addr[0], str) and addr[0]:
+        return addr[0]
+    return None
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         engine: SnelDB = self.server.engine  # type: ignore[attr-defined]
@@ -77,7 +89,9 @@ class _Handler(socketserver.StreamRequestHandler):
             user_id, sep, signature = body.partition(":")
             if not sep:
                 raise AuthError("401 Authentication failed")
-            token = auth.authenticate(user_id.strip(), signature.strip())
+            token = auth.authenticate(
+                user_id.strip(), signature.strip(), client_ip=_peer_ip(self)
+            )
             return "", user_id.strip(), token
 
         # TOKEN suffix — rfind so a "TOKEN" inside payload JSON stays put.
@@ -95,7 +109,10 @@ class _Handler(socketserver.StreamRequestHandler):
             signature, sep, command = line.partition(":")
             if not sep:
                 raise AuthError("401 Authentication failed")
-            auth.verify_signature(command.strip(), session_user, signature.strip())
+            auth.verify_signature(
+                command.strip(), session_user, signature.strip(),
+                client_ip=_peer_ip(self),
+            )
             return command.strip(), session_user, None
 
         # Stateless inline: user_id:signature:command
@@ -103,7 +120,10 @@ class _Handler(socketserver.StreamRequestHandler):
         signature, sep2, command = rest.partition(":")
         if not (sep1 and sep2):
             raise AuthError("401 Authentication required")
-        auth.verify_signature(command.strip(), user_id.strip(), signature.strip())
+        auth.verify_signature(
+            command.strip(), user_id.strip(), signature.strip(),
+            client_ip=_peer_ip(self),
+        )
         return command.strip(), user_id.strip(), None
 
     def _reply_ok(self, message: str):

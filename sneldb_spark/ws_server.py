@@ -154,7 +154,10 @@ class _Handler(socketserver.StreamRequestHandler):
             user_id, sep, signature = line[5:].strip().partition(":")
             if not sep:
                 raise AuthError("401 Authentication failed")
-            token = auth.authenticate(user_id.strip(), signature.strip())
+            token = auth.authenticate(
+                user_id.strip(), signature.strip(),
+                client_ip=self.client_address[0],
+            )
             return "", user_id.strip(), token
         token_pos = line.rfind(" TOKEN ")
         if token_pos >= 0:
@@ -168,13 +171,19 @@ class _Handler(socketserver.StreamRequestHandler):
             signature, sep, command = line.partition(":")
             if not sep:
                 raise AuthError("401 Authentication failed")
-            auth.verify_signature(command.strip(), session_user, signature.strip())
+            auth.verify_signature(
+                command.strip(), session_user, signature.strip(),
+                client_ip=self.client_address[0],
+            )
             return command.strip(), session_user, None
         user_id, sep1, rest = line.partition(":")
         signature, sep2, command = rest.partition(":")
         if not (sep1 and sep2):
             raise AuthError("401 Authentication required")
-        auth.verify_signature(command.strip(), user_id.strip(), signature.strip())
+        auth.verify_signature(
+            command.strip(), user_id.strip(), signature.strip(),
+            client_ip=self.client_address[0],
+        )
         return command.strip(), user_id.strip(), None
 
 

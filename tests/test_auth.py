@@ -282,3 +282,86 @@ def test_forget_requires_admin(auth_engine):
     assert not r.ok and "401" in r.message
     r = auth_engine.execute("FORGET pmat", user_id=ADMIN)
     assert r.ok
+
+
+# -- failed-auth rate limiting (reference: manager.rs verify_signature,
+# config keys [auth] rate_limit_enabled / rate_limit_per_second) ----------
+
+def test_failed_auth_rate_limited_per_ip():
+    clock = {"t": 1000.0}
+    auth = AuthManager(
+        config=AuthConfig(
+            bypass_auth=False,
+            initial_admin_user=ADMIN,
+            initial_admin_key=ADMIN_KEY,
+            rate_limit_per_second=3,
+        ),
+        clock=lambda: clock["t"],
+    )
+    from sneldb_spark.auth import AuthError
+
+    # burst = rate: the first 3 failures report the per-attempt error
+    for _ in range(3):
+        with pytest.raises(AuthError, match="Authentication failed"):
+            auth.verify_signature("msg", ADMIN, "bad", client_ip="1.2.3.4")
+    # bucket drained -> the limiter takes over
+    with pytest.raises(AuthError, match="Rate limit exceeded"):
+        auth.verify_signature("msg", ADMIN, "bad", client_ip="1.2.3.4")
+    # per-IP: another address still sees the plain failure
+    with pytest.raises(AuthError, match="Authentication failed"):
+        auth.verify_signature("msg", ADMIN, "bad", client_ip="5.6.7.8")
+    # successful auth bypasses the limiter entirely, even while limited
+    auth.verify_signature("msg", ADMIN, sign(ADMIN_KEY, "msg"), client_ip="1.2.3.4")
+    # tokens refill with time
+    clock["t"] += 1.0
+    with pytest.raises(AuthError, match="Authentication failed"):
+        auth.verify_signature("msg", ADMIN, "bad", client_ip="1.2.3.4")
+    # no client context (embedded/Unix-socket callers): never limited
+    for _ in range(10):
+        with pytest.raises(AuthError, match="Authentication failed"):
+            auth.verify_signature("msg", ADMIN, "bad")
+
+
+def test_failed_auth_rate_limit_disabled():
+    auth = AuthManager(
+        config=AuthConfig(
+            bypass_auth=False,
+            initial_admin_user=ADMIN,
+            initial_admin_key=ADMIN_KEY,
+            rate_limit_enabled=False,
+        ),
+    )
+    from sneldb_spark.auth import AuthError
+
+    for _ in range(50):
+        with pytest.raises(AuthError, match="Authentication failed"):
+            auth.verify_signature("msg", ADMIN, "bad", client_ip="1.2.3.4")
+
+
+def test_failed_auth_rate_limit_over_tcp(spark, tmp_path):
+    """The TCP frontend feeds the peer IP to the limiter: spamming bad
+    inline credentials flips the error to 'Rate limit exceeded'."""
+    auth = AuthManager(
+        config=AuthConfig(
+            bypass_auth=False,
+            initial_admin_user=ADMIN,
+            initial_admin_key=ADMIN_KEY,
+            rate_limit_per_second=2,
+        ),
+    )
+    db = SnelDB(spark, str(tmp_path / "db"), auth=auth)
+    server = SnelDBServer(db).start()
+    try:
+        replies = _send_lines(
+            server.address, ["admin:badsig:PING"] * 4
+        )
+        msgs = [r["message"] for r in replies]
+        assert all(r["type"] == "error" for r in replies)
+        assert msgs[0].endswith("Authentication failed")
+        assert any("Rate limit exceeded" in m for m in msgs[2:])
+        # a correctly signed command still goes through afterwards
+        good = sign(ADMIN_KEY, "PING")
+        ok = _send_lines(server.address, [f"admin:{good}:PING"])[0]
+        assert ok["type"] == "ok"
+    finally:
+        server.stop()

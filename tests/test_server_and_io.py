@@ -448,3 +448,34 @@ def test_tcp_concurrent_clients(engine):
         assert engine.query("QUERY conc").count() == 40
     finally:
         server.stop()
+
+
+def test_http_playground_serves_and_roundtrips(engine):
+    """GET / serves the self-contained playground page (reference parity:
+    static_files.rs serves its SPA from the HTTP frontend) and the
+    /command endpoint the page speaks round-trips a command."""
+    import json as _json
+    import urllib.request
+
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    server = SnelDBHttpServer(engine).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(base + "/") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "SnelDB Playground" in page
+        assert "/command" in page  # the page drives the real endpoint
+        # no external asset loads: the page must work air-gapped
+        assert "https://" not in page and "http://" not in page
+        req = urllib.request.Request(
+            base + "/command", data=b"PING", method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            frame = _json.loads(resp.read().decode().splitlines()[0])
+        assert frame == {"type": "ok", "message": "PONG"}
+    finally:
+        server.stop()
