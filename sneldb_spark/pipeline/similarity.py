@@ -397,6 +397,8 @@ def knn_graph(
     vec_col: str = "embedding",
     round_digits: int | None = 4,
     n_blocks: int = 8,
+    candidates_only: bool = False,
+    dtype: str = "float64",
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph over the corpus: for EVERY vector,
     its top-k cosine neighbors (self excluded). Output
@@ -415,9 +417,17 @@ def knn_graph(
 
     Scale accounting: shuffle volume is n_blocks * |C| rows in, ~k *
     n_blocks * |C| candidate rows out; executor memory is two blocks of
-    vectors per group (pick n_blocks as in `embedding_near_pairs`);
-    compute is the inherent O(|C|^2) of an exact graph — swap in the
-    IVF/LSH families when approximate recall suffices at 100 TB.
+    vectors per group (pick n_blocks as in `embedding_near_pairs` — the
+    GEMM itself streams source rows in bounded chunks, so the similarity
+    matrix never materializes beyond chunk x block_size ≈ 160 MB and the
+    vector blocks are the real footprint); compute is the inherent
+    O(|C|^2) of an exact graph — swap in the IVF/LSH families when
+    approximate recall suffices at 100 TB. tools/smoke_knn.py verifies
+    the candidate-row bound and times the full graph at 1M x 64-dim.
+
+    `dtype="float32"` halves the GEMM + selection memory traffic (the
+    wall-clock driver at corpus scale); keep the float64 default where
+    results feed a fixed-precision oracle comparison.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -437,25 +447,40 @@ def knn_graph(
         F.greatest("b", "o").alias("b2"),
     )
 
-    def _local_topk(src_ids, dst_ids, sims, exclude_self: bool):
-        """Rows of `sims` are sources; emit per-row candidates >= the
-        k-th best value (ties included; self dropped when square)."""
+    def _local_topk(src_ids, src_unit, dst_ids, dst_unit, exclude_self: bool):
+        """Per source row, emit candidates >= its k-th best similarity
+        against the dst block (ties included; self dropped when square).
+        Sources stream in chunks so the similarity slab stays
+        chunk x |dst| (~<=160 MB) instead of |block|^2 — at 1M vectors a
+        full 62k x 62k block matrix would be ~31 GB and dominate executor
+        memory, defeating the documented two-blocks-of-vectors sizing.
+        The per-chunk top-k is fully vectorized (row-wise partition +
+        boolean gather): no per-row Python in the hot loop."""
+        m = len(dst_ids)
+        valid = m - 1 if exclude_self else m
+        if valid <= 0:
+            return pd.DataFrame(columns=["src_id", "dst_id", "sim"])
+        take = min(k, valid)
         out = []
-        for i, sid in enumerate(src_ids):
-            row = sims[i]
+        chunk = max(64, int(20_000_000 / max(1, m)))
+        for s in range(0, len(src_ids), chunk):
+            chunk_ids = src_ids[s : s + chunk]
+            sims = src_unit[s : s + chunk] @ dst_unit.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
             if exclude_self:
-                mask = dst_ids != sid
-                cand_ids, cand = dst_ids[mask], row[mask]
-            else:
-                cand_ids, cand = dst_ids, row
-            if not len(cand_ids):
-                continue
-            take = min(k, len(cand_ids))
-            kth = np.partition(cand, len(cand) - take)[len(cand) - take]
-            sel = cand >= kth
+                # ids are unique: each row drops exactly its own column
+                sims[dst_ids[None, :] == chunk_ids[:, None]] = -np.inf
+            kth = np.partition(sims, m - take, axis=1)[:, m - take]
+            sel = sims >= kth[:, None]  # -inf self never selected
+            ii, jj = np.nonzero(sel)
             out.append(
                 pd.DataFrame(
-                    {"src_id": sid, "dst_id": cand_ids[sel], "sim": cand[sel]}
+                    {
+                        "src_id": chunk_ids[ii],
+                        "dst_id": dst_ids[jj],
+                        "sim": sims[ii, jj],
+                    }
                 )
             )
         if not out:
@@ -465,28 +490,27 @@ def knn_graph(
     def score_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
         b1, b2 = key
         ids = pdf["id"].to_numpy()
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        mat = np.array([np.asarray(v, dtype=np.dtype(dtype)) for v in pdf["v"]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        unit = mat / norms
+        unit = (mat / norms).astype(np.dtype(dtype), copy=False)
         if b1 == b2:
-            sims = unit @ unit.T
-            if round_digits is not None:
-                sims = np.round(sims, round_digits)
-            return _local_topk(ids, ids, sims, exclude_self=True)
+            return _local_topk(ids, unit, ids, unit, exclude_self=True)
         lmask = pdf["b"].to_numpy() == b1
         lids, rids = ids[lmask], ids[~lmask]
         if not len(lids) or not len(rids):
             return pd.DataFrame(columns=["src_id", "dst_id", "sim"])
-        sims = unit[lmask] @ unit[~lmask].T
-        if round_digits is not None:
-            sims = np.round(sims, round_digits)
+        lunit, runit = unit[lmask], unit[~lmask]
         # Each cross block-pair is seen exactly once: emit both directions.
-        fwd = _local_topk(lids, rids, sims, exclude_self=False)
-        rev = _local_topk(rids, lids, sims.T, exclude_self=False)
+        fwd = _local_topk(lids, lunit, rids, runit, exclude_self=False)
+        rev = _local_topk(rids, runit, lids, lunit, exclude_self=False)
         return pd.concat([fwd, rev], ignore_index=True)
 
     cand = rep.groupBy("b1", "b2").applyInPandas(score_pair, schema=_KNN_SCHEMA)
+    if candidates_only:
+        # pre-window candidate stream — lets the scale smoke verify the
+        # O(|C| * n_blocks * k) bound empirically
+        return cand
     w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("dst_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -542,30 +566,49 @@ def embedding_near_pairs(
         norms[norms == 0] = 1.0
         unit = mat / norms
         if b1 == b2:
-            left_ids = right_ids = ids
-            sims = unit @ unit.T
+            left_ids, left_unit = ids, unit
+            right_ids, right_unit = ids, unit
         else:
             lmask = pdf["b"].to_numpy() == b1
             left_ids, right_ids = ids[lmask], ids[~lmask]
             if not len(left_ids) or not len(right_ids):
                 return pd.DataFrame(columns=["id1", "id2", "sim"])
-            sims = unit[lmask] @ unit[~lmask].T
-        if round_digits is not None:
-            sims = np.round(sims, round_digits)
-        ii, jj = np.nonzero(sims >= threshold)
-        l, r = left_ids[ii], right_ids[jj]
-        vals = sims[ii, jj]
-        if b1 == b2:
-            # Symmetric matrix: each pair appears at [i,j] and [j,i];
-            # id1 < id2 keeps one and drops self-matches.
-            keep = l < r
-            l, r, vals = l[keep], r[keep], vals[keep]
-            return pd.DataFrame({"id1": l, "id2": r, "sim": vals})
-        # Off-diagonal: each cross pair is computed exactly once here —
-        # order the ids rather than filtering, or the pair is lost.
-        return pd.DataFrame(
-            {"id1": np.minimum(l, r), "id2": np.maximum(l, r), "sim": vals}
-        )
+            left_unit, right_unit = unit[lmask], unit[~lmask]
+        # Stream left rows in chunks: the sims slab stays chunk x |right|
+        # (~<=160 MB) instead of |block|^2 — see knn_graph._local_topk.
+        parts = []
+        chunk = max(64, int(20_000_000 / max(1, len(right_ids))))
+        for s in range(0, len(left_ids), chunk):
+            sims = left_unit[s : s + chunk] @ right_unit.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            ii, jj = np.nonzero(sims >= threshold)
+            if not len(ii):
+                continue
+            l, r = left_ids[s + ii], right_ids[jj]
+            vals = sims[ii, jj]
+            if b1 == b2:
+                # Symmetric: each pair appears at [i,j] and [j,i];
+                # id1 < id2 keeps one and drops self-matches.
+                keep = l < r
+                l, r, vals = l[keep], r[keep], vals[keep]
+                parts.append(pd.DataFrame({"id1": l, "id2": r, "sim": vals}))
+            else:
+                # Off-diagonal: each cross pair is computed exactly once
+                # here — order the ids rather than filtering, or the
+                # pair is lost.
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id1": np.minimum(l, r),
+                            "id2": np.maximum(l, r),
+                            "sim": vals,
+                        }
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(columns=["id1", "id2", "sim"])
+        return pd.concat(parts, ignore_index=True)
 
     return rep.groupBy("b1", "b2").applyInPandas(score_pair, schema=_PAIR_SCHEMA)
 
