@@ -47,6 +47,18 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         if auth.config.bypass_auth:
             return BYPASS_USER_ID
+        if (
+            getattr(self.server, "playground_allow_unauthenticated", False)
+            and self.client_address[0] in ("127.0.0.1", "::1")
+            and not any(
+                self.headers.get(h)
+                for h in ("X-Auth-Token", "X-Auth-User", "X-Auth-Signature")
+            )
+        ):
+            # [playground] allow_unauthenticated: credential-less loopback
+            # requests run as the bypass user (reference dispatcher.rs:48);
+            # requests that DO send credentials are still verified.
+            return BYPASS_USER_ID
         token = self.headers.get("X-Auth-Token")
         if token:
             uid = auth.validate_session_token(token)
@@ -116,7 +128,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, b"PONG\n", "text/plain")
         elif self.path in ("/", "/index.html"):
             # self-contained browser playground (reference:
-            # src/frontend/http/static_files.rs serves its SPA from `/`)
+            # src/frontend/http/static_files.rs serves its SPA from `/`,
+            # handler.rs:44 gates it on [playground] enabled)
+            if not getattr(self.server, "playground_enabled", True):
+                self._send(404, b"not found\n", "text/plain")
+                return
             from sneldb_spark.playground import PLAYGROUND_HTML
 
             self._send(
@@ -143,12 +159,31 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class SnelDBHttpServer:
-    """Threaded HTTP server bound to one engine instance."""
+    """Threaded HTTP server bound to one engine instance.
 
-    def __init__(self, engine: SnelDB, host: str = "127.0.0.1", port: int = 0):
+    `playground_enabled` gates the `/` page; with
+    `playground_allow_unauthenticated`, requests from loopback run as
+    the bypass user even when auth is configured — the reference's
+    `[playground] enabled / allow_unauthenticated` keys
+    (config/prod.toml, frontend/http/{handler.rs:44,dispatcher.rs:48}).
+    The bypass defaults OFF here (the reference prod config ships it on;
+    opt in via config)."""
+
+    def __init__(
+        self,
+        engine: SnelDB,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        playground_enabled: bool = True,
+        playground_allow_unauthenticated: bool = False,
+    ):
         self._server = ThreadingHTTPServer((host, port), _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
+        self._server.playground_enabled = playground_enabled  # type: ignore[attr-defined]
+        self._server.playground_allow_unauthenticated = (  # type: ignore[attr-defined]
+            playground_allow_unauthenticated
+        )
         self._thread: threading.Thread | None = None
 
     @property
