@@ -47,11 +47,24 @@ class ServerConfig:
 
 
 @dataclass
+class PlaygroundConfig:
+    """``[playground]`` (reference: config/prod.toml, frontend/http/handler.rs:44).
+
+    ``enabled`` gates serving the browser playground page from ``/``;
+    ``allow_unauthenticated`` lets credential-less loopback requests run as
+    the bypass user even when ``[auth]`` is configured."""
+
+    enabled: bool = True
+    allow_unauthenticated: bool = False
+
+
+@dataclass
 class EngineConfig:
     data_dir: str = "./sneldb_data"
     time: TimeConfig = field(default_factory=TimeConfig)
     auth: Optional[AuthConfig] = None
     server: ServerConfig = field(default_factory=ServerConfig)
+    playground: PlaygroundConfig = field(default_factory=PlaygroundConfig)
     wal: bool = True
     # conservative mode: archive retired WAL files here before deletion
     wal_archive_dir: Optional[str] = None
@@ -89,12 +102,20 @@ def load_config(path_or_dict) -> EngineConfig:
             initial_admin_user=a.get("initial_admin_user"),
             initial_admin_key=a.get("initial_admin_key"),
             session_token_expiry_seconds=a.get("session_token_expiry_seconds", 300),
+            rate_limit_enabled=a.get("rate_limit_enabled", True),
+            rate_limit_per_second=a.get("rate_limit_per_second", 10),
         )
 
     w = doc.get("wal", {})
     cfg.wal = w.get("enabled", True)
     if w.get("conservative_mode", False):
         cfg.wal_archive_dir = w.get("archive_dir") or (cfg.data_dir + "/wal_archive")
+
+    p = doc.get("playground", {})
+    cfg.playground = PlaygroundConfig(
+        enabled=p.get("enabled", True),
+        allow_unauthenticated=p.get("allow_unauthenticated", False),
+    )
 
     s = doc.get("server", {})
     cfg.server = ServerConfig(
@@ -132,7 +153,15 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
         from sneldb_spark.http_server import SnelDBHttpServer
 
         host, _, port = cfg.server.http_addr.rpartition(":")
-        servers.append(SnelDBHttpServer(engine, host or "127.0.0.1", int(port)).start())
+        servers.append(
+            SnelDBHttpServer(
+                engine,
+                host or "127.0.0.1",
+                int(port),
+                playground_enabled=cfg.playground.enabled,
+                playground_allow_unauthenticated=cfg.playground.allow_unauthenticated,
+            ).start()
+        )
     if cfg.server.ws_addr:
         from sneldb_spark.ws_server import SnelDBWsServer
 

@@ -98,7 +98,11 @@ class _Handler(BaseHTTPRequestHandler):
             result = self.engine.execute(command, user_id=user_id)
         except AuthError as e:
             msg = str(e)
-            status = 401 if msg.startswith("401") else 403 if msg.startswith("403") else 400
+            status = (
+                403 if msg.startswith("403")
+                else 429 if msg.startswith("429")
+                else 401  # any other auth failure (bad signature, token, ...)
+            )
             self._send_error_frame(status, msg)
             return
         except SnelDBError as e:

@@ -479,3 +479,119 @@ def test_http_playground_serves_and_roundtrips(engine):
         assert frame == {"type": "ok", "message": "PONG"}
     finally:
         server.stop()
+
+
+def test_playground_disabled_returns_404(engine):
+    """[playground] enabled=false gates the `/` page (reference:
+    frontend/http/handler.rs:44) without touching the API endpoints."""
+    import urllib.error
+    import urllib.request
+
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    server = SnelDBHttpServer(engine, playground_enabled=False).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        try:
+            urllib.request.urlopen(base + "/")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        with urllib.request.urlopen(base + "/ping") as resp:  # API unaffected
+            assert resp.read() == b"PONG\n"
+    finally:
+        server.stop()
+
+
+def test_playground_unauthenticated_loopback_bypass(spark, tmp_path):
+    """[playground] allow_unauthenticated: credential-less loopback requests
+    run as the bypass user even with auth configured (reference:
+    frontend/http/dispatcher.rs:48); requests that DO send credentials are
+    still verified."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from sneldb_spark.auth import AuthConfig, AuthManager
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.http_server import SnelDBHttpServer
+
+    auth = AuthManager(
+        config=AuthConfig(initial_admin_user="admin", initial_admin_key="ak")
+    )
+    db = SnelDB(spark, str(tmp_path / "db"), auth=auth)
+    server = SnelDBHttpServer(db, playground_allow_unauthenticated=True).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    cmd = 'DEFINE pgb FIELDS { "n": "int" }'
+    try:
+        # credential-less loopback request runs as the bypass user
+        req = urllib.request.Request(base + "/command", data=cmd.encode(), method="POST")
+        with urllib.request.urlopen(req) as resp:
+            assert _json.loads(resp.read().decode().splitlines()[0])["type"] == "ok"
+        # a request that sends (bad) credentials is still rejected
+        req = urllib.request.Request(
+            base + "/command",
+            data=cmd.encode(),
+            method="POST",
+            headers={"X-Auth-User": "admin", "X-Auth-Signature": "bogus"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        server.stop()
+
+
+def test_toml_config_playground_and_rate_limit_keys(tmp_path):
+    """[playground] and [auth] rate_limit_* keys load from the reference's
+    own prod.toml and from explicit dicts."""
+    from sneldb_spark.config import load_config
+
+    cfg = load_config("/root/reference/config/prod.toml")
+    assert cfg.playground.enabled is True
+    assert cfg.playground.allow_unauthenticated is True
+    assert cfg.auth is not None
+    assert cfg.auth.rate_limit_enabled is True
+    assert cfg.auth.rate_limit_per_second == 100
+
+    cfg = load_config(
+        {
+            "playground": {"enabled": False, "allow_unauthenticated": False},
+            "auth": {"rate_limit_enabled": False},
+        }
+    )
+    assert cfg.playground.enabled is False
+    assert cfg.playground.allow_unauthenticated is False
+    assert cfg.auth.rate_limit_enabled is False
+
+
+def test_toml_config_serve_passes_playground_flags(spark, tmp_path):
+    """serve() forwards [playground] keys to the HTTP frontend."""
+    import urllib.error
+    import urllib.request
+
+    from sneldb_spark.config import create_engine, load_config, serve
+
+    cfg = load_config(
+        {
+            "engine": {"data_dir": str(tmp_path / "db")},
+            "server": {"http_addr": "127.0.0.1:0"},
+            "playground": {"enabled": False},
+        }
+    )
+    db = create_engine(spark, cfg)
+    servers = serve(db, cfg)
+    try:
+        host, port = servers[0].address
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        for srv in servers:
+            srv.stop()
