@@ -2576,6 +2576,82 @@ FROM embeddings e JOIN scaled s USING (vec_id)
 """
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean Lloyd's k-means over the embedding corpus (domain
+    discovery / cluster-balanced sampling): deterministic lowest-id
+    seeding, 3 rounds, per-cluster size + inertia. The whole loop is
+    JVM codegen — literal-centroid distance folds for assignment (narrow
+    map, no shuffle) and per-dimension `avg(vec[i])` for the update (one
+    k*(d+1)-cell map-side-combined aggregate per round). Rounding each
+    centroid coordinate and distance to 6 decimals pins the iteration
+    bit-for-bit across engines, so the unrolled SQL oracle reproduces
+    the exact assignments."""
+    from sneldb_spark.pipeline.clustering import kmeans_summary
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_summary(e, k=8, iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, rd: int = 6) -> str:
+    """Unrolled Lloyd iteration: c0 = k lowest-id vectors; per round a
+    distance CTE (rounded, ties to lowest cluster), an argmin assignment,
+    and a rounded per-dimension mean update (clusters that empty keep
+    their previous centroid); final round keeps the distance for the
+    inertia rollup."""
+    ctes = [
+        f"idx AS (SELECT unnest(range({dim})) AS i)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), {rd})) AS cent
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for n in range(iters + 1):
+        ctes.append(
+            f"""d{n} AS (
+  SELECT e.vec_id, c.c,
+         round(sum(pow(CAST(e.embedding[i.i + 1] AS DOUBLE) - c.cent[i.i + 1], 2)), {rd}) AS d
+  FROM embeddings e, c{n} c, idx i
+  GROUP BY e.vec_id, c.c
+)"""
+        )
+        ctes.append(
+            f"""a{n} AS (
+  SELECT vec_id, c, d FROM (
+    SELECT vec_id, c, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d{n}) WHERE rn = 1
+)"""
+        )
+        if n < iters:
+            ctes.append(
+                f"""u{n} AS (
+  SELECT c, list(m ORDER BY pos) AS cent FROM (
+    SELECT a.c AS c, i.i AS pos,
+           round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)), {rd}) AS m
+    FROM a{n} a JOIN embeddings e USING (vec_id), idx i
+    GROUP BY a.c, i.i)
+  GROUP BY c
+)"""
+            )
+            ctes.append(
+                f"""c{n + 1} AS (
+  SELECT c, cent FROM u{n}
+  UNION ALL
+  SELECT c, cent FROM c{n} WHERE c NOT IN (SELECT c FROM u{n})
+)"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(c AS INTEGER) AS cluster, count(*) AS n,
+       round(sum(d), 3) AS inertia
+FROM a{iters} GROUP BY c"""
+    )
+
+
+_EMBEDDING_KMEANS_SQL = _kmeans_oracle_sql()
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(e, threshold=0.4)
@@ -3731,6 +3807,8 @@ _DRIVER_PRIORITY = [
     # history predates its exact-oracle conversion (r4's window cut at 50
     # and it sat at position 51) — it leads the round-5 window.
     "dedup_simhash",
+    # new gate this round — needs its first driver row
+    "embedding_kmeans",
     # code changed this round — materializer storage-layer swap +
     # closed-read probes (remember_*), single-pass funnel/chain step_hook
     # (seq_*), compiler upper-threading representatives (since_bound,
@@ -3924,6 +4002,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_indexed": q_similarity_ivf_indexed,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_quantize": q_embedding_quantize,
+        "embedding_kmeans": q_embedding_kmeans,
         "embedding_covariance": q_embedding_covariance,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -4150,6 +4229,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "similarity_ivf_indexed": _SIMILARITY_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
+        "embedding_kmeans": _EMBEDDING_KMEANS_SQL,
         "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "embedding_near_pairs",
     "embedding_quantize",
     "embedding_covariance",
+    "embedding_kmeans",
     "similarity_knn_graph",
     "text_tfidf",
     "text_blocklist",

@@ -1,0 +1,166 @@
+"""Euclidean k-means (Lloyd's) over an embedding column.
+
+Corpus clustering is a curation staple — domain discovery, cluster-
+balanced sampling, SemDeDup's first stage all start from a k-means over
+document embeddings. The IVF coarse quantizer in `similarity.py` is the
+spherical (cosine/argmax) cousin tuned for ANN lists; this module is the
+classic squared-Euclidean Lloyd iteration, implemented so that the whole
+loop is JVM-side whole-stage codegen — no Python workers at all:
+
+- **assignment**: the k current centroids are baked into one literal
+  expression per pass; squared distance is a sequential
+  ``aggregate(zip_with(vec, centroid, (x,c) -> (x-c)^2))`` fold and the
+  winning cluster is ``array_min`` over (distance, cluster-id) structs —
+  a narrow map over the scan, no shuffle, ties break to the lowest
+  cluster id.
+- **update**: per-dimension means via ``avg(vec[i])`` grouped by the
+  assigned cluster — k*(d+1) aggregate cells, map-side combined, so one
+  small shuffle per iteration and only O(k*d) ever reaches the driver.
+  (No posexplode: the d-way column fan-out happens inside codegen.)
+
+At 100 TB each Lloyd round is one full scan (embarrassingly parallel)
+plus a k*d-cell aggregate — the same shape MLlib uses, with centroid
+state always driver-resident and tiny.
+
+Determinism / oracle story: init is the k lowest-id vectors (no RNG),
+and after every update each centroid coordinate is rounded to
+``round_digits`` decimals. Rounding pins the iteration bit-for-bit
+across engines (Spark's distributed sum order vs a sequential SQL
+engine differ only below the rounding grain), so an unrolled SQL
+transcription of the same rounds lands on identical assignments — the
+property the driver's exact-oracle gate checks.
+
+Reference parity note: the reference engine has no clustering operator;
+this extends the training-data-pipeline surface (SURVEY §6) alongside
+SemDeDup/IVF, which both consume exactly this kind of coarse partition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: Column, centroid: Sequence[float]) -> Column:
+    """Sequential-fold squared Euclidean distance to a literal centroid
+    (matches a SQL engine's left-to-right list fold bit-for-bit)."""
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    dist_col: Optional[str] = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tag every row with the index of its nearest centroid (squared
+    Euclidean; ties to the lowest index). Pure codegen map — no shuffle,
+    no Python. Distances are rounded to `round_digits` before the argmin
+    so sub-rounding float noise becomes an exact tie (broken by cluster
+    id) in every engine."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sqdist(vec, c), round_digits).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    out = df.withColumn(out_col, best["c"])
+    if dist_col is not None:
+        out = out.withColumn(dist_col, best["d"])
+    return out
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means with deterministic seeding. Returns
+    ``(df + cluster column, final centroids)``.
+
+    Init: the k lowest-`id_col` vectors, coordinates rounded to
+    `round_digits`. Each round assigns (codegen map) then recomputes
+    centroids as per-dimension means rounded to `round_digits`; an
+    emptied cluster keeps its previous centroid. `iters` rounds, then
+    one final assignment pass against the last centroids."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    seed = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        [round(float(x), round_digits) for x in row[vec_col]] for row in seed
+    ]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = assign_clusters(
+            df, cents, vec_col=vec_col, round_digits=round_digits
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.round(F.avg(vec[i]), round_digits).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        for row in stats:
+            new[row["cluster"]] = [float(row[f"m{i}"]) for i in range(dim)]
+        cents = new
+    return (
+        assign_clusters(
+            df, cents, vec_col=vec_col, dist_col="sqdist",
+            round_digits=round_digits,
+        ),
+        cents,
+    )
+
+
+def kmeans_summary(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-cluster size and inertia (sum of squared distance to the final
+    centroid, rounded) — the gate-friendly rollup of :func:`kmeans`."""
+    assigned, _ = kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("sqdist"), round_digits)), 3).alias(
+                "inertia"
+            ),
+        )
+        .select(F.col("cluster").cast("int").alias("cluster"), "n", "inertia")
+    )

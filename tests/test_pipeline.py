@@ -1352,3 +1352,82 @@ def test_resize_codec_real_unmocked_with_pillow(spark):
     assert (row["meta_width"], row["meta_height"]) == (256, 128)
     got = Image.open(io.BytesIO(bytes(row["data"])))
     assert got.size == (256, 128)
+
+
+# --- clustering (Euclidean Lloyd's k-means) -----------------------------
+
+
+def test_kmeans_matches_numpy_reference(emb):
+    """3 Lloyd rounds with lowest-id seeding and 6-digit rounding must
+    reproduce a sequential numpy implementation of the same recipe
+    exactly (assignments and centroids)."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.clustering import kmeans
+
+    k, iters, rd = 4, 2, 6
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    cents = np.round(X[:k], rd)
+
+    def assign(cs):
+        d = np.round(((X[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2), rd)
+        # ties to the lowest cluster id: argmin picks the first minimum
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = cents.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = np.round(X[a == c].mean(axis=0), rd)
+        cents = new
+    expect = dict(zip(ids.tolist(), assign(cents).tolist()))
+
+    assigned, got_cents = kmeans(emb, k=k, iters=iters, round_digits=rd)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    assert got == expect
+    assert np.allclose(np.array(got_cents), cents, atol=10 ** (-rd))
+
+
+def test_kmeans_assignment_plan_is_narrow(emb):
+    """The assignment pass must be a pure codegen map: no Python workers
+    (BatchEvalPython/ArrowEval) and no exchange — centroids ride inside
+    the expression as literals."""
+    from sneldb_spark.pipeline.clustering import assign_clusters
+
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = (
+        assign_clusters(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that captures no points keeps its coordinates instead
+    of going NaN (deterministic, matches the SQL oracle's UNION branch)."""
+    from sneldb_spark.pipeline.clustering import kmeans
+
+    # two tight groups far apart; seed 3 takes an interior duplicate of
+    # seed 1's point, so cluster 1 empties after the first update
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [100.0, 100.0]),
+        (3, [0.1, 0.0]),
+        (4, [0.2, 0.1]),
+        (5, [100.1, 100.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=3, iters=2)
+    assert all(all(c == c for c in cent) for cent in cents)  # no NaN
+    n = assigned.select("cluster").distinct().count()
+    assert n >= 2
