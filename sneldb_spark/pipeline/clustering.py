@@ -43,12 +43,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sqdist(vec: Column, centroid: Sequence[float]) -> Column:
-    """Sequential-fold squared Euclidean distance to a literal centroid
+def _sqdist(vec: Column, centroid: Column) -> Column:
+    """Sequential-fold squared Euclidean distance to a centroid array
     (matches a SQL engine's left-to-right list fold bit-for-bit)."""
-    cent = F.array(*[F.lit(float(c)) for c in centroid])
     return F.aggregate(
-        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.zip_with(vec, centroid, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
@@ -66,17 +65,21 @@ def assign_clusters(
     Euclidean; ties to the lowest index). Pure codegen map — no shuffle,
     no Python. Distances are rounded to `round_digits` before the argmin
     so sub-rounding float noise becomes an exact tie (broken by cluster
-    id) in every engine."""
+    id) in every engine.
+
+    The k centroids travel as ONE nested-array Catalyst literal (not
+    k*d individual literal nodes), keeping the expression tree — and
+    therefore whole-stage codegen time — small and independent of k*d."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    dists = F.transform(cents, lambda cvec: _sqdist(vec, cvec))
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(_sqdist(vec, c), round_digits).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(
+                F.round(d, round_digits).alias("d"), i.cast("int").alias("c")
+            ),
         )
     )
     out = df.withColumn(out_col, best["c"])
@@ -92,6 +95,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cache: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means with deterministic seeding. Returns
     ``(df + cluster column, final centroids)``.
@@ -100,37 +104,47 @@ def kmeans(
     `round_digits`. Each round assigns (codegen map) then recomputes
     centroids as per-dimension means rounded to `round_digits`; an
     emptied cluster keeps its previous centroid. `iters` rounds, then
-    one final assignment pass against the last centroids."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    seed = (
-        df.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    )
-    cents = [
-        [round(float(x), round_digits) for x in row[vec_col]] for row in seed
-    ]
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for _ in range(iters):
-        assigned = assign_clusters(
-            df, cents, vec_col=vec_col, round_digits=round_digits
-        )
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.round(F.avg(vec[i]), round_digits).alias(f"m{i}")
-                    for i in range(dim)
-                ],
+    one final assignment pass against the last centroids.
+
+    With `cache` (default), the id/vector projection is persisted for
+    the duration of the loop so each Lloyd round reads the cached
+    columns instead of rescanning the source — at 100 TB that is the
+    difference between one scan and `iters` scans. The returned
+    DataFrame is built against the ORIGINAL input, so the cache can be
+    (and is) released before returning."""
+    src = df.select(id_col, vec_col)
+    if cache:
+        src = src.persist()
+    try:
+        seed = src.orderBy(F.col(id_col).asc()).limit(k).collect()
+        dim = len(seed[0][vec_col])
+        cents = [
+            [round(float(x), round_digits) for x in row[vec_col]]
+            for row in seed
+        ]
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        for _ in range(iters):
+            assigned = assign_clusters(
+                src, cents, vec_col=vec_col, round_digits=round_digits
             )
-            .collect()
-        )
-        new = [list(c) for c in cents]  # empty clusters keep their centroid
-        for row in stats:
-            new[row["cluster"]] = [float(row[f"m{i}"]) for i in range(dim)]
-        cents = new
+            stats = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.round(F.avg(vec[i]), round_digits).alias(f"m{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep their centroid
+            for row in stats:
+                new[row["cluster"]] = [float(row[f"m{i}"]) for i in range(dim)]
+            cents = new
+    finally:
+        if cache:
+            src.unpersist()
     return (
         assign_clusters(
             df, cents, vec_col=vec_col, dist_col="sqdist",
