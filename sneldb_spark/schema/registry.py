@@ -135,11 +135,12 @@ class SchemaRegistry:
         if not self._path:
             return
         data = {
+            "format_version": STORE_FORMAT_VERSION,
             "schemas": [
                 s.to_json()
                 for versions in self._schemas.values()
                 for s in versions.values()
-            ]
+            ],
         }
         d = os.path.dirname(self._path)
         os.makedirs(d, exist_ok=True)
@@ -147,3 +148,134 @@ class SchemaRegistry:
         with os.fdopen(fd, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, self._path)
+
+
+# -- store diagnostics / repair (reference: src/bin/schema_store_tool.rs,
+#    SchemaStore::diagnose / repair_to) -----------------------------------
+
+STORE_FORMAT_VERSION = 1
+
+
+def diagnose_store(path: str) -> dict:
+    """Inspect a schema-store file without loading it into a registry.
+
+    Returns the reference tool's report shape: ``version`` (the store's
+    format version, None when the file predates the field or is too
+    corrupt to tell), ``valid_records`` / ``skipped_records`` counts,
+    and ``issues`` (one line per problem). Tolerates a truncated or
+    corrupted file by salvaging every parseable record from the
+    ``schemas`` array (a crash mid-write can leave a partial JSON
+    document; the registry itself writes atomically, but a store copied
+    or hand-edited outside the engine may not be)."""
+    try:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            text = f.read()
+    except OSError as e:
+        raise SchemaError(f"failed to open schema store: {e}")
+
+    issues: list[str] = []
+    version = None
+    try:
+        doc = json.loads(text)
+        records = doc.get("schemas", [])
+        version = doc.get("format_version")
+        if not isinstance(records, list):
+            issues.append("'schemas' is not an array")
+            records = []
+        if version is None:
+            issues.append("store has no format_version field (pre-1 layout)")
+    except json.JSONDecodeError as e:
+        issues.append(f"store is not valid JSON ({e.msg} at char {e.pos}); salvaging records")
+        records = _salvage_records(text)
+
+    valid: list[dict] = []
+    skipped = 0
+    seen: dict[tuple[str, int], int] = {}
+    by_name: dict[str, dict[int, "EventSchema"]] = {}
+    for i, item in enumerate(records):
+        try:
+            if not isinstance(item, dict):
+                raise SchemaError("record is not an object")
+            s = EventSchema.from_json(item)
+            if not _EVENT_TYPE_RE.match(s.name or ""):
+                raise SchemaError(f"invalid event type name: {s.name!r}")
+            if not isinstance(s.version, int) or s.version < 1:
+                raise SchemaError(f"invalid version: {s.version!r}")
+            if not s.fields:
+                raise SchemaError("schema has no fields")
+            for fname in s.fields:
+                if fname in CORE_FIELDS:
+                    raise SchemaError(f"field name {fname!r} is reserved")
+            key = (s.name, s.version)
+            if key in seen:
+                raise SchemaError(
+                    f"duplicate record for {s.name} v{s.version} (first at index {seen[key]})"
+                )
+            # additive evolution: a field kept across versions keeps its type
+            for v, prior in sorted(by_name.get(s.name, {}).items()):
+                for fname, ft in s.fields.items():
+                    old = prior.fields.get(fname)
+                    if old is not None and old.kind != ft.kind:
+                        raise SchemaError(
+                            f"field {fname!r} flips type {old.kind!r} -> {ft.kind!r} "
+                            f"between {s.name} v{v} and v{s.version}"
+                        )
+            seen[key] = i
+            by_name.setdefault(s.name, {})[s.version] = s
+            valid.append(s.to_json())
+        except (SchemaError, KeyError, TypeError, AttributeError) as e:
+            skipped += 1
+            issues.append(f"record {i}: {e}")
+
+    return {
+        "version": version,
+        "valid_records": len(valid),
+        "skipped_records": skipped,
+        "issues": issues,
+        "_valid": valid,  # consumed by repair_store, stripped from reports
+    }
+
+
+def _salvage_records(text: str) -> list:
+    """Best-effort recovery of schema records from a broken store file:
+    decode one JSON object at a time from inside the `schemas` array,
+    stopping at the first undecodable span."""
+    marker = text.find('"schemas"')
+    if marker < 0:
+        return []
+    start = text.find("[", marker)
+    if start < 0:
+        return []
+    decoder = json.JSONDecoder()
+    out = []
+    pos = start + 1
+    while True:
+        while pos < len(text) and text[pos] in " \t\r\n,":
+            pos += 1
+        if pos >= len(text) or text[pos] == "]":
+            break
+        try:
+            obj, pos = decoder.raw_decode(text, pos)
+        except json.JSONDecodeError:
+            break
+        out.append(obj)
+    return out
+
+
+def repair_store(input_path: str, output_path: str) -> dict:
+    """Write a clean store containing only the valid records of
+    `input_path` (atomic temp+rename, current format version). Returns
+    the diagnose report with `repaired_to` set."""
+    report = diagnose_store(input_path)
+    data = {
+        "format_version": STORE_FORMAT_VERSION,
+        "schemas": report.pop("_valid"),
+    }
+    d = os.path.dirname(os.path.abspath(output_path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, output_path)
+    report["repaired_to"] = output_path
+    return report

@@ -145,3 +145,97 @@ def test_version_bump_type_change_rejected(engine):
     engine.execute('DEFINE tv FIELDS { "a": "int" }')
     with pytest.raises(SchemaError, match="changes type"):
         engine.execute('DEFINE tv AS 2 FIELDS { "a": "string" }')
+
+
+# -- schema store diagnose / repair (reference: schema_store_tool.rs) ----
+
+
+def _make_store(tmp_path):
+    path = str(tmp_path / "schemas.json")
+    reg = SchemaRegistry(path)
+    reg.define("orders", {"amount": "int", "country": "string"})
+    reg.define("orders", {"amount": "int", "country": "string", "note": "string"})
+    reg.define("clicks", {"url": "string"})
+    return path
+
+
+def test_diagnose_clean_store(tmp_path):
+    from sneldb_spark.schema.registry import diagnose_store
+
+    path = _make_store(tmp_path)
+    report = diagnose_store(path)
+    assert report["version"] == 1
+    assert report["valid_records"] == 3
+    assert report["skipped_records"] == 0
+    assert report["issues"] == []
+
+
+def test_diagnose_flags_bad_records(tmp_path):
+    import json as _json
+
+    from sneldb_spark.schema.registry import diagnose_store
+
+    path = _make_store(tmp_path)
+    doc = _json.load(open(path))
+    doc["schemas"].append({"name": "bad name!", "version": 1, "fields": {"x": {"kind": "int"}}})
+    doc["schemas"].append({"name": "dup", "version": 0, "fields": {"x": {"kind": "int"}}})
+    doc["schemas"].append(doc["schemas"][0])  # duplicate (name, version)
+    doc["schemas"].append({"name": "orders", "version": 9, "fields": {"amount": {"kind": "string"}}})  # type flip
+    _json.dump(doc, open(path, "w"))
+    report = diagnose_store(path)
+    assert report["valid_records"] == 3
+    assert report["skipped_records"] == 4
+    assert len(report["issues"]) == 4
+
+
+def test_diagnose_salvages_truncated_store(tmp_path):
+    from sneldb_spark.schema.registry import diagnose_store
+
+    path = _make_store(tmp_path)
+    text = open(path).read()
+    # chop the file mid-way through the last record (crash mid-copy)
+    open(path, "w").write(text[: int(len(text) * 0.6)])
+    report = diagnose_store(path)
+    assert report["valid_records"] >= 1  # earlier records recovered
+    assert any("not valid JSON" in i for i in report["issues"])
+
+
+def test_repair_store_roundtrip(tmp_path):
+    import json as _json
+
+    from sneldb_spark.schema.registry import diagnose_store, repair_store
+
+    path = _make_store(tmp_path)
+    doc = _json.load(open(path))
+    doc["schemas"].append({"name": "??", "version": 1, "fields": {}})
+    _json.dump(doc, open(path, "w"))
+    out = str(tmp_path / "repaired.json")
+    report = repair_store(path, out)
+    assert report["repaired_to"] == out
+    assert report["valid_records"] == 3 and report["skipped_records"] == 1
+    # the repaired store is clean AND loads as a registry
+    clean = diagnose_store(out)
+    assert clean["skipped_records"] == 0 and clean["version"] == 1
+    reg = SchemaRegistry(out)
+    assert reg.event_types() == ["clicks", "orders"]
+    assert reg.get("orders").version == 2
+
+
+def test_schema_store_tool_cli(tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from schema_store_tool import main as tool_main
+
+    path = _make_store(tmp_path)
+    rc = tool_main(["schema_store_tool", "verify", path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    report = _json.loads(out)
+    assert report["valid_records"] == 3 and report["repaired_to"] is None
+    rc = tool_main(["schema_store_tool", "repair", path, str(tmp_path / "out.json")])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out)["repaired_to"].endswith("out.json")
+    rc = tool_main(["schema_store_tool", "verify", str(tmp_path / "missing.json")])
+    assert rc == 1
