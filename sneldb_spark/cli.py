@@ -38,7 +38,7 @@ from sneldb_spark.client import (
 )
 
 DEFAULT_URL = "http://127.0.0.1:8085"
-HISTORY_FILE = ".sneldb_history"
+HISTORY_FILE = os.path.join(os.path.expanduser("~"), ".sneldb_history")
 
 _AUTH_HELP = """Authentication failed.
 
@@ -82,22 +82,33 @@ def load_cli_config(args: argparse.Namespace) -> CliConfig:
     filed = _read_config_file()
 
     def pick(flag, env, key):
+        """Resolve one field; rank says which layer won (0=flag 1=env 2=file)."""
         if flag is not None:
-            return flag
+            return flag, 0
         v = os.environ.get(env)
         if v is not None:
-            return v
-        return filed.get(key)
+            return v, 1
+        v = filed.get(key)
+        return v, (2 if v is not None else 3)
+
+    url, _ = pick(args.url, "SNELDB_URL", "url")
+    token, token_rank = pick(args.token, "SNELDB_TOKEN", "token")
+    user_id, uid_rank = pick(args.user_id, "SNELDB_USER_ID", "user_id")
+    secret_key, key_rank = pick(args.secret_key, "SNELDB_SECRET_KEY", "secret_key")
 
     cfg = CliConfig(
-        url=pick(args.url, "SNELDB_URL", "url") or DEFAULT_URL,
-        token=pick(args.token, "SNELDB_TOKEN", "token"),
-        user_id=pick(args.user_id, "SNELDB_USER_ID", "user_id"),
-        secret_key=pick(args.secret_key, "SNELDB_SECRET_KEY", "secret_key"),
+        url=url or DEFAULT_URL, token=token, user_id=user_id, secret_key=secret_key
     )
-    # a full HMAC credential pair beats a token (reference priority)
-    if cfg.user_id and cfg.secret_key:
-        cfg.token = None
+    # Exactly one auth style is used per session. Within one layer a full
+    # HMAC pair beats a token (reference priority), but an auth style from
+    # a MORE explicit layer always wins — `--token ...` must not be
+    # silently discarded because a config file happens to hold stale
+    # user_id/secret_key (the pair is only as explicit as its weaker half).
+    if cfg.token and cfg.user_id and cfg.secret_key:
+        if token_rank < max(uid_rank, key_rank):
+            cfg.user_id = cfg.secret_key = None
+        else:
+            cfg.token = None
     return cfg
 
 
@@ -145,7 +156,9 @@ def run_once(client: SnelDBClient, query: str, limit: int) -> int:
     except ClientAuthError as e:
         print(f"Error: {e}\n\n{_AUTH_HELP}", file=sys.stderr)
         return 1
-    except ClientError as e:
+    except (ClientError, OSError) as e:
+        # tcp://, ws:// and unix:// transports surface connection failures
+        # as raw OSError subclasses (ConnectionRefusedError, timeout, ...)
         print(f"Error: {e}", file=sys.stderr)
         return 1
     print(format_result(result, limit))
@@ -220,7 +233,7 @@ def run_interactive(client: SnelDBClient, cfg: CliConfig, limit: int) -> int:
             print(format_result(client.execute(query), limit))
         except ClientAuthError as e:
             print(f"Error: {e}\n\n{_AUTH_HELP}", file=sys.stderr)
-        except ClientError as e:
+        except (ClientError, OSError) as e:
             print(f"Error: {e}", file=sys.stderr)
 
     while True:
@@ -306,7 +319,9 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     try:
         client = make_client(cfg)
-    except ClientError as e:
+    except (ClientError, OSError) as e:
+        # tcp:// / ws:// / unix:// transports connect eagerly here and
+        # surface failures as raw OSError subclasses
         print(f"Error: {e}", file=sys.stderr)
         return 1
 

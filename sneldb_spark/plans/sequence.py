@@ -503,8 +503,9 @@ def funnel_report(
         return chain
 
     try:
-        sequence_match_chain(frames, link_field, kinds, ts=ts, tie=tie,
-                             step_hook=count_and_pin)
+        if kinds:  # a single-frame funnel is just its entry count
+            sequence_match_chain(frames, link_field, kinds, ts=ts, tie=tie,
+                                 step_hook=count_and_pin)
     finally:
         while persisted:
             persisted.pop().unpersist()

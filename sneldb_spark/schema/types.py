@@ -83,10 +83,26 @@ class FieldType:
 
     @staticmethod
     def from_json(obj) -> "FieldType":
+        """Deserialize a persisted field spec, validating it.
+
+        A store written by `to_json` is always canonical, but this is the
+        load boundary for hand-edited, migrated, or corrupted stores too
+        (diagnose_store / repair_store certify records through here), so an
+        unknown kind must fail HERE with a SchemaError — not later as a
+        KeyError when `spark_type` is first touched mid-query."""
         kind = obj["kind"]
+        nullable = obj["nullable"]
+        if not isinstance(nullable, bool):
+            raise SchemaError(f"nullable must be a boolean: {nullable!r}")
         if isinstance(kind, list):
-            return FieldType("enum", obj["nullable"], tuple(kind))
-        return FieldType(kind, obj["nullable"])
+            ft = parse_field_spec(kind)
+            return FieldType("enum", nullable, ft.enum_values)
+        if not isinstance(kind, str):
+            raise SchemaError(f"unsupported field kind: {kind!r}")
+        canon = _ALIASES.get(kind.lower())
+        if canon is None:  # bare "enum" without variants is invalid too
+            raise SchemaError(f"unknown field type: {kind!r}")
+        return FieldType(canon, nullable)
 
 
 def parse_field_spec(spec) -> FieldType:

@@ -4,6 +4,8 @@ stdin / interactive modes, layered config resolution, HMAC auth, and
 table rendering. In-process calls to cli.main() (capsys) keep these
 fast; no subprocess Spark restarts."""
 
+import os
+
 import pytest
 
 
@@ -130,10 +132,68 @@ def test_cli_config_layering(http_server, engine, tmp_path, capsys, monkeypatch)
     cfg = load_cli_config(args)
     assert cfg.url == "http://flaghost:3"  # flag beats env
 
-    # a full HMAC pair suppresses any token
+    # a full HMAC pair suppresses a token from the same (or weaker) layer
     monkeypatch.setenv("SNELDB_TOKEN", "tok")
+    monkeypatch.setenv("SNELDB_USER_ID", "envuser")
+    monkeypatch.setenv("SNELDB_SECRET_KEY", "envkey")
     cfg = load_cli_config(args)
-    assert cfg.token is None and cfg.user_id == "fileuser"
+    assert cfg.token is None and cfg.user_id == "envuser"
+
+
+def test_cli_explicit_token_beats_filed_credentials(tmp_path, monkeypatch):
+    """--token must not be silently discarded because a config file holds
+    a (possibly stale) user_id/secret_key pair: the more explicit layer's
+    auth style wins."""
+    import argparse
+
+    from sneldb_spark.cli import load_cli_config
+
+    confdir = tmp_path / ".sneldb"
+    confdir.mkdir()
+    (confdir / "config").write_text(
+        '[config]\nuser_id = "fileuser"\nsecret_key = "filekey"\n'
+    )
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+    monkeypatch.delenv("SNELDB_TOKEN", raising=False)
+    monkeypatch.delenv("SNELDB_USER_ID", raising=False)
+    monkeypatch.delenv("SNELDB_SECRET_KEY", raising=False)
+
+    args = argparse.Namespace(
+        url=None, token="cli-token", user_id=None, secret_key=None
+    )
+    cfg = load_cli_config(args)
+    assert cfg.token == "cli-token"
+    assert cfg.user_id is None and cfg.secret_key is None
+
+    # and a flag-level pair still beats an env token
+    monkeypatch.setenv("SNELDB_TOKEN", "envtok")
+    args = argparse.Namespace(
+        url=None, token=None, user_id="flaguser", secret_key="flagkey"
+    )
+    cfg = load_cli_config(args)
+    assert cfg.token is None and cfg.user_id == "flaguser"
+
+
+def test_cli_connection_refused_is_a_clean_error(tmp_path, monkeypatch, capsys):
+    """tcp:// (and ws://, unix://) connection failures surface as raw
+    OSError subclasses — the CLI must print `Error: ...`, not crash with
+    a traceback."""
+    from sneldb_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)  # no config file pickup
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+    rc = main(["-u", "tcp://127.0.0.1:1", "-q", "PING"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert err.startswith("Error:")
+
+
+def test_cli_history_file_is_home_anchored():
+    from sneldb_spark import cli
+
+    assert os.path.isabs(cli.HISTORY_FILE)
+    assert os.path.dirname(cli.HISTORY_FILE) == os.path.expanduser("~")
 
 
 def test_cli_interactive_session(http_server, engine, capsys, monkeypatch):

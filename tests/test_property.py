@@ -454,6 +454,20 @@ def test_funnel_report_counts_and_conversions(spark):
     assert out[2]["conversion"] == round(2 / 3, 4) and out[2]["overall"] == 0.5
 
 
+def test_funnel_report_single_frame(spark):
+    """A one-step funnel (no links) is just its entry count — regression
+    for the step_hook rewrite, which used to reject the empty chain."""
+    from sneldb_spark.plans.sequence import funnel_report
+
+    df = spark.createDataFrame(
+        [("u1", 1, 1), ("u2", 2, 2)], "link string, timestamp long, event_id long"
+    )
+    out = funnel_report([df], "link").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["step"], r["reached"], r["conversion"], r["overall"]) == (0, 2, None, 1.0)
+
+
 def test_sequence_match_max_gap_window(spark):
     from sneldb_spark.plans.sequence import sequence_match
 

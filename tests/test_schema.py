@@ -188,6 +188,52 @@ def test_diagnose_flags_bad_records(tmp_path):
     assert len(report["issues"]) == 4
 
 
+def test_diagnose_flags_unknown_field_kind(tmp_path):
+    """A record whose field kind is not a known type must be SKIPPED, not
+    certified — a repaired store containing it would crash the engine at
+    first spark_struct access (KeyError), defeating the tool's purpose."""
+    import json as _json
+
+    from sneldb_spark.schema.registry import diagnose_store
+
+    path = _make_store(tmp_path)
+    doc = _json.load(open(path))
+    doc["schemas"].append(
+        {"name": "weird", "version": 1,
+         "fields": {"x": {"kind": "integr", "nullable": False}}}
+    )
+    doc["schemas"].append(  # bare "enum" without variants is not a type
+        {"name": "weird2", "version": 1,
+         "fields": {"x": {"kind": "enum", "nullable": False}}}
+    )
+    doc["schemas"].append(  # non-bool nullable
+        {"name": "weird3", "version": 1,
+         "fields": {"x": {"kind": "i64", "nullable": "yes"}}}
+    )
+    _json.dump(doc, open(path, "w"))
+    report = diagnose_store(path)
+    assert report["valid_records"] == 3
+    assert report["skipped_records"] == 3
+    assert any("integr" in i for i in report["issues"])
+
+
+def test_registry_load_fails_fast_on_unknown_kind(tmp_path):
+    """Loading a store with an invalid kind raises SchemaError at
+    construction, not KeyError at first query."""
+    import json as _json
+
+    import pytest
+
+    from sneldb_spark.errors import SchemaError
+
+    path = _make_store(tmp_path)
+    doc = _json.load(open(path))
+    doc["schemas"][0]["fields"]["amount"]["kind"] = "integr"
+    _json.dump(doc, open(path, "w"))
+    with pytest.raises(SchemaError, match="integr"):
+        SchemaRegistry(path)
+
+
 def test_diagnose_salvages_truncated_store(tmp_path):
     from sneldb_spark.schema.registry import diagnose_store
 
