@@ -68,6 +68,9 @@ class EngineConfig:
     wal: bool = True
     # conservative mode: archive retired WAL files here before deletion
     wal_archive_dir: Optional[str] = None
+    # [storage] bloom_filters: Parquet blooms on equality-probed string
+    # columns (the reference's per-field XOR-filter analogue); on by default
+    bloom_filters: bool = True
 
 
 def _parse_week_start(value: str) -> str:
@@ -111,6 +114,9 @@ def load_config(path_or_dict) -> EngineConfig:
     if w.get("conservative_mode", False):
         cfg.wal_archive_dir = w.get("archive_dir") or (cfg.data_dir + "/wal_archive")
 
+    st = doc.get("storage", {})
+    cfg.bloom_filters = st.get("bloom_filters", True)
+
     p = doc.get("playground", {})
     cfg.playground = PlaygroundConfig(
         enabled=p.get("enabled", True),
@@ -138,7 +144,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
             path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
         )
     return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
-                  wal_archive_dir=cfg.wal_archive_dir)
+                  wal_archive_dir=cfg.wal_archive_dir,
+                  bloom_filters=cfg.bloom_filters)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

@@ -52,11 +52,13 @@ class SnelDB:
         approx_count_unique: bool = False,
         sequence_slices: int = 0,
         multi_link: bool = False,
+        bloom_filters: bool = True,
     ):
         self.spark = spark
         self.root = root
         self.store = EventStore(spark, root, clock=clock, wal=wal,
-                                wal_archive_dir=wal_archive_dir)
+                                wal_archive_dir=wal_archive_dir,
+                                bloom_filters=bloom_filters)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

@@ -93,6 +93,7 @@ class EventStore:
         clock=None,
         wal: bool = True,
         wal_archive_dir: str | None = None,
+        bloom_filters: bool = True,
     ):
         self.spark = spark
         self.root = root
@@ -125,6 +126,15 @@ class EventStore:
         # Conservative mode (reference wal_archiving.md): archive retired
         # WAL files into this directory before deleting them; None = off.
         self._wal_archive_dir = wal_archive_dir
+        # Parquet bloom filters on equality-probed string columns — the
+        # counterpart of the reference's per-field XOR filters (zone
+        # filter files, src/engine/core/filter/): a point predicate on a
+        # key that footer min/max can't bound (unsorted layout, wide
+        # ranges) still skips whole row groups. parquet-mr omits the
+        # bloom where the chunk is fully dictionary-encoded (the
+        # dictionary already filters exactly), so low-cardinality enum
+        # fields cost nothing — blooms materialize only where they help.
+        self._bloom_enabled = bloom_filters
         self._recover_event_dirs()
         if wal:
             self._replay_wal()
@@ -298,9 +308,27 @@ class EventStore:
             .repartitionByRange(F.col("ingest_date"), F.col("context_id"))
             .sortWithinPartitions("ingest_date", "context_id", "timestamp")
             .write.mode("append")
+            .options(**self._bloom_options(event_type))
             .partitionBy("ingest_date")
             .parquet(self._path(event_type))
         )
+
+    def _bloom_options(self, event_type: str) -> dict[str, str]:
+        """Writer options enabling Parquet bloom filters on context_id and
+        every string-kind schema field (the equality-probed columns; the
+        reference XOR-filters every field per zone). Adaptive sizing keeps
+        small chunks cheap; dictionary-encoded chunks get no bloom at all."""
+        if not self._bloom_enabled:
+            return {}
+        fields = ["context_id"]
+        if event_type != "*" and self.registry.has(event_type):
+            schema = self.registry.get(event_type)
+            fields += [
+                n for n, ft in schema.fields.items() if ft.kind in ("string", "enum")
+            ]
+        opts = {f"parquet.bloom.filter.enabled#{f}": "true" for f in fields}
+        opts["parquet.bloom.filter.adaptive.enabled"] = "true"
+        return opts
 
     def _write_rows(self, event_type: str, rows: list[dict]):
         schema = self.registry.get(event_type)
@@ -558,6 +586,7 @@ class EventStore:
         (
             self.read(event_type)
             .write.mode("overwrite")
+            .options(**self._bloom_options(event_type))
             .bucketBy(buckets, "context_id")
             .sortBy("context_id", "timestamp")
             .saveAsTable(name)
@@ -597,6 +626,7 @@ class EventStore:
             .sortWithinPartitions("context_id", "timestamp")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 4_000_000)
+            .options(**self._bloom_options(event_type))
             .partitionBy("ingest_date")
             .parquet(staging)
         )
