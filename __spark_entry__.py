@@ -3807,8 +3807,9 @@ _DRIVER_PRIORITY = [
     # history predates its exact-oracle conversion (r4's window cut at 50
     # and it sat at position 51) — it leads the round-5 window.
     "dedup_simhash",
-    # new gate this round — needs its first driver row
+    # new gates this round — need their first driver rows
     "embedding_kmeans",
+    "agg_percentile",
     # code changed this round — materializer storage-layer swap +
     # closed-read probes (remember_*), single-pass funnel/chain step_hook
     # (seq_*), compiler upper-threading representatives (since_bound,
@@ -3893,6 +3894,17 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_per_year": _cmd("QUERY purchase COUNT PER YEAR"),
         "agg_per_year_naive": _cmd("QUERY click COUNT PER YEAR", mode="naive"),
         "agg_count_field": _cmd("QUERY view COUNT k, COUNT UNIQUE k"),
+        # MEDIAN / P<nn> extension: exact interpolated percentiles (round
+        # to 6dp both sides — interpolation is double arithmetic)
+        "agg_percentile": _cmd(
+            "QUERY purchase MEDIAN value_cents, P90 value_cents, COUNT BY k",
+            post=lambda df: df.select(
+                "k",
+                F.round(F.col("median_value_cents"), 6).alias("median_value_cents"),
+                F.round(F.col("p90_value_cents"), 6).alias("p90_value_cents"),
+                "count",
+            ),
+        ),
         "agg_order_limit": _cmd(
             "QUERY purchase COUNT, TOTAL value_cents BY k ORDER BY k LIMIT 5"
         ),
@@ -4072,6 +4084,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM ev WHERE event_type = 'click' GROUP BY bucket",
         "agg_count_field": f"WITH {_EV_CTE} SELECT count(k) AS count_k, "
         "count(DISTINCT k) AS count_unique_k FROM ev WHERE event_type = 'view'",
+        "agg_percentile": f"WITH {_EV_CTE} SELECT k, "
+        "round(quantile_cont(value_cents, 0.5), 6) AS median_value_cents, "
+        "round(quantile_cont(value_cents, 0.9), 6) AS p90_value_cents, "
+        "count(*) AS count FROM ev WHERE event_type = 'purchase' GROUP BY k",
         "agg_order_limit": f"WITH {_EV_CTE} SELECT k, count(*) AS count, "
         "CAST(sum(value_cents) AS BIGINT) AS total_value_cents "
         "FROM ev WHERE event_type = 'purchase' GROUP BY k ORDER BY k LIMIT 5",

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "agg_count_unique",
     "agg_per_day",
     "agg_per_hour_by",
+    "agg_percentile",
     "order_limit_offset",
     "seq_followed_by",
     "seq_preceded_by",

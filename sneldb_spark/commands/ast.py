@@ -57,7 +57,10 @@ Expr = Union[Compare, In, And, Or, Not]
 
 @dataclass(frozen=True)
 class AggSpec:
-    """op in {count, count_field, count_unique, total, avg, min, max}."""
+    """op in {count, count_field, count_unique, total, avg, min, max,
+    median, p<NN>} — median/p<NN> (P50..P99 surface syntax) are an
+    extension beyond the reference's aggregate set; exact interpolated
+    percentiles, output columns median_<f> / p<NN>_<f>."""
 
     op: str
     field: Optional[str] = None

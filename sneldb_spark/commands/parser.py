@@ -8,7 +8,7 @@ show,plotql}.rs) and produces the AST in `sneldb_spark.commands.ast`:
     STORE <type> FOR <ctx> PAYLOAD { ... }
     QUERY|FIND <type> [FOLLOWED BY|PRECEDED BY <type>]* [FOR ctx]
         [SINCE "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
-        [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f, ...]
+        [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f|MEDIAN f|P<nn> f, ...]
         [PER HOUR|DAY|WEEK|MONTH|YEAR [USING f]] [BY f1,f2 [USING f]]
         [USING f] [USING TIME f] [ORDER BY f [ASC|DESC]] [LIMIT n] [OFFSET n]
     REPLAY [<type>] FOR <ctx> [SINCE "ts"] [USING f] [RETURN [f,...]]
@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import json
 import re
+
+from typing import Optional
 
 from sneldb_spark.commands import ast
 from sneldb_spark.errors import ParseError
@@ -339,7 +341,8 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
             q.limit = _parse_nonneg_int(cur, "LIMIT")
         elif cur.eat_kw("OFFSET"):
             q.offset = _parse_nonneg_int(cur, "OFFSET")
-        elif cur.at_kw("COUNT", "TOTAL", "AVG", "MIN", "MAX", "UNIQUE"):
+        elif cur.at_kw("COUNT", "TOTAL", "AVG", "MIN", "MAX", "UNIQUE", "MEDIAN") \
+                or _at_percentile(cur):
             q.aggs.extend(_parse_agg_specs(cur))
         else:
             raise ParseError(f"unexpected token: {cur.peek()}")
@@ -393,14 +396,30 @@ def _parse_return_list(cur: _Cursor) -> list[str]:
             raise ParseError(f"expected ',' or ']' in RETURN list, found {t}")
 
 
+def _percentile_op(text: str) -> Optional[str]:
+    """``P50``/``p95`` -> AggSpec op ``p50`` (P1..P99; P0/P100 are MIN/MAX)."""
+    up = text.upper()
+    if len(up) >= 2 and up[0] == "P" and up[1:].isdigit():
+        n = int(up[1:])
+        if 1 <= n <= 99:
+            return f"p{n}"
+    return None
+
+
+def _at_percentile(cur: _Cursor) -> bool:
+    t = cur.peek()
+    return t is not None and t.kind == "ident" and _percentile_op(t.text) is not None
+
+
 def _parse_agg_specs(cur: _Cursor) -> list[ast.AggSpec]:
     specs = [_parse_one_agg(cur)]
     while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
         # Only continue if the next thing is really another agg spec —
         # otherwise the comma belongs to an outer list.
         nxt = cur.peek(1)
-        if nxt is None or nxt.kind != "ident" or nxt.text.upper() not in (
-            "COUNT", "TOTAL", "AVG", "MIN", "MAX",
+        if nxt is None or nxt.kind != "ident" or (
+            nxt.text.upper() not in ("COUNT", "TOTAL", "AVG", "MIN", "MAX", "MEDIAN")
+            and _percentile_op(nxt.text) is None
         ):
             break
         cur.next()
@@ -430,10 +449,14 @@ def _parse_one_agg(cur: _Cursor) -> ast.AggSpec:
         if _field_follows(cur):
             return ast.AggSpec("count_field", cur.expect_ident())
         return ast.AggSpec("count")
-    if kw in ("TOTAL", "AVG", "MIN", "MAX"):
+    if kw in ("TOTAL", "AVG", "MIN", "MAX", "MEDIAN"):
         if not _field_follows(cur):
             raise ParseError(f"{kw} requires a field")
         return ast.AggSpec(kw.lower(), cur.expect_ident())
+    if (pop := _percentile_op(kw)) is not None:
+        if not _field_follows(cur):
+            raise ParseError(f"{kw} requires a field")
+        return ast.AggSpec(pop, cur.expect_ident())
     raise ParseError(f"unknown aggregate: {kw}")
 
 

@@ -36,6 +36,17 @@ from sneldb_spark.commands.ast import AggSpec
 from sneldb_spark.errors import QueryError
 
 
+def is_percentile(op: str) -> bool:
+    """median / p<NN> — exact interpolated percentiles (extension beyond
+    the reference's aggregate set). NOT mergeable: the materializer's
+    incremental refresh must fall back to full recompute for these."""
+    return op == "median" or (op.startswith("p") and op[1:].isdigit())
+
+
+def percentile_fraction(op: str) -> float:
+    return 0.5 if op == "median" else int(op[1:]) / 100.0
+
+
 def agg_expr(spec: AggSpec, col: Column | None, approx_unique: bool = False) -> Column:
     if spec.op == "count":
         return F.count(F.lit(1)).alias("count")
@@ -60,6 +71,11 @@ def agg_expr(spec: AggSpec, col: Column | None, approx_unique: bool = False) -> 
         return F.min(col).alias(name)
     if spec.op == "max":
         return F.max(col).alias(name)
+    if is_percentile(spec.op):
+        # Exact percentile with linear interpolation (SQL `percentile`):
+        # one pass, per-group sorted-merge inside the aggregate. Matches
+        # DuckDB's quantile_cont definition (index p*(n-1), interpolate).
+        return F.percentile(col, F.lit(percentile_fraction(spec.op))).alias(name)
     raise QueryError(f"unknown aggregate op {spec.op!r}")
 
 

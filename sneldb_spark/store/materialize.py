@@ -158,6 +158,8 @@ class Materializer:
         (caps *groups*; a delta could add groups that should compete),
         and retention options (they filter event-shaped rows, not
         groups)."""
+        from sneldb_spark.plans.aggregates import is_percentile
+
         return (
             isinstance(q, ast.QueryCommand)
             and q.is_aggregate
@@ -166,6 +168,8 @@ class Materializer:
             and q.offset is None
             and manifest.get("max_rows") is None
             and manifest.get("max_age_seconds") is None
+            # percentiles have no mergeable partial state — full recompute
+            and not any(is_percentile(a.op) for a in q.aggs)
         )
 
     def _state_path(self, name: str) -> str:

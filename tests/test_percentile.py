@@ -1,0 +1,90 @@
+"""MEDIAN / P<nn> percentile aggregates (extension beyond the reference's
+aggregate set): exact interpolated percentiles through the real
+parser+compiler, PER/BY composition, and the materializer's
+full-recompute fallback (percentiles have no mergeable partial state)."""
+
+import pytest
+
+from sneldb_spark.commands.parser import parse_command
+from sneldb_spark.errors import ParseError
+
+
+def test_parse_median_and_percentiles():
+    c = parse_command("QUERY t MEDIAN amount, P90 amount, P5 lat BY country")
+    assert [(a.op, a.field) for a in c.aggs] == [
+        ("median", "amount"),
+        ("p90", "amount"),
+        ("p5", "lat"),
+    ]
+    assert [a.output_name for a in c.aggs] == ["median_amount", "p90_amount", "p5_lat"]
+    # keywords are case-insensitive like the rest of the grammar
+    c2 = parse_command("query t median amount, p99 amount")
+    assert [a.op for a in c2.aggs] == ["median", "p99"]
+
+
+def test_parse_percentile_errors():
+    with pytest.raises(ParseError):
+        parse_command("QUERY t MEDIAN")  # field required
+    with pytest.raises(ParseError):
+        parse_command("QUERY t P90")
+    # P0/P100 are MIN/MAX, not percentile ops
+    with pytest.raises(ParseError):
+        parse_command("QUERY t P0 amount")
+    with pytest.raises(ParseError):
+        parse_command("QUERY t P100 amount")
+    # a FIELD named p50/median still works as an aggregate operand
+    c = parse_command("QUERY t TOTAL p50, AVG median")
+    assert [(a.op, a.field) for a in c.aggs] == [("total", "p50"), ("avg", "median")]
+
+
+@pytest.fixture()
+def pct_engine(engine):
+    engine.execute('DEFINE sale FIELDS { "amount": "int", "country": "string" }')
+    rows = [(i * 10, "NL") for i in range(5)] + [(50 + i * 10, "DE") for i in range(4)]
+    for i, (amt, cty) in enumerate(rows):
+        engine.execute(
+            f'STORE sale FOR c{i} PAYLOAD {{"amount": {amt}, "country": "{cty}"}}'
+        )
+    engine.execute("FLUSH")
+    return engine
+
+
+def test_percentile_values_match_interpolated_definition(pct_engine):
+    rows = pct_engine.query(
+        "QUERY sale MEDIAN amount, P90 amount, COUNT BY country ORDER BY country"
+    ).collect()
+    by = {r["country"]: r for r in rows}
+    # NL: [0,10,20,30,40] -> median 20, p90 = 0.9*(5-1)=3.6 -> 30+0.6*10=36
+    assert by["NL"]["median_amount"] == 20.0
+    assert by["NL"]["p90_amount"] == pytest.approx(36.0)
+    # DE: [50,60,70,80] -> median 65, p90 = 0.9*3=2.7 -> 70+0.7*10=77
+    assert by["DE"]["median_amount"] == 65.0
+    assert by["DE"]["p90_amount"] == pytest.approx(77.0)
+    assert by["NL"]["count"] == 5 and by["DE"]["count"] == 4
+
+
+def test_percentile_global_and_per_bucket(pct_engine):
+    rows = pct_engine.query("QUERY sale MEDIAN amount").collect()
+    # all 9 values 0..80 step 10 -> median 40
+    assert rows[0]["median_amount"] == 40.0
+    rows = pct_engine.query("QUERY sale MEDIAN amount PER DAY").collect()
+    assert len(rows) == 1 and rows[0]["median_amount"] == 40.0
+
+
+def test_remember_percentile_falls_back_to_full_recompute(pct_engine):
+    pct_engine.execute("REMEMBER QUERY sale MEDIAN amount BY country AS med")
+    assert not pct_engine.materializer._agg_incrementable(
+        __import__("sneldb_spark.commands.serde", fromlist=["query_from_json"]).query_from_json(
+            __import__("json").load(
+                open(pct_engine.materializer._manifest_path("med"))
+            )["query"]
+        ),
+        {"max_rows": None, "max_age_seconds": None},
+    )
+    first = {r["country"]: r["median_amount"] for r in pct_engine.execute("SHOW med").df.collect()}
+    assert first == {"NL": 20.0, "DE": 65.0}
+    # new rows shift the percentile; refresh recomputes, not merges
+    pct_engine.execute('STORE sale FOR cx PAYLOAD {"amount": 1000, "country": "NL"}')
+    refreshed = {r["country"]: r["median_amount"] for r in pct_engine.execute("SHOW med").df.collect()}
+    assert refreshed["NL"] == 25.0  # [0,10,20,30,40,1000] -> (20+30)/2
+    assert refreshed["DE"] == 65.0
