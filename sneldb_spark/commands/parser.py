@@ -807,8 +807,10 @@ def _parse_metric(cur: _Cursor) -> ast.AggSpec:
         return ast.AggSpec("count_unique", paren_field())
     if kw in ("TOTAL", "SUM"):
         return ast.AggSpec("total", paren_field())
-    if kw in ("AVG", "MIN", "MAX"):
+    if kw in ("AVG", "MIN", "MAX", "MEDIAN"):
         return ast.AggSpec(kw.lower(), paren_field())
+    if (pop := _percentile_op(kw)) is not None:
+        return ast.AggSpec(pop, paren_field())
     raise ParseError(f"unknown PLOT metric: {kw}")
 
 
@@ -828,7 +830,11 @@ def _parse_plot_sequence(cur: _Cursor) -> ast.EventSequence:
     return ast.EventSequence(head=headname, links=tuple(links))
 
 
-_METRIC_KEYWORDS = {"COUNT", "UNIQUE", "TOTAL", "SUM", "AVG", "MIN", "MAX"}
+_METRIC_KEYWORDS = {"COUNT", "UNIQUE", "TOTAL", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
+
+
+def _is_metric_kw(text: str) -> bool:
+    return text.upper() in _METRIC_KEYWORDS or _percentile_op(text) is not None
 
 # TOP BY target: None (main metric), ("field", name), or ("metric", AggSpec)
 _TopBy = tuple | None
@@ -841,7 +847,14 @@ def _parse_top_by(cur: _Cursor) -> tuple[int, _TopBy]:
     target: _TopBy = None
     if cur.eat_kw("BY"):
         t = cur.peek()
-        if t and t.kind == "ident" and t.text.upper() in _METRIC_KEYWORDS:
+        nxt = cur.peek(1)
+        paren = nxt is not None and nxt.kind == "op" and nxt.text == "("
+        # a metric keyword counts as a metric only in its metric FORM
+        # (bare COUNT, or kw(field)); `TOP 3 BY p50` with no parens is a
+        # ranking FIELD named p50
+        if t and t.kind == "ident" and _is_metric_kw(t.text) and (
+            paren or t.text.upper() == "COUNT"
+        ):
             target = ("metric", _parse_metric(cur))
         else:
             target = ("field", cur.expect_ident())

@@ -50,6 +50,7 @@ class SnelDB:
         wal: bool = True,
         wal_archive_dir: str | None = None,
         approx_count_unique: bool = False,
+        approx_percentiles: bool = False,
         sequence_slices: int = 0,
         multi_link: bool = False,
         bloom_filters: bool = True,
@@ -67,6 +68,7 @@ class SnelDB:
             time_config=time_config,
             topk_source=self.store.read_topk,
             approx_count_unique=approx_count_unique,
+            approx_percentiles=approx_percentiles,
             context_source=self.store.read_for_context,
             sequence_slices=sequence_slices,
             multi_link=multi_link,

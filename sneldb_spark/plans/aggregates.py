@@ -47,7 +47,12 @@ def percentile_fraction(op: str) -> float:
     return 0.5 if op == "median" else int(op[1:]) / 100.0
 
 
-def agg_expr(spec: AggSpec, col: Column | None, approx_unique: bool = False) -> Column:
+def agg_expr(
+    spec: AggSpec,
+    col: Column | None,
+    approx_unique: bool = False,
+    approx_pct: bool = False,
+) -> Column:
     if spec.op == "count":
         return F.count(F.lit(1)).alias("count")
     if col is None:
@@ -75,7 +80,14 @@ def agg_expr(spec: AggSpec, col: Column | None, approx_unique: bool = False) -> 
         # Exact percentile with linear interpolation (SQL `percentile`):
         # one pass, per-group sorted-merge inside the aggregate. Matches
         # DuckDB's quantile_cont definition (index p*(n-1), interpolate).
-        return F.percentile(col, F.lit(percentile_fraction(spec.op))).alias(name)
+        # approx_pct is the 100 TB opt-in: the exact form buffers every
+        # group value in the aggregation state; percentile_approx keeps a
+        # bounded sketch per group instead (same column name/type, value
+        # within 1/accuracy rank error).
+        frac = percentile_fraction(spec.op)
+        if approx_pct:
+            return F.percentile_approx(col, F.lit(frac), F.lit(10_000)).alias(name)
+        return F.percentile(col, F.lit(frac)).alias(name)
     raise QueryError(f"unknown aggregate op {spec.op!r}")
 
 
@@ -86,6 +98,7 @@ def apply_aggregation(
     resolve,
     bucket: Column | None = None,
     approx_unique: bool = False,
+    approx_pct: bool = False,
 ) -> DataFrame:
     """resolve(field) -> (Column, FieldType|None); group_cols are output names."""
     keys: list[Column] = []
@@ -98,7 +111,7 @@ def apply_aggregation(
     aggs = []
     for spec in specs:
         col = resolve(spec.field)[0] if spec.field else None
-        aggs.append(agg_expr(spec, col, approx_unique=approx_unique))
+        aggs.append(agg_expr(spec, col, approx_unique=approx_unique, approx_pct=approx_pct))
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)

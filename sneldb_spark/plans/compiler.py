@@ -53,6 +53,7 @@ class QueryCompiler:
         time_config: TimeConfig | None = None,
         topk_source: Callable[[str, str, int, bool], Optional[DataFrame]] | None = None,
         approx_count_unique: bool = False,
+        approx_percentiles: bool = False,
         context_source: Callable[[str, str], Optional[DataFrame]] | None = None,
         sequence_slices: int = 0,
         multi_link: bool = False,
@@ -71,6 +72,11 @@ class QueryCompiler:
         # O(1) state per group) instead of exact count(distinct). Default
         # stays exact — reference semantics.
         self.approx_count_unique = approx_count_unique
+        # Opt-in: MEDIAN/P<nn> compile to percentile_approx (KLL-style
+        # sketch, bounded state per group) instead of the exact
+        # interpolated percentile (which buffers every group value).
+        # Default stays exact. The 100 TB path for wide groups.
+        self.approx_percentiles = approx_percentiles
         # Opt-in skew mitigation: >= 2 routes sequence queries through the
         # time-sliced matcher (identical pairs, hot link keys parallelize
         # n_slices-wide instead of serializing one window partition).
@@ -218,6 +224,7 @@ class QueryCompiler:
             out = apply_aggregation(
                 df, q.aggs, q.group_by, resolve, bucket,
                 approx_unique=self.approx_count_unique,
+                approx_pct=self.approx_percentiles,
             )
             out = self._order_limit(out, q, agg=True)
             return out
@@ -414,6 +421,7 @@ class QueryCompiler:
             out = apply_aggregation(
                 matched, q.aggs, q.group_by, resolve, bucket,
                 approx_unique=self.approx_count_unique,
+                approx_pct=self.approx_percentiles,
             )
             return self._order_limit(out, q, agg=True)
 
@@ -482,6 +490,7 @@ class QueryCompiler:
             out = apply_aggregation(
                 matched, q.aggs, q.group_by, resolve, bucket,
                 approx_unique=self.approx_count_unique,
+                approx_pct=self.approx_percentiles,
             )
             return self._order_limit(out, q, agg=True)
 

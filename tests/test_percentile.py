@@ -88,3 +88,34 @@ def test_remember_percentile_falls_back_to_full_recompute(pct_engine):
     refreshed = {r["country"]: r["median_amount"] for r in pct_engine.execute("SHOW med").df.collect()}
     assert refreshed["NL"] == 25.0  # [0,10,20,30,40,1000] -> (20+30)/2
     assert refreshed["DE"] == 65.0
+
+
+def test_plotql_percentile_metric(pct_engine):
+    rows = pct_engine.query(
+        "PLOT MEDIAN(amount) OF sale VS P90(amount) OF sale BREAKDOWN BY country"
+    ).collect()
+    by = {r["country"]: r for r in rows}
+    assert by["NL"]["left_median_amount"] == 20.0
+    assert by["DE"]["right_p90_amount"] == pytest.approx(77.0)
+
+
+def test_plotql_top_by_field_named_like_percentile():
+    c = parse_command("PLOT COUNT OF x TOP 3 BY p50")
+    assert c.queries[0].order_by is not None  # ranked by the FIELD p50
+    c2 = parse_command("PLOT COUNT OF x TOP 3 BY P90(lat)")
+    assert any(a.op == "p90" for a in c2.queries[0].aggs)
+
+
+def test_approx_percentiles_opt_in(spark, tmp_path):
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "apx"), approx_percentiles=True)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    for i in range(11):
+        db.execute(f'STORE t FOR c PAYLOAD {{"v": {i}}}')
+    db.execute("FLUSH")
+    rows = db.query("QUERY t MEDIAN v, P90 v").collect()
+    # percentile_approx returns an EXISTING value nearest the rank —
+    # exact on small inputs (median of 0..10 is 5; p90 -> 9 or 10)
+    assert rows[0]["median_v"] == 5
+    assert rows[0]["p90_v"] in (9, 10)
