@@ -198,6 +198,15 @@ class ForgetCommand:
 
 
 @dataclass
+class ExplainCommand:
+    """EXPLAIN <read command> (extension): return the Spark physical plan
+    for a QUERY/REPLAY/COMPARE/PLOT instead of running it — the operator's
+    window into pushdown, pruning, and exchanges."""
+
+    inner: object  # QueryCommand | ReplayCommand | CompareCommand
+
+
+@dataclass
 class FlushCommand:
     pass
 

@@ -151,6 +151,16 @@ def parse_command(text: str) -> ast.Command:
     if not stripped:
         raise ParseError("empty command")
     head = stripped.split(None, 1)[0].upper()
+    if head == "EXPLAIN":
+        rest = stripped.split(None, 1)
+        if len(rest) < 2:
+            raise ParseError("EXPLAIN expects a command")
+        inner = parse_command(rest[1])
+        if not isinstance(
+            inner, (ast.QueryCommand, ast.ReplayCommand, ast.CompareCommand)
+        ):
+            raise ParseError("EXPLAIN expects a QUERY/FIND/REPLAY/COMPARE/PLOT command")
+        return ast.ExplainCommand(inner=inner)
     if head in ("QUERY", "FIND"):
         return _parse_query(stripped)
     if head == "DEFINE":

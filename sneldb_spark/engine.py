@@ -171,6 +171,15 @@ class SnelDB:
             self.store.store(cmd.event_type, cmd.context_id, cmd.payload)
             # Reference response text (src/command/handlers/store.rs:179).
             return Result(ok=True, message="Event accepted for storage")
+        if isinstance(cmd, ast.ExplainCommand):
+            # same read gate as running the command itself
+            if isinstance(cmd.inner, ast.QueryCommand):
+                self._check_read(user_id, cmd.inner.event_type)
+            df = self.compiler.compile(cmd.inner)
+            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            return Result(ok=True, message=df._jdf.queryExecution().explainString(mode))
         if isinstance(cmd, ast.QueryCommand):
             self._check_read(user_id, cmd.event_type)
             return Result(ok=True, df=self.compiler.compile(cmd))
