@@ -3810,6 +3810,7 @@ _DRIVER_PRIORITY = [
     # new gates this round — need their first driver rows
     "embedding_kmeans",
     "agg_percentile",
+    "order_multi",
     # code changed this round — materializer storage-layer swap +
     # closed-read probes (remember_*), single-pass funnel/chain step_hook
     # (seq_*), compiler upper-threading representatives (since_bound,
@@ -3909,6 +3910,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "QUERY purchase COUNT, TOTAL value_cents BY k ORDER BY k LIMIT 5"
         ),
         # --- sorts / limits (O1-O5) ---
+        # multi-key ORDER BY (extension): k ties broken by event_id makes
+        # the LIMIT prefix deterministic across engines
+        "order_multi": _cmd(
+            "QUERY purchase ORDER BY k DESC, event_id ASC LIMIT 40"
+        ),
         "order_limit_offset": _cmd("QUERY purchase ORDER BY event_id DESC LIMIT 50 OFFSET 10"),
         # --- sequences (J1, J2) ---
         "seq_followed_by": _cmd("QUERY signup FOLLOWED BY purchase LINKED BY context_id"),
@@ -4093,6 +4099,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM ev WHERE event_type = 'purchase' GROUP BY k ORDER BY k LIMIT 5",
         "order_limit_offset": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50 OFFSET 10",
+        "order_multi": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
+        "WHERE event_type = 'purchase' ORDER BY k DESC, event_id ASC LIMIT 40",
         "seq_chain": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),

@@ -129,6 +129,9 @@ class QueryCommand:
     # event lands within this many seconds of the head.
     sequence_within: Optional[int] = None
     order_by: Optional[tuple[str, bool]] = None  # (field, desc)
+    # additional sort keys (extension — the reference orders by one key);
+    # ties on order_by break by these, left to right
+    order_by_rest: tuple = ()  # tuple[tuple[str, bool], ...]
     limit: Optional[int] = None
     offset: Optional[int] = None
 

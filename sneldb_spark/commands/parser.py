@@ -10,7 +10,7 @@ show,plotql}.rs) and produces the AST in `sneldb_spark.commands.ast`:
         [SINCE "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
         [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f|MEDIAN f|P<nn> f, ...]
         [PER HOUR|DAY|WEEK|MONTH|YEAR [USING f]] [BY f1,f2 [USING f]]
-        [USING f] [USING TIME f] [ORDER BY f [ASC|DESC]] [LIMIT n] [OFFSET n]
+        [USING f] [USING TIME f] [ORDER BY f [ASC|DESC][, f ...]] [LIMIT n] [OFFSET n]
     REPLAY [<type>] FOR <ctx> [SINCE "ts"] [USING f] [RETURN [f,...]]
     REMEMBER <query> AS <name>  /  SHOW <name>
     PLOT <metric> OF <a[->b]> [FILTER e] [TOP n [BY m]]
@@ -332,14 +332,23 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
                 _parse_using(cur, q)
         elif cur.at_kw("ORDER") and cur.at_kw("BY", ahead=1):
             cur.next(); cur.next()
-            f = cur.expect_ident()
-            desc = False
-            if cur.at_kw("ASC"):
+
+            def one_key() -> tuple[str, bool]:
+                f = cur.expect_ident()
+                desc = False
+                if cur.at_kw("ASC"):
+                    cur.next()
+                elif cur.at_kw("DESC"):
+                    cur.next()
+                    desc = True
+                return (f, desc)
+
+            q.order_by = one_key()
+            rest = []
+            while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":
                 cur.next()
-            elif cur.at_kw("DESC"):
-                cur.next()
-                desc = True
-            q.order_by = (f, desc)
+                rest.append(one_key())
+            q.order_by_rest = tuple(rest)
         elif cur.eat_kw("BY"):
             q.group_by.append(cur.expect_ident())
             while cur.peek() and cur.peek().kind == "op" and cur.peek().text == ",":

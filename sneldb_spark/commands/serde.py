@@ -52,6 +52,7 @@ def query_to_json(q: ast.QueryCommand) -> dict:
         "time_field": q.time_field,
         "sequence_within": q.sequence_within,
         "order_by": list(q.order_by) if q.order_by else None,
+        "order_by_rest": [list(k) for k in q.order_by_rest],
         "limit": q.limit,
         "offset": q.offset,
     }
@@ -75,6 +76,8 @@ def query_from_json(obj: dict) -> ast.QueryCommand:
         time_field=obj["time_field"],
         sequence_within=obj.get("sequence_within"),
         order_by=tuple(obj["order_by"]) if obj["order_by"] else None,
+        # .get: manifests written before multi-key ORDER BY load fine
+        order_by_rest=tuple(tuple(k) for k in obj.get("order_by_rest", [])),
         limit=obj["limit"],
         offset=obj["offset"],
     )

@@ -186,6 +186,10 @@ class QueryCompiler:
             self._topk_source is None
             or q.is_aggregate
             or q.order_by is None
+            # secondary keys make single-key footer pruning unsafe: a row
+            # outside the kept files can tie on the primary key at the
+            # boundary and win on a tie-breaker
+            or q.order_by_rest
             or not q.limit
             or q.where is not None
             or q.since is not None
@@ -324,16 +328,25 @@ class QueryCompiler:
             return df
         return df.select(*[F.col(f"`{c}`") for c in cols])
 
+    @staticmethod
+    def _order_keys(q: ast.QueryCommand) -> list[tuple[str, bool]]:
+        return [q.order_by, *q.order_by_rest] if q.order_by is not None else []
+
     def _order_limit(self, df: DataFrame, q: ast.QueryCommand, agg: bool, resolve=None):
-        if q.order_by is not None:
-            field, desc = q.order_by
-            if agg:
-                col = F.col(f"`{field}`") if field in df.columns else None
-                if col is None:
-                    raise QueryError(f"ORDER BY field {field!r} not in aggregate output")
-            else:
-                col = resolve(field)[0]
-            df = df.orderBy(col.desc() if desc else col.asc())
+        keys = self._order_keys(q)
+        if keys:
+            cols = []
+            for field, desc in keys:
+                if agg:
+                    if field not in df.columns:
+                        raise QueryError(
+                            f"ORDER BY field {field!r} not in aggregate output"
+                        )
+                    col = F.col(f"`{field}`")
+                else:
+                    col = resolve(field)[0]
+                cols.append(col.desc() if desc else col.asc())
+            df = df.orderBy(*cols)
         if q.limit is not None and q.limit == 0:
             return df.where(F.lit(False))
         if q.offset:
@@ -430,9 +443,11 @@ class QueryCompiler:
         out = matched
         if q.order_by is not None:
             resolve = self._seq_resolver(matched, head_type, tail_type)
-            field, desc = q.order_by
-            col = resolve(field)[0]
-            out = out.orderBy(col.desc() if desc else col.asc())
+            cols = [
+                resolve(f)[0].desc() if d else resolve(f)[0].asc()
+                for f, d in self._order_keys(q)
+            ]
+            out = out.orderBy(*cols)
         if q.limit is not None:
             out = out.where(F.lit(False)) if q.limit == 0 else out.limit(q.limit)
         if q.offset:
@@ -496,9 +511,11 @@ class QueryCompiler:
 
         out = matched
         if q.order_by is not None:
-            field, desc = q.order_by
-            col = resolve(field)[0]
-            out = out.orderBy(col.desc() if desc else col.asc())
+            cols = [
+                resolve(f)[0].desc() if d else resolve(f)[0].asc()
+                for f, d in self._order_keys(q)
+            ]
+            out = out.orderBy(*cols)
         if q.limit is not None:
             out = out.where(F.lit(False)) if q.limit == 0 else out.limit(q.limit)
         if q.offset:
