@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "agg_per_hour_by",
     "agg_percentile",
     "order_limit_offset",
+    "order_multi",
     "seq_followed_by",
     "seq_preceded_by",
     "seq_agg",
