@@ -3811,6 +3811,7 @@ _DRIVER_PRIORITY = [
     "embedding_kmeans",
     "agg_percentile",
     "order_multi",
+    "filter_string_ops",
     # code changed this round — materializer storage-layer swap +
     # closed-read probes (remember_*), single-pass funnel/chain step_hook
     # (seq_*), compiler upper-threading representatives (since_bound,
@@ -3865,6 +3866,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_where": _cmd("QUERY purchase WHERE value >= 100 AND k < 50"),
         "filter_in_not": _cmd("QUERY click WHERE k IN (1, 2, 3, 4, 5) OR NOT value <= 400"),
         "filter_parens": _cmd('QUERY view WHERE (k >= 10 AND k < 60) OR (value > 450 AND NOT k = 30)'),
+        # STARTS WITH / ENDS WITH / CONTAINS (extension; STARTS WITH is
+        # sargable — StringStartsWith reaches PushedFilters)
+        "filter_string_ops": _cmd(
+            'QUERY view WHERE context_id STARTS WITH "12" '
+            'OR (context_id ENDS WITH "9" AND NOT props CONTAINS "4")'
+        ),
         "since_bound": _cmd('QUERY signup SINCE "2024-01-15"'),
         "for_context": _cmd("QUERY purchase FOR 12"),
         "return_projection": _cmd("QUERY error RETURN [value]"),
@@ -4059,6 +4066,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE event_type = 'click' AND (k IN (1,2,3,4,5) OR NOT (value <= 400))",
         "filter_parens": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'view' AND ((k >= 10 AND k < 60) OR (value > 450 AND NOT (k = 30)))",
+        "filter_string_ops": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
+        "WHERE event_type = 'view' AND (context_id LIKE '12%' "
+        "OR (context_id LIKE '%9' AND NOT (props LIKE '%4%')))",
         "since_bound": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'signup' AND \"timestamp\" >= 1705276800",
         "for_context": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "

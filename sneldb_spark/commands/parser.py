@@ -543,6 +543,16 @@ def _parse_predicate(cur: _Cursor) -> ast.Expr:
     if nxt and nxt.kind == "op" and nxt.text in ("=", "!=", ">", ">=", "<", "<="):
         op = cur.next().text
         return ast.Compare(fieldname, op, _parse_value(cur))
+    if nxt and nxt.kind == "ident" and nxt.text.upper() in ("STARTS", "ENDS"):
+        w = cur.peek(1)
+        if w and w.kind == "ident" and w.text.upper() == "WITH":
+            up = nxt.text.upper()
+            cur.next(); cur.next()
+            op = "starts_with" if up == "STARTS" else "ends_with"
+            return ast.Compare(fieldname, op, _parse_value(cur))
+    if nxt and nxt.kind == "ident" and nxt.text.upper() == "CONTAINS":
+        cur.next()
+        return ast.Compare(fieldname, "contains", _parse_value(cur))
     if nxt and nxt.kind == "ident" and nxt.text.upper() == "IN":
         cur.next()
         cur.expect_op("(")

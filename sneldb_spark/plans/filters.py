@@ -88,6 +88,24 @@ def compile_expr(
             return leaf(col < lit)
         if expr.op == "<=":
             return leaf(col <= lit)
+        if expr.op in ("starts_with", "contains", "ends_with"):
+            # String predicates (extension). STARTS WITH stays sargable —
+            # Spark pushes StringStartsWith into the Parquet scan, where
+            # footer min/max bound a prefix range (and our context range
+            # layout makes `context_id STARTS WITH p` a file-level skip).
+            # CONTAINS/ENDS WITH filter post-scan (no stats can bound them).
+            if not isinstance(val, str) or (
+                ftype is not None and ftype.kind not in ("string", "enum")
+            ):
+                # typed eval (reference semantics): a string predicate on
+                # a non-string field matches nothing
+                return leaf(F.lit(False))
+            pred = {
+                "starts_with": col.startswith,
+                "contains": col.contains,
+                "ends_with": col.endswith,
+            }[expr.op](lit)
+            return leaf(pred)
         raise QueryError(f"unknown comparison operator {expr.op!r}")
     if isinstance(expr, ast.In):
         try:
