@@ -3812,6 +3812,7 @@ _DRIVER_PRIORITY = [
     "agg_percentile",
     "order_multi",
     "filter_string_ops",
+    "until_bound",
     # code changed this round — materializer storage-layer swap +
     # closed-read probes (remember_*), single-pass funnel/chain step_hook
     # (seq_*), compiler upper-threading representatives (since_bound,
@@ -3873,6 +3874,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'OR (context_id ENDS WITH "9" AND NOT props CONTAINS "4")'
         ),
         "since_bound": _cmd('QUERY signup SINCE "2024-01-15"'),
+        # UNTIL (extension): half-open [SINCE, UNTIL) time range
+        "until_bound": _cmd('QUERY signup SINCE "2024-01-10" UNTIL "2024-01-20"'),
         "for_context": _cmd("QUERY purchase FOR 12"),
         "return_projection": _cmd("QUERY error RETURN [value]"),
         "replay_context": _cmd("REPLAY FOR 7"),
@@ -4071,6 +4074,9 @@ def oracle_sql() -> dict[str, str]:
         "OR (context_id LIKE '%9' AND NOT (props LIKE '%4%')))",
         "since_bound": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'signup' AND \"timestamp\" >= 1705276800",
+        "until_bound": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
+        "WHERE event_type = 'signup' AND \"timestamp\" >= 1704844800 "
+        "AND \"timestamp\" < 1705708800",
         "for_context": f"WITH {_EV_CTE} SELECT {_EV_COLS_SQL} FROM ev "
         "WHERE event_type = 'purchase' AND context_id = '12'",
         "return_projection": f"WITH {_EV_CTE} SELECT context_id, event_type, \"timestamp\", event_id, value "

@@ -109,6 +109,8 @@ class QueryCommand:
     sequence: EventSequence
     context_id: Optional[str] = None
     since: Optional[str] = None
+    # UNTIL (extension): exclusive upper time bound — [SINCE, UNTIL)
+    until: Optional[str] = None
     where: Optional[Expr] = None
     return_fields: Optional[list[str]] = None  # None = all; [] = all (parity)
     link_field: Optional[str] = None
@@ -171,6 +173,7 @@ class ReplayCommand:
     context_id: str
     event_type: Optional[str] = None  # None = all types
     since: Optional[str] = None
+    until: Optional[str] = None  # extension, exclusive — [SINCE, UNTIL)
     time_field: Optional[str] = None
     return_fields: Optional[list[str]] = None
 

@@ -7,11 +7,11 @@ show,plotql}.rs) and produces the AST in `sneldb_spark.commands.ast`:
     DEFINE <type> [AS <n>] FIELDS { "field": "type", ... }
     STORE <type> FOR <ctx> PAYLOAD { ... }
     QUERY|FIND <type> [FOLLOWED BY|PRECEDED BY <type>]* [FOR ctx]
-        [SINCE "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
+        [SINCE "ts"] [UNTIL "ts"] [WHERE expr] [RETURN [f,...]] [LINKED BY f]
         [COUNT [UNIQUE f]|TOTAL f|AVG f|MIN f|MAX f|MEDIAN f|P<nn> f, ...]
         [PER HOUR|DAY|WEEK|MONTH|YEAR [USING f]] [BY f1,f2 [USING f]]
         [USING f] [USING TIME f] [ORDER BY f [ASC|DESC][, f ...]] [LIMIT n] [OFFSET n]
-    REPLAY [<type>] FOR <ctx> [SINCE "ts"] [USING f] [RETURN [f,...]]
+    REPLAY [<type>] FOR <ctx> [SINCE "ts"] [UNTIL "ts"] [USING f] [RETURN [f,...]]
     REMEMBER <query> AS <name>  /  SHOW <name>
     PLOT <metric> OF <a[->b]> [FILTER e] [TOP n [BY m]]
         [VS <metric> OF <seq> [FILTER e]]* [BREAKDOWN BY f,...]
@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
 )
 
 _CLAUSE_KEYWORDS = {
-    "PER", "BY", "USING", "SINCE", "LIMIT", "OFFSET", "ORDER", "RETURN",
+    "PER", "BY", "USING", "SINCE", "UNTIL", "LIMIT", "OFFSET", "ORDER", "RETURN",
     "LINKED", "WHERE", "FOR", "FOLLOWED", "PRECEDED", "WITHIN",
 }
 
@@ -306,6 +306,15 @@ def _parse_clauses(cur: _Cursor, q: ast.QueryCommand):
                 q.since = t.text
             else:
                 raise ParseError(f"expected time literal after SINCE, found {t}")
+        elif cur.eat_kw("UNTIL"):
+            # extension: exclusive upper time bound — [SINCE, UNTIL)
+            t = cur.next()
+            if t.kind == "string":
+                q.until = t.text[1:-1]
+            elif t.kind == "number":
+                q.until = t.text
+            else:
+                raise ParseError(f"expected time literal after UNTIL, found {t}")
         elif cur.eat_kw("RETURN"):
             q.return_fields = _parse_return_list(cur)
         elif cur.at_kw("LINKED"):
@@ -594,6 +603,11 @@ def _parse_replay(text: str) -> ast.ReplayCommand:
             if t.kind not in ("string", "number"):
                 raise ParseError("expected time literal after SINCE")
             cmd.since = t.text[1:-1] if t.kind == "string" else t.text
+        elif cur.eat_kw("UNTIL"):
+            t = cur.next()
+            if t.kind not in ("string", "number"):
+                raise ParseError("expected time literal after UNTIL")
+            cmd.until = t.text[1:-1] if t.kind == "string" else t.text
         elif cur.eat_kw("USING"):
             cur.eat_kw("TIME")
             cmd.time_field = cur.expect_ident()

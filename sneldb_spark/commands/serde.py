@@ -43,6 +43,7 @@ def query_to_json(q: ast.QueryCommand) -> dict:
         "sequence": {"head": q.sequence.head, "links": [list(l) for l in q.sequence.links]},
         "context_id": q.context_id,
         "since": q.since,
+        "until": q.until,
         "where": expr_to_json(q.where),
         "return_fields": q.return_fields,
         "link_field": q.link_field,
@@ -67,6 +68,7 @@ def query_from_json(obj: dict) -> ast.QueryCommand:
         sequence=seq,
         context_id=obj["context_id"],
         since=obj["since"],
+        until=obj.get("until"),
         where=expr_from_json(obj["where"]),
         return_fields=obj["return_fields"],
         link_field=obj["link_field"],

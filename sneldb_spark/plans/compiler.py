@@ -137,6 +137,7 @@ class QueryCompiler:
         since: str | None,
         where: ast.Expr | None,
         time_field: str | None,
+        until: str | None = None,
     ) -> DataFrame:
         df = None
         if context_id is not None and self._context_source is not None:
@@ -152,6 +153,15 @@ class QueryCompiler:
                 resolve = self._resolver(df, event_type)
                 tcol = self._time_column(df, time_field, resolve)
                 df = df.where(tcol >= F.lit(bound))
+        if until is not None:
+            # UNTIL (extension): exclusive upper bound, same time column
+            # and unparsable-is-ignored semantics as SINCE; sargable (a
+            # plain < on the scan column)
+            bound = try_parse_time_value(until)
+            if bound is not None:
+                resolve = self._resolver(df, event_type)
+                tcol = self._time_column(df, time_field, resolve)
+                df = df.where(tcol < F.lit(bound))
         if where is not None:
             resolve = self._resolver(df, event_type)
             df = df.where(compile_expr(where, resolve))
@@ -193,6 +203,7 @@ class QueryCompiler:
             or not q.limit
             or q.where is not None
             or q.since is not None
+            or q.until is not None
             or q.context_id is not None
             or q.sequence.links
         ):
@@ -209,7 +220,7 @@ class QueryCompiler:
         # materializer, never the interactive path.
         df = self._topk_frame(q) if upper is None else None
         if df is None:
-            df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+            df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field, q.until)
         if upper is not None:
             from sneldb_spark.plans.filters import hwm_at_or_before
 
@@ -255,7 +266,7 @@ class QueryCompiler:
         for the state layout."""
         if not q.is_aggregate or q.is_sequence:
             raise QueryError("partial aggregation needs a plain aggregate query")
-        df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field)
+        df = self._base_frame(q.event_type, q.context_id, q.since, q.where, q.time_field, q.until)
         if hwm is not None:
             from sneldb_spark.plans.filters import hwm_after
 
@@ -380,7 +391,7 @@ class QueryCompiler:
         sides = split_sequence_where(q.where, [head_type, tail_type])
 
         def side_frame(et: str) -> DataFrame:
-            return self._base_frame(et, q.context_id, q.since, sides[et], q.time_field)
+            return self._base_frame(et, q.context_id, q.since, sides[et], q.time_field, q.until)
 
         a = side_frame(head_type)
         b = side_frame(tail_type)
@@ -468,7 +479,7 @@ class QueryCompiler:
         kinds = [k for k, _ in q.sequence.links]
         sides = split_sequence_where(q.where, types)
         frames = [
-            self._base_frame(t, q.context_id, q.since, sides[t], q.time_field)
+            self._base_frame(t, q.context_id, q.since, sides[t], q.time_field, q.until)
             for t in types
         ]
         if upper is not None:
@@ -584,7 +595,7 @@ class QueryCompiler:
     # -- replay -----------------------------------------------------------
     def compile_replay(self, cmd: ast.ReplayCommand) -> DataFrame:
         df = self._base_frame(
-            cmd.event_type or "*", cmd.context_id, cmd.since, None, cmd.time_field
+            cmd.event_type or "*", cmd.context_id, cmd.since, None, cmd.time_field, cmd.until
         )
         # Append order = (timestamp, event_id); one context lives in one
         # "shard" in the reference — here it's simply a sort, and because we
