@@ -71,6 +71,10 @@ class EngineConfig:
     # [storage] bloom_filters: Parquet blooms on equality-probed string
     # columns (the reference's per-field XOR-filter analogue); on by default
     bloom_filters: bool = True
+    # [storage] auto_compact_files: flush-triggered compaction once a
+    # type's segment-file count exceeds this (reference background
+    # compaction, docs/src/design/compaction.md); None = manual compact()
+    auto_compact_files: Optional[int] = None
 
 
 def _parse_week_start(value: str) -> str:
@@ -116,6 +120,7 @@ def load_config(path_or_dict) -> EngineConfig:
 
     st = doc.get("storage", {})
     cfg.bloom_filters = st.get("bloom_filters", True)
+    cfg.auto_compact_files = st.get("auto_compact_files") or None
 
     p = doc.get("playground", {})
     cfg.playground = PlaygroundConfig(
@@ -145,7 +150,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         )
     return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
                   wal_archive_dir=cfg.wal_archive_dir,
-                  bloom_filters=cfg.bloom_filters)
+                  bloom_filters=cfg.bloom_filters,
+                  auto_compact_files=cfg.auto_compact_files)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

@@ -54,12 +54,14 @@ class SnelDB:
         sequence_slices: int = 0,
         multi_link: bool = False,
         bloom_filters: bool = True,
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.root = root
         self.store = EventStore(spark, root, clock=clock, wal=wal,
                                 wal_archive_dir=wal_archive_dir,
-                                bloom_filters=bloom_filters)
+                                bloom_filters=bloom_filters,
+                                auto_compact_files=auto_compact_files)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

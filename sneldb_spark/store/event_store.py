@@ -94,6 +94,7 @@ class EventStore:
         wal: bool = True,
         wal_archive_dir: str | None = None,
         bloom_filters: bool = True,
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -135,6 +136,12 @@ class EventStore:
         # dictionary already filters exactly), so low-cardinality enum
         # fields cost nothing — blooms materialize only where they help.
         self._bloom_enabled = bloom_filters
+        # Flush-triggered compaction (the reference compacts in a
+        # background thread, docs/src/design/compaction.md; a Spark engine
+        # has no daemon, so the write path polices itself): after a flush
+        # commits, any flushed type whose file count exceeds this gets
+        # compacted inline. None/0 = off (compact() stays callable).
+        self._auto_compact_files = auto_compact_files or None
         self._recover_event_dirs()
         if wal:
             self._replay_wal()
@@ -217,9 +224,26 @@ class EventStore:
         leftovers and delete them after its own commit, before the first
         flush's commit succeeded."""
         with self._flush_lock:
-            self._flush_locked()
+            flushed = self._flush_locked()
+            if self._auto_compact_files:
+                for event_type in flushed:
+                    self._maybe_compact(event_type)
 
-    def _flush_locked(self):
+    def _maybe_compact(self, event_type: str):
+        """Compact a type whose segment-file count crossed the configured
+        threshold. Called under the flush lock so a concurrent flush can't
+        race the rewrite; the rewrite itself is crash-safe (storage.py
+        staging + publish)."""
+        path = self._path(event_type)
+        if not os.path.isdir(path):
+            return
+        from sneldb_spark.store.storage import LOCAL as storage
+
+        n_files = sum(1 for _ in storage.walk_parquet(path))
+        if n_files > self._auto_compact_files:
+            self.compact(event_type)
+
+    def _flush_locked(self) -> list[str]:
         with self._pending_lock:
             pending, self._pending = self._pending, {}
             rotated = []
@@ -285,6 +309,7 @@ class EventStore:
                 os.remove(path)
             except OSError:
                 pass
+        return [t for t, rows in pending.items() if rows]
 
     def append_dataframe(self, event_type: str, df: DataFrame):
         """Bulk/streaming append of already-validated, core-schema rows.

@@ -1,0 +1,59 @@
+"""Flush-triggered auto-compaction ([storage] auto_compact_files — the
+reference's background compactor as a write-path policy): file count
+shrinks past the threshold, data survives byte-for-byte, off by default."""
+
+import glob
+import os
+
+import pytest
+
+
+def _n_files(store, t):
+    return len(
+        glob.glob(os.path.join(store.root, "events", t, "**", "*.parquet"), recursive=True)
+    )
+
+
+def test_auto_compact_triggers_and_preserves_data(spark, tmp_path):
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"), auto_compact_files=3)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    for i in range(6):
+        db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
+        db.execute("FLUSH")  # one file per flush
+    # the compactor fired at least once: far fewer than 6 files remain
+    assert _n_files(db.store, "t") <= 3
+    rows = db.query("QUERY t ORDER BY v").collect()
+    assert [r["v"] for r in rows] == list(range(6))
+    # no staging/old leftovers
+    leftovers = [
+        n
+        for n in os.listdir(os.path.join(db.store.root, "events"))
+        if n.endswith((".staging", ".old"))
+    ]
+    assert leftovers == []
+
+
+def test_auto_compact_off_by_default(spark, tmp_path):
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    for i in range(5):
+        db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
+        db.execute("FLUSH")
+    assert _n_files(db.store, "t") == 5  # untouched
+
+
+def test_config_key(tmp_path):
+    from sneldb_spark.config import load_config
+
+    cfg = load_config(
+        {"data_dir": str(tmp_path), "storage": {"auto_compact_files": 64}}
+    )
+    assert cfg.auto_compact_files == 64
+    assert load_config({"data_dir": str(tmp_path)}).auto_compact_files is None
+    # 0 means off, not "compact at zero files"
+    cfg0 = load_config({"data_dir": str(tmp_path), "storage": {"auto_compact_files": 0}})
+    assert cfg0.auto_compact_files is None
