@@ -1468,6 +1468,49 @@ def q_streaming_seq_preceded_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_seq_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-step funnel: signup FOLLOWED BY purchase FOLLOWED BY
+    click matched incrementally (streaming/sequence.py streaming_chain;
+    state per link key = incomplete chains, flat-encoded). Over
+    server-timestamp-ordered arrival the drain equals the batch
+    sequence_match_chain — the unrolled two-as-of-window oracle below.
+    Batch parity + cross-batch incrementality pinned in
+    tests/test_streaming.py."""
+    from sneldb_spark.streaming.sequence import streaming_chain
+
+    def matcher(ev, _head, _tail, link_field):
+        return streaming_chain(ev, ["signup", "purchase", "click"], link_field)
+
+    return _drain_streaming_seq(
+        spark, sf_dir, matcher, "signup", "click", "ssc_gate"
+    )
+
+
+_STREAMING_SEQ_CHAIN_SQL = f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+p1 AS (
+  SELECT a.context_id AS link, a.event_id AS s0_event_id,
+         a."timestamp" AS s0_timestamp,
+         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
+s1 AS (SELECT * FROM p1 WHERE rn = 1),
+p2 AS (
+  SELECT s1.link, s1.s0_event_id, s1.s0_timestamp,
+         s1.s1_event_id, s1.s1_timestamp,
+         c.event_id AS s2_event_id, c."timestamp" AS s2_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
+                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
+  FROM s1 JOIN c ON c.context_id = s1.link
+              AND c."timestamp" >= s1.s1_timestamp)
+SELECT link, s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
+       s2_event_id, s2_timestamp
+FROM p2 WHERE rn2 = 1"""
+
+
 _STREAMING_SEQ_PRECEDED_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'error'),
 b AS (SELECT * FROM ev WHERE event_type = 'click'),
@@ -3823,6 +3866,7 @@ _DRIVER_PRIORITY = [
     "seq_funnel_report", "seq_chain", "seq_within_window",
     "seq_followed_by", "seq_preceded_by", "seq_using_time",
     "since_bound", "order_limit_offset",
+    "streaming_seq_chain",
     "streaming_seq_followed_by", "streaming_seq_preceded_by",
     "text_bpe_pairs",
     # oldest driver rows next: gates whose last green row is r1/r2
@@ -3988,6 +4032,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_seq_followed_by": q_streaming_seq_followed_by,
         "streaming_seq_preceded_by": q_streaming_seq_preceded_by,
+        "streaming_seq_chain": q_streaming_seq_chain,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -4232,6 +4277,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "streaming_window_agg": _STREAMING_WINDOW_AGG_SQL,
         "streaming_seq_followed_by": _STREAMING_SEQ_SQL,
         "streaming_seq_preceded_by": _STREAMING_SEQ_PRECEDED_SQL,
+        "streaming_seq_chain": _STREAMING_SEQ_CHAIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "

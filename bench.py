@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "streaming_dedup",
     "streaming_seq_followed_by",
     "streaming_seq_preceded_by",
+    "streaming_seq_chain",
     # pipeline extensions
     "dedup_exact",
     # ngram runs BEFORE clusters: both share the inverted-index pair

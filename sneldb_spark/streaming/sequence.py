@@ -224,6 +224,150 @@ def streaming_preceded_by(
     )
 
 
+def streaming_chain(
+    events: DataFrame,
+    step_types: list[str],
+    link_field: str,
+    state_ttl_rows: int = 100_000,
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Multi-step streaming funnel: ``E0 FOLLOWED BY E1 FOLLOWED BY ...``
+    matched incrementally (the streaming analogue of the batch
+    `plans/sequence.py sequence_match_chain`; the reference caps chains at
+    one link, matcher.rs:297-307 — this is the same extension surface).
+
+    Semantics are the batch chain's, evaluated greedily as events arrive
+    in server-timestamp order: an E0 starts a chain; an arriving event at
+    step position i advances EVERY pending chain awaiting that step whose
+    cursor ts <= its ts (it is the earliest at-or-after candidate for all
+    of them — ties processed earlier-position-first so an equal-ts event
+    can serve adjacent steps of the same chain, the batch tie rule). A
+    chain that completes the last step emits one row with every step's
+    (event_id, timestamp); chains advance once per step (one match per
+    head) and a single event may serve many chains.
+
+    `max_gap_s` bounds every adjacent link gap (batch WITHIN parity) and
+    doubles as the state horizon: a pending chain whose cursor is older
+    than the window relative to the key's newest event can never advance
+    again and is dropped after the batch (never mid-batch — a horizon
+    computed mid-batch could evict a chain an in-window event later in
+    the same batch would still advance).
+
+    State per link key is the list of incomplete chains, flat-encoded
+    (per-chain matched-step count + concatenated ts/id histories) so the
+    GroupState stays a fixed three-array struct at any chain length;
+    `state_ttl_rows` caps total pending chains on a hot key (newest
+    kept). One shuffle on the link key per micro-batch, like the
+    single-link matchers."""
+    if len(step_types) < 2:
+        raise ValueError("streaming_chain needs at least two step types")
+    n_steps = len(step_types)
+    # a type may occur at several positions; the event serves each,
+    # ascending, so cascades through equal-ts adjacent steps work
+    positions: dict[str, list[int]] = {}
+    for i, t in enumerate(step_types):
+        positions.setdefault(t, []).append(i)
+
+    out_fields = [T.StructField("link", T.StringType())]
+    for i in range(n_steps):
+        out_fields.append(T.StructField(f"s{i}_event_id", T.LongType()))
+        out_fields.append(T.StructField(f"s{i}_timestamp", T.LongType()))
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def match_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # pend[j] = (ts_hist, id_hist) of an incomplete chain; len(hist)
+        # = steps matched so far (1..n_steps-1)
+        pend: list[tuple[list[int], list[int]]] = []
+        if state.exists:
+            steps, flat_ts, flat_id = state.get
+            off = 0
+            for s in steps:
+                pend.append(
+                    (list(flat_ts[off:off + s]), list(flat_id[off:off + s]))
+                )
+                off += s
+        out: dict[str, list[Any]] = {c: [] for c in out_cols}
+        link = key[0]
+        chunks = list(pdfs)
+        batch_max_ts: int | None = None
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # earlier step positions first at equal ts (the single-link
+            # matchers' A-before-B rule generalized)
+            batch = batch.sort_values(
+                ["timestamp", "__minpos", "event_id"], kind="stable"
+            )
+            for ts, etype, eid in zip(
+                batch["timestamp"], batch["event_type"], batch["event_id"]
+            ):
+                ts, eid = int(ts), int(eid)
+                batch_max_ts = ts if batch_max_ts is None else max(batch_max_ts, ts)
+                for pos in positions[etype]:
+                    if pos == 0:
+                        pend.append(([ts], [eid]))
+                        continue
+                    nxt: list[tuple[list[int], list[int]]] = []
+                    for ts_hist, id_hist in pend:
+                        if (
+                            len(ts_hist) == pos
+                            and ts_hist[-1] <= ts
+                            and (max_gap_s is None or ts - ts_hist[-1] <= max_gap_s)
+                        ):
+                            ts_hist = ts_hist + [ts]
+                            id_hist = id_hist + [eid]
+                            if len(ts_hist) == n_steps:  # complete: emit
+                                out["link"].append(link)
+                                for i in range(n_steps):
+                                    out[f"s{i}_event_id"].append(id_hist[i])
+                                    out[f"s{i}_timestamp"].append(ts_hist[i])
+                                continue
+                        nxt.append((ts_hist, id_hist))
+                    pend = nxt
+        if max_gap_s is not None and pend and batch_max_ts is not None:
+            # expire only from the batch-max horizon, after the batch
+            horizon = batch_max_ts - max_gap_s
+            pend = [p for p in pend if p[0][-1] >= horizon]
+        if len(pend) > state_ttl_rows:  # bound memory on hot keys
+            pend = pend[-state_ttl_rows:]
+        if pend:
+            state.update((
+                [len(p[0]) for p in pend],
+                [t for p in pend for t in p[0]],
+                [i for p in pend for i in p[1]],
+            ))
+        elif state.exists:
+            state.remove()
+        if out["link"]:
+            yield pd.DataFrame(out)
+
+    minpos = F.lit(None).cast("int")
+    for t, poss in positions.items():
+        minpos = F.when(F.col("event_type") == t, F.lit(poss[0])).otherwise(minpos)
+    sides = events.where(
+        F.col("event_type").isin(list(positions)) & F.col(link_field).isNotNull()
+    ).select(
+        F.col(link_field).cast("string").alias("__link"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        minpos.alias("__minpos"),
+    )
+    return sides.groupBy("__link").applyInPandasWithState(
+        match_fn,
+        outputStructType=out_schema,
+        stateStructType=T.StructType([
+            T.StructField("steps", T.ArrayType(T.IntegerType())),
+            T.StructField("flat_ts", T.ArrayType(T.LongType())),
+            T.StructField("flat_id", T.ArrayType(T.LongType())),
+        ]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _sided(
     events: DataFrame, head_type: str, tail_type: str, link_field: str
 ) -> DataFrame:

@@ -838,3 +838,156 @@ def test_streaming_followed_by_conversion_window(spark, tmp_path):
         assert got == {("s1", 1, 2), ("s3", 6, 7)}
     finally:
         q.stop()
+
+
+def _chain_harness(spark, tmp_path, batches, step_types, qname, **kw):
+    """Feed jsonl micro-batches (one file each) through streaming_chain and
+    return the set of (link, s0_id, s1_id, ..., sN_id) emitted tuples."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from sneldb_spark.streaming.sequence import streaming_chain
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("session", T.StringType()),
+        ]
+    )
+    def write_batch(i, rows):
+        with open(os.path.join(in_dir, f"b{i}.jsonl"), "w") as f:
+            for et, ts, eid, sess in rows:
+                f.write(_json.dumps({
+                    "event_type": et, "timestamp": ts, "event_id": eid,
+                    "session": sess}) + "\n")
+
+    write_batch(0, batches[0])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    matches = streaming_chain(stream, step_types, "session", **kw)
+    q = (
+        matches.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # drain each micro-batch before writing the next so arrival order
+        # is the intended one (the file source orders by mod time)
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            write_batch(i, rows)
+            q.processAllAvailable()
+        n = len(step_types)
+        cols = ", ".join(["link"] + [f"s{i}_event_id" for i in range(n)])
+        return {
+            tuple(r) for r in spark.sql(f"SELECT {cols} FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+
+def test_streaming_chain_three_steps_across_batches(spark, tmp_path):
+    """Chains persist across micro-batches; each step matches the first
+    at-or-after event; a completed chain emits exactly once; an event can
+    advance several pending chains at the same step."""
+    got = _chain_harness(
+        spark,
+        tmp_path,
+        [
+            # two heads on s1 (both awaiting cart), head on s2
+            [("view", 10, 1, "s1"), ("view", 11, 2, "s1"), ("view", 10, 3, "s2")],
+            # one cart advances BOTH s1 chains; s2 stays at step 0
+            [("cart", 20, 4, "s1")],
+            # buy completes both s1 chains; a later buy must not re-emit
+            [("buy", 30, 5, "s1"), ("buy", 31, 6, "s1"), ("cart", 40, 7, "s2")],
+            [("buy", 50, 8, "s2")],
+        ],
+        ["view", "cart", "buy"],
+        "chain3",
+    )
+    assert got == {
+        ("s1", 1, 4, 5),
+        ("s1", 2, 4, 5),
+        ("s2", 3, 7, 8),
+    }
+
+
+def test_streaming_chain_equal_ts_cascade(spark, tmp_path):
+    """The batch tie rule: an equal-timestamp event can serve adjacent
+    steps, and within one micro-batch earlier-position events process
+    first at equal ts."""
+    got = _chain_harness(
+        spark,
+        tmp_path,
+        [[("buy", 10, 3, "s1"), ("cart", 10, 2, "s1"), ("view", 10, 1, "s1")]],
+        ["view", "cart", "buy"],
+        "chain_ties",
+    )
+    assert got == {("s1", 1, 2, 3)}
+
+
+def test_streaming_chain_conversion_window(spark, tmp_path):
+    """max_gap_s bounds every adjacent link gap and expires stale pending
+    chains only after the batch that moved the horizon."""
+    got = _chain_harness(
+        spark,
+        tmp_path,
+        [
+            [("view", 10, 1, "s1"), ("cart", 15, 2, "s1"),
+             ("view", 10, 3, "s2")],
+            # s1 buy inside window of cart(15); s2 cart way out of window
+            [("buy", 20, 4, "s1"), ("cart", 100, 5, "s2"),
+             ("buy", 105, 6, "s2")],
+        ],
+        ["view", "cart", "buy"],
+        "chain_win",
+        max_gap_s=10,
+    )
+    assert got == {("s1", 1, 2, 4)}
+
+
+def test_streaming_chain_matches_batch_chain(spark, tmp_path):
+    """Parity: draining an in-timestamp-order stream equals the batch
+    sequence_match_chain over the same events (the gate's oracle shape)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sneldb_spark.plans.sequence import sequence_match_chain
+
+    rng = random.Random(7)
+    rows, ts, eid = [], 100, 0
+    for _ in range(120):
+        ts += rng.randint(1, 3)
+        eid += 1
+        rows.append((
+            rng.choice(["view", "cart", "buy", "other"]),
+            ts, eid, f"s{rng.randint(1, 6)}",
+        ))
+    # three micro-batches, order preserved (server-ts arrival order)
+    batches = [rows[:40], rows[40:80], rows[80:]]
+    got = _chain_harness(spark, tmp_path, batches, ["view", "cart", "buy"],
+                         "chain_parity")
+
+    ev = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, session string"
+    )
+    frames = [
+        ev.where(F.col("event_type") == t).select("session", "timestamp", "event_id")
+        for t in ["view", "cart", "buy"]
+    ]
+    chain = sequence_match_chain(
+        frames, "session", ["followed_by", "followed_by"]
+    )
+    want = {
+        (r["s0_session"], r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
+        for r in chain.collect()
+    }
+    assert got == want and len(want) > 0
