@@ -38,8 +38,13 @@ from sneldb_spark.errors import QueryError
 
 def is_percentile(op: str) -> bool:
     """median / p<NN> — exact interpolated percentiles (extension beyond
-    the reference's aggregate set). NOT mergeable: the materializer's
-    incremental refresh must fall back to full recompute for these."""
+    the reference's aggregate set). EXACT percentiles are mergeable: the
+    partial state is the group's value multiset (the same thing the SQL
+    `percentile` aggregate buffers), merged by concatenation and
+    finalized with the identical lower + (higher-lower)*frac
+    interpolation — so incremental REMEMBER refreshes are bit-equal to
+    the query path. The approx_percentiles sketch has no exposed merge,
+    so THAT opt-in still routes to full recompute."""
     return op == "median" or (op.startswith("p") and op[1:].isdigit())
 
 
@@ -154,13 +159,41 @@ def _set_state(field: str) -> str:
     return f"__set_{field}"
 
 
+def _vals_state(field: str) -> str:
+    # shared by every percentile op on the same field (MEDIAN amount and
+    # P90 amount finalize from one buffered multiset)
+    return f"__vals_{field}"
+
+
+def _percentile_from_array(state: Column, frac: float) -> Column:
+    """Exact interpolated percentile of a buffered value array — the same
+    index = frac*(n-1), lower + (higher-lower)*d formula the SQL
+    `percentile` aggregate applies, expression-for-expression, so the
+    finalize path is bit-equal to the direct query path."""
+    srt = F.array_sort(state)
+    n = F.size(srt)
+    rank = F.lit(float(frac)) * (n.cast("double") - F.lit(1.0))
+    lo = F.floor(rank).cast("int")
+    hi = F.ceil(rank).cast("int")
+    lov = F.element_at(srt, lo + 1)
+    hiv = F.element_at(srt, hi + 1)
+    return F.when(n > 0, lov + (hiv - lov) * (rank - lo.cast("double")))
+
+
 def partial_agg_exprs(
     specs: list[AggSpec], resolve, approx_unique: bool = False
 ) -> list[Column]:
     """Aggregation expressions producing the mergeable state columns."""
     exprs: list[Column] = []
+    seen_states: set[str] = set()
     for spec in specs:
         col = resolve(spec.field)[0] if spec.field else None
+        if is_percentile(spec.op):
+            st = _vals_state(spec.field)
+            if st not in seen_states:
+                seen_states.add(st)
+                exprs.append(F.collect_list(col.cast("double")).alias(st))
+            continue
         if spec.op == "count":
             exprs.append(F.count(F.lit(1)).alias(spec.output_name))
         elif spec.op == "count_field":
@@ -223,8 +256,16 @@ def merge_partial_states(
 ) -> DataFrame:
     """Collapse a union of partial-state frames to one row per group."""
     aggs: list[Column] = []
+    seen_states: set[str] = set()
     for spec in specs:
         name = spec.output_name
+        if is_percentile(spec.op):
+            st = _vals_state(spec.field)
+            if st not in seen_states:
+                seen_states.add(st)
+                # multiset union: concatenate the buffered value arrays
+                aggs.append(F.flatten(F.collect_list(st)).alias(st))
+            continue
         if spec.op in ("count", "count_field", "total"):
             aggs.append(F.sum(name).alias(name))
         elif spec.op == "min":
@@ -260,7 +301,15 @@ def finalize_partial_state(
     (A11 naming, keys first then aggregates in spec order)."""
     out = df
     for spec in specs:
-        if spec.op == "avg":
+        if is_percentile(spec.op):
+            out = out.withColumn(
+                spec.output_name,
+                _percentile_from_array(
+                    F.col(_vals_state(spec.field)),
+                    percentile_fraction(spec.op),
+                ),
+            )
+        elif spec.op == "avg":
             s, c = _avg_state(spec.field)
             out = out.withColumn(spec.output_name, F.col(s) / F.col(c))
         elif spec.op == "count_unique":

@@ -132,10 +132,18 @@ class Materializer:
         PAIRS into mergeable per-group state (pairs are append-only under
         server timestamps, so the same merge the plain aggregates use is
         exact over them)."""
+        from sneldb_spark.plans.aggregates import is_percentile
+
         return (
             isinstance(q, ast.QueryCommand)
             and q.is_aggregate
             and self._seq_delta_safe(q, manifest)
+            # same rule as _agg_incrementable: only the approx-percentile
+            # sketch lacks a merge
+            and not (
+                self.engine.compiler.approx_percentiles
+                and any(is_percentile(a.op) for a in q.aggs)
+            )
         )
 
     @staticmethod
@@ -168,8 +176,12 @@ class Materializer:
             and q.offset is None
             and manifest.get("max_rows") is None
             and manifest.get("max_age_seconds") is None
-            # percentiles have no mergeable partial state — full recompute
-            and not any(is_percentile(a.op) for a in q.aggs)
+            # exact percentiles carry a mergeable value-multiset state;
+            # the approx sketch exposes no merge — full recompute there
+            and not (
+                self.engine.compiler.approx_percentiles
+                and any(is_percentile(a.op) for a in q.aggs)
+            )
         )
 
     def _state_path(self, name: str) -> str:

@@ -1,7 +1,8 @@
 """MEDIAN / P<nn> percentile aggregates (extension beyond the reference's
 aggregate set): exact interpolated percentiles through the real
-parser+compiler, PER/BY composition, and the materializer's
-full-recompute fallback (percentiles have no mergeable partial state)."""
+parser+compiler, PER/BY composition, and the materializer's incremental
+refresh (exact percentiles keep a mergeable value-multiset state; only
+the approx-sketch opt-in falls back to full recompute)."""
 
 import pytest
 
@@ -71,9 +72,12 @@ def test_percentile_global_and_per_bucket(pct_engine):
     assert len(rows) == 1 and rows[0]["median_amount"] == 40.0
 
 
-def test_remember_percentile_falls_back_to_full_recompute(pct_engine):
+def test_remember_percentile_refreshes_incrementally(pct_engine):
+    """Exact percentiles carry a mergeable value-multiset state: the
+    REMEMBER is incrementable and a delta refresh (state merge + the same
+    interpolation the query path applies) lands on the recompute answer."""
     pct_engine.execute("REMEMBER QUERY sale MEDIAN amount BY country AS med")
-    assert not pct_engine.materializer._agg_incrementable(
+    assert pct_engine.materializer._agg_incrementable(
         __import__("sneldb_spark.commands.serde", fromlist=["query_from_json"]).query_from_json(
             __import__("json").load(
                 open(pct_engine.materializer._manifest_path("med"))
@@ -83,11 +87,39 @@ def test_remember_percentile_falls_back_to_full_recompute(pct_engine):
     )
     first = {r["country"]: r["median_amount"] for r in pct_engine.execute("SHOW med").df.collect()}
     assert first == {"NL": 20.0, "DE": 65.0}
-    # new rows shift the percentile; refresh recomputes, not merges
+    # new rows shift the percentile; the merged state must re-interpolate
     pct_engine.execute('STORE sale FOR cx PAYLOAD {"amount": 1000, "country": "NL"}')
     refreshed = {r["country"]: r["median_amount"] for r in pct_engine.execute("SHOW med").df.collect()}
     assert refreshed["NL"] == 25.0  # [0,10,20,30,40,1000] -> (20+30)/2
     assert refreshed["DE"] == 65.0
+    # and the refreshed answer equals a from-scratch query
+    direct = {
+        r["country"]: r["median_amount"]
+        for r in pct_engine.query("QUERY sale MEDIAN amount BY country").collect()
+    }
+    assert refreshed == direct
+
+
+def test_remember_approx_percentile_still_full_recompute(spark, tmp_path):
+    """The percentile_approx sketch exposes no merge — with the approx
+    opt-in, percentile REMEMBERs route to full recompute."""
+    import json
+
+    from sneldb_spark.commands.serde import query_from_json
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "apxm"), approx_percentiles=True)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    db.execute('STORE t FOR c PAYLOAD {"v": 1}')
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY t MEDIAN v AS m")
+    q = query_from_json(
+        json.load(open(db.materializer._manifest_path("m")))["query"]
+    )
+    assert not db.materializer._agg_incrementable(
+        q, {"max_rows": None, "max_age_seconds": None}
+    )
+    assert db.execute("SHOW m").df.collect()[0]["median_v"] == 1
 
 
 def test_plotql_percentile_metric(pct_engine):
@@ -119,3 +151,24 @@ def test_approx_percentiles_opt_in(spark, tmp_path):
     # exact on small inputs (median of 0..10 is 5; p90 -> 9 or 10)
     assert rows[0]["median_v"] == 5
     assert rows[0]["p90_v"] in (9, 10)
+
+
+def test_remember_multi_percentile_same_field_incremental(pct_engine):
+    """MEDIAN f and P90 f share ONE buffered multiset state column; the
+    merged refresh finalizes both from it."""
+    pct_engine.execute(
+        "REMEMBER QUERY sale MEDIAN amount, P90 amount, COUNT BY country AS multi"
+    )
+    pct_engine.execute('STORE sale FOR cy PAYLOAD {"amount": 90, "country": "DE"}')
+    got = {
+        r["country"]: (r["median_amount"], r["p90_amount"], r["count"])
+        for r in pct_engine.execute("SHOW multi").df.collect()
+    }
+    direct = {
+        r["country"]: (r["median_amount"], r["p90_amount"], r["count"])
+        for r in pct_engine.query(
+            "QUERY sale MEDIAN amount, P90 amount, COUNT BY country"
+        ).collect()
+    }
+    assert got == direct
+    assert got["DE"][2] == 5  # the delta row reached the merged state
