@@ -2904,7 +2904,10 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHOW. The refresh merges a delta partial aggregate (post-hwm scan
     only — reference: src/command/handlers/show/delta/refresher.rs) into
     stored per-group state, so the result must equal the aggregate over
-    ALL events, including COUNT UNIQUE via exact set union."""
+    ALL events, including COUNT UNIQUE via exact set union and MEDIAN via
+    the mergeable value-multiset state (finalized with the same
+    interpolation the direct query path applies; rounded 6dp both
+    sides like the agg_percentile gate)."""
     import shutil
     import tempfile
 
@@ -2927,10 +2930,13 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.execute(
             "REMEMBER QUERY purchase COUNT, TOTAL value_cents, "
             "AVG value_cents, MIN value, MAX value, "
-            "COUNT UNIQUE context_id BY k AS purchase_stats"
+            "COUNT UNIQUE context_id, MEDIAN value_cents "
+            "BY k AS purchase_stats"
         )
         db.store.append_dataframe("purchase", frame.where(F.col("event_id") > mid).select(cols))
-        out = db.execute("SHOW purchase_stats").df
+        out = db.execute("SHOW purchase_stats").df.withColumn(
+            "median_value_cents", F.round(F.col("median_value_cents"), 6)
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
@@ -2943,7 +2949,8 @@ SELECT k, count(*) AS count,
        CAST(SUM(value_cents) AS BIGINT) AS total_value_cents,
        CAST(SUM(value_cents) AS DOUBLE)/count(value_cents) AS avg_value_cents,
        min(value) AS min_value, max(value) AS max_value,
-       count(DISTINCT context_id) AS count_unique_context_id
+       count(DISTINCT context_id) AS count_unique_context_id,
+       round(quantile_cont(value_cents, 0.5), 6) AS median_value_cents
 FROM ev WHERE event_type = 'purchase' GROUP BY k
 """
 
