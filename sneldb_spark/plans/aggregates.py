@@ -167,17 +167,26 @@ def _vals_state(field: str) -> str:
 
 def _percentile_from_array(state: Column, frac: float) -> Column:
     """Exact interpolated percentile of a buffered value array — the same
-    index = frac*(n-1), lower + (higher-lower)*d formula the SQL
-    `percentile` aggregate applies, expression-for-expression, so the
-    finalize path is bit-equal to the direct query path."""
+    position = frac*(n-1), (higher-position)*lowerValue +
+    (position-lower)*higherValue formula Spark's `percentile` aggregate
+    applies (Percentile.getPercentile), expression-for-expression, so the
+    finalize path is BIT-equal to the direct query path (property-tested
+    with no tolerance in tests/test_property.py)."""
     srt = F.array_sort(state)
     n = F.size(srt)
-    rank = F.lit(float(frac)) * (n.cast("double") - F.lit(1.0))
-    lo = F.floor(rank).cast("int")
-    hi = F.ceil(rank).cast("int")
+    pos = F.lit(float(frac)) * (n.cast("double") - F.lit(1.0))
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
     lov = F.element_at(srt, lo + 1)
     hiv = F.element_at(srt, hi + 1)
-    return F.when(n > 0, lov + (hiv - lov) * (rank - lo.cast("double")))
+    return F.when(
+        n > 0,
+        # integral position hits a real element (Spark returns it as-is;
+        # the interpolation form would cancel to 0 there)
+        F.when(lo == hi, lov).otherwise(
+            (hi.cast("double") - pos) * lov + (pos - lo.cast("double")) * hiv
+        ),
+    )
 
 
 def partial_agg_exprs(

@@ -503,3 +503,65 @@ def test_funnel_report_with_window(spark):
     out = {r["step"]: r["reached"]
            for r in funnel_report(frames, "link", max_gap_s=10).collect()}
     assert out == {0: 3, 1: 2, 2: 1}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=39),
+    frac_pct=st.sampled_from([5, 25, 50, 90, 99]),
+)
+def test_percentile_partial_merge_equals_direct(spark, groups, split, frac_pct):
+    """Mergeable percentile state: splitting the rows at ANY point,
+    aggregating each half to partial state, merging, and finalizing is
+    bit-equal to the direct percentile aggregate over all rows (the
+    materializer's incremental-refresh invariant)."""
+    from sneldb_spark.commands.ast import AggSpec
+    from sneldb_spark.plans.aggregates import (
+        apply_aggregation,
+        apply_partial_aggregation,
+        finalize_partial_state,
+        merge_partial_states,
+    )
+
+    split = min(split, len(groups))
+    specs = [
+        AggSpec(op=f"p{frac_pct}", field="v"),
+        AggSpec(op="median", field="v"),
+    ]
+    df = spark.createDataFrame(groups, "g string, v long")
+
+    def resolve(f):
+        return F.col(f), None
+
+    parts = []
+    for half in (groups[:split], groups[split:]):
+        if not half:
+            continue
+        h = spark.createDataFrame(half, "g string, v long")
+        state, keys = apply_partial_aggregation(h, specs, ["g"], resolve)
+        parts.append(state)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merge_partial_states(merged, specs, ["g"])
+    got = {
+        (r["g"], r[specs[0].output_name], r[specs[1].output_name])
+        for r in finalize_partial_state(merged, specs, ["g"]).collect()
+    }
+    want = {
+        (r["g"], r[specs[0].output_name], r[specs[1].output_name])
+        for r in apply_aggregation(df, specs, ["g"], resolve).collect()
+    }
+    assert got == want  # bit-equal, no tolerance
