@@ -100,6 +100,8 @@ class Materializer:
         its own mergeable partial state, exactly like a standalone
         aggregate REMEMBER, and only the full-outer side merge re-runs
         (group-count-sized, not scan-sized)."""
+        from sneldb_spark.plans.aggregates import is_percentile
+
         return (
             isinstance(c, ast.CompareCommand)
             and len(c.queries) > 0
@@ -111,6 +113,14 @@ class Materializer:
                 and s.limit is None
                 and s.offset is None
                 for s in c.queries
+            )
+            # exact percentiles merge (value-multiset state); the approx
+            # sketch doesn't — route those to full recompute
+            and not (
+                self.engine.compiler.approx_percentiles
+                and any(
+                    is_percentile(a.op) for s in c.queries for a in s.aggs
+                )
             )
         )
 

@@ -172,3 +172,26 @@ def test_remember_multi_percentile_same_field_incremental(pct_engine):
     }
     assert got == direct
     assert got["DE"][2] == 5  # the delta row reached the merged state
+
+
+def test_remember_compare_with_percentile_incremental(pct_engine):
+    """A COMPARE side carrying a MEDIAN refreshes through the mergeable
+    multiset state like any other aggregate side (pre-fix this crashed in
+    partial_agg_exprs: 'unknown aggregate op median')."""
+    pct_engine.execute(
+        "REMEMBER PLOT MEDIAN(amount) OF sale VS COUNT OF sale "
+        "BREAKDOWN BY country AS cmp_med"
+    )
+    pct_engine.execute('STORE sale FOR cz PAYLOAD {"amount": 1000, "country": "NL"}')
+    got = {
+        r["country"]: (r["left_median_amount"], r["right_count"])
+        for r in pct_engine.execute("SHOW cmp_med").df.collect()
+    }
+    direct = {
+        r["country"]: (r["left_median_amount"], r["right_count"])
+        for r in pct_engine.query(
+            "PLOT MEDIAN(amount) OF sale VS COUNT OF sale BREAKDOWN BY country"
+        ).collect()
+    }
+    assert got == direct
+    assert got["NL"][1] == 6  # the delta row reached both sides
