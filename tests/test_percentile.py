@@ -195,3 +195,35 @@ def test_remember_compare_with_percentile_incremental(pct_engine):
     }
     assert got == direct
     assert got["NL"][1] == 6  # the delta row reached both sides
+
+
+def test_remember_sequence_aggregate_percentile_incremental(spark, tmp_path):
+    """Sequence aggregates with MEDIAN refresh by delta-pair state merge
+    through the same multiset state (previously this path would crash in
+    partial_agg_exprs for percentile ops)."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string", "amount": "int" }')
+    for u, amt in [("u1", 10), ("u2", 20), ("u3", 30)]:
+        db.execute(f'STORE signup FOR c{u} PAYLOAD {{"user_id": "{u}"}}')
+        db.execute(
+            f'STORE purchase FOR c{u} PAYLOAD {{"user_id": "{u}", "amount": {amt}}}'
+        )
+    db.execute("FLUSH")
+    q = "QUERY signup FOLLOWED BY purchase LINKED BY user_id MEDIAN amount, COUNT"
+    db.execute(f"REMEMBER {q} AS med_funnel")
+    db.execute('STORE signup FOR cu4 PAYLOAD {"user_id": "u4"}')
+    db.execute('STORE purchase FOR cu4 PAYLOAD {"user_id": "u4", "amount": 1000}')
+    db.execute("FLUSH")
+    shown = db.execute("SHOW med_funnel").df.collect()
+    assert (shown[0]["median_amount"], shown[0]["count"]) == (25.0, 4)
+    direct = db.query(q).collect()
+    assert (direct[0]["median_amount"], direct[0]["count"]) == (25.0, 4)
