@@ -1622,6 +1622,63 @@ GROUP BY d.doc_id
 )
 
 
+def q_dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet boilerplate-line removal: regroup each document's tokens
+    into 8-token pseudo-lines (the synthetic corpus has no newlines),
+    then drop every line whose exact text occurs in >= 2 DISTINCT
+    documents — all occurrences, every document. Distinct-doc counting is
+    what separates this from dedup_span_removal's total-occurrence
+    spans (pipeline/dedup.py boilerplate_line_removal)."""
+    from sneldb_spark.pipeline.dedup import boilerplate_line_removal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return boilerplate_line_removal(lined, min_docs=2).select(
+        F.col("id").alias("doc_id"), "n_lines", "n_removed_lines", "clean_text"
+    )
+
+
+_DEDUP_LINE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+lined AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+       1, CAST(ceil(len(w)/8.0) AS INT))) AS i)
+),
+boiler AS (
+  SELECT line FROM lined GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lined l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.w)/8.0) AS INT) AS n_lines,
+       coalesce(r.n_removed, 0) AS n_removed_lines,
+       coalesce(k.clean, '') AS clean_text
+FROM toks t
+LEFT JOIN (SELECT l.doc_id, count(*) AS n_removed
+           FROM lined l JOIN boiler b ON b.line = l.line
+           GROUP BY l.doc_id) r USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-granular exact substring dedup: strip every 10-token span
     whose text occurs >= 2 times anywhere in the corpus."""
@@ -3874,6 +3931,7 @@ _DRIVER_PRIORITY = [
     "seq_followed_by", "seq_preceded_by", "seq_using_time",
     "since_bound", "order_limit_offset",
     "streaming_seq_chain",
+    "dedup_line_boilerplate",
     "streaming_seq_followed_by", "streaming_seq_preceded_by",
     "text_bpe_pairs",
     # oldest driver rows next: gates whose last green row is r1/r2
@@ -4044,6 +4102,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_span_removal": q_dedup_span_removal,
+        "dedup_line_boilerplate": q_dedup_line_boilerplate,
         "text_ngram_counts": q_text_ngram_counts,
         "text_bpe_pairs": q_text_bpe_pairs,
         "text_lm_score": q_text_lm_score,
@@ -4292,6 +4351,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_span_removal": _DEDUP_SPAN_SQL,
+        "dedup_line_boilerplate": _DEDUP_LINE_SQL,
         "text_ngram_counts": _TEXT_NGRAM_COUNTS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dedup_minhash_clusters",
     "dedup_simhash",
     "dedup_span_removal",
+    "dedup_line_boilerplate",
     "text_quality",
     "text_langid",
     "text_tokens_fingerprint",

@@ -704,6 +704,80 @@ def duplicated_span_removal(
     )
 
 
+def boilerplate_line_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide boilerplate LINE removal (the C4 "discard any line that
+    appears more than once in the corpus" / CCNet line-hash-dedup step):
+    every line whose exact text occurs in >= `min_docs` DISTINCT documents
+    is removed from every document, all occurrences. The distinct-DOC
+    count is what separates this from `duplicated_span_removal`'s total
+    occurrence count — a line repeated inside one document is that
+    document's own structure, not cross-site boilerplate (navigation,
+    cookie banners, footers), and stays.
+
+    Returns (id, n_lines, n_removed_lines, clean_text) with clean_text the
+    surviving lines rejoined by `line_sep` in original order ('' when
+    everything was boilerplate).
+
+    Scale design: all-JVM codegen (split / posexplode / count distinct /
+    semi join / re-agg), no Python. Three linear shuffles on uniform keys:
+    the per-line distinct-doc count (two-phase partial distinct on
+    (line, id)), the boilerplate semi join back onto the exploded lines,
+    and the per-doc reassembly groupBy. Nothing broadcast — the
+    boilerplate set is corpus-sized in the worst case, so the semi join
+    stays a shuffle join (AQE may still pick broadcast when it measures
+    small, which is then safe). The line string itself is the shuffle
+    key, exactly reproducible by any engine; swapping to md5(line) caps
+    key width at 100 TB if needed.
+    """
+    import re as _re
+
+    sep_re = _re.escape(line_sep)  # F.split takes a REGEX pattern
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    flagged = lines.join(boiler, "line", "left_semi").select("id", "pos")
+    kept = lines.join(boiler, "line", "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text")
+    )
+    removed = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_removed_lines")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep_re, -1)).alias("n_lines"),
+    )
+    return (
+        base.join(removed, "id", "left")
+        .join(clean, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            F.coalesce("n_removed_lines", F.lit(0)).alias("n_removed_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def cluster_keep_best(
     clusters: DataFrame,
     docs: DataFrame,

@@ -1431,3 +1431,47 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(all(c == c for c in cent) for cent in cents)  # no NaN
     n = assigned.select("cluster").distinct().count()
     assert n >= 2
+
+
+def test_boilerplate_line_removal(spark):
+    """C4/CCNet line dedup: lines in >= min_docs DISTINCT docs are removed
+    everywhere (all occurrences); a line repeated only within ONE doc
+    stays (distinct-doc counting, not total occurrences)."""
+    from sneldb_spark.pipeline.dedup import boilerplate_line_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\ncookie banner\nbody text a\ncookie banner"),
+            (2, "cookie banner\nbody text b"),
+            (3, "self repeat\nself repeat\nunique line"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_lines"], r["n_removed_lines"], r["clean_text"])
+        for r in boilerplate_line_removal(docs, min_docs=2).collect()
+    }
+    # 'cookie banner' is in docs 1 and 2 -> removed everywhere (both
+    # copies in doc 1); 'self repeat' x2 lives only in doc 3 -> kept
+    assert out[1] == (4, 2, "intro one\nbody text a")
+    assert out[2] == (2, 1, "body text b")
+    assert out[3] == (3, 0, "self repeat\nself repeat\nunique line")
+    assert out[4] == (1, 0, "")
+
+
+def test_boilerplate_line_removal_custom_separator_and_threshold(spark):
+    from sneldb_spark.pipeline.dedup import boilerplate_line_removal
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.c"), (2, "b.x"), (3, "b.y.a")],
+        "doc_id long, text string",
+    )
+    # '.' must be treated literally, not as a regex wildcard
+    out = {
+        r["id"]: r["clean_text"]
+        for r in boilerplate_line_removal(
+            docs, line_sep=".", min_docs=3
+        ).collect()
+    }
+    assert out == {1: "a.c", 2: "x", 3: "y.a"}  # only 'b' hits 3 docs
