@@ -46,7 +46,57 @@ def main():
             f"{label}: one-group(8M values) {t_hot:.2f}s p90={r_hot[0]['p']:.1f} | "
             f"100k-groups {t_spread:.2f}s"
         )
-    df.unpersist()
+    # incremental-refresh shape: two half-corpus partial states (the
+    # materializer's stored state + a delta), merged and finalized —
+    # must equal the direct percentile bit-for-bit, and cost about one
+    # extra pass over the values (the state arrays concatenate)
+    from sneldb_spark.commands.ast import AggSpec
+    from sneldb_spark.plans.aggregates import (
+        apply_partial_aggregation,
+        finalize_partial_state,
+        merge_partial_states,
+    )
+
+    specs = [AggSpec(op="p90", field="v")]
+    resolve = lambda f: (F.col(f), None)  # noqa: E731
+
+    def merged():
+        halves = [
+            apply_partial_aggregation(
+                df.where(cond), specs, ["g"], resolve
+            )[0]
+            for cond in (F.col("id") % 2 == 0, F.col("id") % 2 == 1)
+        ]
+        state = merge_partial_states(
+            halves[0].unionByName(halves[1]), specs, ["g"]
+        )
+        return finalize_partial_state(state, specs, ["g"])
+
+    df2 = spark.range(ROWS).select(
+        F.col("id"),
+        (F.col("id") % 100_000).alias("g"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1_000_003))).alias("v"),
+    ).persist()
+    df2.count()
+    df = df2
+    t_direct, direct = timed(
+        lambda: {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(F.percentile(F.col("v"), F.lit(0.9)).alias("p"))
+            .collect()
+        }
+    )
+    t_merge, got = timed(
+        lambda: {r["g"]: r["p90_v"] for r in merged().collect()}
+    )
+    n_diff = sum(1 for g in direct if direct[g] != got[g])
+    print(
+        f"incremental: direct {t_direct:.2f}s | split+merge+finalize "
+        f"{t_merge:.2f}s | bit-diff groups: {n_diff} of {len(direct)}"
+    )
+    assert n_diff == 0
+    df2.unpersist()
 
 
 if __name__ == "__main__":
