@@ -3801,6 +3801,31 @@ GROUP BY source
 """
 
 
+def q_sampling_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: (shard, pos)
+    address as a pure md5(id:seed) function — same permutation on every
+    engine/partitioning, new seed = new epoch order
+    (pipeline/sampling.py training_shuffle)."""
+    from sneldb_spark.pipeline.sampling import training_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return training_shuffle(d, id_col="doc_id", seed=7, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_SAMPLING_TRAINING_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+            % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT % 8
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7') ASC, doc_id ASC
+       ) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
 def q_sampling_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic md5(id) order (the
     per-domain ceiling of a crawl-curation pipeline)."""
@@ -3932,6 +3957,7 @@ _DRIVER_PRIORITY = [
     "since_bound", "order_limit_offset",
     "streaming_seq_chain",
     "dedup_line_boilerplate",
+    "sampling_training_shuffle",
     "streaming_seq_followed_by", "streaming_seq_preceded_by",
     "text_bpe_pairs",
     # oldest driver rows next: gates whose last green row is r1/r2
@@ -4128,6 +4154,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "events_json_extract": q_events_json_extract,
         "sampling_group_cap": q_sampling_group_cap,
+        "sampling_training_shuffle": q_sampling_training_shuffle,
         "corpus_report": q_corpus_report,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4370,6 +4397,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "multimodal_dedup": _MULTIMODAL_DEDUP_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "sampling_group_cap": _SAMPLING_GROUP_CAP_SQL,
+        "sampling_training_shuffle": _SAMPLING_TRAINING_SHUFFLE_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "dedup_keep_best": _keep_best_sql(),

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "sampling_leakage_safe",
     "sampling_token_budget",
     "sampling_group_cap",
+    "sampling_training_shuffle",
     "corpus_curation",
     "corpus_report",
     "remember_show_agg",

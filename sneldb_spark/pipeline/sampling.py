@@ -274,3 +274,45 @@ def cap_per_group(
         df.withColumn("group_rank", F.row_number().over(w))
         .where(F.col("group_rank") <= cap)
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a (shard, pos) address that is a pure function of (id, seed) —
+    the same example lands at the same place on every machine, engine,
+    and partitioning, and changing `seed` produces an independent
+    permutation (epoch reshuffling without RNG state).
+
+    shard = first 32 bits of md5(id ':' seed) mod n_shards; pos = the
+    row's 0-based rank within its shard by the full md5 digest (id as
+    the tiebreak). Readers stream shard files in pos order and get a
+    uniform random interleave of the corpus.
+
+    Scale shape: one hash-partitioned window shuffle; each shard is one
+    sort partition, so pick n_shards to the target shard FILE size
+    (~256 MB-1 GB each — at 100 TB that is 100k-400k shards, far past
+    any skew concern since md5 spreads uniformly). The address is stable
+    under append only within a shard's existing ranks shifting; for
+    strict epoch reproducibility, pin the corpus snapshot first
+    (REMEMBER or a parquet export).
+
+    Output: input columns + `shard` (int) + `pos` (0-based long).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("__key")
+    )

@@ -1475,3 +1475,24 @@ def test_boilerplate_line_removal_custom_separator_and_threshold(spark):
         ).collect()
     }
     assert out == {1: "a.c", 2: "x", 3: "y.a"}  # only 'b' hits 3 docs
+
+
+def test_training_shuffle_deterministic_and_uniform(spark):
+    from sneldb_spark.pipeline.sampling import training_shuffle
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in training_shuffle(docs, seed=1, n_shards=4).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in
+         training_shuffle(docs.repartition(7), seed=1, n_shards=4).collect()}
+    assert a == b  # partitioning-independent
+    # different seed -> different permutation
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in training_shuffle(docs, seed=2, n_shards=4).collect()}
+    assert a != c
+    # every shard's positions are dense 0..k-1 and shards are roughly even
+    by_shard = {}
+    for doc, sh, pos in a:
+        by_shard.setdefault(sh, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+        assert 20 <= len(poss) <= 80  # uniform-ish for 200 rows / 4 shards
