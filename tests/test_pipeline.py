@@ -1496,3 +1496,52 @@ def test_training_shuffle_deterministic_and_uniform(spark):
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
         assert 20 <= len(poss) <= 80  # uniform-ish for 200 rows / 4 shards
+
+
+def test_boilerplate_line_removal_all_jvm(docs):
+    from sneldb_spark.pipeline.dedup import boilerplate_line_removal
+
+    plan = (
+        boilerplate_line_removal(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan
+
+
+def test_boilerplate_line_removal_matches_brute_force(spark):
+    """Randomized cross-check against a driver-side reference
+    implementation (distinct-doc counting, all-occurrence removal,
+    order-preserving reassembly)."""
+    import random
+
+    from sneldb_spark.pipeline.dedup import boilerplate_line_removal
+
+    rng = random.Random(11)
+    vocab = [f"l{i}" for i in range(12)]
+    docs = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(30)
+    ]
+    min_docs = 3
+    # brute force
+    from collections import defaultdict
+
+    in_docs = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            in_docs[ln].add(i)
+    boiler = {ln for ln, s in in_docs.items() if len(s) >= min_docs}
+    want = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        want[i] = (
+            len(lines),
+            len(lines) - len(kept),
+            "\n".join(kept),
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_lines"], r["n_removed_lines"], r["clean_text"])
+        for r in boilerplate_line_removal(df, min_docs=min_docs).collect()
+    }
+    assert got == want
