@@ -316,3 +316,32 @@ def training_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long") - 1)
         .drop("__key")
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 32,
+    mode: str = "error",
+) -> None:
+    """Materialize the `training_shuffle` permutation as shard
+    directories: `path/shard=<k>/` each holding ONE file whose row order
+    is the shard's `pos` order — a training reader streams the files
+    as-is and sees the deterministic global interleave, no sort at read
+    time.
+
+    One hash repartition on the shard id (so each shard is written by
+    exactly one task, giving one file per shard) + an in-task sort on
+    (shard, pos). Same 100 TB sizing rule as training_shuffle: pick
+    n_shards for ~256 MB-1 GB files.
+    """
+    addressed = training_shuffle(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    (
+        addressed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )

@@ -1545,3 +1545,34 @@ def test_boilerplate_line_removal_matches_brute_force(spark):
         for r in boilerplate_line_removal(df, min_docs=min_docs).collect()
     }
     assert got == want
+
+
+def test_export_training_shards_order_and_layout(spark, tmp_path):
+    """Each shard directory holds one file whose physical row order is the
+    pos order (readers stream without sorting)."""
+    import glob
+
+    from sneldb_spark.pipeline.sampling import export_training_shards, training_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    export_training_shards(docs, out, seed=3, n_shards=4)
+    want = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in training_shuffle(docs, seed=3, n_shards=4).collect()
+    }
+    total = 0
+    for sh in range(4):
+        files = glob.glob(f"{out}/shard={sh}/*.parquet")
+        assert len(files) == 1, files  # one file per shard
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0]).to_pydict()
+        ids, poss = t["doc_id"], t["pos"]
+        assert poss == sorted(poss)  # physical order IS pos order
+        for doc, pos in zip(ids, poss):
+            assert want[(sh, pos)] == doc
+        total += len(ids)
+    assert total == 300
