@@ -32,7 +32,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sneldb_spark.errors import QueryError
+from sneldb_spark.errors import QueryError, SnelDBError
 from sneldb_spark.schema.registry import SchemaRegistry
 from sneldb_spark.schema.validation import validate_payload
 
@@ -142,9 +142,49 @@ class EventStore:
         # commits, any flushed type whose file count exceeds this gets
         # compacted inline. None/0 = off (compact() stays callable).
         self._auto_compact_files = auto_compact_files or None
+        self._acquire_writer_lock()
         self._recover_event_dirs()
         if wal:
             self._replay_wal()
+
+    # one writer engine per store root ACROSS PROCESSES. The reference
+    # gets this for free (a single server process owns the data dir and
+    # binds the sockets); an embeddable engine must enforce it, or two
+    # writers interleave flush commits / compaction publishes on the same
+    # directories. flock releases automatically when the process dies, so
+    # a crashed writer never needs manual lock cleanup. Within ONE
+    # process, re-opening the same root is allowed and takes over the
+    # lock (the crash-restart pattern the ported RESTART scenarios use —
+    # the abandoned engine object's buffer is gone either way).
+    _PROC_LOCKS: dict[str, object] = {}
+
+    def _acquire_writer_lock(self):
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, ".writer.lock")
+        key = os.path.abspath(path)
+        prev = EventStore._PROC_LOCKS.pop(key, None)
+        if prev is not None:
+            try:
+                prev.close()  # releases the old engine's flock
+            except OSError:
+                pass
+        f = open(path, "a+")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            f.close()
+            raise SnelDBError(
+                f"store root {self.root!r} is locked by another live writer "
+                "process (.writer.lock); refusing a second writer engine"
+            ) from None
+        f.seek(0)
+        f.truncate()
+        f.write(str(os.getpid()))
+        f.flush()
+        EventStore._PROC_LOCKS[key] = f
+        self._writer_lock_file = f
 
     def _recover_event_dirs(self):
         """Repair any per-type directory whose compaction publish was cut
