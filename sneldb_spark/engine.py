@@ -94,6 +94,30 @@ class SnelDB:
         cmd = parse_command(text)
         return self.compiler.compile(cmd)
 
+    def df(self, event_type: str) -> DataFrame:
+        """An event type's full table as a plain DataFrame (segments plus
+        the pre-flush buffer, the same visibility QUERY has) — the
+        Spark-native escape hatch for work the command language doesn't
+        cover. Compose freely; nothing is collected. The frame snapshots
+        the pre-flush buffer and file listing at call time — re-call
+        after new ingest for a fresh view of the store."""
+        return self.store.read(event_type)
+
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Register every defined event type as a Spark temporary view
+        (`prefix + event_type`) so plain ``spark.sql`` — joins across
+        event types, window functions, CTEs — runs against the store with
+        QUERY's visibility semantics (pre-flush buffer included). Returns
+        the view names. The views snapshot the store at registration
+        (buffer rows and the Parquet file listing are captured in the
+        plan); re-run after DEFINEs or ingest to re-bind."""
+        names = []
+        for et in self.store.registry.event_types():
+            name = f"{prefix}{et}"
+            self.store.read(et).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     def query_stream(self, text: str) -> DataFrame:
         """Compile the SAME command text against a streaming source: a
         continuously-updating DataFrame over the store's Parquet (new

@@ -271,3 +271,26 @@ def test_wildcard_replay_with_conflicting_field_types(engine):
     engine.execute("FLUSH")
     rows = engine.query("REPLAY FOR c1").orderBy("timestamp", "event_id").collect()
     assert [r["v"] for r in rows] == ["1", "x"]
+
+
+def test_df_and_register_views_sql_interop(spark, tmp_path):
+    """The Spark-native escape hatch: event types as temp views with
+    QUERY's visibility (pre-flush rows included), composable via
+    spark.sql joins."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"))
+    db.execute('DEFINE users FIELDS { "uid": "string", "plan": "string" }')
+    db.execute('DEFINE orders FIELDS { "uid": "string", "amount": "int" }')
+    db.execute('STORE users FOR c1 PAYLOAD {"uid": "u1", "plan": "pro"}')
+    db.execute('STORE orders FOR c1 PAYLOAD {"uid": "u1", "amount": 5}')
+    db.execute("FLUSH")
+    db.execute('STORE orders FOR c1 PAYLOAD {"uid": "u1", "amount": 7}')  # pre-flush
+    views = db.register_views(prefix="sdb_")
+    assert set(views) == {"sdb_users", "sdb_orders"}
+    rows = spark.sql(
+        "SELECT u.plan, sum(o.amount) AS total FROM sdb_orders o "
+        "JOIN sdb_users u ON u.uid = o.uid GROUP BY u.plan"
+    ).collect()
+    assert [(r["plan"], r["total"]) for r in rows] == [("pro", 12)]
+    assert db.df("orders").count() == 2  # buffer visible, like QUERY
