@@ -3,10 +3,15 @@
 Images / audio / video ride as `binary` columns next to typed metadata
 (mime, width, height, duration, ...). The Spark-side machinery —
 schema, partition-friendly layout, Arrow-batched UDF signatures, batch
-shapes — is real and tested; the actual codec work is stubbed because the
-decode libraries (PIL/ffmpeg/...) are not in this container. Each stub is
-either `NotImplementedError` (real decode) or a deterministic fake
-(pipeline testing), clearly marked.
+shapes — is real and tested. Codec work splits three ways:
+
+- UNCOMPRESSED formats decode for real with the BUILT-IN library-free
+  codecs (pipeline/codecs.py): P6 PPM images (decode/resize/re-encode)
+  and PCM WAV audio (`audio_features`) — exercised unmocked in tests.
+- Compressed images route to the optional Pillow backend when installed
+  (`codec="real"/"auto"`), else raise `NotImplementedError`.
+- Deterministic fakes remain for pipeline-shape testing where no codec
+  applies (`codec="fake"`), clearly marked.
 
 All per-item work runs through `mapInPandas` so binary blobs move as Arrow
 buffers in batches — never row-at-a-time Python pickling. At 100 TB the
@@ -140,10 +145,13 @@ def resize_images(
     - "fake" (default): deterministic payload whose length scales with
       the target area — batch shapes and memory behavior downstream stay
       representative, and the oracle gates stay codec-independent.
-    - "real": decode + resize + re-encode through the optional Pillow
-      backend (raises on executors if Pillow is absent).
-    - "auto": "real" when a codec is importable on the driver, else
-      "fake".
+    - "real": decode + resize + re-encode. Uncompressed P6 PPM payloads
+      go through the BUILT-IN pure-numpy codec (pipeline/codecs.py —
+      works everywhere, no library); anything else routes to the
+      optional Pillow backend and raises on executors if it is absent.
+    - "auto": "real" when Pillow is importable on the driver, else
+      "fake" (conservative: a mixed-format corpus without Pillow would
+      fail per-item; pass "real" explicitly for all-PPM corpora).
     """
     if codec == "auto":
         codec = "real" if have_image_codec() else "fake"
@@ -152,6 +160,12 @@ def resize_images(
     use_real = codec == "real"
 
     def _real_resize(data: bytes, w: int, h: int) -> bytes:
+        from sneldb_spark.pipeline.codecs import is_ppm, resize_ppm
+
+        if is_ppm(data):
+            # built-in pure-numpy codec — no library needed for the
+            # uncompressed format (pipeline/codecs.py)
+            return resize_ppm(data, w, h)
         import io
 
         img = decode_image(data)
@@ -253,6 +267,58 @@ def segment_audio(df: DataFrame, segment_ms: int = 5_000) -> DataFrame:
         seg_ms.cast("long").alias("seg_ms"),
         n_samples.alias("n_samples"),
         F.round(loudness, 3).alias("pseudo_loudness"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL waveform feature extraction for PCM WAV payloads via the
+    built-in stdlib/numpy codec (pipeline/codecs.py) — no library, no
+    stub: sample count, rate, RMS, and peak from the decoded samples.
+    Arrow-batched mapInPandas over the binary column; rows whose payload
+    is not a WAV yield nulls (decode errors are data, not crashes).
+
+    The decode-free metadata path (`segment_audio`) remains the planner
+    for formats the container can't decode; this is the honest real-path
+    counterpart for the format it can."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sneldb_spark.pipeline.codecs import is_wav, wav_stats
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_samples": [], "sample_rate": [],
+                "rms": [], "peak": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                out["media_id"].append(mid)
+                try:
+                    if data is None or not is_wav(bytes(data)):
+                        raise ValueError("not wav")
+                    n, rate, rms, peak = wav_stats(bytes(data))
+                    out["n_samples"].append(n)
+                    out["sample_rate"].append(rate)
+                    out["rms"].append(rms)
+                    out["peak"].append(peak)
+                except Exception:
+                    out["n_samples"].append(None)
+                    out["sample_rate"].append(None)
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+            yield pd.DataFrame(out)
+
+    return ensure_min_partitions(df.select("media_id", "data")).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
     )
 
 
