@@ -75,6 +75,13 @@ class EngineConfig:
     # type's segment-file count exceeds this (reference background
     # compaction, docs/src/design/compaction.md); None = manual compact()
     auto_compact_files: Optional[int] = None
+    # [extensions] — this engine's opt-in extension flags (not reference
+    # keys): approx sketches for 100 TB cardinality/percentile work,
+    # time-sliced sequence matching for hot link keys, multi-link chains
+    approx_count_unique: bool = False
+    approx_percentiles: bool = False
+    sequence_slices: int = 0
+    multi_link: bool = False
 
 
 def _parse_week_start(value: str) -> str:
@@ -122,6 +129,12 @@ def load_config(path_or_dict) -> EngineConfig:
     cfg.bloom_filters = st.get("bloom_filters", True)
     cfg.auto_compact_files = st.get("auto_compact_files") or None
 
+    ext = doc.get("extensions", {})
+    cfg.approx_count_unique = ext.get("approx_count_unique", False)
+    cfg.approx_percentiles = ext.get("approx_percentiles", False)
+    cfg.sequence_slices = int(ext.get("sequence_slices", 0))
+    cfg.multi_link = ext.get("multi_link", False)
+
     p = doc.get("playground", {})
     cfg.playground = PlaygroundConfig(
         enabled=p.get("enabled", True),
@@ -151,7 +164,11 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
     return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
                   wal_archive_dir=cfg.wal_archive_dir,
                   bloom_filters=cfg.bloom_filters,
-                  auto_compact_files=cfg.auto_compact_files)
+                  auto_compact_files=cfg.auto_compact_files,
+                  approx_count_unique=cfg.approx_count_unique,
+                  approx_percentiles=cfg.approx_percentiles,
+                  sequence_slices=cfg.sequence_slices,
+                  multi_link=cfg.multi_link)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

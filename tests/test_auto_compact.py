@@ -57,3 +57,25 @@ def test_config_key(tmp_path):
     # 0 means off, not "compact at zero files"
     cfg0 = load_config({"data_dir": str(tmp_path), "storage": {"auto_compact_files": 0}})
     assert cfg0.auto_compact_files is None
+
+
+def test_extensions_config_section(spark, tmp_path):
+    from sneldb_spark.config import create_engine, load_config
+
+    cfg = load_config({
+        "engine": {"data_dir": str(tmp_path / "x")},
+        "extensions": {
+            "approx_count_unique": True,
+            "approx_percentiles": True,
+            "sequence_slices": 8,
+            "multi_link": True,
+        },
+    })
+    assert (cfg.approx_count_unique, cfg.approx_percentiles,
+            cfg.sequence_slices, cfg.multi_link) == (True, True, 8, True)
+    db = create_engine(spark, cfg)
+    assert db.compiler.approx_percentiles and db.compiler.multi_link
+    assert db.compiler.sequence_slices == 8
+    # defaults stay off
+    cfg2 = load_config({"engine": {"data_dir": str(tmp_path / "y")}})
+    assert not cfg2.approx_count_unique and cfg2.sequence_slices == 0
