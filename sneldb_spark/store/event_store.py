@@ -616,6 +616,10 @@ class EventStore:
         struct = T.StructType(
             list(schema.spark_struct) + [T.StructField("ingest_date", T.DateType())]
         )
+        # subscribing BEFORE the first flush is legitimate (a live funnel
+        # over a just-DEFINEd type) — the file source wants the directory
+        # to exist, and an empty one simply yields no batches yet
+        os.makedirs(self._path(event_type), exist_ok=True)
         return (
             self.spark.readStream.schema(struct)
             .parquet(self._path(event_type))

@@ -19,6 +19,17 @@ Scale shape: state is per-link-key and holds only UNMATCHED As (funnel
 abandoners), pruned on every match; the operator shuffles once on the
 link key per micro-batch — the streaming analogue of the batch plan's
 single shuffle. A `state_ttl_rows` cap bounds memory per hot key.
+
+Multi-source caveat (applies to every matcher here, incl.
+streaming_chain): the in-order-arrival guarantee is PER SOURCE. A union
+of several file streams (e.g. one per event type over the engine's
+per-type directories) can deliver one source's newer commit a
+micro-batch before another source's older one — an always-on trigger
+racing a multi-type FLUSH does exactly that. Drain such unions with
+``trigger(availableNow=True)`` at flush barriers (each drain then sees
+complete flushes, in order; state persists across drains via the
+checkpoint — pinned by tests/test_streaming.py's live-store test), or
+feed a single combined stream.
 """
 
 from __future__ import annotations

@@ -991,3 +991,60 @@ def test_streaming_chain_matches_batch_chain(spark, tmp_path):
         for r in chain.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_chain_over_live_store_stream(spark, tmp_path):
+    """End to end on the ENGINE's own storage: streaming_chain over a
+    union of the store's per-type parquet streams, drained availableNow
+    at FLUSH barriers (the multi-source pattern — an always-on trigger
+    could consume one type's commit before another's, breaking the
+    cross-type arrival order the matcher assumes; the per-flush drain
+    puts every complete flush in order). The second drain restarts from
+    the checkpoint, proving the flat-encoded chain state round-trips."""
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.streaming.sequence import streaming_chain
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("view", "cart", "buy"):
+        db.execute(f'DEFINE {et} FIELDS {{ "user_id": "string" }}')
+
+    def store(et, user):
+        db.execute(f'STORE {et} FOR c-{user} PAYLOAD {{ "user_id": "{user}" }}')
+
+    def drain():
+        ev = None
+        for et in ("view", "cart", "buy"):
+            s = db.store.read_stream(et)
+            ev = s if ev is None else ev.unionByName(s, allowMissingColumns=True)
+        matches = streaming_chain(ev, ["view", "cart", "buy"], "user_id")
+        out = str(tmp_path / "out")
+        q = (
+            matches.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["link"] for r in spark.read.parquet(out).collect()}
+
+    store("view", "u1"); store("cart", "u1")
+    store("view", "u2")
+    db.execute("FLUSH")
+    assert drain() == set()  # no buys yet; chains pending in state
+
+    store("buy", "u1"); store("cart", "u2"); store("buy", "u2")
+    db.execute("FLUSH")
+    # fresh query, same checkpoint: state recovered, both chains complete
+    assert drain() == {"u1", "u2"}
+    batch = db.query(
+        "QUERY view FOLLOWED BY cart FOLLOWED BY buy LINKED BY user_id"
+    )
+    assert batch.count() == 2
