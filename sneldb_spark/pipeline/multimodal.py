@@ -322,6 +322,113 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("seg_idx", T.LongType(), True),
+        T.StructField("seg_start_ms", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_segment_features(df: DataFrame, segment_ms: int = 5_000) -> DataFrame:
+    """REAL per-segment loudness for PCM WAV payloads: decode once per
+    row (built-in codec), then vectorized per-segment RMS over the
+    sample array — the real-bytes counterpart of `segment_audio`'s
+    metadata-only planner. One output row per segment; non-WAV rows are
+    dropped (they have no decodable segments)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sneldb_spark.pipeline.codecs import decode_wav, is_wav
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "seg_idx": [], "seg_start_ms": [],
+                "n_samples": [], "rms": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    if data is None or not is_wav(bytes(data)):
+                        continue
+                    samples, rate = decode_wav(bytes(data))
+                except Exception:
+                    continue
+                per = max(int(rate * segment_ms / 1000), 1)
+                x = samples.astype(np.float64)
+                for i in range(0, max(len(x), 1), per):
+                    seg = x[i : i + per]
+                    out["media_id"].append(mid)
+                    out["seg_idx"].append(i // per)
+                    out["seg_start_ms"].append(int(i * 1000 / rate))
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return ensure_min_partitions(df.select("media_id", "data")).mapInPandas(
+        run, schema=AUDIO_SEGMENT_SCHEMA
+    )
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics for P6 PPM payloads via the built-in codec:
+    decoded dimensions, per-channel means, luma brightness (Rec. 601).
+    Non-PPM rows yield nulls. The filtering signal real image-curation
+    pipelines threshold on (too dark / blank / extreme aspect)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sneldb_spark.pipeline.codecs import decode_ppm, is_ppm
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "brightness": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                out["media_id"].append(mid)
+                try:
+                    if data is None or not is_ppm(bytes(data)):
+                        raise ValueError("not ppm")
+                    arr = decode_ppm(bytes(data)).astype(np.float64)
+                    means = arr.mean(axis=(0, 1))
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                    out["brightness"].append(
+                        float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+                    )
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["brightness"].append(None)
+            yield pd.DataFrame(out)
+
+    return ensure_min_partitions(df.select("media_id", "data")).mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )
+
+
 def media_dedup(df: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
     """Exact media dedup by content digest — the first pass of every
     image/audio/video pipeline (collapse byte-identical blobs BEFORE any

@@ -1652,3 +1652,48 @@ def test_audio_features_real_wav_decode(spark):
     assert out[2]["n_samples"] == 4000 and out[2]["rms"] == 5000.0
     assert out[2]["peak"] == 5000
     assert out[3]["n_samples"] is None
+
+
+def test_audio_segment_features_real_decode(spark):
+    import numpy as np
+
+    from sneldb_spark.pipeline.codecs import encode_wav
+    from sneldb_spark.pipeline.multimodal import audio_segment_features
+
+    # 2.5 s at 1000 Hz: seg0 amplitude 1000, seg1 amplitude 3000, seg2 (half) 0
+    samples = np.concatenate([
+        np.full(1000, 1000, dtype=np.int16),
+        np.full(1000, -3000, dtype=np.int16),
+        np.zeros(500, dtype=np.int16),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, 1000))), (2, bytearray(b"nope"))],
+        "media_id long, data binary",
+    )
+    rows = {
+        (r["media_id"], r["seg_idx"]): r
+        for r in audio_segment_features(df, segment_ms=1000).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1), (1, 2)}  # non-WAV row dropped
+    assert rows[(1, 0)]["rms"] == 1000.0 and rows[(1, 1)]["rms"] == 3000.0
+    assert rows[(1, 2)]["n_samples"] == 500 and rows[(1, 2)]["rms"] == 0.0
+    assert rows[(1, 1)]["seg_start_ms"] == 1000
+
+
+def test_image_stats_real_decode(spark):
+    import numpy as np
+
+    from sneldb_spark.pipeline.codecs import encode_ppm
+    from sneldb_spark.pipeline.multimodal import image_stats
+
+    arr = np.zeros((2, 4, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # pure red-ish
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(arr))), (2, bytearray(b"png-ish"))],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r for r in image_stats(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[1]["mean_r"] == 200.0 and out[1]["mean_g"] == 0.0
+    assert abs(out[1]["brightness"] - 0.299 * 200) < 1e-9
+    assert out[2]["width"] is None
