@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sneldb_spark.auth import AuthError, AuthManager
 from sneldb_spark.commands import ast
@@ -117,6 +118,68 @@ class SnelDB:
             self.store.read(et).createOrReplaceTempView(name)
             names.append(name)
         return names
+
+    def stream_sequence(self, text: str) -> DataFrame:
+        """Compile the SAME sequence-QUERY text against the live store:
+        `A FOLLOWED BY B [FOLLOWED BY C ...] LINKED BY k` runs the
+        incremental chain matcher, `A PRECEDED BY B LINKED BY k` the O(1)
+        latest-before matcher, over a union of the involved types'
+        parquet streams (new FLUSH commits arrive as files). WHERE sides,
+        FOR, SINCE/UNTIL and WITHIN apply; aggregates / ORDER / LIMIT and
+        USING TIME are batch-only here. Output is the matcher schema
+        (link + per-step event ids/timestamps), not the batch row shape.
+
+        Drain multi-type streams with ``trigger(availableNow=True)`` at
+        flush barriers — see streaming/sequence.py's multi-source caveat.
+        """
+        from sneldb_spark.commands.ast import FOLLOWED_BY, PRECEDED_BY
+        from sneldb_spark.plans.filters import compile_expr, split_sequence_where
+        from sneldb_spark.schema.normalization import try_parse_time_value
+        from sneldb_spark.streaming.sequence import (
+            streaming_chain,
+            streaming_preceded_by,
+        )
+
+        cmd = parse_command(text)
+        if not isinstance(cmd, ast.QueryCommand) or not cmd.is_sequence:
+            raise SnelDBError("stream_sequence wants a sequence QUERY")
+        if cmd.link_field is None:
+            raise SnelDBError("stream_sequence needs LINKED BY")
+        if cmd.aggs or cmd.order_by or cmd.limit is not None or cmd.offset is not None:
+            raise SnelDBError("aggregates / ORDER BY / LIMIT are batch-only here")
+        if cmd.sequence_time_field is not None:
+            raise SnelDBError("USING TIME is batch-only here")
+        types = cmd.sequence.event_types
+        kinds = [k for k, _ in cmd.sequence.links]
+        sides = split_sequence_where(cmd.where, types)
+
+        ev = None
+        for t in dict.fromkeys(types):  # distinct, order-preserving
+            s = self.store.read_stream(t)
+            if cmd.context_id is not None:
+                s = s.where(F.col("context_id") == F.lit(cmd.context_id))
+            for clause, op in ((cmd.since, ">="), (cmd.until, "<")):
+                if clause is not None:
+                    bound = try_parse_time_value(clause)
+                    if bound is not None:  # unparsable = ignored, like batch
+                        tcol = F.col("timestamp")
+                        s = s.where(tcol >= F.lit(bound) if op == ">=" else tcol < F.lit(bound))
+            if sides.get(t) is not None:
+                resolve = self.compiler._resolver(s, t)
+                s = s.where(compile_expr(sides[t], resolve))
+            ev = s if ev is None else ev.unionByName(s, allowMissingColumns=True)
+
+        gap = int(cmd.sequence_within) if cmd.sequence_within is not None else None
+        if kinds == [PRECEDED_BY]:
+            return streaming_preceded_by(
+                ev, types[0], types[1], cmd.link_field, max_gap_s=gap
+            )
+        if all(k == FOLLOWED_BY for k in kinds):
+            return streaming_chain(ev, types, cmd.link_field, max_gap_s=gap)
+        raise SnelDBError(
+            "streaming chains support FOLLOWED BY links (single-link "
+            "PRECEDED BY aside); mixed chains are batch-only"
+        )
 
     def query_stream(self, text: str) -> DataFrame:
         """Compile the SAME command text against a streaming source: a

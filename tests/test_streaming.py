@@ -1048,3 +1048,58 @@ def test_streaming_chain_over_live_store_stream(spark, tmp_path):
         "QUERY view FOLLOWED BY cart FOLLOWED BY buy LINKED BY user_id"
     )
     assert batch.count() == 2
+
+
+def test_stream_sequence_from_command_text(spark, tmp_path):
+    """Engine surface: the SAME sequence-QUERY text runs live — WHERE
+    sides, WITHIN, and multi-link chains through stream_sequence, drained
+    availableNow at flush barriers."""
+    import pytest as _pytest
+
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.errors import SnelDBError
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    db.execute('DEFINE view FIELDS { "user_id": "string", "page": "string" }')
+    db.execute('DEFINE buy FIELDS { "user_id": "string", "amount": "int" }')
+
+    def store(et, user, extra):
+        db.execute(f'STORE {et} FOR c-{user} PAYLOAD {{ "user_id": "{user}", {extra} }}')
+
+    store("view", "u1", '"page": "/checkout"')
+    store("buy", "u1", '"amount": 50')
+    store("view", "u2", '"page": "/home"')   # filtered out by the side WHERE
+    store("buy", "u2", '"amount": 70')
+    store("view", "u3", '"page": "/checkout"')
+    store("buy", "u3", '"amount": 5')        # filtered out by the buy side
+    db.execute("FLUSH")
+
+    matches = db.stream_sequence(
+        'QUERY view FOLLOWED BY buy LINKED BY user_id '
+        'WHERE view.page = "/checkout" AND buy.amount >= 10'
+    )
+    assert matches.isStreaming
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("ss_text")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["link"] for r in spark.sql("SELECT * FROM ss_text").collect()}
+    assert got == {"u1"}
+
+    with _pytest.raises(SnelDBError, match="batch-only"):
+        db.stream_sequence(
+            "QUERY view FOLLOWED BY buy LINKED BY user_id COUNT"
+        )
+    with _pytest.raises(SnelDBError, match="sequence QUERY"):
+        db.stream_sequence("QUERY view")
