@@ -953,16 +953,20 @@ def test_streaming_chain_conversion_window(spark, tmp_path):
     assert got == {("s1", 1, 2, 4)}
 
 
-def test_streaming_chain_matches_batch_chain(spark, tmp_path):
+@pytest.mark.parametrize("seed,gap", [(7, None), (23, None), (5, 30)])
+def test_streaming_chain_matches_batch_chain(spark, tmp_path, seed, gap):
     """Parity: draining an in-timestamp-order stream equals the batch
-    sequence_match_chain over the same events (the gate's oracle shape)."""
+    sequence_match_chain over the same events (the gate's oracle shape).
+    With a conversion window, streaming's during-match gap check equals
+    the batch WITHIN post-filter (first-at-or-after out of window kills
+    the chain in both: later candidates are only farther)."""
     import random
 
     from pyspark.sql import functions as F
 
     from sneldb_spark.plans.sequence import sequence_match_chain
 
-    rng = random.Random(7)
+    rng = random.Random(seed)
     rows, ts, eid = [], 100, 0
     for _ in range(120):
         ts += rng.randint(1, 3)
@@ -974,7 +978,7 @@ def test_streaming_chain_matches_batch_chain(spark, tmp_path):
     # three micro-batches, order preserved (server-ts arrival order)
     batches = [rows[:40], rows[40:80], rows[80:]]
     got = _chain_harness(spark, tmp_path, batches, ["view", "cart", "buy"],
-                         "chain_parity")
+                         f"chain_parity_{seed}", max_gap_s=gap)
 
     ev = spark.createDataFrame(
         rows, "event_type string, timestamp long, event_id long, session string"
@@ -986,6 +990,11 @@ def test_streaming_chain_matches_batch_chain(spark, tmp_path):
     chain = sequence_match_chain(
         frames, "session", ["followed_by", "followed_by"]
     )
+    if gap is not None:
+        for i in range(2):
+            chain = chain.where(
+                F.col(f"s{i + 1}_timestamp") - F.col(f"s{i}_timestamp") <= gap
+            )
     want = {
         (r["s0_session"], r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
         for r in chain.collect()
