@@ -164,6 +164,13 @@ class EventStore:
         os.makedirs(self.root, exist_ok=True)
         path = os.path.join(self.root, ".writer.lock")
         key = os.path.abspath(path)
+        # opportunistic sweep: deleted roots (torn-down test dirs, dropped
+        # databases) don't pin an fd for the process lifetime
+        for stale in [k for k in EventStore._PROC_LOCKS if not os.path.exists(k)]:
+            try:
+                EventStore._PROC_LOCKS.pop(stale).close()
+            except OSError:
+                pass
         prev = EventStore._PROC_LOCKS.pop(key, None)
         if prev is not None:
             try:
