@@ -147,8 +147,10 @@ class SnelDB:
             raise SnelDBError("stream_sequence needs LINKED BY")
         if cmd.aggs or cmd.order_by or cmd.limit is not None or cmd.offset is not None:
             raise SnelDBError("aggregates / ORDER BY / LIMIT are batch-only here")
-        if cmd.sequence_time_field is not None:
-            raise SnelDBError("USING TIME is batch-only here")
+        if cmd.sequence_time_field is not None or cmd.time_field is not None:
+            # both USING forms bind bounds/matching to a payload field;
+            # the live matchers pair on server time only
+            raise SnelDBError("USING is batch-only here")
         types = cmd.sequence.event_types
         kinds = [k for k, _ in cmd.sequence.links]
         sides = split_sequence_where(cmd.where, types)

@@ -1112,3 +1112,7 @@ def test_stream_sequence_from_command_text(spark, tmp_path):
         )
     with _pytest.raises(SnelDBError, match="sequence QUERY"):
         db.stream_sequence("QUERY view")
+    with _pytest.raises(SnelDBError, match="USING is batch-only"):
+        db.stream_sequence(
+            'QUERY view FOLLOWED BY buy LINKED BY user_id SINCE "2024-01-01" USING page'
+        )
