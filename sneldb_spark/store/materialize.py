@@ -165,7 +165,9 @@ class Materializer:
             and q.limit is None
             and q.offset is None
             and q.sequence_time_field is None
-            and q.sequence_within is None
+            # WITHIN is delta-safe: the as-of match runs UNFILTERED (so
+            # consumed-A state stays exact) and the window filter applies
+            # to emitted pairs only — see _within_pairs
             and manifest.get("max_rows") is None
             and manifest.get("max_age_seconds") is None
         )
@@ -214,14 +216,28 @@ class Materializer:
     def _seq_agg_state_path(self, name: str) -> str:
         return os.path.join(self._state_path(name), "agg_state")
 
+    def _within_pairs(self, q, pairs: DataFrame) -> DataFrame:
+        """The WITHIN conversion-window filter over a matched-pair frame
+        (exact: the as-of match picked the closest candidate). Applied to
+        EMITTED pairs only — carry state must come from the UNFILTERED
+        match, because an A whose first at-or-after B fell outside the
+        window is CONSUMED (every later B is farther), not pending."""
+        from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX
+
+        return self.engine.compiler._apply_within(pairs, q, A_PREFIX, B_PREFIX)
+
     def _seq_carry_state(
         self, a_frame: DataFrame, b_frame: DataFrame, kind: str, link: str,
-        pairs: DataFrame, hwm_ts: int,
+        pairs: DataFrame, hwm_ts: int, max_gap: int | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """(pending A's, boundary B's) to carry for the next delta match.
-        `pairs` must cover every A in `a_frame` that is matched (full
-        pairs at REMEMBER; just the new pairs at refresh, where carried
-        pending already excludes previously-matched A's)."""
+        `pairs` must cover every A in `a_frame` that is matched —
+        UNFILTERED by any WITHIN window (full pairs at REMEMBER; just the
+        new pairs at refresh, where carried pending already excludes
+        previously-matched A's). With a window, pending A's older than
+        the window relative to the high-water mark are dropped: any
+        future B (ts > hwm) would miss their window, and dropping them
+        has the same outcome as the consumed-then-filtered path."""
         from sneldb_spark.commands.ast import FOLLOWED_BY
         from sneldb_spark.plans.sequence import A_PREFIX
 
@@ -231,6 +247,10 @@ class Materializer:
                 "event_id",
                 "left_anti",
             )
+            if max_gap is not None:
+                pending = pending.where(
+                    F.col("timestamp").cast("long") >= F.lit(hwm_ts - max_gap)
+                )
             boundary = b_frame.where(
                 F.col("timestamp").cast("long") == F.lit(hwm_ts)
             )
@@ -459,13 +479,19 @@ class Materializer:
 
         hwm_ts, hwm_id = self._source_hwm(q)
         a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
-        pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b)
-        pairs.write.mode("overwrite").parquet(os.path.join(path, "base"))
-        stored = self._read_segments(path)
+        # UNFILTERED match: WITHIN applies to the emitted pairs only;
+        # carry state needs the raw match (window-missed A's are consumed)
+        pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b).persist()
+        self._within_pairs(q, pairs).write.mode("overwrite").parquet(
+            os.path.join(path, "base")
+        )
         pend_p, bound_p = self._seq_state_paths(name)
-        pending, boundary = self._seq_carry_state(a, b, kind, link, stored, hwm_ts)
+        pending, boundary = self._seq_carry_state(
+            a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
+        )
         pending.write.mode("overwrite").parquet(pend_p)
         boundary.write.mode("overwrite").parquet(bound_p)
+        pairs.unpersist()
         self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
         return hwm_ts, hwm_id
 
@@ -486,7 +512,7 @@ class Materializer:
         pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b).persist()
         try:
             state, keys = self.engine.compiler.compile_sequence_aggregate_partial(
-                q, pairs
+                q, self._within_pairs(q, pairs)
             )
             spath = self._seq_agg_state_path(name)
             state.write.mode("overwrite").parquet(spath)
@@ -496,7 +522,9 @@ class Materializer:
                 spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
             pend_p, bound_p = self._seq_state_paths(name)
-            pending, boundary = self._seq_carry_state(a, b, kind, link, pairs, hwm_ts)
+            pending, boundary = self._seq_carry_state(
+                a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
+            )
             pending.write.mode("overwrite").parquet(pend_p)
             boundary.write.mode("overwrite").parquet(bound_p)
         finally:
@@ -527,10 +555,11 @@ class Materializer:
         a_cand, b_cand, kind, link = self._seq_delta_candidates(
             name, q, lower, cur
         )
-        new_pairs = sequence_match(a_cand, b_cand, link, kind)
+        new_pairs = sequence_match(a_cand, b_cand, link, kind).persist()
 
         new_pending, new_boundary = self._seq_carry_state(
-            a_cand, b_cand, kind, link, new_pairs, cur_ts
+            a_cand, b_cand, kind, link, new_pairs, cur_ts,
+            max_gap=q.sequence_within,
         )
 
         # APPEND-ONLY result: the delta pairs land in an interval-named
@@ -544,9 +573,10 @@ class Materializer:
         shutil.rmtree(nxt, ignore_errors=True)
         # segment FIRST: until the state swap lands, a rerun recomputes the
         # same slice and overwrites this segment idempotently
-        new_pairs.write.mode("overwrite").parquet(seg)
+        self._within_pairs(q, new_pairs).write.mode("overwrite").parquet(seg)
         new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
         new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
+        new_pairs.unpersist()
         self._write_state_hwm(nxt, cur[0], cur[1])
         self._mark_state_complete(nxt)
         self._swap_state_dir(name)
@@ -622,7 +652,7 @@ class Materializer:
         new_pairs = sequence_match(a_cand, b_cand, link, kind).persist()
         try:
             delta_state, _ = self.engine.compiler.compile_sequence_aggregate_partial(
-                q, new_pairs
+                q, self._within_pairs(q, new_pairs)
             )
             merged_state = merge_partial_states(
                 spark.read.parquet(spath).unionByName(
@@ -643,7 +673,8 @@ class Materializer:
                 approx_unique=approx,
             )
             new_pending, new_boundary = self._seq_carry_state(
-                a_cand, b_cand, kind, link, new_pairs, cur_ts
+                a_cand, b_cand, kind, link, new_pairs, cur_ts,
+                max_gap=q.sequence_within,
             )
             new_pending.write.mode("overwrite").parquet(
                 os.path.join(nxt, "pending_a")

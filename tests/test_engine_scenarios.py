@@ -1376,3 +1376,56 @@ def test_remember_compare_closes_read_at_probed_hwm(spark, tmp_path):
     got = sorted(tuple(r) for r in db.execute("SHOW raceboard").df.collect())
     want = sorted(tuple(r) for r in db.execute(cmp_q).df.collect())
     assert got == want  # the raced row is visible after SHOW's refresh
+
+
+def test_within_sequence_remember_refreshes_incrementally(spark, tmp_path):
+    """WITHIN funnels are delta-safe: the materializer matches
+    UNFILTERED (so an A whose first B missed the window is consumed, not
+    pending) and window-filters only the emitted pairs. Refreshes land
+    on the direct-query result, including the consumed-A case."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE a FIELDS { "u": "string" }')
+    db.execute('DEFINE b FIELDS { "u": "string" }')
+
+    def store(et, u, at):
+        clock["now"] = at
+        db.execute(f'STORE {et} FOR c-{u}-{at} PAYLOAD {{ "u": "{u}" }}')
+
+    q = "QUERY a FOLLOWED BY b LINKED BY u WITHIN 10"
+    # u1: converts in-window. u2: A at 100, no B yet (pending).
+    # u3: A at 100, first B at 150 — OUT of window: A consumed.
+    store("a", "u1", 100); store("b", "u1", 105)
+    store("a", "u2", 100)
+    store("a", "u3", 100); store("b", "u3", 150)
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS winfun")
+    assert {r["a_u"] for r in db.execute("SHOW winfun").df.collect()} == {"u1"}
+
+    # delta: u2's B arrives in-window relative to... A at 100, B at 400
+    # — far out of window; and a FRESH u3 A converts. A later u3 B must
+    # NOT resurrect the consumed first A.
+    store("b", "u2", 400)            # u2's first B: out of window, consumes A
+    store("a", "u3", 500); store("b", "u3", 504)   # fresh pair converts
+    db.execute("FLUSH")
+    shown = {(r["a_u"], r["a_timestamp"], r["b_timestamp"])
+             for r in db.execute("SHOW winfun").df.collect()}
+    direct = {(r["a_u"], r["a_timestamp"], r["b_timestamp"])
+              for r in db.query(q).collect()}
+    assert shown == direct == {("u1", 101, 106), ("u3", 501, 505)}
+
+    # sequence AGGREGATE with WITHIN refreshes through the same path
+    g = "QUERY a FOLLOWED BY b LINKED BY u WITHIN 10 COUNT BY u"
+    db.execute(f"REMEMBER {g} AS winagg")
+    store("a", "u1", 600); store("b", "u1", 603)
+    db.execute("FLUSH")
+    got = {r["u"]: r["count"] for r in db.execute("SHOW winagg").df.collect()}
+    want = {r["u"]: r["count"] for r in db.query(g).collect()}
+    assert got == want == {"u1": 2, "u3": 1}
