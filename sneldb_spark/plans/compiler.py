@@ -378,6 +378,25 @@ class QueryCompiler:
         return df.select(*[F.col(f"`{c}`") for c in cols])
 
     # -- sequence pipeline ------------------------------------------------
+    def chain_parts(self, q: ast.QueryCommand, upper=None):
+        """The fully-filtered per-step side frames of a multi-link chain
+        plus (types, kinds, link_field) — the chain analogue of
+        sequence_parts; the materializer uses it to re-run the stepwise
+        match over delta slices (incremental chain SHOW)."""
+        types = [q.sequence.head] + [t for _, t in q.sequence.links]
+        kinds = [k for k, _ in q.sequence.links]
+        sides = split_sequence_where(q.where, types)
+        frames = [
+            self._base_frame(t, q.context_id, q.since, sides[t], q.time_field, q.until)
+            for t in types
+        ]
+        if upper is not None:
+            from sneldb_spark.plans.filters import hwm_at_or_before
+
+            bound = hwm_at_or_before(*upper)
+            frames = [f.where(bound) for f in frames]
+        return frames, types, kinds, q.link_field
+
     def sequence_parts(self, q: ast.QueryCommand):
         """The fully-filtered SIDE FRAMES of a single-link sequence query
         plus its matching parameters: (a, b, kind, link_field, ts_a,
@@ -475,18 +494,7 @@ class QueryCompiler:
         LIMIT caps matched CHAINS, like the single link caps pairs."""
         from sneldb_spark.plans.sequence import sequence_match_chain
 
-        types = [q.sequence.head] + [t for _, t in q.sequence.links]
-        kinds = [k for k, _ in q.sequence.links]
-        sides = split_sequence_where(q.where, types)
-        frames = [
-            self._base_frame(t, q.context_id, q.since, sides[t], q.time_field, q.until)
-            for t in types
-        ]
-        if upper is not None:
-            from sneldb_spark.plans.filters import hwm_at_or_before
-
-            bound = hwm_at_or_before(*upper)
-            frames = [f.where(bound) for f in frames]
+        frames, types, kinds, _link = self.chain_parts(q, upper=upper)
         stf = q.sequence_time_field
         ts = stf if stf and all(stf in f.columns for f in frames) else "timestamp"
         matched = sequence_match_chain(

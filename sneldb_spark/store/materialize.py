@@ -172,6 +172,191 @@ class Materializer:
             and manifest.get("max_age_seconds") is None
         )
 
+    def _chain_incrementable(self, q, manifest: dict) -> bool:
+        """Multi-link FOLLOWED BY chains refresh by stepwise delta match
+        against carried per-step state: pending chains (matched through
+        step i, awaiting i+1 — identity is the head event, chains are
+        one-per-head) plus boundary events of each step type at the
+        high-water second. Excluded: PRECEDED BY links (a backward link's
+        candidate set is not append-bounded the same way), WITHIN (chain
+        windows post-filter EVERY gap — full recompute keeps that exact),
+        USING TIME, LIMIT/OFFSET, aggregates, retention."""
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+
+        return (
+            isinstance(q, ast.QueryCommand)
+            and q.is_sequence
+            and len(q.sequence.links) > 1
+            and all(k == FOLLOWED_BY for k, _ in q.sequence.links)
+            and not q.is_aggregate
+            and q.limit is None
+            and q.offset is None
+            and q.sequence_time_field is None
+            and q.sequence_within is None
+            and q.order_by is None
+            and manifest.get("max_rows") is None
+            and manifest.get("max_age_seconds") is None
+            and self.engine.compiler.multi_link
+        )
+
+    def _chain_first(self, heads: DataFrame, nxt: DataFrame, link: str,
+                     cols0: list[str], cols1: list[str]) -> DataFrame:
+        """Heads (unprefixed side rows) + first link -> s0_/s1_ chain."""
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+        from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
+
+        pairs = sequence_match(heads, nxt, link, FOLLOWED_BY)
+        return pairs.select(
+            *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in cols0],
+            *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in cols1],
+        )
+
+    def _chain_step(self, chain: DataFrame, nxt: DataFrame, link: str,
+                    i: int, cols_next: list[str]) -> DataFrame:
+        """Advance an s-prefixed chain (cursor at step i) by one link —
+        the same cursor-view trick plans/sequence.py sequence_match_chain
+        uses, so refresh steps are pair-for-pair the batch chain's."""
+        import re as _re
+
+        from sneldb_spark.commands.ast import FOLLOWED_BY
+        from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
+
+        ts, tie = "timestamp", "event_id"
+        cursor = chain.select(
+            F.col(f"s0_{link}").alias(link),
+            F.col(f"s{i}_{ts}").alias(ts),
+            F.col(f"s{i}_{tie}").alias(tie),
+            *[F.col(c) for c in chain.columns],
+        )
+        matched = sequence_match(
+            cursor, nxt, link, FOLLOWED_BY, ts_a=ts, ts_b=ts, tie=tie
+        )
+        step_re = _re.compile(r"^s\d+_")
+        return matched.select(
+            *[
+                F.col(A_PREFIX + c).alias(c)
+                for c in cursor.columns
+                if step_re.match(c)
+            ],
+            *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in cols_next],
+        )
+
+    def _chain_state_paths(self, name: str, n_steps: int):
+        d = self._state_path(name)
+        return (
+            [os.path.join(d, f"pending_s{i}") for i in range(n_steps - 1)],
+            [os.path.join(d, f"boundary_{j}") for j in range(n_steps)],
+        )
+
+    def _remember_chain(self, name: str, q, path: str) -> tuple[int, int]:
+        """Initial chain materialization: stepwise match (capturing every
+        intermediate), store completed chains as the segment base, carry
+        per-step pending chains + hwm-second boundary events."""
+        hwm_ts, hwm_id = self._source_hwm(q)
+        frames, types, kinds, link = self.engine.compiler.chain_parts(
+            q, upper=(hwm_ts, hwm_id)
+        )
+        n = len(frames)
+        cols = [f.columns for f in frames]
+        chains = [
+            self._chain_first(frames[0], frames[1], link, cols[0], cols[1]).persist()
+        ]
+        for i in range(1, n - 1):
+            chains.append(
+                self._chain_step(chains[-1], frames[i + 1], link, i, cols[i + 1])
+                .persist()
+            )
+        chains[-1].write.mode("overwrite").parquet(os.path.join(path, "base"))
+        pend_ps, bound_ps = self._chain_state_paths(name, n)
+        frames[0].join(
+            chains[0].select(F.col("s0_event_id").alias("event_id")),
+            "event_id", "left_anti",
+        ).write.mode("overwrite").parquet(pend_ps[0])
+        for i in range(1, n - 1):
+            chains[i - 1].join(
+                chains[i].select("s0_event_id"), "s0_event_id", "left_anti"
+            ).write.mode("overwrite").parquet(pend_ps[i])
+        for j in range(1, n):
+            frames[j].where(
+                F.col("timestamp").cast("long") == F.lit(hwm_ts)
+            ).write.mode("overwrite").parquet(bound_ps[j])
+        for c in chains:
+            c.unpersist()
+        self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
+        return hwm_ts, hwm_id
+
+    def _refresh_chain(self, name: str, q, manifest: dict, path: str,
+                       cur: tuple[int, int]):
+        """Incremental chain refresh: per-step delta candidates
+        (boundary ∪ (lower, cur] slice), stepwise advance of carried +
+        newly-formed chains, append completed chains as an interval
+        segment, swap the per-step state as one unit. A carried chain
+        awaiting step i had NO eligible candidate at the old mark (the
+        match is unconditional — no window), so its first at-or-after
+        among boundary ∪ delta IS its first overall; same-second ties
+        ride in via the boundary frames, exactly like the single link."""
+        from sneldb_spark.plans.sequence import A_PREFIX  # noqa: F401 (doc anchor)
+
+        spark = self.engine.spark
+        lower = manifest["hwm_ts"], manifest["hwm_id"]
+        marker = self._read_state_hwm(self._state_path(name))
+        if marker is not None and tuple(marker) > tuple(lower):
+            lower = marker
+        frames, types, kinds, link = self.engine.compiler.chain_parts(q, upper=cur)
+        n = len(frames)
+        cols = [f.columns for f in frames]
+        pend_ps, bound_ps = self._chain_state_paths(name, n)
+        deltas = [self._delta_slice(f, *lower) for f in frames]
+        cands = [None] * n
+        for j in range(1, n):
+            cands[j] = spark.read.parquet(bound_ps[j]).unionByName(
+                deltas[j], allowMissingColumns=True
+            )
+        awaiting = spark.read.parquet(pend_ps[0]).unionByName(
+            deltas[0], allowMissingColumns=True
+        ).persist()
+        advanced = self._chain_first(awaiting, cands[1], link, cols[0], cols[1]).persist()
+        new_pend = [
+            awaiting.join(
+                advanced.select(F.col("s0_event_id").alias("event_id")),
+                "event_id", "left_anti",
+            )
+        ]
+        persisted = [awaiting, advanced]
+        for i in range(1, n - 1):
+            await_i = spark.read.parquet(pend_ps[i]).unionByName(
+                advanced, allowMissingColumns=True
+            ).persist()
+            advanced = self._chain_step(
+                await_i, cands[i + 1], link, i, cols[i + 1]
+            ).persist()
+            persisted += [await_i, advanced]
+            new_pend.append(
+                await_i.join(
+                    advanced.select("s0_event_id"), "s0_event_id", "left_anti"
+                )
+            )
+        completed = advanced
+        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
+        nxt = self._state_path(name) + ".next"
+        shutil.rmtree(nxt, ignore_errors=True)
+        # segment FIRST; a crashed rerun overwrites the same slice
+        completed.write.mode("overwrite").parquet(seg)
+        for i, p in enumerate(new_pend):
+            p.write.mode("overwrite").parquet(
+                os.path.join(nxt, f"pending_s{i}")
+            )
+        cur_ts = cur[0]
+        for j in range(1, n):
+            cands[j].where(
+                F.col("timestamp").cast("long") == F.lit(cur_ts)
+            ).write.mode("overwrite").parquet(os.path.join(nxt, f"boundary_{j}"))
+        for c in persisted:
+            c.unpersist()
+        self._write_state_hwm(nxt, cur[0], cur[1])
+        self._mark_state_complete(nxt)
+        self._swap_state_dir(name)
+
     def _agg_incrementable(self, q, manifest: dict) -> bool:
         """Plain aggregates refresh by partial-state merge. Excluded:
         sequence aggregates (the match itself isn't mergeable), LIMIT
@@ -434,6 +619,14 @@ class Materializer:
             base.write.mode("overwrite").parquet(os.path.join(path, "base"))
             self._write_state_hwm(path, hwm_ts, hwm_id)
             manifest["segments"] = True
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self._read_segments(path).count()
+        elif self._chain_incrementable(q, manifest):
+            hwm_ts, hwm_id = self._remember_chain(name, q, path)
+            manifest["seq_state"] = True
+            manifest["chain_steps"] = len(q.sequence.event_types)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
@@ -887,6 +1080,12 @@ class Materializer:
             self._seq_agg_state_path(name)
         ):
             self._refresh_sequence_agg(name, q, manifest, path, (cur_ts, cur_id))
+        elif stale and self._chain_incrementable(q, manifest) and manifest.get(
+            "seq_state"
+        ) and os.path.exists(
+            os.path.join(self._state_path(name), "pending_s0")
+        ):
+            self._refresh_chain(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._seq_incrementable(q, manifest) and manifest.get(
             "seq_state"
         ) and os.path.exists(self._seq_state_paths(name)[0]):

@@ -1429,3 +1429,104 @@ def test_within_sequence_remember_refreshes_incrementally(spark, tmp_path):
     got = {r["u"]: r["count"] for r in db.execute("SHOW winagg").df.collect()}
     want = {r["u"]: r["count"] for r in db.query(g).collect()}
     assert got == want == {"u1": 2, "u3": 1}
+
+
+def test_chain_remember_refreshes_incrementally(spark, tmp_path):
+    """Multi-link chain REMEMBERs refresh by stepwise delta match against
+    per-step pending-chain state — across several refreshes, including
+    chains completing link-by-link over separate flushes, same-second
+    boundary ties, and heads that never convert."""
+    import json as _json
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string" }}')
+
+    def store(et, u):
+        db.execute(f'STORE {et} FOR x-{u}-{clock["now"]} PAYLOAD {{ "u": "{u}" }}')
+
+    q = "QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u"
+
+    def rows(df):
+        return sorted(
+            (r["s0_u"], r["s0_event_id"], r["s1_event_id"], r["s2_event_id"])
+            for r in df.collect()
+        )
+
+    # u1 completes pre-remember; u2 at step 1; u3 head only
+    store("v", "u1"); store("c", "u1"); store("b", "u1")
+    store("v", "u2"); store("c", "u2")
+    store("v", "u3")
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS chmat")
+    manifest = _json.load(open(db.materializer._manifest_path("chmat")))
+    assert manifest.get("chain_steps") == 3  # the incremental path engaged
+    assert rows(db.execute("SHOW chmat").df) == rows(db.query(q))
+
+    # refresh 1: u2 completes; u3 advances one step; u4 full chain in one
+    # delta; a second u1 chain does NOT appear (one per head)
+    store("b", "u2"); store("c", "u3")
+    store("v", "u4"); store("c", "u4"); store("b", "u4")
+    db.execute("FLUSH")
+    shown = rows(db.execute("SHOW chmat").df)
+    assert shown == rows(db.query(q)) and len(shown) == 3
+
+    # refresh 2: u3 completes from carried step-2 state
+    store("b", "u3")
+    db.execute("FLUSH")
+    shown = rows(db.execute("SHOW chmat").df)
+    assert shown == rows(db.query(q)) and len(shown) == 4
+
+    # refresh 3: nothing new for the chain -> unchanged
+    store("v", "u9")
+    db.execute("FLUSH")
+    assert rows(db.execute("SHOW chmat").df) == shown ==  rows(db.query(q))
+
+
+def test_chain_refresh_same_second_boundary_tie(spark, tmp_path):
+    """A delta head whose cursor lands in the high-water second must
+    match a PRE-hwm same-second next-step event (smaller event_id, equal
+    ts) — that is exactly what the carried boundary frames exist for."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string" }}')
+
+    def store_at(et, u, at):
+        clock["now"] = at - 1
+        db.execute(f'STORE {et} FOR y-{u}-{et}-{at} PAYLOAD {{ "u": "{u}" }}')
+
+    q = "QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u"
+    T = 1_700_000_100
+    store_at("c", "u5", T)          # pre-hwm c AT the hwm second
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS tiemat")
+    assert db.execute("SHOW tiemat").df.count() == 0
+
+    store_at("v", "u5", T)          # delta head, SAME second, later id
+    store_at("b", "u5", T + 5)
+    db.execute("FLUSH")
+    shown = [
+        (r["s0_u"], r["s0_timestamp"], r["s1_timestamp"], r["s2_timestamp"])
+        for r in db.execute("SHOW tiemat").df.collect()
+    ]
+    direct = [
+        (r["s0_u"], r["s0_timestamp"], r["s1_timestamp"], r["s2_timestamp"])
+        for r in db.query(q).collect()
+    ]
+    assert shown == direct == [("u5", T, T, T + 5)]
