@@ -2870,6 +2870,86 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental multi-link CHAIN materialization: REMEMBER a 3-step
+    signup -> purchase -> click chain over the first half of the
+    timeline, ingest the rest, SHOW. The refresh advances carried
+    per-step pending chains (plus newly-formed heads) through the
+    stepwise delta match — never rescanning history — and must equal the
+    full batch chain, which is what the unrolled two-as-of-window oracle
+    computes (the seq_chain oracle's shape)."""
+    import shutil
+    import tempfile
+
+    from sneldb_spark.engine import SnelDB
+
+    types = ("signup", "purchase", "click")
+    frame = _events_frame(spark, sf_dir).where(F.col("event_type").isin(*types))
+    mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
+
+    root = tempfile.mkdtemp(prefix="sneldb_gate_")
+    try:
+        db = SnelDB(spark, root, multi_link=True)
+        cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
+                "value", "value_cents"]
+        for et in types:
+            db.store.registry.define(
+                et,
+                {"k": "int | null", "props": "string", "value": "float",
+                 "value_cents": "int"},
+            )
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
+                ).select(cols),
+            )
+        db.execute(
+            "REMEMBER QUERY signup FOLLOWED BY purchase FOLLOWED BY click "
+            "LINKED BY context_id AS chain_mat"
+        )
+        for et in types:
+            db.store.append_dataframe(
+                et,
+                frame.where(
+                    (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
+                ).select(cols),
+            )
+        out = db.execute("SHOW chain_mat").df.select(
+            "s0_context_id", "s0_event_id", "s1_event_id", "s2_event_id",
+            "s0_timestamp", "s1_timestamp", "s2_timestamp",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ORACLES_CHAIN_MAT_SQL = f"""WITH {_EV_CTE},
+a AS (SELECT * FROM ev WHERE event_type = 'signup'),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+p1 AS (
+  SELECT a.event_id AS s0_event_id, a.context_id AS s0_context_id,
+         a."timestamp" AS s0_timestamp,
+         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
+s1 AS (SELECT * FROM p1 WHERE rn = 1),
+p2 AS (
+  SELECT s1.s0_context_id, s1.s0_event_id, s1.s1_event_id,
+         cc.event_id AS s2_event_id,
+         s1.s0_timestamp, s1.s1_timestamp, cc."timestamp" AS s2_timestamp,
+         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
+                            ORDER BY cc."timestamp" ASC, cc.event_id ASC) AS rn2
+  FROM s1 JOIN c cc ON cc.context_id = s1.s0_context_id
+              AND cc."timestamp" >= s1.s1_timestamp)
+SELECT s0_context_id, s0_event_id, s1_event_id, s2_event_id,
+       s0_timestamp, s1_timestamp, s2_timestamp
+FROM p2 WHERE rn2 = 1"""
+
+
 def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SEQUENCE-AGGREGATE materialization: REMEMBER a
     grouped funnel aggregate over the first half of the timeline, ingest
@@ -3951,6 +4031,7 @@ _DRIVER_PRIORITY = [
     # order_limit_offset), micro-batch chunk-sort in the streaming
     # matchers, bpe kernel module touched
     "remember_show", "remember_show_agg", "remember_show_seq",
+    "remember_show_chain",
     "remember_show_seq_agg", "remember_show_compare",
     "seq_funnel_report", "seq_chain", "seq_within_window",
     "seq_followed_by", "seq_preceded_by", "seq_using_time",
@@ -4186,6 +4267,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remember_show_agg": q_remember_show_agg,
         "remember_show_compare": q_remember_show_compare,
         "remember_show_seq": q_remember_show_seq,
+        "remember_show_chain": q_remember_show_chain,
         "remember_show_seq_agg": q_remember_show_seq_agg,
     }
 
@@ -4427,6 +4509,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "remember_show_agg": _REMEMBER_SHOW_AGG_SQL,
         "remember_show_compare": _REMEMBER_SHOW_COMPARE_SQL,
         "remember_show_seq": _REMEMBER_SHOW_SEQ_SQL,
+        "remember_show_chain": _ORACLES_CHAIN_MAT_SQL,
         "remember_show_seq_agg": _REMEMBER_SHOW_SEQ_AGG_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_minhash_lsh": _minhash_sql(),

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "remember_show_agg",
     "remember_show_compare",
     "remember_show_seq",
+    "remember_show_chain",
     "remember_show_seq_agg",
     "text_winnow",
     "similarity_lsh_topk",
