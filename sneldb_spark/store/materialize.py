@@ -177,10 +177,14 @@ class Materializer:
         against carried per-step state: pending chains (matched through
         step i, awaiting i+1 — identity is the head event, chains are
         one-per-head) plus boundary events of each step type at the
-        high-water second. Excluded: PRECEDED BY links (a backward link's
-        candidate set is not append-bounded the same way), WITHIN (chain
-        windows post-filter EVERY gap — full recompute keeps that exact),
-        USING TIME, LIMIT/OFFSET, aggregates, retention."""
+        high-water second. WITHIN is delta-safe the same way the single
+        link's is: the stepwise match runs UNFILTERED (state bookkeeping
+        stays exact — an advance with a too-wide gap still consumes the
+        step) and every adjacent gap filters at EMISSION only; a pending
+        chain whose cursor is older than hwm-W can never emit (its next
+        gap will exceed the window) and is pruned. Excluded: PRECEDED BY
+        links (a backward link's candidate set is not append-bounded the
+        same way), USING TIME, LIMIT/OFFSET, aggregates, retention."""
         from sneldb_spark.commands.ast import FOLLOWED_BY
 
         return (
@@ -192,12 +196,25 @@ class Materializer:
             and q.limit is None
             and q.offset is None
             and q.sequence_time_field is None
-            and q.sequence_within is None
             and q.order_by is None
             and manifest.get("max_rows") is None
             and manifest.get("max_age_seconds") is None
             and self.engine.compiler.multi_link
         )
+
+    @staticmethod
+    def _within_chain(q, chain: DataFrame, n_steps: int) -> DataFrame:
+        """WITHIN over a completed chain: every adjacent gap bounded —
+        the same emission filter compile_chain applies."""
+        if q.sequence_within is None:
+            return chain
+        for i in range(n_steps - 1):
+            gap = F.abs(
+                F.col(f"s{i + 1}_timestamp").cast("long")
+                - F.col(f"s{i}_timestamp").cast("long")
+            )
+            chain = chain.where(gap <= F.lit(int(q.sequence_within)))
+        return chain
 
     def _chain_first(self, heads: DataFrame, nxt: DataFrame, link: str,
                      cols0: list[str], cols1: list[str]) -> DataFrame:
@@ -266,16 +283,30 @@ class Materializer:
                 self._chain_step(chains[-1], frames[i + 1], link, i, cols[i + 1])
                 .persist()
             )
-        chains[-1].write.mode("overwrite").parquet(os.path.join(path, "base"))
+        self._within_chain(q, chains[-1], n).write.mode("overwrite").parquet(
+            os.path.join(path, "base")
+        )
         pend_ps, bound_ps = self._chain_state_paths(name, n)
-        frames[0].join(
+        gap = q.sequence_within
+        pend0 = frames[0].join(
             chains[0].select(F.col("s0_event_id").alias("event_id")),
             "event_id", "left_anti",
-        ).write.mode("overwrite").parquet(pend_ps[0])
+        )
+        if gap is not None:
+            pend0 = pend0.where(
+                F.col("timestamp").cast("long") >= F.lit(hwm_ts - int(gap))
+            )
+        pend0.write.mode("overwrite").parquet(pend_ps[0])
         for i in range(1, n - 1):
-            chains[i - 1].join(
+            pend_i = chains[i - 1].join(
                 chains[i].select("s0_event_id"), "s0_event_id", "left_anti"
-            ).write.mode("overwrite").parquet(pend_ps[i])
+            )
+            if gap is not None:
+                pend_i = pend_i.where(
+                    F.col(f"s{i}_timestamp").cast("long")
+                    >= F.lit(hwm_ts - int(gap))
+                )
+            pend_i.write.mode("overwrite").parquet(pend_ps[i])
         for j in range(1, n):
             frames[j].where(
                 F.col("timestamp").cast("long") == F.lit(hwm_ts)
@@ -336,17 +367,23 @@ class Materializer:
                     advanced.select("s0_event_id"), "s0_event_id", "left_anti"
                 )
             )
-        completed = advanced
+        completed = self._within_chain(q, advanced, n)
         seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
         nxt = self._state_path(name) + ".next"
         shutil.rmtree(nxt, ignore_errors=True)
         # segment FIRST; a crashed rerun overwrites the same slice
         completed.write.mode("overwrite").parquet(seg)
+        cur_ts = cur[0]
+        gap = q.sequence_within
         for i, p in enumerate(new_pend):
+            if gap is not None:
+                cursor_ts = "timestamp" if i == 0 else f"s{i}_timestamp"
+                p = p.where(
+                    F.col(cursor_ts).cast("long") >= F.lit(cur_ts - int(gap))
+                )
             p.write.mode("overwrite").parquet(
                 os.path.join(nxt, f"pending_s{i}")
             )
-        cur_ts = cur[0]
         for j in range(1, n):
             cands[j].where(
                 F.col("timestamp").cast("long") == F.lit(cur_ts)

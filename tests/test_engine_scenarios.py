@@ -1530,3 +1530,47 @@ def test_chain_refresh_same_second_boundary_tie(spark, tmp_path):
         for r in db.query(q).collect()
     ]
     assert shown == direct == [("u5", T, T, T + 5)]
+
+
+def test_chain_within_remember_refreshes_incrementally(spark, tmp_path):
+    """WITHIN chains are chain-delta-safe: unfiltered stepwise state,
+    all-gap emission filter, stale pending pruned. A chain whose middle
+    gap misses the window must NOT appear even when matched across
+    refreshes; an in-window chain completing link-by-link must."""
+    import json as _json
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string" }}')
+
+    def store_at(et, u, at):
+        clock["now"] = at - 1
+        db.execute(f'STORE {et} FOR w-{u}-{et}-{at} PAYLOAD {{ "u": "{u}" }}')
+
+    q = "QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u WITHIN 10"
+    T = 1_700_000_100
+    # server time moves forward only (the delta invariant)
+    store_at("v", "wide", T); store_at("c", "wide", T + 50)   # first gap 50: doomed
+    store_at("v", "ok", T + 51); store_at("c", "ok", T + 55)  # gap 4: fine
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS winch")
+    m = _json.load(open(db.materializer._manifest_path("winch")))
+    assert m.get("chain_steps") == 3  # incremental path engaged for WITHIN
+    assert db.execute("SHOW winch").df.count() == 0
+
+    # both finish their LAST link in window — 'wide' must still be
+    # suppressed by its first gap (the all-gap emission filter)
+    store_at("b", "ok", T + 59)      # gap 4
+    store_at("b", "wide", T + 60)    # gap 10 from c@T+50: last link in window
+    db.execute("FLUSH")
+    shown = {(r["s0_u"],) for r in db.execute("SHOW winch").df.collect()}
+    direct = {(r["s0_u"],) for r in db.query(q).collect()}
+    assert shown == direct == {("ok",)}
