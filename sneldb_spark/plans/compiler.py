@@ -318,6 +318,31 @@ class QueryCompiler:
             approx_unique=self.approx_count_unique,
         )
 
+    def compile_chain_aggregate_partial(self, q: ast.QueryCommand, chain: DataFrame):
+        """Partial (mergeable) aggregation over a completed-chain frame —
+        the multi-link analogue of compile_sequence_aggregate_partial;
+        the materializer aggregates only DELTA chains and merges state.
+        Returns (state_frame, group_key_names); finalize yields the same
+        columns as the direct chain-aggregate compile."""
+        if not (q.is_aggregate and q.is_sequence and len(q.sequence.links) > 1):
+            raise QueryError("needs a multi-link chain aggregate query")
+        types = q.sequence.event_types
+        resolve = self._chain_resolver(chain, types)
+        bucket = None
+        if q.time_bucket:
+            tcol = resolve(q.time_field)[0].cast("long") if q.time_field else F.col(
+                "s0_timestamp"
+            ).cast("long")
+            tc = self.time_config
+            bucket = bucket_column(
+                tcol, q.time_bucket, mode=tc.mode, timezone=tc.timezone,
+                week_start=tc.week_start,
+            )
+        return apply_partial_aggregation(
+            chain, q.aggs, q.group_by, resolve, bucket,
+            approx_unique=self.approx_count_unique,
+        )
+
     def _reference_column_order(self, df: DataFrame, q: ast.QueryCommand) -> DataFrame:
         """Full-column results use the reference's column order: core
         fields, then the (sorted) filter columns, then the remaining

@@ -185,6 +185,9 @@ class Materializer:
         gap will exceed the window) and is pruned. Excluded: PRECEDED BY
         links (a backward link's candidate set is not append-bounded the
         same way), USING TIME, LIMIT/OFFSET, aggregates, retention."""
+        return self._chain_delta_safe(q, manifest) and not q.is_aggregate
+
+    def _chain_delta_safe(self, q, manifest: dict) -> bool:
         from sneldb_spark.commands.ast import FOLLOWED_BY
 
         return (
@@ -192,7 +195,6 @@ class Materializer:
             and q.is_sequence
             and len(q.sequence.links) > 1
             and all(k == FOLLOWED_BY for k, _ in q.sequence.links)
-            and not q.is_aggregate
             and q.limit is None
             and q.offset is None
             and q.sequence_time_field is None
@@ -266,9 +268,43 @@ class Materializer:
         )
 
     def _remember_chain(self, name: str, q, path: str) -> tuple[int, int]:
-        """Initial chain materialization: stepwise match (capturing every
-        intermediate), store completed chains as the segment base, carry
-        per-step pending chains + hwm-second boundary events."""
+        """Initial chain materialization: stepwise match, store completed
+        chains as the segment base, carry per-step state."""
+        completed, n, hwm, cleanup = self._chain_initial_match(name, q)
+        self._within_chain(q, completed, n).write.mode("overwrite").parquet(
+            os.path.join(path, "base")
+        )
+        cleanup()
+        return hwm
+
+    def _remember_chain_agg(self, name: str, q, manifest: dict,
+                            path: str) -> tuple[int, int]:
+        """Initial chain-AGGREGATE materialization: the stepwise match
+        once, mergeable partial state over the (window-filtered)
+        completed chains, result from the state's finalize — the same
+        one-estimator rule every aggregate materialization follows."""
+        from sneldb_spark.plans.aggregates import finalize_partial_state
+
+        spark = self.engine.spark
+        approx = self.engine.compiler.approx_count_unique
+        completed, n, hwm, cleanup = self._chain_initial_match(name, q)
+        state, keys = self.engine.compiler.compile_chain_aggregate_partial(
+            q, self._within_chain(q, completed, n)
+        )
+        spath = self._seq_agg_state_path(name)
+        state.write.mode("overwrite").parquet(spath)
+        self._write_state_hwm(spath, *hwm)
+        manifest["state_keys"] = keys
+        finalize_partial_state(
+            spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
+        ).write.mode("overwrite").parquet(path)
+        cleanup()
+        return hwm
+
+    def _chain_initial_match(self, name: str, q):
+        """Stepwise full match (capturing every intermediate) + per-step
+        pending/boundary state writes; returns (completed chains
+        [persisted], n_steps, hwm, cleanup)."""
         hwm_ts, hwm_id = self._source_hwm(q)
         frames, types, kinds, link = self.engine.compiler.chain_parts(
             q, upper=(hwm_ts, hwm_id)
@@ -283,9 +319,6 @@ class Materializer:
                 self._chain_step(chains[-1], frames[i + 1], link, i, cols[i + 1])
                 .persist()
             )
-        self._within_chain(q, chains[-1], n).write.mode("overwrite").parquet(
-            os.path.join(path, "base")
-        )
         pend_ps, bound_ps = self._chain_state_paths(name, n)
         gap = q.sequence_within
         pend0 = frames[0].join(
@@ -311,10 +344,13 @@ class Materializer:
             frames[j].where(
                 F.col("timestamp").cast("long") == F.lit(hwm_ts)
             ).write.mode("overwrite").parquet(bound_ps[j])
-        for c in chains:
-            c.unpersist()
         self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
-        return hwm_ts, hwm_id
+
+        def cleanup():
+            for c in chains:
+                c.unpersist()
+
+        return chains[-1], n, (hwm_ts, hwm_id), cleanup
 
     def _refresh_chain(self, name: str, q, manifest: dict, path: str,
                        cur: tuple[int, int]):
@@ -326,8 +362,86 @@ class Materializer:
         match is unconditional — no window), so its first at-or-after
         among boundary ∪ delta IS its first overall; same-second ties
         ride in via the boundary frames, exactly like the single link."""
-        from sneldb_spark.plans.sequence import A_PREFIX  # noqa: F401 (doc anchor)
+        lower, completed, new_pend, cands, n, cleanup = self._chain_delta_match(
+            name, q, manifest, cur
+        )
+        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
+        nxt = self._state_path(name) + ".next"
+        shutil.rmtree(nxt, ignore_errors=True)
+        # segment FIRST; a crashed rerun overwrites the same slice
+        completed.write.mode("overwrite").parquet(seg)
+        self._write_chain_next_state(nxt, q, new_pend, cands, n, cur)
+        cleanup()
+        self._mark_state_complete(nxt)
+        self._swap_state_dir(name)
 
+    def _refresh_chain_agg(self, name: str, q, manifest: dict, path: str,
+                           cur: tuple[int, int]):
+        """Incremental chain-AGGREGATE refresh: partial-aggregate only
+        the delta's completed (window-filtered) chains, merge into stored
+        per-group state, finalize — plus the same per-step pending/
+        boundary swap the plain chain refresh does. Crash ordering
+        mirrors _refresh_sequence_agg: the visible result replaces
+        before the state swap flags complete, so a crash in between
+        reruns the same delta against the OLD state idempotently."""
+        from sneldb_spark.plans.aggregates import (
+            finalize_partial_state,
+            merge_partial_states,
+        )
+
+        spark = self.engine.spark
+        keys = manifest["state_keys"]
+        approx = self.engine.compiler.approx_count_unique
+        lower, completed, new_pend, cands, n, cleanup = self._chain_delta_match(
+            name, q, manifest, cur
+        )
+        spath = self._seq_agg_state_path(name)
+        delta_state, _ = self.engine.compiler.compile_chain_aggregate_partial(
+            q, completed
+        )
+        merged = merge_partial_states(
+            spark.read.parquet(spath).unionByName(
+                delta_state, allowMissingColumns=True
+            ),
+            q.aggs, keys, approx_unique=approx,
+        )
+        nxt = self._state_path(name) + ".next"
+        shutil.rmtree(nxt, ignore_errors=True)
+        nxt_agg = os.path.join(nxt, "agg_state")
+        merged.write.mode("overwrite").parquet(nxt_agg)
+        final = finalize_partial_state(
+            spark.read.parquet(nxt_agg), q.aggs, keys, approx_unique=approx
+        )
+        self._write_chain_next_state(nxt, q, new_pend, cands, n, cur)
+        final.write.mode("overwrite").parquet(self.storage.stage_path(path))
+        self.storage.publish_dir(path)
+        cleanup()
+        self._mark_state_complete(nxt)
+        self._swap_state_dir(name)
+
+    def _write_chain_next_state(self, nxt: str, q, new_pend, cands, n: int,
+                                cur: tuple[int, int]):
+        cur_ts = cur[0]
+        gap = q.sequence_within
+        for i, p in enumerate(new_pend):
+            if gap is not None:
+                cursor_ts = "timestamp" if i == 0 else f"s{i}_timestamp"
+                p = p.where(
+                    F.col(cursor_ts).cast("long") >= F.lit(cur_ts - int(gap))
+                )
+            p.write.mode("overwrite").parquet(
+                os.path.join(nxt, f"pending_s{i}")
+            )
+        for j in range(1, n):
+            cands[j].where(
+                F.col("timestamp").cast("long") == F.lit(cur_ts)
+            ).write.mode("overwrite").parquet(os.path.join(nxt, f"boundary_{j}"))
+        self._write_state_hwm(nxt, cur[0], cur[1])
+
+    def _chain_delta_match(self, name: str, q, manifest: dict,
+                           cur: tuple[int, int]):
+        """The shared stepwise delta advance; returns (lower, completed
+        [window-filtered], new_pend frames, cands, n, cleanup)."""
         spark = self.engine.spark
         lower = manifest["hwm_ts"], manifest["hwm_id"]
         marker = self._read_state_hwm(self._state_path(name))
@@ -368,31 +482,28 @@ class Materializer:
                 )
             )
         completed = self._within_chain(q, advanced, n)
-        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
-        nxt = self._state_path(name) + ".next"
-        shutil.rmtree(nxt, ignore_errors=True)
-        # segment FIRST; a crashed rerun overwrites the same slice
-        completed.write.mode("overwrite").parquet(seg)
-        cur_ts = cur[0]
-        gap = q.sequence_within
-        for i, p in enumerate(new_pend):
-            if gap is not None:
-                cursor_ts = "timestamp" if i == 0 else f"s{i}_timestamp"
-                p = p.where(
-                    F.col(cursor_ts).cast("long") >= F.lit(cur_ts - int(gap))
-                )
-            p.write.mode("overwrite").parquet(
-                os.path.join(nxt, f"pending_s{i}")
+
+        def cleanup():
+            for c in persisted:
+                c.unpersist()
+
+        return lower, completed, new_pend, cands, n, cleanup
+
+    def _chain_agg_incrementable(self, q, manifest: dict) -> bool:
+        """Chain AGGREGATES: completed chains are append-only per refresh
+        (one emission per head, window filter applied pre-aggregation),
+        so delta chains partial-aggregate and merge exactly like the
+        single-link sequence aggregates."""
+        from sneldb_spark.plans.aggregates import is_percentile
+
+        return (
+            self._chain_delta_safe(q, manifest)
+            and q.is_aggregate
+            and not (
+                self.engine.compiler.approx_percentiles
+                and any(is_percentile(a.op) for a in q.aggs)
             )
-        for j in range(1, n):
-            cands[j].where(
-                F.col("timestamp").cast("long") == F.lit(cur_ts)
-            ).write.mode("overwrite").parquet(os.path.join(nxt, f"boundary_{j}"))
-        for c in persisted:
-            c.unpersist()
-        self._write_state_hwm(nxt, cur[0], cur[1])
-        self._mark_state_complete(nxt)
-        self._swap_state_dir(name)
+        )
 
     def _agg_incrementable(self, q, manifest: dict) -> bool:
         """Plain aggregates refresh by partial-state merge. Excluded:
@@ -660,6 +771,14 @@ class Materializer:
             with open(self._manifest_path(name), "w") as f:
                 json.dump(manifest, f, indent=1)
             return self._read_segments(path).count()
+        elif self._chain_agg_incrementable(q, manifest):
+            hwm_ts, hwm_id = self._remember_chain_agg(name, q, manifest, path)
+            manifest["seq_state"] = True
+            manifest["chain_steps"] = len(q.sequence.event_types)
+            manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return self.engine.spark.read.parquet(path).count()
         elif self._chain_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_chain(name, q, path)
             manifest["seq_state"] = True
@@ -1117,6 +1236,14 @@ class Materializer:
             self._seq_agg_state_path(name)
         ):
             self._refresh_sequence_agg(name, q, manifest, path, (cur_ts, cur_id))
+        elif stale and self._chain_agg_incrementable(q, manifest) and manifest.get(
+            "seq_state"
+        ) and manifest.get("state_keys") is not None and os.path.exists(
+            self._seq_agg_state_path(name)
+        ) and os.path.exists(
+            os.path.join(self._state_path(name), "pending_s0")
+        ):
+            self._refresh_chain_agg(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._chain_incrementable(q, manifest) and manifest.get(
             "seq_state"
         ) and os.path.exists(

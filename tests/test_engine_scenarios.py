@@ -1574,3 +1574,59 @@ def test_chain_within_remember_refreshes_incrementally(spark, tmp_path):
     shown = {(r["s0_u"],) for r in db.execute("SHOW winch").df.collect()}
     direct = {(r["s0_u"],) for r in db.query(q).collect()}
     assert shown == direct == {("ok",)}
+
+
+def test_chain_aggregate_remember_refreshes_incrementally(spark, tmp_path):
+    """Chain AGGREGATE REMEMBERs (grouped funnel counts over 3 steps)
+    refresh by partial-aggregating only the delta's completed chains and
+    merging per-group state — across two refreshes, with WITHIN."""
+    import json as _json
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string", "k": "int" }}')
+
+    def store(et, u, k):
+        db.execute(
+            f'STORE {et} FOR z-{u}-{clock["now"]} PAYLOAD {{ "u": "{u}", "k": {k} }}'
+        )
+
+    q = ("QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u WITHIN 60 "
+         "COUNT, COUNT UNIQUE u BY k")
+    store("v", "u1", 1); store("c", "u1", 1); store("b", "u1", 1)
+    store("v", "u2", 2); store("c", "u2", 2)
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS chagg")
+    m = _json.load(open(db.materializer._manifest_path("chagg")))
+    assert m.get("chain_steps") == 3 and m.get("state_keys") == ["k"]
+
+    def rows(df):
+        return sorted(
+            (r["k"], r["count"], r["count_unique_u"]) for r in df.collect()
+        )
+
+    assert rows(db.execute("SHOW chagg").df) == rows(db.query(q)) == [(1, 1, 1)]
+
+    # refresh 1: u2 completes; u3 full chain; state merges per group
+    store("b", "u2", 2)
+    store("v", "u3", 1); store("c", "u3", 1); store("b", "u3", 1)
+    db.execute("FLUSH")
+    assert rows(db.execute("SHOW chagg").df) == rows(db.query(q)) == [
+        (1, 2, 2), (2, 1, 1),
+    ]
+
+    # refresh 2: another k=1 chain by an EXISTING user: count moves,
+    # exact COUNT UNIQUE must not
+    store("v", "u1", 1); store("c", "u1", 1); store("b", "u1", 1)
+    db.execute("FLUSH")
+    assert rows(db.execute("SHOW chagg").df) == rows(db.query(q)) == [
+        (1, 3, 2), (2, 1, 1),
+    ]
