@@ -2884,7 +2884,12 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sneldb_spark.engine import SnelDB
 
     types = ("signup", "purchase", "click")
-    frame = _events_frame(spark, sf_dir).where(F.col("event_type").isin(*types))
+    # k < 40 subset: the lifecycle (2 ingest phases x 3 types + stepwise
+    # chain + SHOW) is the most expensive gate at full volume; the
+    # deterministic slice keeps the same code paths at ~40% of the rows
+    frame = _events_frame(spark, sf_dir).where(
+        F.col("event_type").isin(*types) & (F.col("k") < 40)
+    )
     mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -2902,7 +2907,7 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 et,
                 frame.where(
                     (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
-                ).select(cols),
+                ).select(cols).coalesce(2),
             )
         db.execute(
             "REMEMBER QUERY signup FOLLOWED BY purchase FOLLOWED BY click "
@@ -2913,7 +2918,7 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 et,
                 frame.where(
                     (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
-                ).select(cols),
+                ).select(cols).coalesce(2),
             )
         out = db.execute("SHOW chain_mat").df.select(
             "s0_context_id", "s0_event_id", "s1_event_id", "s2_event_id",
@@ -2926,9 +2931,9 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES_CHAIN_MAT_SQL = f"""WITH {_EV_CTE},
-a AS (SELECT * FROM ev WHERE event_type = 'signup'),
-b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-c AS (SELECT * FROM ev WHERE event_type = 'click'),
+a AS (SELECT * FROM ev WHERE event_type = 'signup' AND k < 40),
+b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND k < 40),
+c AS (SELECT * FROM ev WHERE event_type = 'click' AND k < 40),
 p1 AS (
   SELECT a.event_id AS s0_event_id, a.context_id AS s0_context_id,
          a."timestamp" AS s0_timestamp,
