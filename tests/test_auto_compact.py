@@ -79,3 +79,23 @@ def test_extensions_config_section(spark, tmp_path):
     # defaults stay off
     cfg2 = load_config({"engine": {"data_dir": str(tmp_path / "y")}})
     assert not cfg2.approx_count_unique and cfg2.sequence_slices == 0
+
+
+def test_auto_compact_with_wal_recovery(spark, tmp_path):
+    """Crash-with-pending-WAL then reopen on an auto-compacting root:
+    replayed rows flush + compact without losing anything."""
+    from sneldb_spark.engine import SnelDB
+
+    root = str(tmp_path / "db")
+    db = SnelDB(spark, root, auto_compact_files=2)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    for i in range(3):
+        db.execute(f'STORE t FOR a{i} PAYLOAD {{"v": {i}}}')
+        db.execute("FLUSH")
+    db.execute('STORE t FOR crash PAYLOAD {"v": 99}')  # pending, not flushed
+
+    db2 = SnelDB(spark, root, auto_compact_files=2)  # takes over + replays WAL
+    db2.execute("FLUSH")
+    rows = sorted(r["v"] for r in db2.query("QUERY t").collect())
+    assert rows == [0, 1, 2, 99]
+    assert _n_files(db2.store, "t") <= 2

@@ -1630,3 +1630,33 @@ def test_chain_aggregate_remember_refreshes_incrementally(spark, tmp_path):
     assert rows(db.execute("SHOW chagg").df) == rows(db.query(q)) == [
         (1, 3, 2), (2, 1, 1),
     ]
+
+
+def test_chain_materialization_forget_and_redefine(spark, tmp_path):
+    """FORGET fully clears the chain's per-step state; the name is
+    immediately reusable and the new materialization starts clean."""
+    import os
+
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string" }}')
+    for et in ("v", "c", "b"):
+        db.execute(f'STORE {et} FOR f-{et} PAYLOAD {{ "u": "u1" }}')
+    db.execute("FLUSH")
+    q = "QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u"
+    db.execute(f"REMEMBER {q} AS fm")
+    assert db.execute("SHOW fm").df.count() == 1
+    state = db.materializer._state_path("fm")
+    assert os.path.isdir(os.path.join(state, "pending_s0"))
+    db.execute("FORGET fm")
+    assert not os.path.exists(db.materializer._dir("fm"))
+    db.execute(f"REMEMBER {q} AS fm")  # name reusable
+    assert db.execute("SHOW fm").df.count() == 1
