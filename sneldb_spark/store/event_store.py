@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import threading
 import time
-from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
