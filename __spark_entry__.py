@@ -2103,6 +2103,42 @@ HAVING count(*) >= 3
 """
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (fraction of the doc's distinct
+    3-grams occurring in no other document) — the cheap boilerplate /
+    near-dup triage signal upstream of pairwise dedup
+    (pipeline/text.py ngram_novelty; novelty rounded 6dp both sides)."""
+    from sneldb_spark.pipeline.text import ngram_novelty
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_novelty(d, n=3).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_novel",
+        F.round("novelty", 6).alias("novelty"),
+    )
+
+
+_TEXT_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+gc AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram),
+pd AS (SELECT g.doc_id, count(*) AS n_grams,
+              sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+       FROM grams g JOIN gc USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0) AS n_grams,
+       CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(pd.n_grams, 0) > 0
+            THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6)
+            ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS), exact-oracle checked:
     the Rabin-Karp polynomial hash is plain modular arithmetic (byte *
@@ -4044,6 +4080,7 @@ _DRIVER_PRIORITY = [
     "streaming_seq_chain",
     "dedup_line_boilerplate",
     "sampling_training_shuffle",
+    "text_novelty",
     "streaming_seq_followed_by", "streaming_seq_preceded_by",
     "text_bpe_pairs",
     # oldest driver rows next: gates whose last green row is r1/r2
@@ -4216,6 +4253,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_line_boilerplate": q_dedup_line_boilerplate,
         "text_ngram_counts": q_text_ngram_counts,
+        "text_novelty": q_text_novelty,
         "text_bpe_pairs": q_text_bpe_pairs,
         "text_lm_score": q_text_lm_score,
         "text_quality_buckets": q_text_quality_buckets,
@@ -4467,6 +4505,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_span_removal": _DEDUP_SPAN_SQL,
         "dedup_line_boilerplate": _DEDUP_LINE_SQL,
         "text_ngram_counts": _TEXT_NGRAM_COUNTS_SQL,
+        "text_novelty": _TEXT_NOVELTY_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_tokens_fingerprint": _TOKENS_FP_SQL,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_langid",
     "text_tokens_fingerprint",
     "text_ngram_counts",
+    "text_novelty",
     "text_bpe_pairs",
     "text_lm_score",
     "text_repetition",

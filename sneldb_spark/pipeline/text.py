@@ -690,3 +690,68 @@ def corpus_report(
             ).alias("dup_rate"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the document's
+    DISTINCT word n-grams that occur in no other document. Low novelty
+    flags boilerplate-heavy or near-duplicate documents without running
+    a pairwise dedup — the cheap curation triage signal upstream of
+    MinHash/Jaccard.
+
+    Output: (id, n_grams, n_novel, novelty) with novelty = n_novel /
+    n_grams (0.0 for docs too short to shingle).
+
+    Scale shape: all-JVM codegen. Distinct (doc, gram) pairs, one
+    map-side-combined count per gram (distinct-doc count == pair count
+    because pairs are distinct), a broadcast-free join back, one per-doc
+    aggregate — three linear shuffles keyed on gram/id, no window over
+    the corpus, nothing collected.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "").alias("w"),
+    )
+    grams = (
+        toks.select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("w") >= n,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                            lambda i: F.array_join(F.slice("w", i, n), " "),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    doc_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        grams.join(doc_counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_novel") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("novelty"),
+        )
+    )

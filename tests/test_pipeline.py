@@ -1697,3 +1697,32 @@ def test_image_stats_real_decode(spark):
     assert out[1]["mean_r"] == 200.0 and out[1]["mean_g"] == 0.0
     assert abs(out[1]["brightness"] - 0.299 * 200) < 1e-9
     assert out[2]["width"] is None
+
+
+def test_ngram_novelty(spark):
+    from sneldb_spark.pipeline.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c','b c d'
+            (2, "a b c x"),          # shares 'a b c'
+            (3, "q r s t"),          # fully novel
+            (4, "xy"),               # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert out[1] == (2, 1, 0.5)     # 'b c d' novel, 'a b c' shared
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 2, 1.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_ngram_novelty_all_jvm(docs):
+    from sneldb_spark.pipeline.text import ngram_novelty
+
+    plan = ngram_novelty(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
