@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Each `queries()` entry exercises one operator family from SURVEY.md §2 (or
-one of the training-data pipeline extensions) and has a DuckDB oracle in
-`oracle_sql()` unless the op is non-SQL-expressible (minhash/simhash LSH,
-multimodal UDF plumbing), which the driver records as rows-only checks.
+one of the training-data pipeline extensions) and has an exact DuckDB
+oracle in `oracle_sql()` — every gate, including minhash/simhash/LSH and
+winnowing, uses engine-portable arithmetic the oracle reproduces
+bit-for-bit (zero rows-only gates).
 
 Determinism rules used throughout:
 - timestamps reduced to epoch-second longs on both sides;
