@@ -1660,3 +1660,35 @@ def test_chain_materialization_forget_and_redefine(spark, tmp_path):
     assert not os.path.exists(db.materializer._dir("fm"))
     db.execute(f"REMEMBER {q} AS fm")  # name reusable
     assert db.execute("SHOW fm").df.count() == 1
+
+
+def test_chain_aggregate_per_bucket_incremental(spark, tmp_path):
+    """PER DAY chain aggregates bucket on the HEAD event's timestamp in
+    both the direct compile and the incremental state path."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, multi_link=True)
+    for et in ("v", "c", "b"):
+        db.execute(f'DEFINE {et} FIELDS {{ "u": "string" }}')
+
+    def store_at(et, u, at):
+        clock["now"] = at - 1
+        db.execute(f'STORE {et} FOR p-{u}-{et}-{at} PAYLOAD {{ "u": "{u}" }}')
+
+    day1, day2 = 1_700_000_000, 1_700_000_000 + 86_400
+    q = "QUERY v FOLLOWED BY c FOLLOWED BY b LINKED BY u COUNT PER DAY"
+    store_at("v", "u1", day1); store_at("c", "u1", day1 + 10)
+    store_at("v", "u2", day2); store_at("c", "u2", day2 + 10)
+    db.execute("FLUSH")
+    db.execute(f"REMEMBER {q} AS chday")
+    store_at("b", "u1", day2 + 20); store_at("b", "u2", day2 + 30)
+    db.execute("FLUSH")
+    got = sorted((r["bucket"], r["count"]) for r in db.execute("SHOW chday").df.collect())
+    want = sorted((r["bucket"], r["count"]) for r in db.query(q).collect())
+    assert got == want and len(got) == 2  # one chain per head DAY
