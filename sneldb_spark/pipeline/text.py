@@ -385,6 +385,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 100,
     min_word_count: int = 1,
+    max_vocab_collect: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Classic BPE training: the corpus-scale work (word frequency
     collection) runs in Spark ONCE; the merge loop then iterates over the
@@ -400,6 +401,12 @@ def bpe_train(
       word table while contributing nothing a count-2 merge floor can
       accept; set 2+ there. Default 1 preserves exact small-corpus
       behavior.
+    - `max_vocab_collect` is a hard safety rail on the driver collect:
+      the (pruned) vocabulary size is counted Spark-side first, and a
+      vocabulary above the cap raises instead of silently OOMing the
+      driver — the error says exactly which knob to turn
+      (`min_word_count` to prune the long tail, or the cap itself if
+      the driver genuinely has the memory).
     - The merge loop maintains pair counts INCREMENTALLY with an
       inverted pair->words index: each merge touches only the words
       containing the merged pair (re-counting their local pairs),
@@ -425,7 +432,21 @@ def bpe_train(
     )
     if min_word_count > 1:
         words_df = words_df.where(F.col("wc") >= F.lit(int(min_word_count)))
-    rows = words_df.collect()
+    words_df = words_df.persist()
+    try:
+        vocab_size = words_df.count()
+        if vocab_size > max_vocab_collect:
+            raise ValueError(
+                f"bpe_train: distinct-word vocabulary has {vocab_size:,} rows, "
+                f"above max_vocab_collect={max_vocab_collect:,}; collecting it "
+                "would risk driver OOM. Raise min_word_count (count-1/2 tail "
+                "words — URLs, hex ids, typos — dominate web-scale vocabularies "
+                "and cannot win a merge above the floor anyway), or raise "
+                "max_vocab_collect explicitly if the driver has the memory."
+            )
+        rows = words_df.collect()
+    finally:
+        words_df.unpersist()
 
     words: list[list[str]] = [list(r["w"]) for r in rows]
     wcs: list[int] = [r["wc"] for r in rows]
