@@ -107,12 +107,27 @@ class _TcpTransport:
         self._io = self._sock.makefile("rwb")
         return self
 
-    def round_trip(self, line: str) -> list[dict]:
+    def round_trip(self, line: str, arrow: bool = False):
         """Send one command line, read frames until its terminal frame.
         Read results stream schema/batch.../end; everything else answers
-        exactly one ok/error line."""
+        exactly one ok/error line.
+
+        With ``arrow=True`` (server started with output_format="arrow"),
+        read results arrive as an Arrow IPC stream instead — returned as
+        a pyarrow Table. The first response byte disambiguates: IPC
+        messages start with the 0xFF continuation marker, JSON ok/error
+        lines with '{'."""
         self._io.write((line.strip() + "\n").encode())
         self._io.flush()
+        if arrow:
+            head = self._io.peek(1)[:1]
+            if not head:
+                raise ClientConnectionError("connection closed mid-response")
+            if head != b"{":
+                import pyarrow as pa
+
+                with pa.ipc.open_stream(self._io) as reader:
+                    return reader.read_all()
         frames: list[dict] = []
         while True:
             raw = self._io.readline()
@@ -193,12 +208,13 @@ class _WsTransport:
         self._io.write(bytes(header) + masked)
         self._io.flush()
 
-    def _read_frame(self) -> tuple[int, bytes]:
+    def _read_frame(self) -> tuple[bool, int, bytes]:
         import struct
 
         head = self._io.read(2)
         if len(head) < 2:
             raise ClientConnectionError("connection closed mid-response")
+        fin = bool(head[0] & 0x80)
         opcode = head[0] & 0x0F
         length = head[1] & 0x7F
         if length == 126:
@@ -206,17 +222,31 @@ class _WsTransport:
         elif length == 127:
             length = struct.unpack(">Q", self._io.read(8))[0]
         # server frames are unmasked
-        return opcode, self._io.read(length)
+        return fin, opcode, self._io.read(length)
 
-    def round_trip(self, line: str) -> list[dict]:
+    def round_trip(self, line: str, arrow: bool = False):
+        """With ``arrow=True``, a read result arrives as one (possibly
+        fragmented) BINARY message carrying an Arrow IPC stream; ok/error
+        stay single text messages."""
         self._write_frame(line.strip().encode())
         frames: list[dict] = []
+        blob = bytearray()  # reassembles a fragmented binary message
+        in_binary = False
         while True:
-            opcode, payload = self._read_frame()
+            fin, opcode, payload = self._read_frame()
             if opcode == 0x8:  # close
                 raise ClientConnectionError("server closed mid-response")
             if opcode == 0x9:  # ping -> pong
                 self._write_frame(payload, 0xA)
+                continue
+            if opcode == 0x2 or (in_binary and opcode == 0x0):
+                in_binary = not fin
+                blob += payload
+                if fin:
+                    import pyarrow as pa
+
+                    with pa.ipc.open_stream(bytes(blob)) as reader:
+                        return reader.read_all()
                 continue
             if opcode != 0x1:
                 continue
@@ -317,8 +347,10 @@ class SnelDBClient:
         self.user_id = user_id
         self._secret_key = secret_key
         self._token: Optional[str] = None
-        # "arrow" (HTTP only): read results negotiate an Arrow IPC stream
-        # and parse columnar — the reference client's output_format knob.
+        # "arrow": read results arrive as Arrow IPC and parse columnar —
+        # the reference client's output_format knob. HTTP negotiates per
+        # request (Accept header); TCP/WS/Unix require the server started
+        # with output_format="arrow" (config [server] output_format).
         self.output_format = output_format
         if parsed.scheme in ("http", "https"):
             port = parsed.port or (443 if parsed.scheme == "https" else 80)
@@ -360,7 +392,17 @@ class SnelDBClient:
     def _execute(self, command: str) -> ClientResult:
         command = command.strip()
         if self._kind == "tcp":
-            return _frames_to_result(self._tcp.round_trip(self._format_tcp(command)))
+            out = self._tcp.round_trip(
+                self._format_tcp(command), arrow=self.output_format == "arrow"
+            )
+            if not isinstance(out, list):  # Arrow table (output_format="arrow")
+                return ClientResult(
+                    ok=True,
+                    rows=out.to_pylist(),
+                    columns=out.column_names,
+                    row_count=out.num_rows,
+                )
+            return _frames_to_result(out)
         out = self._http.post(
             command,
             self._http_headers(command),

@@ -44,6 +44,11 @@ class ServerConfig:
     http_addr: Optional[str] = None
     ws_addr: Optional[str] = None
     socket_path: Optional[str] = None
+    # [server] output_format = "json" | "arrow" (reference:
+    # config/prod.toml:35): "arrow" switches TCP/WS/Unix read responses
+    # to Arrow IPC streams. HTTP negotiates per request via Accept
+    # headers instead (http_server.py).
+    output_format: str = "json"
 
 
 @dataclass
@@ -147,6 +152,7 @@ def load_config(path_or_dict) -> EngineConfig:
         http_addr=s.get("http_addr"),
         ws_addr=s.get("ws_addr"),
         socket_path=s.get("socket_path"),
+        output_format=s.get("output_format", "json"),
     )
     return cfg
 
@@ -178,7 +184,12 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
         from sneldb_spark.server import SnelDBServer
 
         host, _, port = cfg.server.tcp_addr.rpartition(":")
-        servers.append(SnelDBServer(engine, host or "127.0.0.1", int(port)).start())
+        servers.append(
+            SnelDBServer(
+                engine, host or "127.0.0.1", int(port),
+                output_format=cfg.server.output_format,
+            ).start()
+        )
     if cfg.server.http_addr:
         from sneldb_spark.http_server import SnelDBHttpServer
 
@@ -196,9 +207,19 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
         from sneldb_spark.ws_server import SnelDBWsServer
 
         host, _, port = cfg.server.ws_addr.rpartition(":")
-        servers.append(SnelDBWsServer(engine, host or "127.0.0.1", int(port)).start())
+        servers.append(
+            SnelDBWsServer(
+                engine, host or "127.0.0.1", int(port),
+                output_format=cfg.server.output_format,
+            ).start()
+        )
     if cfg.server.socket_path:
         from sneldb_spark.server import SnelDBUnixServer
 
-        servers.append(SnelDBUnixServer(engine, cfg.server.socket_path).start())
+        servers.append(
+            SnelDBUnixServer(
+                engine, cfg.server.socket_path,
+                output_format=cfg.server.output_format,
+            ).start()
+        )
     return servers

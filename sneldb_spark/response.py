@@ -79,3 +79,54 @@ def arrow_ipc_bytes(df: DataFrame) -> bytes:
     with pa.ipc.new_stream(sink, table.schema) as writer:
         writer.write_table(table)
     return sink.getvalue()
+
+
+def arrow_ipc_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterator[bytes]:
+    """Yield an Arrow IPC stream incrementally: one chunk for the schema
+    message, one per record batch, one for the end-of-stream marker
+    (continuation + zero length — reference:
+    src/shared/response/arrow.rs:115-180 ArrowStreamEncoder).
+
+    Rows stream through `toLocalIterator` exactly like `json_frames`, so
+    the driver holds at most `batch_size` rows — the line-protocol Arrow
+    path never collects the result. The Arrow schema comes from a
+    `limit(0)` collect (public API, Connect-compatible), which costs one
+    empty job before the stream starts."""
+    import io
+
+    import pyarrow as pa
+
+    schema = df.limit(0).toArrow().schema
+    names = [f.name for f in df.schema.fields]
+    sink = io.BytesIO()
+    writer = pa.ipc.new_stream(sink, schema)
+
+    def take() -> bytes:
+        data = sink.getvalue()
+        sink.seek(0)
+        sink.truncate(0)
+        return data
+
+    def to_batch(rows: list) -> pa.RecordBatch:
+        cols = list(zip(*rows))
+        arrays = [
+            pa.array(list(cols[i]), type=schema.field(i).type)
+            for i in range(len(names))
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    yield take()  # schema message
+    batch: list = []
+    for row in df.toLocalIterator():
+        batch.append(tuple(row))
+        if len(batch) >= batch_size:
+            writer.write_batch(to_batch(batch))
+            yield take()
+            batch = []
+    if batch:
+        writer.write_batch(to_batch(batch))
+        yield take()
+    writer.close()
+    tail = take()
+    if tail:
+        yield tail  # end-of-stream marker

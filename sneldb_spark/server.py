@@ -30,7 +30,7 @@ from typing import Optional
 from sneldb_spark.auth import BYPASS_USER_ID, AuthError
 from sneldb_spark.engine import SnelDB
 from sneldb_spark.errors import SnelDBError
-from sneldb_spark.response import json_frames
+from sneldb_spark.response import arrow_ipc_frames, json_frames
 
 
 def _peer_ip(handler) -> Optional[str]:
@@ -65,8 +65,19 @@ class _Handler(socketserver.StreamRequestHandler):
                     continue
                 result = engine.execute(command, user_id=user_id)
                 if result.df is not None:
-                    for frame in json_frames(result.df):
-                        self.wfile.write((frame + "\n").encode())
+                    if getattr(self.server, "output_format", "json") == "arrow":
+                        # Arrow IPC stream straight on the socket (reference:
+                        # src/shared/response/arrow.rs ArrowStreamEncoder —
+                        # schema message, batches, end-of-stream marker).
+                        # IPC messages are self-framing (0xFFFFFFFF
+                        # continuation + length prefixes), so the client
+                        # distinguishes them from JSON ok/error lines by
+                        # the first byte.
+                        for chunk in arrow_ipc_frames(result.df):
+                            self.wfile.write(chunk)
+                    else:
+                        for frame in json_frames(result.df):
+                            self.wfile.write((frame + "\n").encode())
                 else:
                     self._reply_ok(result.message)
             except SnelDBError as e:
@@ -137,13 +148,31 @@ class _Handler(socketserver.StreamRequestHandler):
         )
 
 
-class SnelDBServer:
-    """Threaded TCP server bound to one engine instance."""
+def _check_output_format(output_format: str) -> str:
+    if output_format not in ("json", "arrow"):
+        raise ValueError(f"unknown output_format {output_format!r} (json|arrow)")
+    return output_format
 
-    def __init__(self, engine: SnelDB, host: str = "127.0.0.1", port: int = 0):
+
+class SnelDBServer:
+    """Threaded TCP server bound to one engine instance.
+
+    ``output_format="arrow"`` switches read-command responses to Arrow
+    IPC streams (reference ``[server] output_format`` —
+    config/prod.toml:35); write/error replies stay JSON lines, matching
+    the reference's ArrowRenderer fallback (arrow.rs render())."""
+
+    def __init__(
+        self,
+        engine: SnelDB,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        output_format: str = "json",
+    ):
         self._server = socketserver.ThreadingTCPServer((host, port), _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
+        self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property
@@ -164,7 +193,7 @@ class SnelDBUnixServer:
     """Same line protocol over a Unix domain socket
     (reference: src/frontend/unix/)."""
 
-    def __init__(self, engine: SnelDB, socket_path: str):
+    def __init__(self, engine: SnelDB, socket_path: str, output_format: str = "json"):
         import os
 
         if os.path.exists(socket_path):
@@ -172,6 +201,7 @@ class SnelDBUnixServer:
         self._server = socketserver.ThreadingUnixStreamServer(socket_path, _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
+        self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
         self.socket_path = socket_path
         self._thread: threading.Thread | None = None
 

@@ -59,9 +59,11 @@ def read_frame(rfile) -> tuple[int, bytes] | None:
     return opcode, payload
 
 
-def write_frame(wfile, payload: bytes, opcode: int = 0x1):
-    """Server frames are unmasked. FIN always set (no fragmentation)."""
-    header = bytearray([0x80 | opcode])
+def write_frame(wfile, payload: bytes, opcode: int = 0x1, fin: bool = True):
+    """Server frames are unmasked. `fin=False` starts/continues a
+    fragmented message (RFC 6455 §5.4) — used to stream Arrow IPC chunks
+    as one logical binary message without buffering the whole result."""
+    header = bytearray([(0x80 if fin else 0x00) | opcode])
     n = len(payload)
     if n < 126:
         header.append(n)
@@ -107,8 +109,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     continue
                 result = engine.execute(command, user_id=user_id)
                 if result.df is not None:
-                    for fr in json_frames(result.df):
-                        write_frame(self.wfile, fr.encode())
+                    if getattr(self.server, "output_format", "json") == "arrow":
+                        self._send_arrow(result.df)
+                    else:
+                        for fr in json_frames(result.df):
+                            write_frame(self.wfile, fr.encode())
                 else:
                     self._send_json({"type": "ok", "message": result.message})
             except SnelDBError as e:
@@ -118,6 +123,22 @@ class _Handler(socketserver.StreamRequestHandler):
 
     def _send_json(self, obj: dict):
         write_frame(self.wfile, json.dumps(obj).encode())
+
+    def _send_arrow(self, df):
+        """One read result = one fragmented BINARY message carrying the
+        Arrow IPC stream (reference arrow.rs ArrowStreamEncoder over WS).
+        Each IPC chunk rides one fragment, so server memory stays bounded
+        by the batch size; FIN on the last fragment ends the message."""
+        from sneldb_spark.response import arrow_ipc_frames
+
+        pending: bytes | None = None
+        first = True
+        for chunk in arrow_ipc_frames(df):
+            if pending is not None:
+                write_frame(self.wfile, pending, opcode=0x2 if first else 0x0, fin=False)
+                first = False
+            pending = chunk
+        write_frame(self.wfile, pending or b"", opcode=0x2 if first else 0x0, fin=True)
 
     def _handshake(self) -> bool:
         request_line = self.rfile.readline().decode("latin-1")
@@ -190,10 +211,19 @@ class _Handler(socketserver.StreamRequestHandler):
 class SnelDBWsServer:
     """Threaded WebSocket server bound to one engine instance."""
 
-    def __init__(self, engine: SnelDB, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: SnelDB,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        output_format: str = "json",
+    ):
+        from sneldb_spark.server import _check_output_format
+
         self._server = socketserver.ThreadingTCPServer((host, port), _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
+        self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

@@ -595,3 +595,122 @@ def test_toml_config_serve_passes_playground_flags(spark, tmp_path):
     finally:
         for srv in servers:
             srv.stop()
+
+
+def test_tcp_arrow_output_format_wire_and_client(engine):
+    """output_format="arrow" (reference config/prod.toml:35,
+    src/shared/response/arrow.rs): read responses on the TCP line
+    protocol become raw Arrow IPC streams — first bytes are the IPC
+    continuation marker, the stream parses batch-for-batch, and the
+    connection stays usable for the next (JSON-line) reply."""
+    import socket
+
+    import pyarrow as pa
+
+    from sneldb_spark.server import SnelDBServer
+
+    server = SnelDBServer(engine, output_format="arrow").start()
+    try:
+        with socket.create_connection(server.address, timeout=60) as sock:
+            f = sock.makefile("rwb")
+            for cmd in (
+                'DEFINE arw FIELDS { "v": "int" }',
+                'STORE arw FOR c1 PAYLOAD { "v": 7 }',
+                'STORE arw FOR c2 PAYLOAD { "v": 8 }',
+                "FLUSH",
+            ):
+                f.write((cmd + "\n").encode())
+                f.flush()
+                reply = json.loads(f.readline())
+                assert reply["type"] == "ok", reply
+            f.write(b"QUERY arw RETURN [v]\n")
+            f.flush()
+            head = f.peek(4)[:4]
+            assert head == b"\xff\xff\xff\xff", head  # IPC continuation marker
+            with pa.ipc.open_stream(f) as reader:
+                table = reader.read_all()
+            assert sorted(table.column("v").to_pylist()) == [7, 8]
+            # stream boundary intact: next command answers a JSON line
+            f.write(b"PING\n")
+            f.flush()
+            assert json.loads(f.readline())["type"] == "ok"
+    finally:
+        server.stop()
+
+
+def test_unix_arrow_output_format_via_client(engine, tmp_path):
+    """The Unix-socket frontend honors output_format="arrow"; the packaged
+    client parses the IPC stream when constructed with the matching knob."""
+    from sneldb_spark.client import SnelDBClient
+    from sneldb_spark.server import SnelDBUnixServer
+
+    sock_path = str(tmp_path / "arrow.sock")
+    server = SnelDBUnixServer(engine, sock_path, output_format="arrow").start()
+    try:
+        with SnelDBClient(f"unix://{sock_path}", output_format="arrow") as c:
+            assert c.execute('DEFINE uarw FIELDS { "v": "int" }').ok
+            assert c.execute('STORE uarw FOR c1 PAYLOAD { "v": 5 }').ok
+            assert c.execute("FLUSH").ok
+            rows = c.query("QUERY uarw RETURN [v]")
+            assert [r["v"] for r in rows] == [5]
+            rows2 = c.query("QUERY uarw")  # second read on same connection
+            assert len(rows2) == 1 and rows2[0]["context_id"] == "c1"
+    finally:
+        server.stop()
+
+
+def test_websocket_arrow_fragmented_binary(engine, monkeypatch):
+    """WS + output_format="arrow": the result rides one fragmented BINARY
+    message (one fragment per IPC chunk). Forcing 2-row batches makes the
+    5-row result span multiple fragments, pinning the reassembly path."""
+    import sneldb_spark.response as response_mod
+    from sneldb_spark.client import SnelDBClient
+    from sneldb_spark.ws_server import SnelDBWsServer
+
+    orig = response_mod.arrow_ipc_frames
+    monkeypatch.setattr(
+        response_mod, "arrow_ipc_frames", lambda df, batch_size=1000: orig(df, 2)
+    )
+    server = SnelDBWsServer(engine, output_format="arrow").start()
+    try:
+        host, port = server.address
+        with SnelDBClient(f"ws://{host}:{port}", output_format="arrow") as c:
+            assert c.execute('DEFINE wsarw FIELDS { "v": "int" }').ok
+            for i in range(5):
+                assert c.execute(f'STORE wsarw FOR c{i} PAYLOAD {{ "v": {i} }}').ok
+            assert c.execute("FLUSH").ok
+            rows = c.query("QUERY wsarw RETURN [v]")
+            assert sorted(r["v"] for r in rows) == [0, 1, 2, 3, 4]
+    finally:
+        server.stop()
+
+
+def test_toml_config_serve_wires_output_format(spark, tmp_path):
+    """[server] output_format = "arrow" flows through serve() to the
+    line-protocol frontends (reference config/prod.toml:35)."""
+    from sneldb_spark.client import SnelDBClient
+    from sneldb_spark.config import create_engine, load_config, serve
+
+    cfg = load_config(
+        {
+            "engine": {"data_dir": str(tmp_path / "db")},
+            "server": {
+                "tcp_addr": "127.0.0.1:0",
+                "socket_path": str(tmp_path / "cfg.sock"),
+                "output_format": "arrow",
+            },
+        }
+    )
+    assert cfg.server.output_format == "arrow"
+    db = create_engine(spark, cfg)
+    servers = serve(db, cfg)
+    try:
+        host, port = servers[0].address
+        with SnelDBClient(f"tcp://{host}:{port}", output_format="arrow") as c:
+            assert c.execute('DEFINE cfgarw FIELDS { "v": "int" }').ok
+            assert c.execute('STORE cfgarw FOR c1 PAYLOAD { "v": 1 }').ok
+            assert c.execute("FLUSH").ok
+            assert [r["v"] for r in c.query("QUERY cfgarw RETURN [v]")] == [1]
+    finally:
+        for srv in servers:
+            srv.stop()
