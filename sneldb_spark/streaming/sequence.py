@@ -241,6 +241,7 @@ def streaming_chain(
     link_field: str,
     state_ttl_rows: int = 100_000,
     max_gap_s: int | None = None,
+    key_buckets: int = 0,
 ) -> DataFrame:
     """Multi-step streaming funnel: ``E0 FOLLOWED BY E1 FOLLOWED BY ...``
     matched incrementally (the streaming analogue of the batch
@@ -269,7 +270,21 @@ def streaming_chain(
     GroupState stays a fixed three-array struct at any chain length;
     `state_ttl_rows` caps total pending chains on a hot key (newest
     kept). One shuffle on the link key per micro-batch, like the
-    single-link matchers."""
+    single-link matchers.
+
+    `key_buckets > 0` coarsens the stateful grouping from one Python
+    dispatch PER LINK KEY to one per hash bucket (VERDICT r5 #3): with
+    millions of small link keys per micro-batch, `applyInPandasWithState`
+    overhead is dominated by per-group Arrow serialization + function
+    dispatch, not matching work. Bucketing multiplexes every link of a
+    bucket through one pandas call and one state row (per-link chains are
+    flat-encoded with a parallel `links` array), cutting dispatch count by
+    the keys/buckets ratio while keeping semantics exactly per-link:
+    the batch is sorted once (stable), so each link sees its own events
+    in (ts, minpos, event_id) order; expiry horizons and the
+    `state_ttl_rows` cap stay per-link. Pick buckets ~4-8x your
+    parallelism. 0 preserves the one-group-per-key layout (and its
+    checkpoint state schema) unchanged."""
     if len(step_types) < 2:
         raise ValueError("streaming_chain needs at least two step types")
     n_steps = len(step_types)
@@ -286,11 +301,80 @@ def streaming_chain(
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
 
+    # Shared matching core for both grouping layouts. pend_by_link maps
+    # link -> [(ts_hist, id_hist), ...] of incomplete chains (len(hist) =
+    # steps matched, 1..n_steps-1); link_last_ts collects each link's max
+    # batch ts (rows arrive ts-ascending) for the per-link expiry horizon.
+    def process(
+        rows,  # iterable of (link, ts, event_type, event_id), sorted
+        pend_by_link: dict[str, list[tuple[list[int], list[int]]]],
+        out: dict[str, list[Any]],
+        link_last_ts: dict[str, int],
+    ) -> None:
+        for link, ts, etype, eid in rows:
+            ts, eid = int(ts), int(eid)
+            link_last_ts[link] = ts  # ascending within the link
+            pend = pend_by_link.get(link)
+            for pos in positions[etype]:
+                if pos == 0:
+                    if pend is None:
+                        pend = pend_by_link[link] = []
+                    pend.append(([ts], [eid]))
+                    continue
+                if not pend:
+                    continue
+                nxt: list[tuple[list[int], list[int]]] = []
+                for ts_hist, id_hist in pend:
+                    if (
+                        len(ts_hist) == pos
+                        and ts_hist[-1] <= ts
+                        and (max_gap_s is None or ts - ts_hist[-1] <= max_gap_s)
+                    ):
+                        ts_hist = ts_hist + [ts]
+                        id_hist = id_hist + [eid]
+                        if len(ts_hist) == n_steps:  # complete: emit
+                            out["link"].append(link)
+                            for i in range(n_steps):
+                                out[f"s{i}_event_id"].append(id_hist[i])
+                                out[f"s{i}_timestamp"].append(ts_hist[i])
+                            continue
+                    nxt.append((ts_hist, id_hist))
+                pend_by_link[link] = pend = nxt
+
+    def finish(
+        pend_by_link: dict[str, list[tuple[list[int], list[int]]]],
+        link_last_ts: dict[str, int],
+    ) -> None:
+        """Per-link expiry (only links that saw events this batch, from
+        their own batch-max horizon — never mid-batch) + per-link TTL cap."""
+        for link, last in link_last_ts.items():
+            pend = pend_by_link.get(link)
+            if not pend:
+                continue
+            if max_gap_s is not None:
+                horizon = last - max_gap_s
+                pend = [p for p in pend if p[0][-1] >= horizon]
+            if len(pend) > state_ttl_rows:  # bound memory on hot keys
+                pend = pend[-state_ttl_rows:]
+            if pend:
+                pend_by_link[link] = pend
+            else:
+                del pend_by_link[link]
+
+    def sorted_batch(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+        chunks = list(pdfs)
+        if not chunks:
+            return None
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # earlier step positions first at equal ts (the single-link
+        # matchers' A-before-B rule generalized); stable, so each link's
+        # own events keep arrival order
+        return batch.sort_values(["timestamp", "__minpos", "event_id"], kind="stable")
+
     def match_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # pend[j] = (ts_hist, id_hist) of an incomplete chain; len(hist)
-        # = steps matched so far (1..n_steps-1)
+        link = key[0]
         pend: list[tuple[list[int], list[int]]] = []
         if state.exists:
             steps, flat_ts, flat_id = state.get
@@ -300,54 +384,61 @@ def streaming_chain(
                     (list(flat_ts[off:off + s]), list(flat_id[off:off + s]))
                 )
                 off += s
+        pend_by_link = {link: pend} if pend else {}
         out: dict[str, list[Any]] = {c: [] for c in out_cols}
-        link = key[0]
-        chunks = list(pdfs)
-        batch_max_ts: int | None = None
-        if chunks:
-            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            # earlier step positions first at equal ts (the single-link
-            # matchers' A-before-B rule generalized)
-            batch = batch.sort_values(
-                ["timestamp", "__minpos", "event_id"], kind="stable"
+        link_last_ts: dict[str, int] = {}
+        batch = sorted_batch(pdfs)
+        if batch is not None:
+            process(
+                zip(
+                    (link for _ in range(len(batch))),
+                    batch["timestamp"], batch["event_type"], batch["event_id"],
+                ),
+                pend_by_link, out, link_last_ts,
             )
-            for ts, etype, eid in zip(
-                batch["timestamp"], batch["event_type"], batch["event_id"]
-            ):
-                ts, eid = int(ts), int(eid)
-                batch_max_ts = ts if batch_max_ts is None else max(batch_max_ts, ts)
-                for pos in positions[etype]:
-                    if pos == 0:
-                        pend.append(([ts], [eid]))
-                        continue
-                    nxt: list[tuple[list[int], list[int]]] = []
-                    for ts_hist, id_hist in pend:
-                        if (
-                            len(ts_hist) == pos
-                            and ts_hist[-1] <= ts
-                            and (max_gap_s is None or ts - ts_hist[-1] <= max_gap_s)
-                        ):
-                            ts_hist = ts_hist + [ts]
-                            id_hist = id_hist + [eid]
-                            if len(ts_hist) == n_steps:  # complete: emit
-                                out["link"].append(link)
-                                for i in range(n_steps):
-                                    out[f"s{i}_event_id"].append(id_hist[i])
-                                    out[f"s{i}_timestamp"].append(ts_hist[i])
-                                continue
-                        nxt.append((ts_hist, id_hist))
-                    pend = nxt
-        if max_gap_s is not None and pend and batch_max_ts is not None:
-            # expire only from the batch-max horizon, after the batch
-            horizon = batch_max_ts - max_gap_s
-            pend = [p for p in pend if p[0][-1] >= horizon]
-        if len(pend) > state_ttl_rows:  # bound memory on hot keys
-            pend = pend[-state_ttl_rows:]
+        finish(pend_by_link, link_last_ts)
+        pend = pend_by_link.get(link, [])
         if pend:
             state.update((
                 [len(p[0]) for p in pend],
                 [t for p in pend for t in p[0]],
                 [i for p in pend for i in p[1]],
+            ))
+        elif state.exists:
+            state.remove()
+        if out["link"]:
+            yield pd.DataFrame(out)
+
+    def bucket_match_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pend_by_link: dict[str, list[tuple[list[int], list[int]]]] = {}
+        if state.exists:
+            links, steps, flat_ts, flat_id = state.get
+            off = 0
+            for link, s in zip(links, steps):
+                pend_by_link.setdefault(link, []).append(
+                    (list(flat_ts[off:off + s]), list(flat_id[off:off + s]))
+                )
+                off += s
+        out: dict[str, list[Any]] = {c: [] for c in out_cols}
+        link_last_ts: dict[str, int] = {}
+        batch = sorted_batch(pdfs)
+        if batch is not None:
+            process(
+                zip(
+                    batch["__link"], batch["timestamp"],
+                    batch["event_type"], batch["event_id"],
+                ),
+                pend_by_link, out, link_last_ts,
+            )
+        finish(pend_by_link, link_last_ts)
+        if pend_by_link:
+            state.update((
+                [lk for lk, pend in pend_by_link.items() for _ in pend],
+                [len(p[0]) for pend in pend_by_link.values() for p in pend],
+                [t for pend in pend_by_link.values() for p in pend for t in p[0]],
+                [i for pend in pend_by_link.values() for p in pend for i in p[1]],
             ))
         elif state.exists:
             state.remove()
@@ -366,6 +457,25 @@ def streaming_chain(
         "event_type",
         minpos.alias("__minpos"),
     )
+    if key_buckets > 0:
+        return (
+            sides.withColumn(
+                "__bucket", F.pmod(F.xxhash64("__link"), F.lit(key_buckets))
+            )
+            .groupBy("__bucket")
+            .applyInPandasWithState(
+                bucket_match_fn,
+                outputStructType=out_schema,
+                stateStructType=T.StructType([
+                    T.StructField("links", T.ArrayType(T.StringType())),
+                    T.StructField("steps", T.ArrayType(T.IntegerType())),
+                    T.StructField("flat_ts", T.ArrayType(T.LongType())),
+                    T.StructField("flat_id", T.ArrayType(T.LongType())),
+                ]),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return sides.groupBy("__link").applyInPandasWithState(
         match_fn,
         outputStructType=out_schema,

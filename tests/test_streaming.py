@@ -953,13 +953,19 @@ def test_streaming_chain_conversion_window(spark, tmp_path):
     assert got == {("s1", 1, 2, 4)}
 
 
-@pytest.mark.parametrize("seed,gap", [(7, None), (23, None), (5, 30)])
-def test_streaming_chain_matches_batch_chain(spark, tmp_path, seed, gap):
+@pytest.mark.parametrize(
+    "seed,gap,buckets",
+    [(7, None, 0), (23, None, 4), (5, 30, 4), (13, None, 1)],
+)
+def test_streaming_chain_matches_batch_chain(spark, tmp_path, seed, gap, buckets):
     """Parity: draining an in-timestamp-order stream equals the batch
     sequence_match_chain over the same events (the gate's oracle shape).
     With a conversion window, streaming's during-match gap check equals
     the batch WITHIN post-filter (first-at-or-after out of window kills
-    the chain in both: later candidates are only farther)."""
+    the chain in both: later candidates are only farther). The
+    `buckets>0` cases pin the coarse-grouped layout (several links
+    multiplexed through one state row — incl. the degenerate single
+    bucket) to the same results."""
     import random
 
     from pyspark.sql import functions as F
@@ -978,7 +984,8 @@ def test_streaming_chain_matches_batch_chain(spark, tmp_path, seed, gap):
     # three micro-batches, order preserved (server-ts arrival order)
     batches = [rows[:40], rows[40:80], rows[80:]]
     got = _chain_harness(spark, tmp_path, batches, ["view", "cart", "buy"],
-                         f"chain_parity_{seed}", max_gap_s=gap)
+                         f"chain_parity_{seed}_{buckets}", max_gap_s=gap,
+                         key_buckets=buckets)
 
     ev = spark.createDataFrame(
         rows, "event_type string, timestamp long, event_id long, session string"
