@@ -13,11 +13,13 @@ Maps the reference's config sections onto this engine
                                 :func:`serve`
 
 ``[wal] enabled`` maps onto the engine's pending-buffer WAL (on by
-default). The remaining storage-mechanism knobs — WAL buffering/fsync
-cadence, ``[query]`` caches, zones/shards/compaction in ``[engine]`` —
-have no equivalent here by design: Spark + Parquet own those concerns
-(SURVEY §0, "Spark frame"). They are accepted and ignored so a reference
-config file loads unchanged.
+default); ``[engine] compaction_interval`` onto opportunistic periodic
+compaction (EventStore.maybe_periodic_compact). The remaining
+storage-mechanism knobs — WAL buffering/fsync cadence, ``[query]``
+caches, zones/shards in ``[engine]`` — have no equivalent here by
+design: Spark + Parquet own those concerns (SURVEY §0, "Spark frame").
+They are accepted and ignored so a reference config file loads
+unchanged.
 """
 
 from __future__ import annotations
@@ -80,6 +82,10 @@ class EngineConfig:
     # type's segment-file count exceeds this (reference background
     # compaction, docs/src/design/compaction.md); None = manual compact()
     auto_compact_files: Optional[int] = None
+    # [engine] compaction_interval (reference config/prod.toml:20):
+    # opportunistic periodic compaction — writes/reads trigger a sweep
+    # once the interval (seconds) has elapsed; None = off
+    compaction_interval: Optional[int] = None
     # [extensions] — this engine's opt-in extension flags (not reference
     # keys): approx sketches for 100 TB cardinality/percentile work,
     # time-sliced sequence matching for hot link keys, multi-link chains
@@ -106,6 +112,7 @@ def load_config(path_or_dict) -> EngineConfig:
     engine = doc.get("engine", {})
     if "data_dir" in engine:
         cfg.data_dir = engine["data_dir"]
+    cfg.compaction_interval = int(engine.get("compaction_interval") or 0) or None
 
     t = doc.get("time", {})
     cfg.time = TimeConfig(
@@ -171,6 +178,7 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
                   wal_archive_dir=cfg.wal_archive_dir,
                   bloom_filters=cfg.bloom_filters,
                   auto_compact_files=cfg.auto_compact_files,
+                  compaction_interval=cfg.compaction_interval,
                   approx_count_unique=cfg.approx_count_unique,
                   approx_percentiles=cfg.approx_percentiles,
                   sequence_slices=cfg.sequence_slices,

@@ -56,13 +56,15 @@ class SnelDB:
         multi_link: bool = False,
         bloom_filters: bool = True,
         auto_compact_files: int | None = None,
+        compaction_interval: int | None = None,
     ):
         self.spark = spark
         self.root = root
         self.store = EventStore(spark, root, clock=clock, wal=wal,
                                 wal_archive_dir=wal_archive_dir,
                                 bloom_filters=bloom_filters,
-                                auto_compact_files=auto_compact_files)
+                                auto_compact_files=auto_compact_files,
+                                compaction_interval=compaction_interval)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

@@ -94,6 +94,7 @@ class EventStore:
         wal_archive_dir: str | None = None,
         bloom_filters: bool = True,
         auto_compact_files: int | None = None,
+        compaction_interval: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -141,6 +142,17 @@ class EventStore:
         # commits, any flushed type whose file count exceeds this gets
         # compacted inline. None/0 = off (compact() stays callable).
         self._auto_compact_files = auto_compact_files or None
+        # Periodic compaction (reference [engine] compaction_interval,
+        # config/prod.toml:20, compaction_worker.rs): the reference runs a
+        # timer thread; a library engine has no daemon, so write barriers
+        # (flush) and reads opportunistically call maybe_periodic_compact()
+        # — a clock compare when the interval hasn't elapsed, a
+        # threshold-gated sweep over every type when it has.
+        self._compaction_interval = compaction_interval or None
+        self._compact_due = (
+            self._clock() + compaction_interval if compaction_interval else None
+        )
+        self._compact_due_lock = threading.Lock()
         self._acquire_writer_lock()
         self._recover_event_dirs()
         if wal:
@@ -274,6 +286,46 @@ class EventStore:
             if self._auto_compact_files:
                 for event_type in flushed:
                     self._maybe_compact(event_type)
+        self.maybe_periodic_compact()
+
+    # every (periodic) sweep compacts only types above this file count, so
+    # an already-converged directory is never rewritten again
+    _PERIODIC_COMPACT_MIN_FILES = 8
+
+    def maybe_periodic_compact(self):
+        """Opportunistic stand-in for the reference's timer-driven
+        compaction worker ([engine] compaction_interval,
+        src/engine/core/compaction/compaction_worker.rs): when the
+        configured interval has elapsed, compact every event type whose
+        segment-file count exceeds the threshold (`auto_compact_files`
+        when set, else a fixed floor). Callers pay a clock compare when
+        the interval hasn't elapsed; the sweep itself runs under the
+        flush lock, taken non-blocking — if a flush or another sweep is
+        mid-flight the check simply defers to the next interval."""
+        if not self._compaction_interval:
+            return
+        now = self._clock()
+        with self._compact_due_lock:
+            if now < self._compact_due:
+                return
+            self._compact_due = now + self._compaction_interval
+        if not self._flush_lock.acquire(blocking=False):
+            return
+        try:
+            from sneldb_spark.store.storage import LOCAL as storage
+
+            threshold = self._auto_compact_files or self._PERIODIC_COMPACT_MIN_FILES
+            events = os.path.join(self.root, "events")
+            if not os.path.isdir(events):
+                return
+            for n in sorted(os.listdir(events)):
+                path = os.path.join(events, n)
+                if n.endswith((".old", ".staging")) or not os.path.isdir(path):
+                    continue
+                if sum(1 for _ in storage.walk_parquet(path)) > threshold:
+                    self.compact(n)
+        finally:
+            self._flush_lock.release()
 
     def _maybe_compact(self, event_type: str):
         """Compact a type whose segment-file count crossed the configured
@@ -454,6 +506,7 @@ class EventStore:
         pushes predicates through the union into the Parquet child, and the
         common no-pending case returns the bare scan untouched.
         """
+        self.maybe_periodic_compact()  # opportunistic interval check (no-op unless due)
         if event_type == "*":
             types = [
                 t

@@ -99,3 +99,53 @@ def test_auto_compact_with_wal_recovery(spark, tmp_path):
     rows = sorted(r["v"] for r in db2.query("QUERY t").collect())
     assert rows == [0, 1, 2, 99]
     assert _n_files(db2.store, "t") <= 2
+
+
+def test_periodic_compaction_interval_converges(spark, tmp_path):
+    """[engine] compaction_interval (reference config/prod.toml:20,
+    compaction_worker.rs): once the interval elapses, the next write
+    barrier sweeps every type over the file-count floor — segment count
+    converges WITHOUT any explicit compact() call, and data survives."""
+    from sneldb_spark.engine import SnelDB
+
+    t = [1_000_000]  # injectable clock: epoch seconds
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=lambda: t[0],
+                compaction_interval=600)
+    db.execute('DEFINE p FIELDS { "v": "int" }')
+    for i in range(10):  # one file per flush, inside one interval
+        db.execute(f'STORE p FOR c{i} PAYLOAD {{"v": {i}}}')
+        db.execute("FLUSH")
+    assert _n_files(db.store, "p") == 10  # interval not elapsed: untouched
+    t[0] += 601
+    db.execute('STORE p FOR cx PAYLOAD {"v": 99}')
+    db.execute("FLUSH")  # the write barrier after the interval sweeps
+    assert _n_files(db.store, "p") <= 3
+    rows = db.query("QUERY p ORDER BY v").collect()
+    assert [r["v"] for r in rows] == list(range(10)) + [99]
+    # next sweep is threshold-gated: a converged dir is not rewritten
+    t[0] += 601
+    before = sorted(
+        glob.glob(os.path.join(db.store.root, "events", "p", "**", "*.parquet"),
+                  recursive=True)
+    )
+    assert db.query("QUERY p").count() == 11  # read-path check, no-op sweep
+    after = sorted(
+        glob.glob(os.path.join(db.store.root, "events", "p", "**", "*.parquet"),
+                  recursive=True)
+    )
+    assert before == after
+
+
+def test_periodic_compaction_config_key(tmp_path):
+    from sneldb_spark.config import load_config
+
+    cfg = load_config(
+        {"engine": {"data_dir": str(tmp_path), "compaction_interval": 600}}
+    )
+    assert cfg.compaction_interval == 600
+    assert load_config({"engine": {"data_dir": str(tmp_path)}}).compaction_interval is None
+    cfg0 = load_config(
+        {"engine": {"data_dir": str(tmp_path), "compaction_interval": 0}}
+    )
+    assert cfg0.compaction_interval is None
