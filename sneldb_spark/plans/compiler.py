@@ -420,7 +420,17 @@ class QueryCompiler:
 
             bound = hwm_at_or_before(*upper)
             frames = [f.where(bound) for f in frames]
+        for et, f in zip(types, frames):
+            self._check_link_field(q.link_field, et, f)
         return frames, types, kinds, q.link_field
+
+    @staticmethod
+    def _check_link_field(link_field: str | None, event_type: str, df: DataFrame):
+        """LINKED BY must name a column of every side, or the query answers
+        a clean error frame — without this, an undefined type's core-only
+        frame lets the raw AnalysisException escape the engine."""
+        if link_field and link_field not in df.columns:
+            raise QueryError(f"unknown field {link_field!r} for {event_type!r}")
 
     def sequence_parts(self, q: ast.QueryCommand):
         """The fully-filtered SIDE FRAMES of a single-link sequence query
@@ -450,6 +460,8 @@ class QueryCompiler:
                 return F.col(stf).cast("long")
             return F.col("timestamp").cast("long")
 
+        self._check_link_field(q.link_field, head_type, a)
+        self._check_link_field(q.link_field, tail_type, b)
         return a, b, kind, q.link_field, side_ts(a), side_ts(b)
 
     def _compile_sequence(

@@ -294,3 +294,20 @@ def test_df_and_register_views_sql_interop(spark, tmp_path):
     ).collect()
     assert [(r["plan"], r["total"]) for r in rows] == [("pro", 12)]
     assert db.df("orders").count() == 2  # buffer visible, like QUERY
+
+
+def test_sequence_unknown_link_field_clean_error(engine):
+    """LINKED BY on a field no side carries (or on an undefined type's
+    core-only frame) answers a QueryError frame — never a raw Spark
+    AnalysisException escaping the engine."""
+    engine.execute('DEFINE sq_a FIELDS { "uid": "string" }')
+    engine.execute('DEFINE sq_b FIELDS { "other": "string" }')
+    res = engine.try_execute(
+        "QUERY sq_a FOLLOWED BY sq_b LINKED BY uid"
+    )
+    assert not res.ok and "unknown field 'uid'" in res.message
+    # undefined types: both sides are core-only frames; still a clean error
+    res2 = engine.try_execute(
+        "QUERY never_defined FOLLOWED BY also_undefined LINKED BY uid"
+    )
+    assert not res2.ok and "unknown field 'uid'" in res2.message
