@@ -4057,46 +4057,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r5 item 1 (VERDICT r4): dedup_simhash is the ONLY gate whose driver
-    # history predates its exact-oracle conversion (r4's window cut at 50
-    # and it sat at position 51) — it leads the round-5 window.
-    "dedup_simhash",
-    # new gates this round — need their first driver rows
-    "embedding_kmeans",
-    "agg_percentile",
-    "order_multi",
-    "filter_string_ops",
-    "until_bound",
-    # code changed this round — materializer storage-layer swap +
-    # closed-read probes (remember_*), single-pass funnel/chain step_hook
-    # (seq_*), compiler upper-threading representatives (since_bound,
-    # order_limit_offset), micro-batch chunk-sort in the streaming
-    # matchers, bpe kernel module touched
-    "remember_show", "remember_show_agg", "remember_show_seq",
-    "remember_show_chain",
-    "remember_show_seq_agg", "remember_show_compare",
-    "seq_funnel_report", "seq_chain", "seq_within_window",
-    "seq_followed_by", "seq_preceded_by", "seq_using_time",
-    "since_bound", "order_limit_offset",
+    # r6: code changed this round, re-verify via driver first —
+    # similarity_lsh_topk's scorer+signature kernel rewrite (Arrow GEMM),
+    # streaming chain key-bucket grouping, the compiler's link-field
+    # validation (every sequence/chain gate + the seq materializers),
+    # text.py's bpe collect guard
+    "similarity_lsh_topk",
     "streaming_seq_chain",
-    "dedup_line_boilerplate",
-    "sampling_training_shuffle",
-    "text_novelty",
-    "streaming_seq_followed_by", "streaming_seq_preceded_by",
+    "seq_followed_by", "seq_preceded_by", "seq_chain", "seq_funnel_report",
+    "seq_within_window", "seq_using_time", "seq_where_sides", "seq_agg",
+    "remember_show_seq", "remember_show_seq_agg", "remember_show_chain",
     "text_bpe_pairs",
-    # oldest driver rows next: gates whose last green row is r1/r2
-    "filter_in_not", "filter_parens", "for_context", "return_projection",
-    "replay_context", "replay_typed", "agg_multi", "agg_per_month_naive",
-    "compare_daily", "text_quality",
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q22",
-    # oldest r3 rows fill the remaining slots
+    # stalest next: every gate whose last driver row predates r4
+    # (r3-or-earlier history; all green in the local 124-gate board)
     "filter_where", "agg_count_by", "agg_count_unique", "agg_per_day",
-    "agg_order_limit", "seq_where_sides", "seq_agg", "plot_breakdown",
-    "compare_three",
-    # (everything r4-green with unchanged code rotates to the tail;
-    # tools/check_correctness.py still verifies ALL entries locally.)
+    "agg_order_limit", "plot_breakdown",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21",
+    "tpch_q22",
+    "events_sessionize", "dedup_clusters", "dedup_ngram_jaccard",
+    "text_langid", "text_tokens_fingerprint", "text_repetition",
+    "text_pii_redact", "decontaminate", "semantic_dedup", "corpus_stats",
+    "text_chunk", "pack_sequences",
+    "similarity_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
+    "embedding_near_pairs", "embedding_quantize",
+    "multimodal_features", "multimodal_audio", "multimodal_resize",
+    "sampling_split", "sampling_stratified", "sampling_weighted",
+    # (compare_three + the r4-green tier rotate in next round; max
+    # staleness stays <=2 rounds. tools/check_correctness.py still
+    # verifies ALL entries locally every round.)
 ]
 
 

@@ -269,10 +269,16 @@ class SnelDB:
             if isinstance(cmd.inner, ast.QueryCommand):
                 self._check_read(user_id, cmd.inner.event_type)
             df = self.compiler.compile(cmd.inner)
-            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-            return Result(ok=True, message=df._jdf.queryExecution().explainString(mode))
+            # public API only (ADVICE r5): df.explain prints to stdout;
+            # capture it rather than reaching into the JVM bridge, which
+            # does not exist under Spark Connect and is version-fragile
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            return Result(ok=True, message=buf.getvalue().rstrip("\n"))
         if isinstance(cmd, ast.QueryCommand):
             self._check_read(user_id, cmd.event_type)
             return Result(ok=True, df=self.compiler.compile(cmd))

@@ -357,7 +357,11 @@ def audio_segment_features(df: DataFrame, segment_ms: int = 5_000) -> DataFrame:
                     continue
                 per = max(int(rate * segment_ms / 1000), 1)
                 x = samples.astype(np.float64)
-                for i in range(0, max(len(x), 1), per):
+                if not len(x):
+                    # a valid WAV with zero frames has no segments —
+                    # strictly one output row per REAL segment (ADVICE r5)
+                    continue
+                for i in range(0, len(x), per):
                     seg = x[i : i + per]
                     out["media_id"].append(mid)
                     out["seg_idx"].append(i // per)

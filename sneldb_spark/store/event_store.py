@@ -153,6 +153,8 @@ class EventStore:
             self._clock() + compaction_interval if compaction_interval else None
         )
         self._compact_due_lock = threading.Lock()
+        self._superseded = False  # set when a newer same-process engine
+        # takes this root's writer lock (_check_writer fails loudly)
         self._acquire_writer_lock()
         self._recover_event_dirs()
         if wal:
@@ -165,44 +167,67 @@ class EventStore:
     # directories. flock releases automatically when the process dies, so
     # a crashed writer never needs manual lock cleanup. Within ONE
     # process, re-opening the same root is allowed and takes over the
-    # lock (the crash-restart pattern the ported RESTART scenarios use —
-    # the abandoned engine object's buffer is gone either way).
-    _PROC_LOCKS: dict[str, object] = {}
+    # lock (the crash-restart pattern the ported RESTART scenarios use) —
+    # but the SUPERSEDED engine is invalidated: its next write raises
+    # loudly instead of silently flushing against a root it no longer
+    # owns (ADVICE r5). The registry maps lock path -> (fd, weakref to
+    # the owning store) and is guarded against concurrent engine
+    # construction across threads.
+    _PROC_LOCKS: dict[str, tuple[object, object]] = {}
+    _PROC_LOCKS_GUARD = threading.Lock()
 
     def _acquire_writer_lock(self):
         import fcntl
+        import weakref
 
         os.makedirs(self.root, exist_ok=True)
         path = os.path.join(self.root, ".writer.lock")
         key = os.path.abspath(path)
-        # opportunistic sweep: deleted roots (torn-down test dirs, dropped
-        # databases) don't pin an fd for the process lifetime
-        for stale in [k for k in EventStore._PROC_LOCKS if not os.path.exists(k)]:
+        with EventStore._PROC_LOCKS_GUARD:
+            # opportunistic sweep: deleted roots (torn-down test dirs,
+            # dropped databases) don't pin an fd for the process lifetime
+            for stale in [
+                k for k in EventStore._PROC_LOCKS if not os.path.exists(k)
+            ]:
+                try:
+                    EventStore._PROC_LOCKS.pop(stale)[0].close()
+                except OSError:
+                    pass
+            prev = EventStore._PROC_LOCKS.pop(key, None)
+            if prev is not None:
+                prev_file, prev_ref = prev
+                prev_store = prev_ref()
+                if prev_store is not None:
+                    prev_store._superseded = True  # next write fails loudly
+                try:
+                    prev_file.close()  # releases the old engine's flock
+                except OSError:
+                    pass
+            f = open(path, "a+")
             try:
-                EventStore._PROC_LOCKS.pop(stale).close()
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
-                pass
-        prev = EventStore._PROC_LOCKS.pop(key, None)
-        if prev is not None:
-            try:
-                prev.close()  # releases the old engine's flock
-            except OSError:
-                pass
-        f = open(path, "a+")
-        try:
-            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            f.close()
+                f.close()
+                raise SnelDBError(
+                    f"store root {self.root!r} is locked by another live writer "
+                    "process (.writer.lock); refusing a second writer engine"
+                ) from None
+            f.seek(0)
+            f.truncate()
+            f.write(str(os.getpid()))
+            f.flush()
+            EventStore._PROC_LOCKS[key] = (f, weakref.ref(self))
+            self._writer_lock_file = f
+
+    def _check_writer(self):
+        """Raise if a newer same-process engine took this root's writer
+        lock: the superseded instance must not keep flushing/compacting
+        unaware (the cross-process case already fails at open)."""
+        if self._superseded:
             raise SnelDBError(
-                f"store root {self.root!r} is locked by another live writer "
-                "process (.writer.lock); refusing a second writer engine"
-            ) from None
-        f.seek(0)
-        f.truncate()
-        f.write(str(os.getpid()))
-        f.flush()
-        EventStore._PROC_LOCKS[key] = f
-        self._writer_lock_file = f
+                f"writer lock on {self.root!r} was taken over by a newer "
+                "engine in this process; discard this instance"
+            )
 
     def _recover_event_dirs(self):
         """Repair any per-type directory whose compaction publish was cut
@@ -221,6 +246,7 @@ class EventStore:
     def store(self, event_type: str, context_id: str, payload: dict,
               timestamp: int | None = None) -> dict:
         """Validate and buffer one event (the 'memtable'); FLUSH commits."""
+        self._check_writer()
         schema = self.registry.get(event_type)  # raises if undefined
         clean = validate_payload(schema, payload)
         ts = int(timestamp) if timestamp is not None else self._clock()
@@ -281,6 +307,7 @@ class EventStore:
         second flush would adopt the first's commit-* files as crash
         leftovers and delete them after its own commit, before the first
         flush's commit succeeded."""
+        self._check_writer()
         with self._flush_lock:
             flushed = self._flush_locked()
             if self._auto_compact_files:
@@ -424,6 +451,7 @@ class EventStore:
         context-in-one-shard placement, src/engine/shard/manager.rs:58-61,
         re-expressed as file layout). The range sampling pass costs one
         extra tiny job per append; AQE coalesces the small-batch case."""
+        self._check_writer()
         (
             df.withColumn(
                 "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
@@ -741,6 +769,7 @@ class EventStore:
         reference parks readers during handover too); on a shared 100 TB
         lake the same rewrite belongs in a transactional table format
         (Delta/Iceberg OPTIMIZE) instead of a rename."""
+        self._check_writer()
         from sneldb_spark.store.storage import LOCAL as storage
 
         path = self._path(event_type)

@@ -265,6 +265,14 @@ def streaming_chain(
     computed mid-batch could evict a chain an in-window event later in
     the same batch would still advance).
 
+    Output contract (ADVICE r5): `state_ttl_rows` is a memory backstop,
+    not a semantic knob — when a single link key holds more pending
+    chains than the cap, the OLDEST pending chains are dropped and any
+    match they would later have completed is silently missing, a
+    documented divergence from the batch matcher on such keys. Batch
+    parity is exact whenever no key exceeds the cap (the parity tests
+    pin this); set `max_gap_s` so expiry, not the cap, bounds hot keys.
+
     State per link key is the list of incomplete chains, flat-encoded
     (per-chain matched-step count + concatenated ts/id histories) so the
     GroupState stays a fixed three-array struct at any chain length;

@@ -1687,14 +1687,19 @@ def test_audio_segment_features_real_decode(spark):
         np.zeros(500, dtype=np.int16),
     ])
     df = spark.createDataFrame(
-        [(1, bytearray(encode_wav(samples, 1000))), (2, bytearray(b"nope"))],
+        [
+            (1, bytearray(encode_wav(samples, 1000))),
+            (2, bytearray(b"nope")),
+            # valid WAV, zero frames: no segments, no phantom row (ADVICE r5)
+            (3, bytearray(encode_wav(np.zeros(0, dtype=np.int16), 1000))),
+        ],
         "media_id long, data binary",
     )
     rows = {
         (r["media_id"], r["seg_idx"]): r
         for r in audio_segment_features(df, segment_ms=1000).collect()
     }
-    assert set(rows) == {(1, 0), (1, 1), (1, 2)}  # non-WAV row dropped
+    assert set(rows) == {(1, 0), (1, 1), (1, 2)}  # non-WAV + empty dropped
     assert rows[(1, 0)]["rms"] == 1000.0 and rows[(1, 1)]["rms"] == 3000.0
     assert rows[(1, 2)]["n_samples"] == 500 and rows[(1, 2)]["rms"] == 0.0
     assert rows[(1, 1)]["seg_start_ms"] == 1000
