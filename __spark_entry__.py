@@ -2820,7 +2820,13 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.engine import SnelDB
 
-    frame = _events_frame(spark, sf_dir).where(F.col("event_type") == "purchase")
+    # The staging input is consumed 3x (split probe + two ingest slices);
+    # cache the parsed projection once — get_json_object re-parses props
+    # per scan otherwise. Gate staging only: the measured operator work
+    # (engine ingest / REMEMBER / incremental SHOW) is unchanged.
+    frame = _events_frame(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).persist()
     mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -2841,6 +2847,7 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -2864,9 +2871,11 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.engine import SnelDB
 
+    # Cache the parsed staging projection: consumed 5x (probe + 2 types
+    # x 2 ingest phases); without it each slice re-parses props JSON.
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type").isin("signup", "purchase")
-    )
+    ).persist()
     mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -2904,6 +2913,7 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -2926,7 +2936,7 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic slice keeps the same code paths at ~40% of the rows
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type").isin(*types) & (F.col("k") < 40)
-    )
+    ).persist()  # consumed 7x (probe + 3 types x 2 phases): parse once
     mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -2964,6 +2974,7 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3005,9 +3016,10 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.engine import SnelDB
 
+    # consumed 5x (probe + 2 types x 2 phases): parse the staging JSON once
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type").isin("signup", "purchase")
-    )
+    ).persist()
     mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -3045,6 +3057,7 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3092,7 +3105,10 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.engine import SnelDB
 
-    frame = _events_frame(spark, sf_dir).where(F.col("event_type") == "purchase")
+    # consumed 3x (probe + two ingest slices): parse the staging JSON once
+    frame = _events_frame(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).persist()
     mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -3119,6 +3135,7 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3146,9 +3163,10 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sneldb_spark.engine import SnelDB
 
+    # consumed 5x (probe + 2 types x 2 phases): parse the staging JSON once
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type").isin("purchase", "click")
-    )
+    ).persist()
     mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
 
     root = tempfile.mkdtemp(prefix="sneldb_gate_")
@@ -3181,6 +3199,7 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
+        frame.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
