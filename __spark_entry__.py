@@ -4080,12 +4080,14 @@ _DRIVER_PRIORITY = [
     # similarity_lsh_topk's scorer+signature kernel rewrite (Arrow GEMM),
     # streaming chain key-bucket grouping, the compiler's link-field
     # validation (every sequence/chain gate + the seq materializers),
-    # text.py's bpe collect guard
+    # text.py's bpe collect guard, and ALL SIX lifecycle gates (staging
+    # input now cached across the probe/ingest slices)
     "similarity_lsh_topk",
     "streaming_seq_chain",
     "seq_followed_by", "seq_preceded_by", "seq_chain", "seq_funnel_report",
     "seq_within_window", "seq_using_time", "seq_where_sides", "seq_agg",
     "remember_show_seq", "remember_show_seq_agg", "remember_show_chain",
+    "remember_show", "remember_show_agg", "remember_show_compare",
     "text_bpe_pairs",
     # stalest next: every gate whose last driver row predates r4
     # (r3-or-earlier history; all green in the local 124-gate board)
@@ -4099,11 +4101,12 @@ _DRIVER_PRIORITY = [
     "text_chunk", "pack_sequences",
     "similarity_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
     "embedding_near_pairs", "embedding_quantize",
-    "multimodal_features", "multimodal_audio", "multimodal_resize",
-    "sampling_split", "sampling_stratified", "sampling_weighted",
-    # (compare_three + the r4-green tier rotate in next round; max
-    # staleness stays <=2 rounds. tools/check_correctness.py still
-    # verifies ALL entries locally every round.)
+    "multimodal_audio", "multimodal_resize",
+    "sampling_split",
+    # (multimodal_features + the sampling_* md5-arithmetic family
+    # representative rotate next round with compare_three and the
+    # r4-green tier. tools/check_correctness.py still verifies ALL
+    # entries locally every round.)
 ]
 
 
