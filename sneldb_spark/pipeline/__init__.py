@@ -16,7 +16,22 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     otherwise serialized by small single-file inputs; at 100 TB inputs
     already carry thousands of partitions and this is a no-op (no shuffle
     is ever added on the large-data path)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 200):
-        return df.repartition(min(target, 200))
+    target = min_partitions
+    if target is None:
+        spark = df.sparkSession
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:
+            # Spark Connect exposes no sparkContext; the shuffle-partition
+            # conf is the same order of magnitude and always readable
+            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    target = min(target, 200)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Connect: no RDD probe — keep the plan untouched rather than
+        # risk adding a shuffle to an already-wide input
+        return df
+    if current < target:
+        return df.repartition(target)
     return df
