@@ -103,8 +103,13 @@ def kmeans(
     Init: the k lowest-`id_col` vectors, coordinates rounded to
     `round_digits`. Each round assigns (codegen map) then recomputes
     centroids as per-dimension means rounded to `round_digits`; an
-    emptied cluster keeps its previous centroid. `iters` rounds, then
-    one final assignment pass against the last centroids.
+    emptied cluster keeps its previous centroid. At most `iters` rounds,
+    then one final assignment pass against the last centroids. A round
+    whose recomputed centroids equal the previous set exactly (they are
+    rounded, so equality is well-defined) ends the loop early: every
+    further round would reproduce the same assignment and the same
+    means, so the result is bit-identical to running all `iters` rounds
+    while skipping the remaining corpus passes.
 
     With `cache` (default), the id/vector projection is persisted for
     the duration of the loop so each Lloyd round reads the cached
@@ -141,6 +146,8 @@ def kmeans(
             new = [list(c) for c in cents]  # empty clusters keep their centroid
             for row in stats:
                 new[row["cluster"]] = [float(row[f"m{i}"]) for i in range(dim)]
+            if new == cents:  # converged: further rounds are no-ops
+                break
             cents = new
     finally:
         if cache:

@@ -1453,6 +1453,40 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert n >= 2
 
 
+def test_kmeans_early_stop_on_converged_centroids(spark, monkeypatch):
+    """Once a round reproduces the previous centroid set exactly, the
+    loop ends: asking for 50 iters on an instantly-converging input runs
+    only the rounds that change something (+1 detection round + the
+    final assignment), and the result is bit-identical to the full run."""
+    from sneldb_spark.pipeline import clustering
+
+    rows = [  # two tight far-apart groups, one seed in each
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [0.2, 0.0]),
+        (3, [100.2, 100.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls = {"n": 0}
+    real = clustering.assign_clusters
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(clustering, "assign_clusters", counting)
+    assigned, cents = clustering.kmeans(df, k=2, iters=50)
+    # round 1 moves seeds to group means, round 2 detects the fixpoint,
+    # final assignment: 3 assign passes total, not 51
+    assert calls["n"] == 3, calls["n"]
+    monkeypatch.setattr(clustering, "assign_clusters", real)
+    full, full_cents = clustering.kmeans(df, k=2, iters=2)
+    assert cents == full_cents
+    assert sorted(map(tuple, assigned.select("vec_id", "cluster").collect())) == \
+        sorted(map(tuple, full.select("vec_id", "cluster").collect()))
+
+
 def test_boilerplate_line_removal(spark):
     """C4/CCNet line dedup: lines in >= min_docs DISTINCT docs are removed
     everywhere (all occurrences); a line repeated only within ONE doc
