@@ -2648,8 +2648,10 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # fresh private dir per invocation (two concurrent runs must not
     # overwrite each other's index mid-read), removed at process exit so
-    # bench/correctness reruns don't accumulate leaks
-    idx = tempfile.mkdtemp(prefix="sneldb_ivf_idx_")
+    # bench/correctness reruns don't accumulate leaks; tmpfs-staged like
+    # the lifecycle gates (_gate_tmpdir) — the gate measures the
+    # partition-pruned serve path, not host disk latency
+    idx = _gate_tmpdir()
     atexit.register(_shutil.rmtree, idx, ignore_errors=True)
     # one Lloyd round: list quality only affects recall at nprobe < nlist
     # (pinned by tests on the in-memory path); exhaustive probes stay

@@ -149,7 +149,9 @@ def _bench_streaming_ingest(spark, n_events: int) -> float:
     from sneldb_spark.engine import SnelDB
     from sneldb_spark.streaming.ingest import StreamingIngest
 
-    root = tempfile.mkdtemp(prefix="sneldb_bench_ingest_")
+    # tmpfs-staged like the lifecycle gates (entry's _gate_tmpdir):
+    # measures the streaming path, not shared-host disk latency
+    root = entrymod._gate_tmpdir()
     in_dir = os.path.join(root, "incoming")
     os.makedirs(in_dir)
     try:
