@@ -1506,6 +1506,25 @@ def q_streaming_seq_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_seq_chain_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same streaming 3-step chain through the COARSE-GROUPED state
+    layout (key_buckets > 0, round-6 dispatch optimization): one pandas
+    call and one flat-encoded state row per hash bucket instead of per
+    link key, with per-link semantics preserved exactly — so the drain
+    must equal the per-key layout's result and the same unrolled
+    two-as-of-window oracle."""
+    from sneldb_spark.streaming.sequence import streaming_chain
+
+    def matcher(ev, _head, _tail, link_field):
+        return streaming_chain(
+            ev, ["signup", "purchase", "click"], link_field, key_buckets=64
+        )
+
+    return _drain_streaming_seq(
+        spark, sf_dir, matcher, "signup", "click", "sscb_gate"
+    )
+
+
 _STREAMING_SEQ_CHAIN_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
@@ -4104,7 +4123,7 @@ _DRIVER_PRIORITY = [
     # text.py's bpe collect guard, and ALL SIX lifecycle gates (staging
     # input now cached across the probe/ingest slices)
     "similarity_lsh_topk",
-    "streaming_seq_chain",
+    "streaming_seq_chain", "streaming_seq_chain_bucketed",
     "seq_followed_by", "seq_preceded_by", "seq_chain", "seq_funnel_report",
     "seq_within_window", "seq_using_time", "seq_where_sides", "seq_agg",
     "remember_show_seq", "remember_show_seq_agg", "remember_show_chain",
@@ -4123,11 +4142,10 @@ _DRIVER_PRIORITY = [
     "similarity_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
     "embedding_near_pairs", "embedding_quantize",
     "multimodal_audio", "multimodal_resize",
-    "sampling_split",
     # (multimodal_features + the sampling_* md5-arithmetic family
-    # representative rotate next round with compare_three and the
-    # r4-green tier. tools/check_correctness.py still verifies ALL
-    # entries locally every round.)
+    # rotate next round with compare_three and the r4-green tier.
+    # tools/check_correctness.py still verifies ALL entries locally
+    # every round.)
 ]
 
 
@@ -4279,6 +4297,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seq_followed_by": q_streaming_seq_followed_by,
         "streaming_seq_preceded_by": q_streaming_seq_preceded_by,
         "streaming_seq_chain": q_streaming_seq_chain,
+        "streaming_seq_chain_bucketed": q_streaming_seq_chain_bucketed,
         # --- training-data pipeline extensions ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -4528,6 +4547,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "streaming_seq_followed_by": _STREAMING_SEQ_SQL,
         "streaming_seq_preceded_by": _STREAMING_SEQ_PRECEDED_SQL,
         "streaming_seq_chain": _STREAMING_SEQ_CHAIN_SQL,
+        "streaming_seq_chain_bucketed": _STREAMING_SEQ_CHAIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
