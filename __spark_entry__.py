@@ -74,7 +74,15 @@ def _gate_tmpdir() -> str:
     import tempfile
 
     for base in ("/dev/shm",):
-        if os.path.isdir(base) and os.access(base, os.W_OK):
+        try:
+            st = os.statvfs(base)
+        except OSError:
+            continue
+        # containers often mount a tiny (64 MB) shm — a gate store can
+        # run to a few hundred MB at bench SF, so require real headroom
+        if st.f_bavail * st.f_frsize < 4 << 30:
+            continue
+        if os.access(base, os.W_OK):
             return tempfile.mkdtemp(prefix="sneldb_gate_", dir=base)
     return tempfile.mkdtemp(prefix="sneldb_gate_")
 
