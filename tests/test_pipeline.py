@@ -17,6 +17,42 @@ def emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
+def test_ensure_min_partitions_connect_fallbacks(spark):
+    """Under Spark Connect neither sparkContext nor df.rdd exist; the
+    helper must fall back to the shuffle-partition conf for the target
+    and, with no partition probe, leave the plan untouched rather than
+    add a shuffle."""
+    from sneldb_spark.pipeline import ensure_min_partitions
+
+    df = spark.range(10)
+
+    class NoRdd:
+        """Probe-less stand-in: sparkSession and rdd both unavailable."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.repartitioned = False
+
+        @property
+        def sparkSession(self):
+            raise AttributeError("no sparkContext under Connect")
+
+        @property
+        def rdd(self):
+            raise AttributeError("no RDD under Connect")
+
+        def repartition(self, n):
+            self.repartitioned = True
+            return self
+
+    probe_less = NoRdd(df)
+    out = ensure_min_partitions(probe_less, min_partitions=8)
+    assert out is probe_less and not probe_less.repartitioned
+    # classic mode still widens a single-partition input
+    narrow = spark.range(10).coalesce(1)
+    assert ensure_min_partitions(narrow, min_partitions=4).rdd.getNumPartitions() == 4
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from sneldb_spark.pipeline.dedup import exact_dedup, exact_duplicates
 
