@@ -88,6 +88,63 @@ def assign_clusters(
     return out
 
 
+def _plusplus_seed(
+    src: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> list[list[float]]:
+    """Deterministic k-means++ seeding (opt-in via ``kmeans(init=)``).
+
+    Classic k-means++ draws each next centroid with probability
+    proportional to D^2 (distance to the nearest chosen centroid); here
+    the draw is derandomized with the exponential-race trick — pick the
+    row minimizing ``-ln(u) / D^2`` where ``u in (0,1]`` comes from
+    ``md5(id)``, the same engine-portable hash-uniform the sampling
+    family uses. One weighted draw is one ``TakeOrdered(1)`` pass (no
+    full sort, no RNG state, same result on any engine/partitioning), so
+    seeding costs k-1 corpus passes — opt-in because the default
+    lowest-id init is what the driver gate's SQL oracle transcribes.
+    Spread-out seeds matter at scale: IVF list balance and fewer Lloyd
+    rounds to convergence (arXiv:0712.4273's O(log k) guarantee holds in
+    expectation for the randomized draw; the derandomized race keeps the
+    D^2-proportional shape while staying reproducible)."""
+    first = src.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not first:
+        raise ValueError("kmeans: empty input")
+    cents = [[round(float(x), round_digits) for x in first[0][vec_col]]]
+    # u in (0,1]: 15 hex chars of md5(id) scaled; +1ulp floor avoids ln(0)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(16**15))
+    )
+    while len(cents) < k:
+        scored = assign_clusters(
+            src, cents, vec_col=vec_col, dist_col="__d2",
+            round_digits=round_digits,
+        )
+        key = -F.log(u + F.lit(1e-300)) / F.col("__d2")
+        row = (
+            scored.where(F.col("__d2") > 0)
+            .orderBy(key.asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:  # fewer distinct points than k: fall back to padding
+            pad = src.orderBy(F.col(id_col).asc()).limit(k).collect()
+            for r in pad:
+                if len(cents) >= k:
+                    break
+                cents.append(
+                    [round(float(x), round_digits) for x in r[vec_col]]
+                )
+            break
+        cents.append([round(float(x), round_digits) for x in row[0][vec_col]])
+    return cents
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -96,12 +153,17 @@ def kmeans(
     vec_col: str = "embedding",
     round_digits: int = 6,
     cache: bool = True,
+    init: str = "lowest_id",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means with deterministic seeding. Returns
     ``(df + cluster column, final centroids)``.
 
-    Init: the k lowest-`id_col` vectors, coordinates rounded to
-    `round_digits`. Each round assigns (codegen map) then recomputes
+    Init: ``init="lowest_id"`` (default) seeds with the k lowest-`id_col`
+    vectors — the no-RNG recipe the driver gate's SQL oracle
+    transcribes; ``init="plusplus"`` runs the deterministic k-means++
+    seeding (see :func:`_plusplus_seed`) for spread-out seeds at the
+    cost of k-1 extra passes. Coordinates rounded to
+    `round_digits` either way. Each round assigns (codegen map) then recomputes
     centroids as per-dimension means rounded to `round_digits`; an
     emptied cluster keeps its previous centroid. At most `iters` rounds,
     then one final assignment pass against the last centroids. A round
@@ -117,16 +179,21 @@ def kmeans(
     difference between one scan and `iters` scans. The returned
     DataFrame is built against the ORIGINAL input, so the cache can be
     (and is) released before returning."""
+    if init not in ("lowest_id", "plusplus"):
+        raise ValueError(f"kmeans: unknown init {init!r}")
     src = df.select(id_col, vec_col)
     if cache:
         src = src.persist()
     try:
-        seed = src.orderBy(F.col(id_col).asc()).limit(k).collect()
-        dim = len(seed[0][vec_col])
-        cents = [
-            [round(float(x), round_digits) for x in row[vec_col]]
-            for row in seed
-        ]
+        if init == "plusplus":
+            cents = _plusplus_seed(src, k, id_col, vec_col, round_digits)
+        else:
+            seed = src.orderBy(F.col(id_col).asc()).limit(k).collect()
+            cents = [
+                [round(float(x), round_digits) for x in row[vec_col]]
+                for row in seed
+            ]
+        dim = len(cents[0])
         vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         for _ in range(iters):
             assigned = assign_clusters(
@@ -168,12 +235,13 @@ def kmeans_summary(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """Per-cluster size and inertia (sum of squared distance to the final
     centroid, rounded) — the gate-friendly rollup of :func:`kmeans`."""
     assigned, _ = kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
+        round_digits=round_digits, init=init,
     )
     return (
         assigned.groupBy("cluster")

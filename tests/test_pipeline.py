@@ -1489,6 +1489,40 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert n >= 2
 
 
+def test_kmeans_plusplus_seeding(spark):
+    """Deterministic k-means++ (init='plusplus'): reproducible across
+    runs, and on a corpus whose low ids all sit in one tight group it
+    spreads the seeds where lowest-id seeding cannot — both far groups
+    get a centroid immediately."""
+    from sneldb_spark.pipeline.clustering import kmeans
+
+    rows = (
+        # ids 0-9: tight group at the origin (lowest-id seeding takes
+        # BOTH seeds from here)
+        [(i, [0.0 + i / 100.0, 0.0]) for i in range(10)]
+        # ids 10-19: far group
+        + [(10 + i, [500.0 + i / 100.0, 500.0]) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    _, c1 = kmeans(df, k=2, iters=2, init="plusplus")
+    _, c2 = kmeans(df, k=2, iters=2, init="plusplus")
+    assert c1 == c2  # derandomized draw: bit-identical across runs
+    xs = sorted(c[0] for c in c1)
+    assert xs[0] < 100 and xs[1] > 400  # one seed per far-apart group
+
+    # fewer distinct points than k: padding path still yields k centroids
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    _, cents = kmeans(tiny, k=3, iters=1, init="plusplus")
+    assert len(cents) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmeans(df, k=2, init="nope")
+
+
 def test_kmeans_early_stop_on_converged_centroids(spark, monkeypatch):
     """Once a round reproduces the previous centroid set exactly, the
     loop ends: asking for 50 iters on an instantly-converging input runs
