@@ -107,9 +107,10 @@ def _plusplus_seed(
     seeding costs k-1 corpus passes — opt-in because the default
     lowest-id init is what the driver gate's SQL oracle transcribes.
     Spread-out seeds matter at scale: IVF list balance and fewer Lloyd
-    rounds to convergence (arXiv:0712.4273's O(log k) guarantee holds in
-    expectation for the randomized draw; the derandomized race keeps the
-    D^2-proportional shape while staying reproducible)."""
+    rounds to convergence (k-means++, Arthur & Vassilvitskii SODA 2007 —
+    the O(log k) approximation guarantee is in expectation over the
+    randomized draw; the derandomized race keeps the D^2-proportional
+    shape while staying reproducible)."""
     first = src.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not first:
         raise ValueError("kmeans: empty input")
