@@ -273,17 +273,117 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _spherical_plusplus_seed(
+    df: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic spherical k-means++ seeding for the IVF quantizer
+    (opt-in via ``ivf_assignments(init="plusplus")``).
+
+    The angular analogue of `clustering._plusplus_seed`: each next
+    centroid is a D-proportional draw with D = 1 - max cosine sim to the
+    chosen set, derandomized by the md5-keyed exponential race (pick the
+    row minimizing -ln(u)/D; u in (0,1] from md5(id)). One Arrow scan
+    per added centroid — each batch emits only its local best candidate,
+    the driver reduces — so seeding costs nlist-1 passes; worth it when
+    low ids are clustered and lowest-id seeding would stack several
+    lists in one region (unbalanced lists = one hot partition at probe
+    time). Rows already indistinguishable from a chosen centroid
+    (D <= 1e-12) can never win; if everything is, the remaining seeds
+    pad from the lowest-id vectors (the default recipe)."""
+    import hashlib
+
+    def _norm_rows(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    first = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(1).toPandas()
+    )
+    if not len(first):
+        raise ValueError("ivf_assignments: empty corpus")
+    cents = _norm_rows(
+        np.array([np.asarray(first[vec_col][0], dtype=np.float64)])
+    )
+    cand_schema = T.StructType(
+        [
+            T.StructField("key", T.DoubleType(), False),
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    src = ensure_min_partitions(df.select(id_col, vec_col))
+    while len(cents) < nlist:
+        chosen = cents
+
+        def best(batches: Iterator[pd.DataFrame], chosen=chosen) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                d = 1.0 - (_norm_rows(raw) @ chosen.T).max(axis=1)
+                u = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(str(i).encode()).digest()[:8], "big"
+                        )
+                        / float(2**64)
+                        for i in pdf[id_col]
+                    ),
+                    dtype=np.float64,
+                    count=len(pdf),
+                )
+                with np.errstate(divide="ignore"):
+                    key = np.where(
+                        d > 1e-12, -np.log(u + 1e-300) / d, np.inf
+                    )
+                j = int(key.argmin())
+                if not np.isfinite(key[j]):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "key": [float(key[j])],
+                        "cid": [int(pdf[id_col].iloc[j])],
+                        "v": [raw[j].tolist()],
+                    }
+                )
+
+        cand = src.mapInPandas(best, schema=cand_schema).toPandas()
+        if not len(cand):  # nothing left at positive distance: pad
+            pad = (
+                df.select(id_col, vec_col)
+                .orderBy(F.col(id_col).asc())
+                .limit(nlist)
+                .toPandas()
+            )
+            vecs = _norm_rows(
+                np.array([np.asarray(v, dtype=np.float64) for v in pad[vec_col]])
+            )
+            cents = np.vstack([cents, vecs])[:nlist]
+            break
+        cand = cand.sort_values(["key", "cid"]).iloc[0]
+        cents = np.vstack(
+            [cents, _norm_rows(np.array([np.asarray(cand["v"])]))]
+        )
+    return cents
+
+
 def ivf_assignments(
     df: DataFrame,
     nlist: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: spherical k-means with deterministic init.
 
-    Centroids start as the `nlist` lowest-id vectors (deterministic, no
-    RNG), then `iters` Lloyd rounds. Per round: assignment is a distributed
+    Centroids start as the `nlist` lowest-id vectors (default,
+    deterministic, no RNG) or the deterministic spherical k-means++
+    draw (``init="plusplus"``, see `_spherical_plusplus_seed`), then
+    `iters` Lloyd rounds. Per round: assignment is a distributed
     Arrow-batched argmax GEMM; the centroid update aggregates per-cluster
     element sums JVM-side (posexplode -> groupBy(cluster, pos)) so only the
     (nlist x dim) centroid table ever reaches the driver. Returns
@@ -293,17 +393,26 @@ def ivf_assignments(
     parallel, no shuffle); the update shuffles (nlist * dim) partial sums —
     both independent of corpus size in driver memory.
     """
-    seed_pdf = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(nlist).toPandas()
-    )
-    cents = np.array([np.asarray(v, dtype=np.float64) for v in seed_pdf[vec_col]])
+    if init not in ("lowest_id", "plusplus"):
+        raise ValueError(f"ivf_assignments: unknown init {init!r}")
 
     def _norm_rows(m: np.ndarray) -> np.ndarray:
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         return m / n
 
-    cents = _norm_rows(cents)
+    if init == "plusplus":
+        cents = _spherical_plusplus_seed(df, nlist, id_col, vec_col)
+    else:
+        seed_pdf = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .toPandas()
+        )
+        cents = _norm_rows(
+            np.array([np.asarray(v, dtype=np.float64) for v in seed_pdf[vec_col]])
+        )
 
     def _batch_matrix(pdf: pd.DataFrame) -> np.ndarray:
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -371,6 +480,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """IVF ANN top-k: probe the `nprobe` nearest inverted lists per query,
     exact-score only those candidates. `nprobe == nlist` degenerates to the
@@ -378,7 +488,7 @@ def ivf_topk(
     the 100 TB path — each query touches ~nprobe/nlist of the corpus, and
     the cluster column can be a partition key so probes prune files.
     """
-    _, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
+    _, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col, init=init)
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
     # probe_mask[cluster, j] = does query j probe this inverted list?
     probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
@@ -719,6 +829,7 @@ def ivf_build_index(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
 ) -> np.ndarray:
     """Materialize the IVF index: the corpus written as Parquet
     PARTITIONED BY its inverted-list id, plus the centroid matrix as a
@@ -727,7 +838,8 @@ def ivf_build_index(
     directories, a probe of `nprobe` lists is file-level partition
     pruning: queries never open the other `nlist - nprobe` lists'
     files at all."""
-    tagged, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col)
+    tagged, cents = ivf_assignments(corpus, nlist, iters, id_col, vec_col,
+                                    init=init)
     (
         tagged.withColumnRenamed("cluster", "ivf_cluster")
         # co-locate each list before the partitioned write: without this,

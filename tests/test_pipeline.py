@@ -197,6 +197,50 @@ def test_ivf_topk_recall_with_partial_probes(emb):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_ivf_plusplus_seeding_spreads_and_reproduces(spark, emb):
+    """Spherical k-means++ (init='plusplus'): bit-identical across runs,
+    still exact under exhaustive probes, and on a corpus whose low ids
+    all point one way it seeds both directions where lowest-id seeding
+    stacks every list on one side."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_assignments,
+        ivf_topk,
+    )
+
+    # exhaustive probes stay exact regardless of seeding
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=3, nlist=8, nprobe=8, init="plusplus"
+        ).collect()
+    }
+    assert full == exact
+
+    # determinism + directional spread on an adversarial id layout
+    rows = (
+        [(i, [1.0, 0.0 + i / 1000.0]) for i in range(10)]       # low ids: +x
+        + [(10 + i, [-1.0, 0.0 + i / 1000.0]) for i in range(10)]  # high: -x
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, c1 = ivf_assignments(df, nlist=2, iters=0, init="plusplus")
+    _, c2 = ivf_assignments(df, nlist=2, iters=0, init="plusplus")
+    assert np.array_equal(c1, c2)
+    assert {int(np.sign(c[0])) for c in c1} == {-1, 1}  # one seed per side
+    _, low = ivf_assignments(df, nlist=2, iters=0)  # default: both on +x
+    assert {int(np.sign(c[0])) for c in low} == {1}
+
+    with pytest.raises(ValueError):
+        ivf_assignments(df, nlist=2, init="nope")
+
+
 def test_quality_features_values(spark):
     from sneldb_spark.pipeline.text import quality_features
 
