@@ -60,31 +60,54 @@ EVENT_COLS = [
 ]
 
 
-def _gate_tmpdir() -> str:
-    """Scratch root for the lifecycle gates' throwaway engine stores.
+def _gate_scratch_medium() -> tuple[str, str | None]:
+    """Resolve the scratch medium for the lifecycle gates' throwaway
+    engine stores: ``(label, base_dir_or_None)``.
 
-    Prefers tmpfs (/dev/shm) when present: each remember_show_* gate
-    writes ~dozens of small store/WAL/state files and deletes them at
-    gate exit, and on a shared host, block-device IO steal was observed
-    inflating exactly these entries ~2x run-to-run while compute-bound
-    entries held still (BASELINE.md round 6). The gate measures the
-    materializer's orchestration, not host disk latency; a real
-    deployment sizes its own storage. Falls back to the default temp
-    dir when /dev/shm is unavailable."""
-    import tempfile
-
-    for base in ("/dev/shm",):
+    Default is the regular temp dir (on-disk): gate timings then measure
+    the same storage medium as every pre-round-6 baseline. Opt in to
+    tmpfs with ``SNELDB_GATE_SCRATCH=tmpfs`` — useful on shared hosts
+    where block-device IO steal was observed inflating exactly the
+    store-heavy entries ~2x run-to-run while compute-bound entries held
+    still (BASELINE.md round 6) — or point it at any writable directory.
+    tmpfs is only honored when BOTH /dev/shm free space AND host
+    MemAvailable leave >= 4 GiB headroom: a few-hundred-MB store per
+    gate in tmpfs competes with the Spark JVM for the same RAM."""
+    choice = os.environ.get("SNELDB_GATE_SCRATCH", "disk").strip()
+    if choice in ("", "disk", "tmp"):
+        return "disk", None
+    if choice == "tmpfs":
+        base = "/dev/shm"
         try:
             st = os.statvfs(base)
         except OSError:
-            continue
-        # containers often mount a tiny (64 MB) shm — a gate store can
-        # run to a few hundred MB at bench SF, so require real headroom
-        if st.f_bavail * st.f_frsize < 4 << 30:
-            continue
-        if os.access(base, os.W_OK):
-            return tempfile.mkdtemp(prefix="sneldb_gate_", dir=base)
-    return tempfile.mkdtemp(prefix="sneldb_gate_")
+            return "disk", None
+        if st.f_bavail * st.f_frsize < 4 << 30 or not os.access(base, os.W_OK):
+            return "disk", None
+        try:
+            with open("/proc/meminfo") as f:
+                mem = dict(
+                    line.split(":", 1) for line in f if ":" in line
+                )
+            avail_kb = int(mem["MemAvailable"].strip().split()[0])
+            if avail_kb * 1024 < 4 << 30:
+                return "disk", None
+        except (OSError, KeyError, ValueError, IndexError):
+            pass  # no meminfo: the statvfs check above already passed
+        return "tmpfs", base
+    return choice, choice  # explicit directory
+
+
+def _gate_tmpdir() -> str:
+    """Scratch root for the lifecycle gates' throwaway engine stores —
+    see `_gate_scratch_medium` for the medium policy (disk by default,
+    ``SNELDB_GATE_SCRATCH=tmpfs`` to opt in)."""
+    import tempfile
+
+    label, base = _gate_scratch_medium()
+    if base is not None and label not in ("tmpfs",):
+        os.makedirs(base, exist_ok=True)  # explicit user-supplied path
+    return tempfile.mkdtemp(prefix="sneldb_gate_", dir=base)
 
 
 def _events_frame(

@@ -23,8 +23,12 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
             target = spark.sparkContext.defaultParallelism
         except Exception:
             # Spark Connect exposes no sparkContext; the shuffle-partition
-            # conf is the same order of magnitude and always readable
-            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            # conf is the same order of magnitude and always readable —
+            # but may be non-numeric (e.g. "auto" under some AQE setups)
+            try:
+                target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            except (ValueError, TypeError):
+                target = 200
     target = min(target, 200)
     try:
         current = df.rdd.getNumPartitions()

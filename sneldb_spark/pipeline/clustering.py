@@ -100,31 +100,57 @@ def _plusplus_seed(
     Classic k-means++ draws each next centroid with probability
     proportional to D^2 (distance to the nearest chosen centroid); here
     the draw is derandomized with the exponential-race trick — pick the
-    row minimizing ``-ln(u) / D^2`` where ``u in (0,1]`` comes from
-    ``md5(id)``, the same engine-portable hash-uniform the sampling
-    family uses. One weighted draw is one ``TakeOrdered(1)`` pass (no
-    full sort, no RNG state, same result on any engine/partitioning), so
-    seeding costs k-1 corpus passes — opt-in because the default
-    lowest-id init is what the driver gate's SQL oracle transcribes.
-    Spread-out seeds matter at scale: IVF list balance and fewer Lloyd
-    rounds to convergence (k-means++, Arthur & Vassilvitskii SODA 2007 —
-    the O(log k) approximation guarantee is in expectation over the
-    randomized draw; the derandomized race keeps the D^2-proportional
-    shape while staying reproducible)."""
+    row minimizing ``-ln(u) / D^2`` where ``u in (0,1)`` comes from
+    ``md5(id || ':' || draw_index)``, the same engine-portable
+    hash-uniform the sampling family uses. Mixing the draw index into
+    the hash gives every draw a FRESH uniform per row (a fixed
+    ``md5(id)`` would make successive draws strongly correlated — a row
+    with u near 1 wins nearly regardless of D^2 on every later draw),
+    and clamping u strictly below 1.0 keeps ``-ln(u) > 0`` so no row is
+    an unconditional winner. One weighted draw is one ``TakeOrdered(1)``
+    pass (no full sort, no RNG state, same result on any
+    engine/partitioning), so seeding costs k-1 corpus passes — opt-in
+    because the default lowest-id init is what the driver gate's SQL
+    oracle transcribes. Spread-out seeds matter at scale: IVF list
+    balance and fewer Lloyd rounds to convergence (k-means++, Arthur &
+    Vassilvitskii SODA 2007 — the O(log k) approximation guarantee is in
+    expectation over the randomized draw; the derandomized race keeps
+    the D^2-proportional shape while staying reproducible).
+
+    Note the rounding grain: candidate distances are computed against
+    ROUNDED centroid coordinates and themselves rounded to
+    ``round_digits``, so points within the rounding grain of a chosen
+    centroid score D^2 = 0 and are excluded from later draws — at the
+    default 1e-6 grain this only merges effective duplicates."""
     first = src.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not first:
         raise ValueError("kmeans: empty input")
     cents = [[round(float(x), round_digits) for x in first[0][vec_col]]]
-    # u in (0,1]: 15 hex chars of md5(id) scaled; +1ulp floor avoids ln(0)
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(float(16**15))
-    )
     while len(cents) < k:
         scored = assign_clusters(
             src, cents, vec_col=vec_col, dist_col="__d2",
             round_digits=round_digits,
+        )
+        # u in (0,1): 15 hex chars of md5(id:draw) scaled, clamped below
+        # 1.0 (the 60-bit/double cast can round to exactly 1.0); the
+        # +1e-300 floor avoids ln(0) at the other end
+        u = F.least(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(f":{len(cents)}"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**15)),
+            F.lit(1.0 - 2.0**-53),
         )
         key = -F.log(u + F.lit(1e-300)) / F.col("__d2")
         row = (
@@ -135,7 +161,16 @@ def _plusplus_seed(
         )
         if not row:  # fewer distinct points than k: fall back to padding
             pad = src.orderBy(F.col(id_col).asc()).limit(k).collect()
-            for r in pad:
+            have = {tuple(c) for c in cents}
+            for r in pad:  # prefer coordinates not already chosen
+                if len(cents) >= k:
+                    break
+                coord = [round(float(x), round_digits) for x in r[vec_col]]
+                if tuple(coord) in have:
+                    continue
+                have.add(tuple(coord))
+                cents.append(coord)
+            for r in pad:  # truly fewer distinct coords than k: duplicate
                 if len(cents) >= k:
                     break
                 cents.append(

@@ -282,14 +282,20 @@ def _spherical_plusplus_seed(
     The angular analogue of `clustering._plusplus_seed`: each next
     centroid is a D-proportional draw with D = 1 - max cosine sim to the
     chosen set, derandomized by the md5-keyed exponential race (pick the
-    row minimizing -ln(u)/D; u in (0,1] from md5(id)). One Arrow scan
-    per added centroid — each batch emits only its local best candidate,
-    the driver reduces — so seeding costs nlist-1 passes; worth it when
-    low ids are clustered and lowest-id seeding would stack several
-    lists in one region (unbalanced lists = one hot partition at probe
-    time). Rows already indistinguishable from a chosen centroid
-    (D <= 1e-12) can never win; if everything is, the remaining seeds
-    pad from the lowest-id vectors (the default recipe)."""
+    row minimizing -ln(u)/D). u is built EXACTLY as in
+    `clustering._plusplus_seed`: the first 15 hex chars of
+    md5("<id>:<draw_index>") scaled by 16^15 and clamped strictly below
+    1.0 — fresh per draw (decorrelated) and identical across engines.
+    One Arrow scan per added centroid — each batch emits only its local
+    best candidate by lexicographic (key, cid) (the same tie-break the
+    driver applies across batches, so the winner is
+    partitioning-independent even on duplicate vectors), the driver
+    reduces — so seeding costs nlist-1 passes; worth it when low ids are
+    clustered and lowest-id seeding would stack several lists in one
+    region (unbalanced lists = one hot partition at probe time). Rows
+    already indistinguishable from a chosen centroid (D <= 1e-12) can
+    never win; if everything is, the remaining seeds pad from the
+    lowest-id vectors (the default recipe)."""
     import hashlib
 
     def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -315,8 +321,11 @@ def _spherical_plusplus_seed(
     src = ensure_min_partitions(df.select(id_col, vec_col))
     while len(cents) < nlist:
         chosen = cents
+        draw = len(cents)  # mixed into the hash: fresh uniform per draw
 
-        def best(batches: Iterator[pd.DataFrame], chosen=chosen) -> Iterator[pd.DataFrame]:
+        def best(
+            batches: Iterator[pd.DataFrame], chosen=chosen, draw=draw
+        ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -324,24 +333,34 @@ def _spherical_plusplus_seed(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
                 d = 1.0 - (_norm_rows(raw) @ chosen.T).max(axis=1)
+                # same u as clustering._plusplus_seed: 15 hex chars of
+                # md5("<id>:<draw>") / 16^15, clamped strictly below 1.0
                 u = np.fromiter(
                     (
-                        int.from_bytes(
-                            hashlib.md5(str(i).encode()).digest()[:8], "big"
+                        int(
+                            hashlib.md5(
+                                f"{i}:{draw}".encode()
+                            ).hexdigest()[:15],
+                            16,
                         )
-                        / float(2**64)
+                        / float(16**15)
                         for i in pdf[id_col]
                     ),
                     dtype=np.float64,
                     count=len(pdf),
                 )
+                u = np.minimum(u, 1.0 - 2.0**-53)
                 with np.errstate(divide="ignore"):
                     key = np.where(
                         d > 1e-12, -np.log(u + 1e-300) / d, np.inf
                     )
-                j = int(key.argmin())
-                if not np.isfinite(key[j]):
+                if not np.isfinite(key.min()):
                     continue
+                # lexicographic (key, cid): the same tie-break the driver
+                # applies across batches — partition-layout independent
+                # even when one batch holds duplicate vectors/keys
+                order = np.lexsort((pdf[id_col].to_numpy(), key))
+                j = int(order[0])
                 yield pd.DataFrame(
                     {
                         "key": [float(key[j])],
