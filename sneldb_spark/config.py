@@ -93,6 +93,9 @@ class EngineConfig:
     approx_percentiles: bool = False
     sequence_slices: int = 0
     multi_link: bool = False
+    # stream_sequence chain state layout: 0 = one state row per link key;
+    # >0 = hash-bucketed vectorized matcher (streaming/sequence.py)
+    stream_key_buckets: int = 0
 
 
 def _parse_week_start(value: str) -> str:
@@ -146,6 +149,7 @@ def load_config(path_or_dict) -> EngineConfig:
     cfg.approx_percentiles = ext.get("approx_percentiles", False)
     cfg.sequence_slices = int(ext.get("sequence_slices", 0))
     cfg.multi_link = ext.get("multi_link", False)
+    cfg.stream_key_buckets = int(ext.get("stream_key_buckets", 0))
 
     p = doc.get("playground", {})
     cfg.playground = PlaygroundConfig(
@@ -182,7 +186,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
                   approx_count_unique=cfg.approx_count_unique,
                   approx_percentiles=cfg.approx_percentiles,
                   sequence_slices=cfg.sequence_slices,
-                  multi_link=cfg.multi_link)
+                  multi_link=cfg.multi_link,
+                  stream_key_buckets=cfg.stream_key_buckets)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

@@ -57,9 +57,17 @@ class SnelDB:
         bloom_filters: bool = True,
         auto_compact_files: int | None = None,
         compaction_interval: int | None = None,
+        stream_key_buckets: int = 0,
     ):
         self.spark = spark
         self.root = root
+        # [extensions] stream_key_buckets: coarse stateful grouping for
+        # stream_sequence chains (streaming/sequence.py `key_buckets`) —
+        # 0 keeps the one-state-row-per-link layout; >0 multiplexes links
+        # through hash buckets + the vectorized matcher (pick ~4-8x your
+        # parallelism). Changing it changes the checkpoint state schema:
+        # use a fresh checkpoint dir when flipping.
+        self.stream_key_buckets = stream_key_buckets
         self.store = EventStore(spark, root, clock=clock, wal=wal,
                                 wal_archive_dir=wal_archive_dir,
                                 bloom_filters=bloom_filters,
@@ -179,7 +187,10 @@ class SnelDB:
                 ev, types[0], types[1], cmd.link_field, max_gap_s=gap
             )
         if all(k == FOLLOWED_BY for k in kinds):
-            return streaming_chain(ev, types, cmd.link_field, max_gap_s=gap)
+            return streaming_chain(
+                ev, types, cmd.link_field, max_gap_s=gap,
+                key_buckets=self.stream_key_buckets,
+            )
         raise SnelDBError(
             "streaming chains support FOLLOWED BY links (single-link "
             "PRECEDED BY aside); mixed chains are batch-only"

@@ -37,6 +37,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -290,9 +291,13 @@ def streaming_chain(
     the keys/buckets ratio while keeping semantics exactly per-link:
     the batch is sorted once (stable), so each link sees its own events
     in (ts, minpos, event_id) order; expiry horizons and the
-    `state_ttl_rows` cap stay per-link. Pick buckets ~4-8x your
-    parallelism. 0 preserves the one-group-per-key layout (and its
-    checkpoint state schema) unchanged."""
+    `state_ttl_rows` cap stay per-link. Inside a bucket the matching
+    itself is fully vectorized (`_vector_chain_match`: numpy
+    searchsorted rounds over per-step candidate arrays, VERDICT r6 #2 —
+    no per-event Python). Pick buckets ~4-8x your parallelism. 0
+    preserves the one-group-per-key layout (and its checkpoint state
+    schema) unchanged, matched by the per-event loop — cheaper than the
+    vector setup on the tiny per-key groups that layout produces."""
     if len(step_types) < 2:
         raise ValueError("streaming_chain needs at least two step types")
     n_steps = len(step_types)
@@ -301,6 +306,210 @@ def streaming_chain(
     positions: dict[str, list[int]] = {}
     for i, t in enumerate(step_types):
         positions.setdefault(t, []).append(i)
+
+    # nested (not module-level) so cloudpickle ships it BY VALUE with
+    # bucket_match_fn: executors never need sneldb_spark importable
+    # (the house rule for every Arrow kernel in this repo)
+    def _vector_chain_match(
+        batch: pd.DataFrame | None,
+        st_links: list,
+        st_steps: list,
+        st_flat_ts: list,
+        st_flat_id: list,
+        n_steps: int,
+        positions: dict[str, list[int]],
+        max_gap_s: int | None,
+        state_ttl_rows: int,
+    ) -> tuple:
+        """Vectorized multi-link chain matching over one sorted micro-batch
+        (VERDICT r6 #2: replaces the per-event Python loop for the bucketed
+        layout — the loop was the remaining 2.9x-of-batch bottleneck).
+
+        The key observation: with the batch sorted in processing order
+        (ts, minpos, event_id), "advance every pending chain whose cursor ts
+        <= event ts" collapses to a per-chain FIRST-CANDIDATE lookup — a
+        chain whose step-p match sits at batch index j advances at step p+1
+        on the first index i >= j (inclusive: the same event serves adjacent
+        steps when its type holds both positions — the loop's
+        ascending-positions rule) whose event serves p+1 on the same link.
+        That lookup is one `np.searchsorted` over a composite
+        (link_code * (N+1) + index) key array per step, vectorized across
+        every chain awaiting that step; n_steps-1 rounds cover all chains
+        since cursors only move forward. State chains (cursor from a prior
+        batch) enter via ts: their starting index is
+        `searchsorted(ts, cursor_ts)` — equivalent because the batch is
+        ts-ascending and the loop's condition is `cursor_ts <= ts`.
+
+        A chain whose first candidate fails the gap check stalls for the
+        whole batch (later candidates are only farther in ts), exactly the
+        loop's behavior of leaving it pending for horizon expiry. Expiry and
+        the per-link TTL cap reproduce `finish()`: only links that saw
+        events this batch expire/cap, horizons from each link's own batch-max
+        ts, newest `state_ttl_rows` chains kept in pend order (state order,
+        then E0 creation order).
+
+        Takes and returns the FLAT state encoding (links/steps/flat_ts/
+        flat_id) so decode/encode are repeat/cumsum gathers, not Python
+        loops. Returns (out_links, out_ts_matrix, out_id_matrix,
+        pend_links, pend_steps, pend_flat_ts, pend_flat_id).
+        """
+        S = len(st_steps)
+        st_steps_a = np.asarray(st_steps, dtype=np.int64)
+        st_links_a = np.asarray(list(st_links), dtype=object)
+        N = 0 if batch is None else len(batch)
+        if N == 0:
+            # no events: nothing advances, no expiry (no link saw events)
+            return (
+                np.empty(0, dtype=object),
+                np.empty((0, n_steps), np.int64),
+                np.empty((0, n_steps), np.int64),
+                st_links_a,
+                st_steps_a,
+                np.asarray(st_flat_ts, dtype=np.int64),
+                np.asarray(st_flat_id, dtype=np.int64),
+            )
+
+        ts = batch["timestamp"].to_numpy(np.int64, copy=False)
+        eid = batch["event_id"].to_numpy(np.int64, copy=False)
+        blinks = batch["__link"].to_numpy(dtype=object, copy=False)
+
+        # one link-code space across state chains + batch rows
+        codes, uniques = pd.factorize(np.concatenate([st_links_a, blinks]))
+        codes = codes.astype(np.int64, copy=False)
+        n_codes = len(uniques)
+        st_code = codes[:S]
+        ev_code = codes[S:]
+
+        # which batch rows serve which step position
+        tcodes, tuniq = pd.factorize(batch["event_type"].to_numpy(dtype=object, copy=False))
+        serves = np.zeros((len(tuniq), n_steps), dtype=bool)
+        for ti, t in enumerate(tuniq):
+            for p in positions[t]:
+                serves[ti, p] = True
+
+        BIG = np.int64(N + 1)
+        idxs = np.arange(N, dtype=np.int64)
+        cand_keys: list[np.ndarray] = []
+        cand_idx: list[np.ndarray] = []
+        for p in range(n_steps):
+            m = serves[tcodes, p]
+            ci = idxs[m]
+            cl = ev_code[m]
+            order = np.argsort(cl, kind="stable")  # (link, idx): idx already asc
+            ci = ci[order]
+            cand_keys.append(cl[order] * BIG + ci)
+            cand_idx.append(ci)
+
+        # chain matrices: state chains first (state order), then one chain
+        # per step-0 event in processing order
+        e0 = cand_idx[0] if n_steps else idxs[:0]
+        # cand_idx[0] is sorted by (link, idx); chains are created in EVENT
+        # order — re-sort by idx
+        e0 = np.sort(e0)
+        C = S + len(e0)
+        ch_ts = np.zeros((C, n_steps), np.int64)
+        ch_id = np.zeros((C, n_steps), np.int64)
+        ch_len = np.zeros(C, np.int64)
+        ch_link = np.empty(C, np.int64)
+        ch_m = np.zeros(C, np.int64)  # min candidate batch index (inclusive)
+        if S:
+            off = np.concatenate([[0], np.cumsum(st_steps_a)])
+            row = np.repeat(np.arange(S), st_steps_a)
+            col = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], st_steps_a)
+            ch_ts[row, col] = np.asarray(st_flat_ts, dtype=np.int64)
+            ch_id[row, col] = np.asarray(st_flat_id, dtype=np.int64)
+            ch_len[:S] = st_steps_a
+            ch_link[:S] = st_code
+            cursor = ch_ts[np.arange(S), st_steps_a - 1]
+            ch_m[:S] = np.searchsorted(ts, cursor, side="left")
+        if len(e0):
+            ch_ts[S:, 0] = ts[e0]
+            ch_id[S:, 0] = eid[e0]
+            ch_len[S:] = 1
+            ch_link[S:] = ev_code[e0]
+            ch_m[S:] = e0
+        stalled = np.zeros(C, dtype=bool)
+
+        for p in range(1, n_steps):
+            active = np.flatnonzero((ch_len == p) & ~stalled)
+            if not len(active):
+                continue
+            keys = cand_keys[p]
+            if not len(keys):
+                stalled[active] = True
+                continue
+            target = ch_link[active] * BIG + ch_m[active]
+            pos = np.searchsorted(keys, target, side="left")
+            ok = pos < len(keys)
+            safe = np.minimum(pos, len(keys) - 1)
+            found = cand_idx[p][safe]
+            hit = ok & (keys[safe] // BIG == ch_link[active])
+            if max_gap_s is not None:
+                hit &= ts[found] - ch_ts[active, p - 1] <= max_gap_s
+            adv = active[hit]
+            f = found[hit]
+            ch_ts[adv, p] = ts[f]
+            ch_id[adv, p] = eid[f]
+            ch_len[adv] = p + 1
+            ch_m[adv] = f
+            stalled[active[~hit]] = True
+
+        done = ch_len == n_steps
+        comp = np.flatnonzero(done)
+        out_links = uniques[ch_link[comp]] if len(comp) else np.empty(0, dtype=object)
+
+        # pending: expiry + per-link TTL cap, only for links seen this batch
+        pend = np.flatnonzero(~done)
+        if len(pend):
+            last = np.full(n_codes, np.iinfo(np.int64).min, dtype=np.int64)
+            np.maximum.at(last, ev_code, ts)
+            plink = ch_link[pend]
+            seen = last[plink] != np.iinfo(np.int64).min
+            if max_gap_s is not None:
+                cur = ch_ts[pend, ch_len[pend] - 1]
+                pend = pend[~(seen & (cur < last[plink] - max_gap_s))]
+                plink = ch_link[pend]
+                seen = last[plink] != np.iinfo(np.int64).min
+            if len(pend):
+                # cap: drop all but the newest state_ttl_rows chains per seen
+                # link; pend is already in pend order (state, then creation)
+                order = np.argsort(plink, kind="stable")
+                sl = plink[order]
+                counts = np.bincount(sl, minlength=n_codes)
+                starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                from_end = counts[sl] - (np.arange(len(sl)) - starts[sl])
+                keep = ~seen[order] | (from_end <= state_ttl_rows)
+                pend = np.sort(pend[order[keep]])  # restore pend order
+        # encode grouped by link, link order = first appearance among
+        # (state chains, then step-0 events) — the dict layout's key order
+        if len(pend):
+            first_seq = np.concatenate([st_code, ev_code[e0]])
+            rank = np.full(n_codes, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(rank, first_seq, np.arange(len(first_seq), dtype=np.int64))
+            order = np.argsort(rank[ch_link[pend]], kind="stable")
+            pend = pend[order]
+            plen = ch_len[pend]
+            row = np.repeat(pend, plen)
+            col_off = np.concatenate([[0], np.cumsum(plen)])
+            col = np.arange(col_off[-1], dtype=np.int64) - np.repeat(col_off[:-1], plen)
+            pend_links = uniques[ch_link[pend]]
+            pend_steps = plen
+            pend_flat_ts = ch_ts[row, col]
+            pend_flat_id = ch_id[row, col]
+        else:
+            pend_links = np.empty(0, dtype=object)
+            pend_steps = np.empty(0, np.int64)
+            pend_flat_ts = np.empty(0, np.int64)
+            pend_flat_id = np.empty(0, np.int64)
+        return (
+            out_links,
+            ch_ts[comp],
+            ch_id[comp],
+            pend_links,
+            pend_steps,
+            pend_flat_ts,
+            pend_flat_id,
+        )
 
     out_fields = [T.StructField("link", T.StringType())]
     for i in range(n_steps):
@@ -420,37 +629,32 @@ def streaming_chain(
     def bucket_match_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        pend_by_link: dict[str, list[tuple[list[int], list[int]]]] = {}
         if state.exists:
             links, steps, flat_ts, flat_id = state.get
-            off = 0
-            for link, s in zip(links, steps):
-                pend_by_link.setdefault(link, []).append(
-                    (list(flat_ts[off:off + s]), list(flat_id[off:off + s]))
-                )
-                off += s
-        out: dict[str, list[Any]] = {c: [] for c in out_cols}
-        link_last_ts: dict[str, int] = {}
+        else:
+            links, steps, flat_ts, flat_id = (), (), (), ()
         batch = sorted_batch(pdfs)
-        if batch is not None:
-            process(
-                zip(
-                    batch["__link"], batch["timestamp"],
-                    batch["event_type"], batch["event_id"],
-                ),
-                pend_by_link, out, link_last_ts,
-            )
-        finish(pend_by_link, link_last_ts)
-        if pend_by_link:
+        (
+            out_links, out_ts, out_id,
+            pend_links, pend_steps, pend_flat_ts, pend_flat_id,
+        ) = _vector_chain_match(
+            batch, links, steps, flat_ts, flat_id,
+            n_steps, positions, max_gap_s, state_ttl_rows,
+        )
+        if len(pend_links):
             state.update((
-                [lk for lk, pend in pend_by_link.items() for _ in pend],
-                [len(p[0]) for pend in pend_by_link.values() for p in pend],
-                [t for pend in pend_by_link.values() for p in pend for t in p[0]],
-                [i for pend in pend_by_link.values() for p in pend for i in p[1]],
+                pend_links.tolist(),
+                pend_steps.tolist(),
+                pend_flat_ts.tolist(),
+                pend_flat_id.tolist(),
             ))
         elif state.exists:
             state.remove()
-        if out["link"]:
+        if len(out_links):
+            out: dict[str, Any] = {"link": out_links}
+            for i in range(n_steps):
+                out[f"s{i}_event_id"] = out_id[:, i]
+                out[f"s{i}_timestamp"] = out_ts[:, i]
             yield pd.DataFrame(out)
 
     minpos = F.lit(None).cast("int")

@@ -1009,6 +1009,57 @@ def test_streaming_chain_matches_batch_chain(spark, tmp_path, seed, gap, buckets
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize("buckets", [0, 1])
+def test_streaming_chain_ttl_cap_keeps_newest(spark, tmp_path, buckets):
+    """state_ttl_rows caps PENDING chains per link at batch end, keeping
+    the NEWEST (documented output contract: oldest silently dropped on
+    hot keys). Pinned on both the per-key loop layout (buckets=0) and
+    the bucketed vectorized matcher (buckets=1, numpy cap path): 5 heads
+    on the hot link, cap 2 -> only the newest two complete; the cold
+    link (1 chain, under cap) is untouched."""
+    got = _chain_harness(
+        spark,
+        tmp_path,
+        [
+            # 5 pending heads on h (cap drops ids 1-3 at batch end), 1 on c
+            [("view", 10, 1, "h"), ("view", 11, 2, "h"), ("view", 12, 3, "h"),
+             ("view", 13, 4, "h"), ("view", 14, 5, "h"), ("view", 10, 6, "c")],
+            [("cart", 20, 7, "h"), ("buy", 21, 8, "h"),
+             ("cart", 20, 9, "c"), ("buy", 21, 10, "c")],
+        ],
+        ["view", "cart", "buy"],
+        f"chain_ttl_{buckets}",
+        state_ttl_rows=2,
+        key_buckets=buckets,
+    )
+    assert got == {("h", 4, 7, 8), ("h", 5, 7, 8), ("c", 6, 9, 10)}
+
+
+def test_streaming_chain_expiry_horizon_is_per_link(spark, tmp_path):
+    """Expiry horizons are PER LINK, from each link's own batch-max ts —
+    a link that saw no events this batch must keep its pending chains
+    even when another link in the same bucket moved time far forward
+    (bucketed layout: both links share one state row, so a global-max
+    horizon would wrongly evict b's chain in batch 2)."""
+    got = _chain_harness(
+        spark,
+        tmp_path,
+        [
+            [("view", 10, 1, "a"), ("view", 10, 2, "b")],
+            # only a sees events; its chain expires (cursor 10 < 100-10).
+            # b is untouched: horizon must not move for it.
+            [("cart", 100, 3, "a")],
+            [("cart", 15, 4, "b"), ("buy", 20, 5, "b"),
+             ("cart", 110, 6, "a"), ("buy", 115, 7, "a")],
+        ],
+        ["view", "cart", "buy"],
+        "chain_perlink_horizon",
+        max_gap_s=10,
+        key_buckets=1,
+    )
+    assert got == {("b", 2, 4, 5)}
+
+
 def test_streaming_chain_over_live_store_stream(spark, tmp_path):
     """End to end on the ENGINE's own storage: streaming_chain over a
     union of the store's per-type parquet streams, drained availableNow
