@@ -58,6 +58,7 @@ class SnelDB:
         auto_compact_files: int | None = None,
         compaction_interval: int | None = None,
         stream_key_buckets: int = 0,
+        storage=None,
     ):
         self.spark = spark
         self.root = root
@@ -86,7 +87,12 @@ class SnelDB:
             sequence_slices=sequence_slices,
             multi_link=multi_link,
         )
-        self.materializer = Materializer(self, root)
+        # storage: the materializer's directory-swap backend
+        # (store/storage.py) — LocalStorage by default, ObjectStoreStorage
+        # for a lake deployment. The EVENT segment store stays on its own
+        # append-only layout (Spark reads it like any lake prefix); only
+        # the swap-published materialization dirs need the protocol.
+        self.materializer = Materializer(self, root, storage=storage)
         self.auth = auth
 
     # -- public API -------------------------------------------------------

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -261,7 +260,7 @@ class Materializer:
         )
 
     def _chain_state_paths(self, name: str, n_steps: int):
-        d = self._state_path(name)
+        d = self._live(self._state_path(name))
         return (
             [os.path.join(d, f"pending_s{i}") for i in range(n_steps - 1)],
             [os.path.join(d, f"boundary_{j}") for j in range(n_steps)],
@@ -365,15 +364,15 @@ class Materializer:
         lower, completed, new_pend, cands, n, cleanup = self._chain_delta_match(
             name, q, manifest, cur
         )
-        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
-        nxt = self._state_path(name) + ".next"
-        shutil.rmtree(nxt, ignore_errors=True)
+        seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
+        state = self._state_path(name)
+        nxt = self.storage.stage_path(state)
+        self.storage.remove_tree(nxt)
         # segment FIRST; a crashed rerun overwrites the same slice
         completed.write.mode("overwrite").parquet(seg)
         self._write_chain_next_state(nxt, q, new_pend, cands, n, cur)
         cleanup()
-        self._mark_state_complete(nxt)
-        self._swap_state_dir(name)
+        self.storage.publish_dir(state)
 
     def _refresh_chain_agg(self, name: str, q, manifest: dict, path: str,
                            cur: tuple[int, int]):
@@ -405,8 +404,9 @@ class Materializer:
             ),
             q.aggs, keys, approx_unique=approx,
         )
-        nxt = self._state_path(name) + ".next"
-        shutil.rmtree(nxt, ignore_errors=True)
+        state = self._state_path(name)
+        nxt = self.storage.stage_path(state)
+        self.storage.remove_tree(nxt)
         nxt_agg = os.path.join(nxt, "agg_state")
         merged.write.mode("overwrite").parquet(nxt_agg)
         final = finalize_partial_state(
@@ -416,8 +416,9 @@ class Materializer:
         final.write.mode("overwrite").parquet(self.storage.stage_path(path))
         self.storage.publish_dir(path)
         cleanup()
-        self._mark_state_complete(nxt)
-        self._swap_state_dir(name)
+        # state publish AFTER the data replace: a promoted new state must
+        # imply the visible result already reflects the merged aggregate
+        self.storage.publish_dir(state)
 
     def _write_chain_next_state(self, nxt: str, q, new_pend, cands, n: int,
                                 cur: tuple[int, int]):
@@ -532,6 +533,13 @@ class Materializer:
     def _state_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "state")
 
+    def _live(self, path: str) -> str:
+        """Physical location of a publish-managed directory's live copy
+        (storage.resolve): identity on LocalStorage, pointer target on an
+        object-store backend. Resolved at USE time, never cached across a
+        publish."""
+        return self.storage.resolve(path)
+
     def _read_segments(self, path: str):
         """Sequence (event-shaped) results are a directory of append-only
         interval segments; recursiveFileLookup reads them all (and reads
@@ -539,15 +547,17 @@ class Materializer:
         return (
             self.engine.spark.read.option("recursiveFileLookup", "true")
             .option("mergeSchema", "true")
-            .parquet(path)
+            .parquet(self._live(path))
         )
 
     def _seq_state_paths(self, name: str) -> tuple[str, str]:
-        d = self._state_path(name)
+        # resolved: these name the LIVE state's sub-dirs (reads and the
+        # pre-pointer initial writes); refresh writes go under stage_path
+        d = self._live(self._state_path(name))
         return os.path.join(d, "pending_a"), os.path.join(d, "boundary_b")
 
     def _seq_agg_state_path(self, name: str) -> str:
-        return os.path.join(self._state_path(name), "agg_state")
+        return os.path.join(self._live(self._state_path(name)), "agg_state")
 
     def _within_pairs(self, q, pairs: DataFrame) -> DataFrame:
         """The WITHIN conversion-window filter over a matched-pair frame
@@ -891,7 +901,7 @@ class Materializer:
         new A's, whose candidate B's are exactly the carried state plus
         the delta (boundary-second ties included). Every output plan
         executes against the OLD directories; the result is then replaced
-        and the state dir swapped as one unit (_swap_state_dir)."""
+        and the state dir published as one unit (storage.publish_dir)."""
         from sneldb_spark.plans.sequence import sequence_match
 
         cur_ts, _cur_id = cur
@@ -917,56 +927,28 @@ class Materializer:
         # of duplicating it) — refresh IO scales with the delta, never
         # with the accumulated result. The stored history is never read
         # or rewritten.
-        seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
-        nxt = self._state_path(name) + ".next"
-        shutil.rmtree(nxt, ignore_errors=True)
-        # segment FIRST: until the state swap lands, a rerun recomputes the
-        # same slice and overwrites this segment idempotently
+        seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
+        state = self._state_path(name)
+        nxt = self.storage.stage_path(state)
+        self.storage.remove_tree(nxt)
+        # segment FIRST: until the state publish lands, a rerun recomputes
+        # the same slice and overwrites this segment idempotently
         self._within_pairs(q, new_pairs).write.mode("overwrite").parquet(seg)
         new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
         new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
         new_pairs.unpersist()
         self._write_state_hwm(nxt, cur[0], cur[1])
-        self._mark_state_complete(nxt)
-        self._swap_state_dir(name)
-
-    def _swap_state_dir(self, name: str):
-        """Promote <state>.next to <state> with two renames. Crash
-        analysis: before the first rename, everything is old and a rerun
-        redoes the delta idempotently (the in-state hwm marker plus the
-        interval-named segment overwrite make re-execution safe for both
-        refresh shapes — there is NO row-level dedup anymore, so that
-        idempotence is load-bearing); between the renames there is no
-        state dir, but the completed .next (its _COMPLETE flag is written
-        only after every result/segment write landed) is promoted by
-        _recover_state_dir on the next SHOW; after the second rename the
-        state is fully new and a stale manifest is overridden by the
-        marker."""
-        state = self._state_path(name)
-        old = state + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(state, old)
-        os.rename(state + ".next", state)
-        shutil.rmtree(old, ignore_errors=True)
-
-    @staticmethod
-    def _mark_state_complete(nxt: str):
-        with open(os.path.join(nxt, "_COMPLETE"), "w") as f:
-            f.write("1")
-
-    def _recover_state_dir(self, name: str):
-        """If a crash hit between _swap_state_dir's renames, the state
-        dir is missing but a COMPLETE .next exists (its flag is only
-        written after all result writes) — promote it so incrementality
-        survives. An incomplete .next is stale scratch: with the state
-        dir also missing the guards fall back to a sound full recompute;
-        otherwise the next refresh clears it."""
-        state = self._state_path(name)
-        nxt = state + ".next"
-        if not os.path.exists(state) and os.path.exists(
-            os.path.join(nxt, "_COMPLETE")
-        ):
-            os.rename(nxt, state)
+        # Publish the state as ONE unit (store/storage.py protocol — the
+        # same swap every result dir uses; formerly a bespoke
+        # .next/_COMPLETE rename pair). Crash analysis: before the
+        # publish, everything is old and a rerun redoes the delta
+        # idempotently (the in-state hwm marker plus the interval-named
+        # segment overwrite make re-execution safe for every refresh
+        # shape — there is NO row-level dedup, so that idempotence is
+        # load-bearing); a crash inside the publish is repaired by
+        # recover_dir in show(), restoring the OLD state, and the same
+        # idempotent rerun re-derives the delta.
+        self.storage.publish_dir(state)
 
     def _refresh_sequence_agg(self, name: str, q, manifest: dict, path: str,
                               cur: tuple[int, int]):
@@ -1011,9 +993,10 @@ class Materializer:
             )
             # materialize the merge ONCE; finalize reads the tmp files so
             # the merge isn't recomputed, and everything below still sees
-            # only pre-refresh directories until the swap loop
-            nxt = self._state_path(name) + ".next"
-            shutil.rmtree(nxt, ignore_errors=True)
+            # only pre-refresh directories until the publish
+            state = self._state_path(name)
+            nxt = self.storage.stage_path(state)
+            self.storage.remove_tree(nxt)
             nxt_agg = os.path.join(nxt, "agg_state")
             merged_state.write.mode("overwrite").parquet(nxt_agg)
             self._write_state_hwm(nxt_agg, cur[0], cur[1])
@@ -1033,23 +1016,25 @@ class Materializer:
             )
             final.write.mode("overwrite").parquet(self.storage.stage_path(path))
             self.storage.publish_dir(path)
-            # flag AFTER the data replace: a promoted .next must imply the
-            # visible result already reflects the merged state
-            self._mark_state_complete(nxt)
-            self._swap_state_dir(name)
+            # state publish AFTER the data replace: a promoted new state
+            # must imply the visible result already reflects the merged
+            # state
+            self.storage.publish_dir(state)
         finally:
             new_pairs.unpersist()
 
-    @staticmethod
-    def _write_state_hwm(state_dir: str, hwm_ts: int, hwm_id: int):
+    def _write_state_hwm(self, state_dir: str, hwm_ts: int, hwm_id: int):
         """Underscore-prefixed so Spark's parquet listing ignores it;
-        rides inside the state dir so it swaps atomically with it."""
-        with open(os.path.join(state_dir, "_hwm.json"), "w") as f:
+        rides inside the state dir so it swaps atomically with it.
+        Resolves: callers pass logical live dirs AND physical staging
+        dirs alike (resolve is identity on the latter)."""
+        d = self._live(state_dir)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_hwm.json"), "w") as f:
             json.dump({"ts": int(hwm_ts), "id": int(hwm_id)}, f)
 
-    @staticmethod
-    def _read_state_hwm(state_dir: str):
-        p = os.path.join(state_dir, "_hwm.json")
+    def _read_state_hwm(self, state_dir: str):
+        p = os.path.join(self._live(state_dir), "_hwm.json")
         if not os.path.exists(p):
             return None
         with open(p) as f:
@@ -1092,7 +1077,7 @@ class Materializer:
         delta, _ = self.engine.compiler.compile_aggregate_partial(
             q, hwm=lower, upper=cur
         )
-        stored = self.engine.spark.read.parquet(spath)
+        stored = self.engine.spark.read.parquet(self._live(spath))
         merged = merge_partial_states(
             stored.unionByName(delta), q.aggs, keys,
             approx_unique=self.engine.compiler.approx_count_unique,
@@ -1110,7 +1095,7 @@ class Materializer:
             spath, q, manifest["state_keys"],
             (manifest["hwm_ts"], manifest["hwm_id"]), cur,
         )
-        return self.engine.spark.read.parquet(spath)
+        return self.engine.spark.read.parquet(self._live(spath))
 
     # -- COMPARE materialization (extension) -------------------------------
     def _compare_state_dir(self, name: str, i: int) -> str:
@@ -1168,8 +1153,8 @@ class Materializer:
             self._merge_state_delta(sp, s, keys, lower, cur)
             finals.append(
                 finalize_partial_state(
-                    self.engine.spark.read.parquet(sp), s.aggs, keys,
-                    approx_unique=approx,
+                    self.engine.spark.read.parquet(self._live(sp)), s.aggs,
+                    keys, approx_unique=approx,
                 )
             )
         self._swap_in(merge_sides(c.queries, labels, finals), path)
@@ -1188,15 +1173,11 @@ class Materializer:
         # repair a crashed swap/compact before the first read (no-op and
         # metadata-cheap when clean); ditto the marker-carrying state dirs
         self.storage.recover_dir(path)
-        if manifest.get("state_keys") is not None and not manifest.get("seq_state"):
-            # (seq-agg states use the .next/_COMPLETE convention below)
+        if manifest.get("state_keys") is not None or manifest.get("seq_state"):
             self.storage.recover_dir(self._state_path(name))
         if manifest.get("compare_state_keys") is not None:
             for i in range(len(manifest["compare_state_keys"])):
                 self.storage.recover_dir(self._compare_state_dir(name, i))
-
-        if manifest.get("seq_state"):
-            self._recover_state_dir(name)
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
@@ -1217,7 +1198,7 @@ class Materializer:
             # deterministic interval name: a crashed refresh overwrites
             # its own segment; marker written after, so a crash between
             # the two just reruns the same idempotent slice
-            seg = os.path.join(path, f"d_{lower[0]}_{lower[1]}")
+            seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
             delta_df.write.mode("overwrite").parquet(seg)
             self._write_state_hwm(path, cur_ts, cur_id)
         elif stale and self._incrementable(q):
@@ -1225,7 +1206,7 @@ class Materializer:
                 self.engine.compiler.compile_query(q),
                 manifest["hwm_ts"], manifest["hwm_id"],
             )
-            stored = self.engine.spark.read.parquet(path)
+            stored = self.engine.spark.read.parquet(self._live(path))
             merged = self._apply_retention(
                 stored.unionByName(delta_df).dropDuplicates(["event_id"]), manifest
             )
@@ -1241,13 +1222,13 @@ class Materializer:
         ) and manifest.get("state_keys") is not None and os.path.exists(
             self._seq_agg_state_path(name)
         ) and os.path.exists(
-            os.path.join(self._state_path(name), "pending_s0")
+            os.path.join(self._live(self._state_path(name)), "pending_s0")
         ):
             self._refresh_chain_agg(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._chain_incrementable(q, manifest) and manifest.get(
             "seq_state"
         ) and os.path.exists(
-            os.path.join(self._state_path(name), "pending_s0")
+            os.path.join(self._live(self._state_path(name)), "pending_s0")
         ):
             self._refresh_chain(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._seq_incrementable(q, manifest) and manifest.get(
@@ -1256,7 +1237,7 @@ class Materializer:
             self._refresh_sequence(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._agg_incrementable(q, manifest) and manifest.get(
             "state_keys"
-        ) is not None and os.path.exists(self._state_path(name)):
+        ) is not None and self.storage.exists(self._state_path(name)):
             merged_state = self._merge_agg_delta(name, q, manifest, (cur_ts, cur_id))
             from sneldb_spark.plans.aggregates import finalize_partial_state
 
@@ -1269,7 +1250,7 @@ class Materializer:
             )
         elif stale and self._compare_incrementable(q, manifest) and manifest.get(
             "compare_state_keys"
-        ) is not None and os.path.exists(self._compare_state_dir(name, 0)):
+        ) is not None and self.storage.exists(self._compare_state_dir(name, 0)):
             self._refresh_compare(name, q, manifest, path, (cur_ts, cur_id))
         elif stale:
             # closed at the already-probed mark: the stored rows and the
@@ -1287,7 +1268,7 @@ class Materializer:
             manifest.get("seq_state") and manifest.get("state_keys") is None
         ):
             return self._read_segments(path)
-        return self.engine.spark.read.parquet(path)
+        return self.engine.spark.read.parquet(self._live(path))
 
     # -- lifecycle ---------------------------------------------------------
     def names(self) -> list[str]:

@@ -3,14 +3,21 @@
 The publish/recover protocol is what makes every directory swap in the
 engine crash-safe WITHOUT relying on POSIX-only atomic rename — the same
 two contract clauses an object-store backend must satisfy (see the
-module docstring's crash matrix, which these tests walk line by line).
+module docstring's crash matrix, which these tests walk line by line:
+once for LocalStorage's rename mapping, once for ObjectStoreStorage's
+versioned-prefix + pointer-flip mapping over a put/get/list/delete-only
+client).
 """
 
 import os
 
 import pytest
 
-from sneldb_spark.store.storage import LocalStorage
+from sneldb_spark.store.storage import (
+    DirObjectClient,
+    LocalStorage,
+    ObjectStoreStorage,
+)
 
 
 def _mkdir_with(path, fname="f.txt", content="x"):
@@ -138,6 +145,292 @@ def test_never_zero_copies_during_publish(tmp_path, st, monkeypatch):
     monkeypatch.setattr(LocalStorage, "rename", spying_rename)
     st.publish_dir(dst)
     assert copies_seen and min(copies_seen) >= 1
+
+
+# -- object-store backend: same matrix over put/get/list/delete ----------
+
+
+@pytest.fixture()
+def ost(tmp_path):
+    return ObjectStoreStorage(DirObjectClient(str(tmp_path / "bucket")))
+
+
+def _stage_obj(ost, dst, content, fname="f.txt"):
+    """Write one staged copy through the protocol (stage_path + a data
+    key put), returning the staged prefix — the backend-agnostic
+    equivalent of _mkdir_with on dst.staging."""
+    staging = ost.stage_path(dst)
+    ost.client.put(os.path.join(staging, fname), content.encode())
+    return staging
+
+
+def _read_live(ost, dst, fname="f.txt"):
+    return ost.client.get(os.path.join(ost.resolve(dst), fname)).decode()
+
+
+def test_obj_publish_replaces_live_copy(ost, tmp_path):
+    dst = str(tmp_path / "bucket" / "data")
+    s1 = _stage_obj(ost, dst, "old")
+    ost.publish_dir(dst)
+    assert ost.resolve(dst) == s1 and _read_live(ost, dst) == "old"
+    s2 = _stage_obj(ost, dst, "new")
+    assert s2 != s1  # versions burn, a prefix is never reused
+    ost.publish_dir(dst)
+    assert ost.resolve(dst) == s2 and _read_live(ost, dst) == "new"
+    # previous version GC'd after the flip
+    assert not ost.client.list(s1 + "/")
+
+
+def test_obj_publish_without_staged_copy_raises(ost, tmp_path):
+    dst = str(tmp_path / "bucket" / "data")
+    with pytest.raises(FileNotFoundError):
+        ost.publish_dir(dst)
+    # publishing again with nothing NEWER staged also raises
+    _stage_obj(ost, dst, "v1")
+    ost.publish_dir(dst)
+    with pytest.raises(FileNotFoundError):
+        ost.publish_dir(dst)
+
+
+def test_obj_first_publish_gcs_raw_copy(ost, tmp_path):
+    # a dir populated by direct writes (a state dir at REMEMBER time) is
+    # the live copy until its first publish flips it to a version prefix
+    dst = str(tmp_path / "bucket" / "state")
+    ost.client.put(os.path.join(dst, "f.txt"), b"raw")
+    assert ost.resolve(dst) == dst and _read_live(ost, dst) == "raw"
+    _stage_obj(ost, dst, "published")
+    ost.publish_dir(dst)
+    assert _read_live(ost, dst) == "published"
+    assert not ost.client.list(dst + "/")
+
+
+def test_obj_recover_clean_is_noop(ost, tmp_path):
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "live")
+    ost.publish_dir(dst)
+    ost.recover_dir(dst)
+    assert _read_live(ost, dst) == "live"
+
+
+def test_obj_recover_gcs_stray_staging_when_pointer_present(ost, tmp_path):
+    # crash mid-staging with the live copy untouched
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "live")
+    ost.publish_dir(dst)
+    stray = _stage_obj(ost, dst, "partial")
+    ost.recover_dir(dst)
+    assert _read_live(ost, dst) == "live"
+    assert not ost.client.list(stray + "/")
+
+
+def test_obj_recover_keeps_raw_discards_scratch(ost, tmp_path):
+    # first publish crashed after staging, with a raw live copy present:
+    # raw stays live, the staged scratch is discarded and re-derived
+    # (the local matrix's "dst present -> GC strays" row)
+    dst = str(tmp_path / "bucket" / "state")
+    ost.client.put(os.path.join(dst, "f.txt"), b"raw")
+    scratch = _stage_obj(ost, dst, "scratch")
+    ost.recover_dir(dst)
+    assert ost.resolve(dst) == dst and _read_live(ost, dst) == "raw"
+    assert not ost.client.list(scratch + "/")
+
+
+def test_obj_recover_promotes_staging_on_first_publish_crash(ost, tmp_path):
+    # never a live copy: staging complete by protocol precondition
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "staged")
+    ost.recover_dir(dst)
+    assert _read_live(ost, dst) == "staged"
+
+
+def test_obj_recover_is_idempotent(ost, tmp_path):
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "staged")
+    ost.recover_dir(dst)
+    ost.recover_dir(dst)
+    assert _read_live(ost, dst) == "staged"
+
+
+def test_obj_never_zero_copies_and_data_never_moves(ost, tmp_path):
+    """Clause 1 on the object backend: at every client operation inside
+    publish_dir, the pointer (or pre-pointer raw prefix) names a prefix
+    whose data is fully present — and data objects NEVER move (only the
+    pointer changes; no rename exists)."""
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "old")
+    ost.publish_dir(dst)
+    staged = _stage_obj(ost, dst, "new")
+
+    client = ost.client
+    real_put, real_delete = client.put, client.delete
+    ok = []
+
+    def check():
+        live = ost.resolve(dst)
+        ok.append(bool(client.list(live + "/")))
+
+    def spy_put(key, data):
+        check(); real_put(key, data); check()
+
+    def spy_delete(key):
+        check(); real_delete(key); check()
+
+    client.put, client.delete = spy_put, spy_delete
+    try:
+        ost.publish_dir(dst)
+    finally:
+        client.put, client.delete = real_put, real_delete
+    assert ok and all(ok)
+    # the staged parquet/data object is served from WHERE IT WAS WRITTEN
+    assert ost.resolve(dst) == staged
+    assert _read_live(ost, dst) == "new"
+
+
+def test_obj_rename_is_refused(ost, tmp_path):
+    with pytest.raises(NotImplementedError):
+        ost.rename(str(tmp_path / "a"), str(tmp_path / "b"))
+
+
+def test_obj_remove_tree_sweeps_versions_and_pointer(ost, tmp_path):
+    dst = str(tmp_path / "bucket" / "data")
+    _stage_obj(ost, dst, "v1")
+    ost.publish_dir(dst)
+    _stage_obj(ost, dst, "v2-scratch")
+    ost.client.put(os.path.join(dst, "stray.txt"), b"raw")
+    ost.remove_tree(dst)
+    assert not ost.exists(dst)
+    assert not ost.client.list(dst)
+
+
+# -- engine lifecycle on the object-store backend ------------------------
+
+
+@pytest.fixture()
+def obj_engine(spark, tmp_path):
+    """SnelDB with the materializer's directory swaps running on the
+    pointer-flip object backend (the event segment store itself stays a
+    plain lake prefix — append-only, no swaps needed)."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    root = str(tmp_path / "db")
+    st = ObjectStoreStorage(DirObjectClient(root))
+    db = SnelDB(spark, root, clock=tick, multi_link=True, storage=st)
+    db._obj_storage = st
+    return db
+
+
+def _feed(db, et, n, start=0, fields=('{"n": "int"}')):
+    for i in range(start, start + n):
+        db.execute(f'STORE {et} FOR c{i} PAYLOAD {{"n": {i}}}')
+    db.execute("FLUSH")
+
+
+def test_obj_engine_segments_refresh_and_compact(obj_engine):
+    """Plain incremental materialization end-to-end on the object
+    backend: base + delta segments accumulate under the live prefix,
+    compact() republishes via pointer flip, refreshes keep working."""
+    db = obj_engine
+    db.execute('DEFINE ev FIELDS {"n": "int"}')
+    _feed(db, "ev", 3)
+    db.execute("REMEMBER QUERY ev WHERE n >= 0 AS m")
+    _feed(db, "ev", 2, start=10)
+    assert db.execute("SHOW m").df.count() == 5
+    db.materializer.compact("m")
+    data = os.path.join(db.materializer._dir("m"), "data")
+    assert db._obj_storage.resolve(data) != data  # pointered after compact
+    _feed(db, "ev", 2, start=20)
+    assert db.execute("SHOW m").df.count() == 7
+    # a crashed refresh's staged scratch is swept by the next SHOW
+    db._obj_storage.client.put(
+        os.path.join(db._obj_storage.stage_path(data), "junk.txt"), b"x"
+    )
+    assert db.execute("SHOW m").df.count() == 7
+
+
+def test_obj_engine_agg_state_merge_refresh(obj_engine):
+    db = obj_engine
+    db.execute('DEFINE order FIELDS {"n": "int"}')
+    _feed(db, "order", 4)
+    db.execute("REMEMBER QUERY order COUNT AS agg")
+    _feed(db, "order", 3, start=10)
+    rows = db.execute("SHOW agg").df.collect()
+    assert rows[0]["count"] == 7
+    _feed(db, "order", 2, start=20)
+    rows = db.execute("SHOW agg").df.collect()
+    assert rows[0]["count"] == 9
+    # the state dir is pointer-managed after its first merge-publish
+    state = db.materializer._state_path("agg")
+    assert db._obj_storage.resolve(state) != state
+
+
+def test_obj_engine_sequence_refresh(obj_engine):
+    db = obj_engine
+    db.execute('DEFINE a FIELDS {"u": "string"}')
+    db.execute('DEFINE b FIELDS {"u": "string"}')
+    db.execute('STORE a FOR c1 PAYLOAD {"u": "u1"}')
+    db.execute('STORE b FOR c1 PAYLOAD {"u": "u1"}')
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY a FOLLOWED BY b LINKED BY u AS sq")
+    db.execute('STORE a FOR c2 PAYLOAD {"u": "u2"}')
+    db.execute('STORE b FOR c2 PAYLOAD {"u": "u2"}')
+    db.execute("FLUSH")
+    assert db.execute("SHOW sq").df.count() == 2
+    db.execute('STORE a FOR c3 PAYLOAD {"u": "u3"}')
+    db.execute('STORE b FOR c3 PAYLOAD {"u": "u3"}')
+    db.execute("FLUSH")
+    assert db.execute("SHOW sq").df.count() == 3
+
+
+def test_obj_engine_chain_refresh(obj_engine):
+    db = obj_engine
+    for et in ("s1", "s2", "s3"):
+        db.execute(f'DEFINE {et} FIELDS {{"u": "string"}}')
+
+    def funnel(u):
+        for et in ("s1", "s2", "s3"):
+            db.execute(f'STORE {et} FOR c-{u} PAYLOAD {{"u": "{u}"}}')
+        db.execute("FLUSH")
+
+    funnel("u1")
+    db.execute(
+        "REMEMBER QUERY s1 FOLLOWED BY s2 FOLLOWED BY s3 LINKED BY u AS ch"
+    )
+    funnel("u2")
+    assert db.execute("SHOW ch").df.count() == 2
+    funnel("u3")
+    assert db.execute("SHOW ch").df.count() == 3
+
+
+def test_obj_engine_compare_refresh(obj_engine):
+    db = obj_engine
+    db.execute('DEFINE buy FIELDS {"n": "int"}')
+    db.execute('DEFINE click FIELDS {"n": "int"}')
+    _feed(db, "buy", 2)
+    _feed(db, "click", 3)
+    db.execute("REMEMBER PLOT COUNT OF buy VS COUNT OF click AS board")
+    _feed(db, "buy", 2, start=10)
+    rows = db.execute("SHOW board").df.collect()
+    # merged sides carry the refreshed counts (4 buys, 3 clicks)
+    vals = {v for r in rows for v in r.asDict().values()}
+    assert 4 in vals and 3 in vals
+
+
+def test_obj_engine_forget_sweeps_everything(obj_engine):
+    db = obj_engine
+    db.execute('DEFINE x FIELDS {"n": "int"}')
+    _feed(db, "x", 2)
+    db.execute("REMEMBER QUERY x COUNT AS gone")
+    _feed(db, "x", 1, start=5)
+    db.execute("SHOW gone")
+    db.execute("FORGET gone")
+    mat = db.materializer._dir("gone")
+    assert not db._obj_storage.client.list(mat)
 
 
 # -- engine integration: crashed swap is repaired by SHOW ----------------
