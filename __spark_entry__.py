@@ -4147,36 +4147,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r6: code changed this round, re-verify via driver first —
-    # similarity_lsh_topk's scorer+signature kernel rewrite (Arrow GEMM),
-    # streaming chain key-bucket grouping, the compiler's link-field
-    # validation (every sequence/chain gate + the seq materializers),
-    # text.py's bpe collect guard, and ALL SIX lifecycle gates (staging
-    # input now cached across the probe/ingest slices)
-    "similarity_lsh_topk",
-    "streaming_seq_chain", "streaming_seq_chain_bucketed",
-    "seq_followed_by", "seq_preceded_by", "seq_chain", "seq_funnel_report",
-    "seq_within_window", "seq_using_time", "seq_where_sides", "seq_agg",
-    "remember_show_seq", "remember_show_seq_agg", "remember_show_chain",
-    "remember_show", "remember_show_agg", "remember_show_compare",
-    "text_bpe_pairs",
-    # stalest next: every gate whose last driver row predates r4
-    # (r3-or-earlier history; all green in the local 124-gate board)
-    "filter_where", "agg_count_by", "agg_count_unique", "agg_per_day",
-    "agg_order_limit", "plot_breakdown",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21",
-    "tpch_q22",
-    "events_sessionize", "dedup_clusters", "dedup_ngram_jaccard",
-    "text_langid", "text_tokens_fingerprint", "text_repetition",
-    "text_pii_redact", "decontaminate", "semantic_dedup", "corpus_stats",
-    "text_chunk", "pack_sequences",
-    "similarity_topk", "similarity_ivf_topk", "similarity_ivf_indexed",
-    "embedding_near_pairs", "embedding_quantize",
-    "multimodal_audio", "multimodal_resize",
-    # (multimodal_features + the sampling_* md5-arithmetic family
-    # rotate next round with compare_three and the r4-green tier.
-    # tools/check_correctness.py still verifies ALL entries locally
-    # every round.)
+    # r7: code changed this round, re-verify via driver first — the
+    # vectorized bucketed streaming-chain matcher, and all six lifecycle
+    # gates (the materializer's state-swap protocol was unified onto
+    # stage/publish with resolve() plumbing for the object backend)
+    "streaming_seq_chain_bucketed", "streaming_seq_chain",
+    "remember_show", "remember_show_agg", "remember_show_seq",
+    "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
+    # then the FULL r<=4 stale tier (39 gates, oldest driver row first) —
+    # closes the VERDICT r6 rotation-hygiene note in one window
+    "compare_three", "multimodal_features",
+    "sampling_leakage_safe", "sampling_split", "sampling_stratified",
+    "sampling_weighted",
+    "agg_count_field", "agg_per_hour_by", "agg_per_week", "agg_per_year",
+    "agg_per_year_naive",
+    "corpus_curation", "corpus_mix", "corpus_report", "corpus_upsample",
+    "dedup_exact", "dedup_keep_best", "dedup_minhash_clusters",
+    "dedup_minhash_lsh", "dedup_span_removal",
+    "embedding_covariance",
+    "events_active_users", "events_cohort_retention", "events_experiment",
+    "events_json_extract",
+    "multimodal_dedup",
+    "sampling_group_cap", "sampling_token_budget",
+    "similarity_knn_graph",
+    "streaming_dedup", "streaming_window_agg",
+    "text_blocklist", "text_lm_score", "text_ngram_counts",
+    "text_quality_buckets", "text_tfidf", "text_winnow",
+    "tpch_q2", "tpch_q20",
+    # (tools/check_correctness.py still verifies ALL entries locally
+    # every round; the driver window samples 50.)
 ]
 
 
