@@ -181,6 +181,239 @@ def _plusplus_seed(
     return cents
 
 
+def parallel_seed(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    metric: str = "sq_euclidean",
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> "np.ndarray":
+    """Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012) — the O(log n)-round alternative to
+    k-means++'s k-1 sequential corpus scans, for large k (IVF nlist in
+    the thousands).
+
+    Each round draws ``oversample`` (default 2k) candidates at once with
+    probability proportional to D (cosine) / D^2 (euclidean, via the
+    squared distance), instead of one: the Bernoulli sampling of the
+    paper is derandomized with the same md5-keyed exponential race the
+    ++ seeders use, generalized to a WITHOUT-REPLACEMENT batch draw
+    (Efraimidis & Spirakis 2006: top-l rows by ``-ln(u)/weight`` is an
+    exact weight-proportional sample of l) — so one round is one Arrow
+    scan + a distributed TakeOrdered(l), no RNG state, no cost-sum
+    reduction whose float ordering could differ across partitionings.
+    After ``rounds`` rounds the ~l*rounds candidates are weighted by a
+    one-scan nearest-candidate count and reduced to k seeds with a
+    driver-side weighted ++ race over the candidate matrix.
+
+    Cost: round r scores the corpus against the |C| = 1 + l*(r-1)
+    candidates accumulated so far, so the total work is
+    O(rounds^2 * l / 2) corpus-row GEMM columns — for k=4096 that is
+    ~10 scans instead of the 4095 sequential scans ++ would need, at the
+    price of wider per-batch GEMMs in the later rounds.
+
+    metric: "sq_euclidean" (rows as-is, D^2 race weights) or "cosine"
+    (rows and returned seeds L2-normalized, D = 1 - max cosine). Fewer
+    distinct rows than k pads from the lowest-id vectors (the default
+    seeding recipe). Returns a (k, dim) float64 matrix."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sneldb_spark.pipeline import ensure_min_partitions
+
+    if metric not in ("sq_euclidean", "cosine"):
+        raise ValueError(f"parallel_seed: unknown metric {metric!r}")
+    l = int(oversample) if oversample else 2 * k
+
+    def _prep(m: np.ndarray) -> np.ndarray:
+        if metric == "cosine":
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+        return m
+
+    def _dists(xp: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        """Per-row distance to the nearest of `cents` (race weight:
+        squared euclidean, or 1 - max cosine)."""
+        if metric == "cosine":
+            return np.clip(1.0 - (xp @ cents.T).max(axis=1), 0.0, None)
+        sq = (
+            (xp * xp).sum(axis=1)[:, None]
+            - 2.0 * (xp @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        return np.clip(sq.min(axis=1), 0.0, None)
+
+    def _u(ids, tag: str) -> "np.ndarray":
+        # 15 hex chars of md5("<id>:<tag>") / 16^15, clamped below 1.0 —
+        # the engine-portable uniform every derandomized draw here uses
+        vals = np.fromiter(
+            (
+                int(hashlib.md5(f"{i}:{tag}".encode()).hexdigest()[:15], 16)
+                / float(16**15)
+                for i in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        return np.minimum(vals, 1.0 - 2.0**-53)
+
+    first = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(1).toPandas()
+    )
+    if not len(first):
+        raise ValueError("parallel_seed: empty input")
+    cents = _prep(np.array([np.asarray(first[vec_col][0], dtype=np.float64)]))
+    cand_ids = [int(first[id_col][0])]  # parallel to cents rows
+    chosen_ids = set(cand_ids)
+
+    src = ensure_min_partitions(df.select(id_col, vec_col))
+    cand_schema = T.StructType(
+        [
+            T.StructField("key", T.DoubleType(), False),
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    for r in range(1, rounds + 1):
+        chosen = cents
+
+        def score(
+            batches, chosen=chosen, r=r
+        ):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                d = _dists(_prep(raw), chosen)
+                u = _u(pdf[id_col], f"p{r}")
+                with np.errstate(divide="ignore"):
+                    key = np.where(d > 1e-12, -np.log(u + 1e-300) / d, np.inf)
+                fin = np.flatnonzero(np.isfinite(key))
+                if not len(fin):
+                    continue
+                # local prune: the global top-l is a subset of each
+                # batch's top-l (same lexicographic (key, cid) order the
+                # final TakeOrdered applies)
+                ids = pdf[id_col].to_numpy()[fin]
+                order = np.lexsort((ids, key[fin]))[:l]
+                keep = fin[order]
+                yield pd.DataFrame(
+                    {
+                        "key": key[keep],
+                        "cid": ids[order].astype(np.int64),
+                        "v": [raw[j].tolist() for j in keep],
+                    }
+                )
+
+        cand = (
+            src.mapInPandas(score, schema=cand_schema)
+            .orderBy(F.col("key").asc(), F.col("cid").asc())
+            .limit(l)
+            .toPandas()
+        )
+        if not len(cand):
+            break  # nothing left at positive distance
+        fresh = [
+            (int(c), np.asarray(v, dtype=np.float64))
+            for c, v in zip(cand["cid"], cand["v"])
+            if int(c) not in chosen_ids
+        ]
+        if not fresh:
+            break
+        chosen_ids.update(c for c, _ in fresh)
+        cand_ids.extend(c for c, _ in fresh)
+        cents = np.vstack([cents, _prep(np.array([v for _, v in fresh]))])
+
+    # -- weight pass: corpus rows per nearest candidate ---------------------
+    C = cents
+    wschema = T.StructType(
+        [
+            T.StructField("cl", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def wcount(batches, C=C):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xp = _prep(raw)
+            if metric == "cosine":
+                asn = (xp @ C.T).argmax(axis=1)
+            else:
+                sq = (
+                    (xp * xp).sum(axis=1)[:, None]
+                    - 2.0 * (xp @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                asn = sq.argmin(axis=1)
+            cnt = np.bincount(asn, minlength=len(C))
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame({"cl": nz.astype(np.int32), "n": cnt[nz]})
+
+    wpdf = src.mapInPandas(wcount, schema=wschema).groupBy("cl").agg(
+        F.sum("n").alias("n")
+    ).toPandas()
+    W = np.ones(len(C), dtype=np.float64)
+    for cl, n in zip(wpdf["cl"], wpdf["n"]):
+        W[int(cl)] = max(float(n), 1.0)
+
+    # -- driver-side weighted ++ race over the candidates -------------------
+    ids = np.asarray(cand_ids, dtype=np.int64)
+    start = int(np.argmin(ids))  # lowest candidate id starts (no RNG)
+    seeds = [start]
+    mind = _dists(C, C[start:start + 1])
+    for j in range(1, min(k, len(C))):
+        u = _u(ids, f"f{j}")
+        with np.errstate(divide="ignore"):
+            key = np.where(
+                mind > 1e-12, -np.log(u + 1e-300) / (W * mind), np.inf
+            )
+        if not np.isfinite(key.min()):
+            break
+        i = int(np.lexsort((ids, key))[0])
+        seeds.append(i)
+        mind = np.minimum(mind, _dists(C, C[i:i + 1]))
+    out = C[seeds]
+
+    if len(out) < k:
+        # fewer distinct candidates than k: pad from the lowest-id corpus
+        # vectors (the default seeding recipe), skipping exact duplicates
+        # of already-chosen coordinates first
+        pad = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(k)
+            .toPandas()
+        )
+        pvecs = _prep(
+            np.array([np.asarray(v, dtype=np.float64) for v in pad[vec_col]])
+        ) if len(pad) else np.zeros((0, out.shape[1]))
+        have = {tuple(row) for row in out}
+        for row in pvecs:
+            if len(out) >= k:
+                break
+            if tuple(row) in have:
+                continue
+            have.add(tuple(row))
+            out = np.vstack([out, row[None, :]])
+        i = 0
+        while len(out) < k and len(pvecs):  # truly fewer distinct: duplicate
+            out = np.vstack([out, pvecs[i % len(pvecs)][None, :]])
+            i += 1
+    return out
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -198,7 +431,9 @@ def kmeans(
     vectors — the no-RNG recipe the driver gate's SQL oracle
     transcribes; ``init="plusplus"`` runs the deterministic k-means++
     seeding (see :func:`_plusplus_seed`) for spread-out seeds at the
-    cost of k-1 extra passes. Coordinates rounded to
+    cost of k-1 extra passes; ``init="parallel"`` runs the deterministic
+    k-means|| seeding (:func:`parallel_seed` — ~10 passes at any k, the
+    scale path for large k). Coordinates rounded to
     `round_digits` either way. Each round assigns (codegen map) then recomputes
     centroids as per-dimension means rounded to `round_digits`; an
     emptied cluster keeps its previous centroid. At most `iters` rounds,
@@ -215,7 +450,7 @@ def kmeans(
     difference between one scan and `iters` scans. The returned
     DataFrame is built against the ORIGINAL input, so the cache can be
     (and is) released before returning."""
-    if init not in ("lowest_id", "plusplus"):
+    if init not in ("lowest_id", "plusplus", "parallel"):
         raise ValueError(f"kmeans: unknown init {init!r}")
     src = df.select(id_col, vec_col)
     if cache:
@@ -223,6 +458,13 @@ def kmeans(
     try:
         if init == "plusplus":
             cents = _plusplus_seed(src, k, id_col, vec_col, round_digits)
+        elif init == "parallel":
+            cents = [
+                [round(float(x), round_digits) for x in row]
+                for row in parallel_seed(
+                    src, k, id_col, vec_col, metric="sq_euclidean"
+                )
+            ]
         else:
             seed = src.orderBy(F.col(id_col).asc()).limit(k).collect()
             cents = [

@@ -570,7 +570,21 @@ def simhash_near_pairs(
     fps: DataFrame, max_hamming: int = 3, blocks: int = 4
 ) -> DataFrame:
     """Candidate pairs by banded 16-bit blocks (pigeonhole: hamming <= 3
-    implies an identical block), verified by exact hamming distance."""
+    implies an identical block), verified by exact hamming distance.
+
+    Completeness: the result is ALL pairs with hamming <= max_hamming
+    only when ``max_hamming <= blocks - 1`` (pigeonhole). With a larger
+    budget (the driver gate runs max_hamming=8 over 4 blocks) the
+    banding is part of the semantics — a qualifying pair sharing no
+    block is absent, and the SQL oracle replicates that by construction.
+
+    Scale note (tools/smoke_minhash_scale.py): with `blocks` blocks the
+    key space is 2^(64/blocks), so RANDOM fingerprint collisions alone
+    produce ~blocks * n^2 / 2^(64/blocks + 1) candidate pairs — at 10M
+    docs the default 16-bit blocks cost ~3e9 candidates before the
+    hamming filter. Past ~1M docs, trade hamming budget for key width:
+    blocks=3 (21-bit keys, complete for max_hamming<=2) or blocks=2
+    (32-bit keys, max_hamming<=1) keep the candidate set near-linear."""
     width = 64 // blocks
     mask = (1 << width) - 1
     banded = fps.select(

@@ -400,9 +400,12 @@ def ivf_assignments(
     """IVF coarse quantizer: spherical k-means with deterministic init.
 
     Centroids start as the `nlist` lowest-id vectors (default,
-    deterministic, no RNG) or the deterministic spherical k-means++
-    draw (``init="plusplus"``, see `_spherical_plusplus_seed`), then
-    `iters` Lloyd rounds. Per round: assignment is a distributed
+    deterministic, no RNG), the deterministic spherical k-means++
+    draw (``init="plusplus"``, see `_spherical_plusplus_seed` — one
+    corpus scan per centroid, fine at small nlist), or deterministic
+    k-means|| (``init="parallel"``, clustering.parallel_seed with the
+    cosine metric — ~10 scans at ANY nlist, the seeding for
+    nlist-in-the-thousands builds), then `iters` Lloyd rounds. Per round: assignment is a distributed
     Arrow-batched argmax GEMM; the centroid update aggregates per-cluster
     element sums JVM-side (posexplode -> groupBy(cluster, pos)) so only the
     (nlist x dim) centroid table ever reaches the driver. Returns
@@ -412,7 +415,7 @@ def ivf_assignments(
     parallel, no shuffle); the update shuffles (nlist * dim) partial sums —
     both independent of corpus size in driver memory.
     """
-    if init not in ("lowest_id", "plusplus"):
+    if init not in ("lowest_id", "plusplus", "parallel"):
         raise ValueError(f"ivf_assignments: unknown init {init!r}")
 
     def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -422,6 +425,13 @@ def ivf_assignments(
 
     if init == "plusplus":
         cents = _spherical_plusplus_seed(df, nlist, id_col, vec_col)
+    elif init == "parallel":
+        # k-means|| (clustering.parallel_seed, cosine metric): O(rounds)
+        # scans instead of plusplus's O(nlist) — the scale-safe seeding
+        # for large nlist builds (VERDICT r6)
+        from sneldb_spark.pipeline.clustering import parallel_seed
+
+        cents = parallel_seed(df, nlist, id_col, vec_col, metric="cosine")
     else:
         seed_pdf = (
             df.select(id_col, vec_col)

@@ -1567,6 +1567,116 @@ def test_kmeans_plusplus_seeding(spark):
         kmeans(df, k=2, init="nope")
 
 
+def test_parallel_seed_deterministic_and_partition_independent(spark):
+    """k-means|| seeding (init='parallel'): bit-identical across runs AND
+    across partition layouts (the draws are md5-race TakeOrdereds, no
+    RNG, no float cost-sum whose partial order could differ), and it
+    spreads seeds across far-apart groups like ++ does."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.clustering import parallel_seed
+
+    rows = (
+        [(i, [0.0 + i / 100.0, 0.0]) for i in range(10)]
+        + [(100 + i, [500.0 + i / 100.0, 500.0]) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s1 = parallel_seed(df, 2, "vec_id", "embedding")
+    s2 = parallel_seed(df.repartition(7), 2, "vec_id", "embedding")
+    s3 = parallel_seed(df.coalesce(1), 2, "vec_id", "embedding")
+    assert np.array_equal(s1, s2) and np.array_equal(s1, s3)
+    xs = sorted(c[0] for c in s1)
+    assert xs[0] < 100 and xs[1] > 400  # one seed per far group
+
+    with pytest.raises(ValueError):
+        parallel_seed(df, 2, "vec_id", "embedding", metric="nope")
+
+
+def test_parallel_seed_quality_vs_plusplus(spark):
+    """Quality bound: on well-separated blobs the k-means|| seeds'
+    quantization cost is within 2x of the exact sequential ++ seeds'
+    (both deterministic, so the bound is a stable pin, not a flaky
+    statistical assertion)."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.clustering import (
+        _plusplus_seed,
+        parallel_seed,
+    )
+
+    centers = [(0.0, 0.0), (80.0, 0.0), (0.0, 80.0), (80.0, 80.0), (40.0, 40.0)]
+    rows = []
+    for b, (cx, cy) in enumerate(centers):
+        for i in range(40):
+            # deterministic jitter, distinct per point
+            rows.append(
+                (b * 40 + i, [cx + (i % 7) * 0.5, cy + (i % 5) * 0.5])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pts = np.array([r for _, r in rows])
+
+    def cost(seeds):
+        seeds = np.asarray(seeds, dtype=np.float64)
+        sq = ((pts[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        return sq.min(axis=1).sum()
+
+    pp = _plusplus_seed(df, 5, "vec_id", "embedding", round_digits=6)
+    par = parallel_seed(df, 5, "vec_id", "embedding")
+    assert cost(par) <= 2.0 * cost(pp)
+    # every blob got a seed (nearest-blob of each seed covers all 5)
+    seeds = np.asarray(par)
+    blob = ((seeds[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(2).argmin(1)
+    assert len(set(blob.tolist())) == 5
+
+
+def test_kmeans_and_ivf_parallel_init(spark, emb):
+    """init='parallel' end-to-end: kmeans converges on blob structure,
+    and IVF with exhaustive probes stays exact (seeding never changes
+    correctness, only list balance). Fewer distinct rows than k pads."""
+    import numpy as np
+
+    from sneldb_spark.pipeline.clustering import kmeans
+    from sneldb_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rows = (
+        [(i, [0.0 + i / 100.0, 0.0]) for i in range(10)]
+        + [(100 + i, [500.0 + i / 100.0, 500.0]) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=2, iters=2, init="parallel")
+    groups = {
+        r["cluster"]
+        for r in assigned.where(F.col("vec_id") < 10).select("cluster").collect()
+    }
+    far = {
+        r["cluster"]
+        for r in assigned.where(F.col("vec_id") >= 100).select("cluster").collect()
+    }
+    assert len(groups) == 1 and len(far) == 1 and groups != far
+
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=3, nlist=8, nprobe=8, init="parallel"
+        ).collect()
+    }
+    assert full == exact
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    _, cents = kmeans(tiny, k=3, iters=1, init="parallel")
+    assert len(cents) == 3
+
+
 def test_kmeans_early_stop_on_converged_centroids(spark, monkeypatch):
     """Once a round reproduces the previous centroid set exactly, the
     loop ends: asking for 50 iters on an instantly-converging input runs
