@@ -96,6 +96,11 @@ class EngineConfig:
     # stream_sequence chain state layout: 0 = one state row per link key;
     # >0 = hash-bucketed vectorized matcher (streaming/sequence.py)
     stream_key_buckets: int = 0
+    # [schema] allow_core_shadow: accept payload fields named after core
+    # columns (timestamp/event_id/...) by storing them under
+    # "payload_<name>" — reference-compat for scenarios whose payloads
+    # shadow core names; default keeps the loud reserved-field rejection
+    allow_core_shadow: bool = False
 
 
 def _parse_week_start(value: str) -> str:
@@ -151,6 +156,9 @@ def load_config(path_or_dict) -> EngineConfig:
     cfg.multi_link = ext.get("multi_link", False)
     cfg.stream_key_buckets = int(ext.get("stream_key_buckets", 0))
 
+    sc = doc.get("schema", {})
+    cfg.allow_core_shadow = sc.get("allow_core_shadow", False)
+
     p = doc.get("playground", {})
     cfg.playground = PlaygroundConfig(
         enabled=p.get("enabled", True),
@@ -187,7 +195,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
                   approx_percentiles=cfg.approx_percentiles,
                   sequence_slices=cfg.sequence_slices,
                   multi_link=cfg.multi_link,
-                  stream_key_buckets=cfg.stream_key_buckets)
+                  stream_key_buckets=cfg.stream_key_buckets,
+                  allow_core_shadow=cfg.allow_core_shadow)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

@@ -59,6 +59,7 @@ class SnelDB:
         compaction_interval: int | None = None,
         stream_key_buckets: int = 0,
         storage=None,
+        allow_core_shadow: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -73,7 +74,8 @@ class SnelDB:
                                 wal_archive_dir=wal_archive_dir,
                                 bloom_filters=bloom_filters,
                                 auto_compact_files=auto_compact_files,
-                                compaction_interval=compaction_interval)
+                                compaction_interval=compaction_interval,
+                                allow_core_shadow=allow_core_shadow)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

@@ -111,6 +111,12 @@ class QueryCompiler:
         cols = set(df.columns)
 
         def resolve(field: str):
+            if schema is not None and field in getattr(schema, "shadowed", {}):
+                # allow_core_shadow: a query naming a shadowed payload
+                # field gets the PAYLOAD column (the reference's reading
+                # — its schema fields are user fields; server time stays
+                # reachable via SINCE/UNTIL and unshadowed names)
+                field = schema.shadowed[field]
             name = field if field in cols else None
             if name is None:
                 # dotted names are literal flat column names in the reference

@@ -32,10 +32,22 @@ CORE_STRUCT = [
 
 
 class EventSchema:
-    def __init__(self, name: str, version: int, fields: dict[str, FieldType]):
+    def __init__(
+        self,
+        name: str,
+        version: int,
+        fields: dict[str, FieldType],
+        shadowed: dict[str, str] | None = None,
+    ):
         self.name = name
         self.version = version
         self.fields = fields
+        # [schema] allow_core_shadow: original payload name -> physical
+        # column ("timestamp" -> "payload_timestamp") for payload fields
+        # that shadow a core column (reference scenarios store such
+        # payloads; its storage namespaces payload columns per-uid, this
+        # engine's flat table cannot — the rename is the compat mapping)
+        self.shadowed = shadowed or {}
         self.uid = f"{name}_v{version}"
 
     @property
@@ -48,11 +60,14 @@ class EventSchema:
         return T.StructType(CORE_STRUCT + payload)
 
     def to_json(self):
-        return {
+        out = {
             "name": self.name,
             "version": self.version,
             "fields": {k: v.to_json() for k, v in self.fields.items()},
         }
+        if self.shadowed:
+            out["shadowed"] = dict(self.shadowed)
+        return out
 
     @staticmethod
     def from_json(obj) -> "EventSchema":
@@ -60,14 +75,20 @@ class EventSchema:
             obj["name"],
             obj["version"],
             {k: FieldType.from_json(v) for k, v in obj["fields"].items()},
+            shadowed=obj.get("shadowed"),
         )
 
 
 class SchemaRegistry:
     """In-memory registry with optional JSON-file persistence."""
 
-    def __init__(self, path: str | None = None):
+    def __init__(self, path: str | None = None, allow_core_shadow: bool = False):
         self._path = path
+        # [schema] allow_core_shadow: payload fields named after a core
+        # column are accepted and stored under "payload_<name>" instead
+        # of rejected (reference-compat; queries naming the original
+        # resolve to the payload column, reference-style)
+        self.allow_core_shadow = allow_core_shadow
         # name -> {version -> EventSchema}
         self._schemas: dict[str, dict[int, EventSchema]] = {}
         if path and os.path.exists(path):
@@ -80,9 +101,20 @@ class SchemaRegistry:
         if not fields:
             raise SchemaError("schema must have at least one field")
         parsed: dict[str, FieldType] = {}
+        shadowed: dict[str, str] = {}
         for fname, spec in fields.items():
             if fname in CORE_FIELDS:
-                raise SchemaError(f"field name {fname!r} is reserved")
+                if not self.allow_core_shadow:
+                    raise SchemaError(f"field name {fname!r} is reserved")
+                phys = f"payload_{fname}"
+                if phys in fields:
+                    raise SchemaError(
+                        f"field name {fname!r} shadows a core column and "
+                        f"{phys!r} is also defined — rename one"
+                    )
+                shadowed[fname] = phys
+                parsed[phys] = parse_field_spec(spec)
+                continue
             parsed[fname] = parse_field_spec(spec)
         existing = self._schemas.setdefault(event_type, {})
         if version is None:
@@ -101,7 +133,7 @@ class SchemaRegistry:
                         f"field {fname!r} changes type {old.kind!r} -> {ft.kind!r} "
                         f"across versions of {event_type!r}; add a new field instead"
                     )
-        schema = EventSchema(event_type, version, parsed)
+        schema = EventSchema(event_type, version, parsed, shadowed=shadowed)
         existing[version] = schema
         self._save()
         return schema

@@ -79,6 +79,10 @@ def _check_scalar(fname: str, ft: FieldType, value):
 def validate_payload(schema: EventSchema, payload: dict) -> dict:
     if not isinstance(payload, dict):
         raise ValidationError("Payload must be a JSON object")
+    if schema.shadowed:
+        # allow_core_shadow: incoming payload keys that shadow a core
+        # column land in their prefixed physical column
+        payload = {schema.shadowed.get(k, k): v for k, v in payload.items()}
     extra = set(payload) - set(schema.fields)
     if extra:
         raise ValidationError(

@@ -95,10 +95,14 @@ class EventStore:
         bloom_filters: bool = True,
         auto_compact_files: int | None = None,
         compaction_interval: int | None = None,
+        allow_core_shadow: bool = False,
     ):
         self.spark = spark
         self.root = root
-        self.registry = registry or SchemaRegistry(os.path.join(root, "schemas.json"))
+        self.registry = registry or SchemaRegistry(
+            os.path.join(root, "schemas.json"),
+            allow_core_shadow=allow_core_shadow,
+        )
         # Injectable clock (epoch seconds) so scenario tests are deterministic;
         # the reference assigns server wall-clock time at ingest.
         self._clock = clock or (lambda: int(time.time()))

@@ -79,7 +79,7 @@ def _render(res) -> list[str]:
     return out
 
 
-def _run(spark, root, clock, commands, config) -> str:
+def _run(spark, root, clock, commands, config, allow_core_shadow=False) -> str:
     from sneldb_spark.engine import Result, SnelDB
     from sneldb_spark.errors import SnelDBError
 
@@ -99,7 +99,8 @@ def _run(spark, root, clock, commands, config) -> str:
         # commands, dispatched as the synthetic bypass principal
         auth = AuthManager()
     wal = not config.get("wal_disabled")
-    engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal)
+    engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal,
+                    allow_core_shadow=allow_core_shadow)
     tokens: dict[str, str] = {}
     chunks: list[str] = []
     for raw in commands:
@@ -107,7 +108,8 @@ def _run(spark, root, clock, commands, config) -> str:
         if word == "SLEEP":
             continue
         if word == "RESTART":
-            engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal)
+            engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal,
+                            allow_core_shadow=allow_core_shadow)
             continue
         cmd = _hmac_placeholders(raw)
         for user, tok in tokens.items():
@@ -188,6 +190,41 @@ def test_reserved_field_divergence(spark, tmp_path, name):
     # the reference's expected outputs must NOT appear: the divergence is
     # a rejection, not a silent partial success
     assert '"type":"end"' not in out or "error" in out
+
+
+@pytest.mark.parametrize("name", sorted(_RESERVED_FIELD_DIVERGENCE))
+def test_reserved_field_scenarios_pass_under_compat_flag(spark, tmp_path, name):
+    """[schema] allow_core_shadow closes the divergence: the shadowing
+    payload fields land in payload_<name> columns, queries naming them
+    resolve to the payload column, and the reference's own matchers pass
+    verbatim. The default (rejection) stays pinned by
+    test_reserved_field_divergence above."""
+    commands, matchers, config = next(
+        (c, m, cfg) for n, c, m, cfg in SCENARIOS if n == name
+    )
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    out = _run(spark, str(tmp_path / "db"), tick, commands, config,
+               allow_core_shadow=True)
+    assert "is reserved" not in out
+    for kind, value in matchers:
+        if kind == "include":
+            assert value in out, f"{name}: expected {value!r} in output"
+        elif kind == "include_all":
+            for frag in value:
+                assert frag in out, f"{name}: expected {frag!r} in output"
+        elif kind == "include_none":
+            for frag in value:
+                assert frag not in out, f"{name}: did not expect {frag!r}"
+        elif kind in ("regex", "match"):
+            pat = value
+            if "(?s)" in pat:
+                pat = "(?s)" + pat.replace("(?s)", "")
+            assert re.search(pat, out), f"{name}: regex {value!r} not found"
 
 
 # every scenario runs: the three divergent ones through their asserted-
