@@ -75,7 +75,8 @@ class SnelDB:
                                 bloom_filters=bloom_filters,
                                 auto_compact_files=auto_compact_files,
                                 compaction_interval=compaction_interval,
-                                allow_core_shadow=allow_core_shadow)
+                                allow_core_shadow=allow_core_shadow,
+                                storage=storage)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (

@@ -96,9 +96,18 @@ class EventStore:
         auto_compact_files: int | None = None,
         compaction_interval: int | None = None,
         allow_core_shadow: bool = False,
+        storage=None,
     ):
+        from sneldb_spark.store.storage import LOCAL
+
         self.spark = spark
         self.root = root
+        # directory-swap backend (store/storage.py): LocalStorage by
+        # default, ObjectStoreStorage for a lake deployment — used by the
+        # compaction publish, open-time recovery, and the footer sweeps;
+        # event appends and reads go through resolve() so a pointer-flip
+        # compaction stays transparent
+        self.storage = storage or LOCAL
         self.registry = registry or SchemaRegistry(
             os.path.join(root, "schemas.json"),
             allow_core_shadow=allow_core_shadow,
@@ -236,15 +245,16 @@ class EventStore:
     def _recover_event_dirs(self):
         """Repair any per-type directory whose compaction publish was cut
         short (store/storage.py crash matrix) — run once at open, before
-        anything reads."""
-        from sneldb_spark.store.storage import LOCAL as storage
-
+        anything reads. Event type names cannot contain '.', so every
+        dotted sibling (.old/.staging local; .v<N>/.ptr object backend)
+        names the logical dir before its first dot."""
         events = os.path.join(self.root, "events")
         if not os.path.isdir(events):
             return
-        for n in os.listdir(events):
-            if n.endswith((".old", ".staging")):
-                storage.recover_dir(os.path.join(events, n.rsplit(".", 1)[0]))
+        logical = {n.split(".", 1)[0] for n in os.listdir(events) if "." in n}
+        for n in sorted(logical):
+            if n:
+                self.storage.recover_dir(os.path.join(events, n))
 
     # -- write path -------------------------------------------------------
     def store(self, event_type: str, context_id: str, payload: dict,
@@ -343,17 +353,17 @@ class EventStore:
         if not self._flush_lock.acquire(blocking=False):
             return
         try:
-            from sneldb_spark.store.storage import LOCAL as storage
-
             threshold = self._auto_compact_files or self._PERIODIC_COMPACT_MIN_FILES
             events = os.path.join(self.root, "events")
             if not os.path.isdir(events):
                 return
             for n in sorted(os.listdir(events)):
                 path = os.path.join(events, n)
-                if n.endswith((".old", ".staging")) or not os.path.isdir(path):
+                # type names cannot contain '.': dotted entries are
+                # protocol siblings (.old/.staging/.v<N>/.ptr)
+                if "." in n or not os.path.isdir(path):
                     continue
-                if sum(1 for _ in storage.walk_parquet(path)) > threshold:
+                if sum(1 for _ in self.storage.walk_parquet(path)) > threshold:
                     self.compact(n)
         finally:
             self._flush_lock.release()
@@ -366,9 +376,7 @@ class EventStore:
         path = self._path(event_type)
         if not os.path.isdir(path):
             return
-        from sneldb_spark.store.storage import LOCAL as storage
-
-        n_files = sum(1 for _ in storage.walk_parquet(path))
+        n_files = sum(1 for _ in self.storage.walk_parquet(path))
         if n_files > self._auto_compact_files:
             self.compact(event_type)
 
@@ -491,8 +499,15 @@ class EventStore:
         self.append_dataframe(event_type, df)
 
     # -- read path --------------------------------------------------------
-    def _path(self, event_type: str) -> str:
+    def _raw_path(self, event_type: str) -> str:
+        """Logical per-type directory (the publish/recover target)."""
         return os.path.join(self.root, "events", event_type)
+
+    def _path(self, event_type: str) -> str:
+        """Physical live directory: appends and reads land here. Identity
+        on LocalStorage; the pointer's current prefix after an
+        object-backend compaction publish."""
+        return self.storage.resolve(self._raw_path(event_type))
 
     def has_data(self, event_type: str) -> bool:
         return os.path.isdir(self._path(event_type))
@@ -611,7 +626,8 @@ class EventStore:
         schema = self.registry.get(event_type)
         if order_field not in [f.name for f in schema.spark_struct.fields]:
             return None
-        stats = collect_file_stats(self._path(event_type), order_field)
+        stats = collect_file_stats(self._path(event_type), order_field,
+                                   storage=self.storage)
         if stats is None:
             return None
         keep, _bound = select_topk_files(stats, n, desc)
@@ -647,7 +663,8 @@ class EventStore:
             or not self.has_data(event_type)
         ):
             return None
-        stats = collect_file_stats(self._path(event_type), "context_id")
+        stats = collect_file_stats(self._path(event_type), "context_id",
+                                   storage=self.storage)
         if stats is None:
             return None
         keep = select_context_files(stats, context_id)
@@ -675,7 +692,8 @@ class EventStore:
             return None
         hwm_ts, hwm_id = -1, -1
         if self.has_data(event_type):
-            maxes = columns_max(self._path(event_type), ["timestamp", "event_id"])
+            maxes = columns_max(self._path(event_type), ["timestamp", "event_id"],
+                                storage=self.storage)
             if maxes is None:
                 return None
             if maxes["timestamp"] is not None:
@@ -774,14 +792,16 @@ class EventStore:
         lake the same rewrite belongs in a transactional table format
         (Delta/Iceberg OPTIMIZE) instead of a rename."""
         self._check_writer()
-        from sneldb_spark.store.storage import LOCAL as storage
-
+        # read the LIVE copy, stage/publish against the LOGICAL dir (on
+        # the object backend staging is a fresh version prefix of the
+        # logical path, never of the current resolved one)
+        logical = self._raw_path(event_type)
         path = self._path(event_type)
         if not os.path.isdir(path):
             return
         df = self.spark.read.parquet(path)
-        staging = storage.stage_path(path)
-        storage.remove_tree(staging)
+        staging = self.storage.stage_path(logical)
+        self.storage.remove_tree(staging)
         (
             df.repartition(F.col("ingest_date"))
             .sortWithinPartitions("context_id", "timestamp")
@@ -793,4 +813,4 @@ class EventStore:
         )
         # publish keeps the old layout readable until the compacted copy
         # is complete and never has a zero-copy window (store/storage.py)
-        storage.publish_dir(path)
+        self.storage.publish_dir(logical)

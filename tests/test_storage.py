@@ -421,6 +421,36 @@ def test_obj_engine_compare_refresh(obj_engine):
     assert 4 in vals and 3 in vals
 
 
+def test_obj_engine_event_store_compaction_pointer_flip(obj_engine):
+    """The EVENT store's own compaction on the object backend: multiple
+    flushes accumulate small files, compact() publishes the rewritten
+    layout via pointer flip, and reads/appends stay transparent through
+    resolve() — queries return identical rows before and after, and a
+    post-compaction flush appends into the live (pointered) prefix."""
+    db = obj_engine
+    st = db._obj_storage
+    db.execute('DEFINE ev FIELDS {"n": "int"}')
+    for batch in range(3):
+        _feed(db, "ev", 2, start=batch * 10)
+    before = {r["n"] for r in db.query("QUERY ev").select("n").collect()}
+    assert len(before) == 6
+    raw = db.store._raw_path("ev")
+    assert st.resolve(raw) == raw  # pre-compaction: raw prefix is live
+    db.store.compact("ev")
+    live = st.resolve(raw)
+    assert live != raw  # pointer flipped to a version prefix
+    after = {r["n"] for r in db.query("QUERY ev").select("n").collect()}
+    assert after == before
+    # appends after compaction land in the live prefix and are readable
+    _feed(db, "ev", 1, start=100)
+    assert db.query("QUERY ev").count() == 7
+    assert db.store.source_hwm("ev") is not None  # footer sweep resolves
+    # second compaction cycles the version again, still equal rows
+    db.store.compact("ev")
+    assert db.query("QUERY ev").count() == 7
+    assert st.resolve(raw) != live
+
+
 def test_obj_engine_forget_sweeps_everything(obj_engine):
     db = obj_engine
     db.execute('DEFINE x FIELDS {"n": "int"}')
