@@ -2084,6 +2084,62 @@ FROM pairs GROUP BY 1, 2 HAVING sum(wc) >= 2
 """
 
 
+# pinned, well-formed merge list (every compound input symbol is created
+# by an earlier merge) so the encode gate has a STATIC exact oracle: the
+# same list is baked into the SQL below as a replace() chain
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"), ("e", "r"),
+]
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the tokenizer's apply half): greedy lowest-rank merge
+    application over a pinned merge list, exploded to (doc_id, pos,
+    token) rows. The oracle replays the same merges in training order as
+    a chain of boundary-safe string replaces over '|'-wrapped symbol
+    strings — for a well-formed (trained) list the two encoders are
+    equivalent (property-tested in tests/test_property.py), so the gate
+    pins BOTH the tokenization and that equivalence."""
+    from sneldb_spark.pipeline.text import bpe_encode
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = bpe_encode(d.select("doc_id", "text"), _BPE_ENCODE_MERGES)
+    return enc.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    expr = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for l, r in _BPE_ENCODE_MERGES:
+        expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wl
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, i AS widx, wl[i] AS w
+  FROM words, unnest(range(1, len(wl) + 1)) AS t(i)
+),
+enc AS (
+  SELECT doc_id, widx,
+         list_filter(string_split({expr}, '|'), x -> x <> '') AS toks
+  FROM flat
+),
+toks AS (
+  SELECT doc_id, widx, j AS tidx, toks[j] AS token
+  FROM enc, unnest(range(1, len(toks) + 1)) AS t(j)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx, tidx) - 1
+            AS INT) AS pos,
+       token
+FROM toks
+"""
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: add-1-smoothed unigram LM fit on
     the corpus itself; each doc scored by mean token log-probability.
@@ -4336,6 +4392,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_counts": q_text_ngram_counts,
         "text_novelty": q_text_novelty,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "text_bpe_encode": q_text_bpe_encode,
         "text_lm_score": q_text_lm_score,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4641,6 +4698,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "dedup_minhash_lsh": _minhash_sql(),
         "text_winnow": _winnow_sql(),
         "text_bpe_pairs": _TEXT_BPE_PAIRS_SQL,
+        "text_bpe_encode": _bpe_encode_oracle_sql(),
         "text_lm_score": _TEXT_LM_SCORE_SQL,
         "text_quality_buckets": _TEXT_QUALITY_BUCKETS_SQL,
         "similarity_lsh_topk": _lsh_topk_sql(),

@@ -494,6 +494,90 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge list: per document, the array of BPE
+    tokens (plus ``<out_col>_count``) — the encode half of the tokenizer
+    story (`bpe_train` -> bpe_encode -> `packing.pack_sequences` is the
+    full train/tokenize/pack pipeline). Same conventions as training:
+    lowercased ``\\W+`` word split, character symbols, no end-of-word
+    marker.
+
+    Encoding applies the LOWEST-RANK mergeable pair repeatedly (rank =
+    training order), the standard greedy BPE encoder — equivalent to
+    replaying the merge list in order over the word, which is exactly
+    the segmentation training reached (property-tested against that
+    sequential-replay reference). Arrow kernel with a per-batch word
+    cache: Zipf means most occurrences repeat, so each distinct word
+    encodes once per batch. The merge-rank dict rides in the closure
+    (num_merges entries — broadcast-tiny by construction).
+    """
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sneldb_spark.pipeline import ensure_min_partitions
+
+    ranks = {tuple(p): i for i, p in enumerate(merges or [])}
+    word_re = _re.compile(r"\W+")
+
+    def _encode_word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) >= 2:
+            best_rank, best_pair = None, None
+            for pair in zip(syms, syms[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, pair
+            if best_pair is None:
+                break
+            l, r_ = best_pair
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def enc_fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in word_re.split((text or "").lower()):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = cache[w] = _encode_word(w)
+                    doc.extend(enc)
+                toks.append(doc)
+            out = pdf.copy()
+            out[out_col] = toks
+            out[f"{out_col}_count"] = [len(t) for t in toks]
+            yield out
+
+    schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType())),
+            T.StructField(f"{out_col}_count", T.IntegerType()),
+        ]
+    )
+    return ensure_min_partitions(df).mapInPandas(enc_fn, schema=schema)
+
+
 def lm_quality_score(
     df: DataFrame,
     id_col: str = "doc_id",

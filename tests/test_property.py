@@ -565,3 +565,60 @@ def test_percentile_partial_merge_equals_direct(spark, groups, split, frac_pct):
         for r in apply_aggregation(df, specs, ["g"], resolve).collect()
     }
     assert got == want  # bit-equal, no tolerance
+
+
+# -- BPE encode: greedy lowest-rank == sequential merge replay -------------
+
+
+def _bpe_replay(word, merges):
+    """Reference encoder: apply the TRAINED merge list in training order,
+    all occurrences per step — by construction the segmentation training
+    itself reached for this word."""
+    syms = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet + short words force dense merge interactions
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    num_merges=st.integers(min_value=0, max_value=10),
+)
+def test_bpe_encode_equals_replay_on_trained_merges(spark, docs, num_merges):
+    """For merges PRODUCED BY TRAINING (each merged symbol created by an
+    earlier merge), the greedy lowest-rank encoder equals replaying the
+    merge list in order — and token concatenation always reconstructs
+    the word stream. (For arbitrary ill-formed merge lists the two can
+    differ; bpe_encode's contract is trained lists.)"""
+    from sneldb_spark.pipeline.text import bpe_encode, bpe_train
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=num_merges)
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    for i, words in enumerate(docs):
+        want = [t for w in words for t in _bpe_replay(w, merges)]
+        assert got[i] == want
+        assert "".join(got[i]) == "".join(words)
