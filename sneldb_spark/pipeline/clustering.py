@@ -239,15 +239,23 @@ def parallel_seed(
 
     def _dists(xp: np.ndarray, cents: np.ndarray) -> np.ndarray:
         """Per-row distance to the nearest of `cents` (race weight:
-        squared euclidean, or 1 - max cosine)."""
+        squared euclidean, or 1 - max cosine). Rounded to a fixed grain:
+        BLAS dot-product summation order varies with matrix shape, so
+        the same row in a different Arrow batch can differ in the last
+        ulp — rounding (12 decimals, far above float64 noise, far below
+        meaningful distance differences) keeps the race and the weight
+        assignment partition-layout independent, the same discipline as
+        kmeans' round_digits."""
         if metric == "cosine":
-            return np.clip(1.0 - (xp @ cents.T).max(axis=1), 0.0, None)
-        sq = (
-            (xp * xp).sum(axis=1)[:, None]
-            - 2.0 * (xp @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
-        return np.clip(sq.min(axis=1), 0.0, None)
+            d = 1.0 - (xp @ cents.T).max(axis=1)
+        else:
+            sq = (
+                (xp * xp).sum(axis=1)[:, None]
+                - 2.0 * (xp @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            d = sq.min(axis=1)
+        return np.round(np.clip(d, 0.0, None), 12)
 
     def _u(ids, tag: str) -> "np.ndarray":
         # 15 hex chars of md5("<id>:<tag>") / 16^15, clamped below 1.0 —
@@ -348,15 +356,17 @@ def parallel_seed(
                 continue
             raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             xp = _prep(raw)
+            # same 12-decimal grain as _dists: an ulp tie must resolve
+            # to the same (lowest-index) candidate in every batch layout
             if metric == "cosine":
-                asn = (xp @ C.T).argmax(axis=1)
+                asn = np.round(xp @ C.T, 12).argmax(axis=1)
             else:
                 sq = (
                     (xp * xp).sum(axis=1)[:, None]
                     - 2.0 * (xp @ C.T)
                     + (C * C).sum(axis=1)[None, :]
                 )
-                asn = sq.argmin(axis=1)
+                asn = np.round(sq, 12).argmin(axis=1)
             cnt = np.bincount(asn, minlength=len(C))
             nz = np.flatnonzero(cnt)
             yield pd.DataFrame({"cl": nz.astype(np.int32), "n": cnt[nz]})
