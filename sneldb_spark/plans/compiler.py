@@ -117,15 +117,12 @@ class QueryCompiler:
                 # — its schema fields are user fields; server time stays
                 # reachable via SINCE/UNTIL and unshadowed names)
                 field = schema.shadowed[field]
-            name = field if field in cols else None
-            if name is None:
-                # dotted names are literal flat column names in the reference
-                if field in cols:
-                    name = field
-                else:
-                    raise QueryError(f"unknown field {field!r} for {event_type!r}")
+            if field not in cols:
+                # dotted names are literal flat column names in the
+                # reference, so there is no path syntax to fall back to
+                raise QueryError(f"unknown field {field!r} for {event_type!r}")
             ftype = schema.fields.get(field) if schema else None
-            return F.col(f"`{name}`"), ftype
+            return F.col(f"`{field}`"), ftype
 
         return resolve
 

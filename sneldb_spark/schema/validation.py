@@ -81,7 +81,14 @@ def validate_payload(schema: EventSchema, payload: dict) -> dict:
         raise ValidationError("Payload must be a JSON object")
     if schema.shadowed:
         # allow_core_shadow: incoming payload keys that shadow a core
-        # column land in their prefixed physical column
+        # column land in their prefixed physical column; a payload
+        # naming BOTH would silently collapse to one value — reject
+        for orig, phys in schema.shadowed.items():
+            if orig in payload and phys in payload:
+                raise ValidationError(
+                    f"payload sets both {orig!r} and its shadow column "
+                    f"{phys!r}; use one"
+                )
         payload = {schema.shadowed.get(k, k): v for k, v in payload.items()}
     extra = set(payload) - set(schema.fields)
     if extra:

@@ -357,11 +357,16 @@ class EventStore:
             events = os.path.join(self.root, "events")
             if not os.path.isdir(events):
                 return
-            for n in sorted(os.listdir(events)):
-                path = os.path.join(events, n)
-                # type names cannot contain '.': dotted entries are
-                # protocol siblings (.old/.staging/.v<N>/.ptr)
-                if "." in n or not os.path.isdir(path):
+            # derive LOGICAL type names: after an object-backend
+            # compaction the raw dir is GC'd and only dotted protocol
+            # siblings (.ptr/.v<N>) remain, so enumerating plain dirs
+            # alone would permanently skip every compacted type
+            names = {n.split(".", 1)[0] for n in os.listdir(events)}
+            for n in sorted(names):
+                if not n:
+                    continue
+                path = self._path(n)  # resolved live prefix
+                if not os.path.isdir(path):
                     continue
                 if sum(1 for _ in self.storage.walk_parquet(path)) > threshold:
                     self.compact(n)

@@ -222,8 +222,20 @@ class DirObjectClient(ObjectClient):
         # separator and make "data/" match "data.v1/..." — keep it
         trailing = prefix.endswith(("/", os.sep))
         prefix = os.path.abspath(prefix) + (os.sep if trailing else "")
+        # every matching key lives under the prefix's parent directory:
+        # walk from there (or the prefix itself when it IS a directory)
+        # instead of the whole bucket, so a LIST over one type's prefix
+        # does not pay for every other object in the store
+        base = prefix.rstrip(os.sep)
+        start = base if os.path.isdir(base) else os.path.dirname(base)
+        if not (start + os.sep).startswith(self.bucket_root + os.sep) and (
+            start != self.bucket_root
+        ):
+            start = self.bucket_root
+        if not os.path.isdir(start):
+            return []
         out = []
-        for dirpath, _dirs, files in os.walk(self.bucket_root):
+        for dirpath, _dirs, files in os.walk(start):
             for fn in files:
                 p = os.path.join(dirpath, fn)
                 if p.startswith(prefix):

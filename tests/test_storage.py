@@ -451,6 +451,59 @@ def test_obj_engine_event_store_compaction_pointer_flip(obj_engine):
     assert st.resolve(raw) != live
 
 
+def test_obj_engine_periodic_compaction_sees_pointered_types(spark, tmp_path):
+    """Regression (code-review r7): after the first object-backend
+    compaction GCs a type's raw prefix, the periodic sweep must still
+    enumerate the type from its dotted protocol siblings — otherwise
+    small files accumulate forever on exactly the types that compacted
+    once."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    root = str(tmp_path / "db")
+    st = ObjectStoreStorage(DirObjectClient(root))
+    db = SnelDB(spark, root, clock=tick, storage=st,
+                compaction_interval=5, auto_compact_files=3)
+    db.execute('DEFINE ev FIELDS {"n": "int"}')
+    _feed(db, "ev", 2)
+    db.store.compact("ev")  # raw prefix GC'd; only .ptr/.v1 remain
+    raw = db.store._raw_path("ev")
+    v1 = st.resolve(raw)
+    assert v1 != raw
+    for b in range(4):  # four more small flushes into the live prefix
+        _feed(db, "ev", 1, start=10 + b)
+    clock["now"] += 10  # past the interval
+    db.store.maybe_periodic_compact()
+    assert st.resolve(raw) != v1  # the sweep compacted the pointered type
+    assert db.query("QUERY ev").count() == 6
+
+
+def test_shadow_payload_naming_both_names_rejected(spark, tmp_path):
+    """Regression (code-review r7): under allow_core_shadow, a payload
+    that sets BOTH the shadowed name and its physical column must be
+    rejected, not silently collapsed to one value."""
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"), allow_core_shadow=True)
+    db.execute('DEFINE ev FIELDS {"timestamp": "int", "u": "string"}')
+    r = db.try_execute(
+        'STORE ev FOR c1 PAYLOAD {"timestamp": 5, "payload_timestamp": 7, "u": "a"}'
+    )
+    assert not r.ok and "both" in r.message
+    # each alone is fine
+    assert db.try_execute(
+        'STORE ev FOR c1 PAYLOAD {"timestamp": 5, "u": "a"}'
+    ).ok
+    assert db.try_execute(
+        'STORE ev FOR c2 PAYLOAD {"payload_timestamp": 7, "u": "b"}'
+    ).ok
+
+
 def test_obj_engine_forget_sweeps_everything(obj_engine):
     db = obj_engine
     db.execute('DEFINE x FIELDS {"n": "int"}')
