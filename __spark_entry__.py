@@ -1854,6 +1854,72 @@ SELECT id1, id2, round(est, 4) AS est_jaccard FROM est WHERE est >= {threshold}
 """
 
 
+def q_dedup_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash near-dedup (incremental dedup: the new slice
+    banded against the reference slice, the reference never re-paired
+    with itself). Split: doc_id % 3 == 0 is the 'new crawl', the rest is
+    the 'existing training set'. Same exact oracle arithmetic as
+    dedup_minhash_lsh with the candidate join crossing the two sides."""
+    from sneldb_spark.pipeline.dedup import minhash_cross_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.where(F.col("doc_id") % 3 == 0)
+    ref = d.where(F.col("doc_id") % 3 != 0)
+    pairs = minhash_cross_pairs(new, ref, threshold=0.5)
+    return pairs.select(
+        "new_id", "ref_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def _minhash_cross_sql(num_hashes: int = 64, bands: int = 16, n: int = 3,
+                       threshold: float = 0.5) -> str:
+    """Cross-corpus variant of _minhash_sql: one shared signature CTE,
+    candidate join between the two sides' band tables."""
+    from sneldb_spark.pipeline.dedup import _MH_PRIME, _minhash_coeffs
+
+    a, b = _minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    seeds = ", ".join(f"({j}, {a[j]}, {b[j]})" for j in range(num_hashes))
+    gram = " || ' ' || ".join(f"ws[i+{d + 1}]" for d in range(n))
+    return rf"""
+WITH seeds(j, a, b) AS (VALUES {seeds}),
+words AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= {n}
+      THEN list_distinct(list_transform(range(len(ws) - {n - 1}), i -> {gram}))
+      ELSE [array_to_string(ws, ' ')] END) AS sh
+  FROM words
+),
+sh_h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shingles),
+sig AS (
+  SELECT doc_id, s.j, CAST(min((s.a::HUGEINT * h + s.b) % {_MH_PRIME}) AS BIGINT) AS v
+  FROM sh_h, seeds s GROUP BY doc_id, s.j
+),
+bands AS (
+  SELECT doc_id, (j // {rows_per_band}) AS band,
+         array_to_string(list(v ORDER BY j), ',') AS bh
+  FROM sig GROUP BY doc_id, (j // {rows_per_band})
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS ref_id
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0
+),
+est AS (
+  SELECT c.new_id, c.ref_id,
+         SUM(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / {float(num_hashes)} AS est
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.new_id
+  JOIN sig s2 ON s2.doc_id = c.ref_id AND s2.j = s1.j
+  GROUP BY c.new_id, c.ref_id
+)
+SELECT new_id, ref_id, round(est, 4) AS est_jaccard FROM est WHERE est >= {threshold}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, exact-oracle checked: the md5-based token
     hash, majority vote, 16-bit pigeonhole banding, and hamming verify are
@@ -4397,6 +4463,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_cross": q_dedup_minhash_cross,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -4696,6 +4763,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "remember_show_seq_agg": _REMEMBER_SHOW_SEQ_AGG_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_cross": _minhash_cross_sql(),
         "text_winnow": _winnow_sql(),
         "text_bpe_pairs": _TEXT_BPE_PAIRS_SQL,
         "text_bpe_encode": _bpe_encode_oracle_sql(),

@@ -428,15 +428,12 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding: docs sharing any band's signature slice become
-    candidate pairs. The join key is the slice VALUES (concatenated), not
-    a hash of them — identical join semantics, zero false band matches,
-    and engine-portable so the SQL oracle reproduces the candidate set
-    exactly."""
-    banded = sigs.select(
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bh): one row per (doc, band) keyed by the band's
+    signature-slice VALUES concatenated — not a hash of them, so band
+    joins have zero false matches and the SQL oracle reproduces the
+    candidate set exactly."""
+    return sigs.select(
         "id",
         F.explode(
             F.array(*[
@@ -454,6 +451,14 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band's signature slice become
+    candidate pairs (see `_banded` for the join-key construction)."""
+    banded = _banded(sigs, bands, rows_per_band)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -498,6 +503,58 @@ def minhash_dedup_pairs(
         .select("id1", "id2", "est_jaccard")
     )
     return est
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: every NEW document within estimated
+    Jaccard `threshold` of a REFERENCE document — the operator that makes
+    near-dedup INCREMENTAL at 100 TB: a new crawl is banded against the
+    existing training set's (materialized) signatures, and the reference
+    corpus is never re-paired with itself (that O(|ref| log |ref|) work
+    happened once, at its own ingest).
+
+    Same kernel family as `minhash_dedup_pairs` (md5-low-32 shingles,
+    (a*h+b) mod p minwise, value-keyed banding, estimated-Jaccard
+    verify), but the candidate join runs NEW bands x REF bands — one
+    equi-join whose left side scales with the delta, not the corpus.
+    Returns (new_id, ref_id, est_jaccard). At production scale persist
+    `minhash_signatures(ref)` as a table and band it once; this
+    convenience wrapper recomputes both sides from text. Ids are not
+    assumed disjoint: a doc present in both sides pairs with itself
+    (est 1.0) — filter `new_id != ref_id` when id spaces overlap.
+    """
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes, n).persist()
+    sig_ref = minhash_signatures(ref_df, id_col, text_col, num_hashes, n).persist()
+    l = _banded(sig_new, bands, rows_per_band).alias("l")
+    r = _banded(sig_ref, bands, rows_per_band).alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")))
+        .select(F.col("l.id").alias("new_id"), F.col("r.id").alias("ref_id"))
+        .distinct()
+    )
+    s1 = sig_new.withColumnRenamed("id", "new_id").withColumnRenamed("sig", "sig1")
+    s2 = sig_ref.withColumnRenamed("id", "ref_id").withColumnRenamed("sig", "sig2")
+    return (
+        cand.join(s1, "new_id")
+        .join(s2, "ref_id")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_hashes),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "ref_id", "est_jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

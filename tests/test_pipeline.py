@@ -995,6 +995,35 @@ def test_bpe_train_and_pair_counts(spark):
     assert len(merges) == 2
 
 
+def test_minhash_cross_pairs_new_vs_reference(spark):
+    """Cross-corpus near-dedup: a new doc pairs with its reference
+    near-duplicate; reference-internal duplicates are NOT emitted (that
+    work belongs to the reference corpus's own ingest); disjoint docs
+    stay unpaired."""
+    from sneldb_spark.pipeline.dedup import minhash_cross_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    variant = base.replace("lazy", "sleepy")
+    ref = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different text about "
+                                   "spark parquet shuffles and codegen "
+                                   "stages in a distributed engine")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, variant), (11, "unrelated fresh crawl content with novel "
+                             "words nowhere near anything stored here")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["new_id"], r["ref_id"]) for r in
+             minhash_cross_pairs(new, ref, threshold=0.5).collect()}
+    assert (10, 1) in pairs and (10, 2) in pairs  # near-dup of both copies
+    assert all(p[0] == 10 for p in pairs)  # doc 11 pairs with nothing
+    # ref-internal duplicate pair (1,2) is absent by construction
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+
+
 def test_bpe_encode_matches_sequential_replay(spark):
     """bpe_encode (greedy lowest-rank) equals replaying the merge list
     in training order over every word — the segmentation training
