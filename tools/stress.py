@@ -71,6 +71,7 @@ def run_stress(
     admin: tuple[str, str] | None = None,
     progress: bool = True,
     now: int | None = None,
+    batch: int = 1,
 ) -> dict:
     """Drive the ingest + sample-read workload; returns the summary dict
     the CLI prints as JSON."""
@@ -117,15 +118,31 @@ def run_stress(
                 errors[w] = events // concurrency
                 return
             try:
-                for seq in range(w, events, concurrency):
+                def store_cmd(seq: int) -> str:
                     t = event_types[seq % len(event_types)]
                     ctx = f"ctx-{seq % contexts}"
                     body = json.dumps(_payload(rng, seq, ts_lo, ts_hi, link_field))
-                    r = c.try_execute(f"STORE {t} FOR {ctx} PAYLOAD {body}")
-                    if r.ok:
-                        sent[w] += 1
-                    else:
-                        errors[w] += 1
+                    return f"STORE {t} FOR {ctx} PAYLOAD {body}"
+
+                seqs = list(range(w, events, concurrency))
+                if batch <= 1:
+                    for seq in seqs:
+                        r = c.try_execute(store_cmd(seq))
+                        if r.ok:
+                            sent[w] += 1
+                        else:
+                            errors[w] += 1
+                else:
+                    # one BATCH round-trip per `batch` STOREs — how the
+                    # reference's clients reach their throughput numbers
+                    for i in range(0, len(seqs), batch):
+                        chunk = seqs[i:i + batch]
+                        cmd = "BATCH " + "; ".join(store_cmd(s) for s in chunk)
+                        r = c.try_execute(cmd)
+                        if r.ok:
+                            sent[w] += len(chunk)
+                        else:
+                            errors[w] += len(chunk)
             finally:
                 c.close()
 
@@ -204,6 +221,10 @@ def main(argv=None) -> int:
         "--sample-ctx", default=os.environ.get("SNEL_STRESS_SAMPLE_CTX", "ctx-500")
     )
     p.add_argument("--ts-days", type=int, default=_env_int("SNEL_STRESS_TS_DAYS", 30))
+    p.add_argument(
+        "--batch", type=int, default=_env_int("SNEL_STRESS_BATCH", 1),
+        help="STOREs per BATCH round-trip (1 = one STORE per round-trip)",
+    )
     args = p.parse_args(argv)
 
     admin = None
@@ -220,6 +241,7 @@ def main(argv=None) -> int:
         sample_ctx=args.sample_ctx,
         ts_days=args.ts_days,
         admin=admin,
+        batch=args.batch,
     )
     print(json.dumps(summary))
     return 0
