@@ -4269,10 +4269,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r7: code changed this round, re-verify via driver first — the
-    # vectorized bucketed streaming-chain matcher, and all six lifecycle
-    # gates (the materializer's state-swap protocol was unified onto
-    # stage/publish with resolve() plumbing for the object backend)
+    # r7: NEW gates first (bpe encode, cross-corpus near-dedup), then
+    # code changed this round — the vectorized bucketed streaming-chain
+    # matcher, and all six lifecycle gates (the materializer's state-swap
+    # protocol was unified onto stage/publish with resolve() plumbing
+    # for the object backend)
+    "text_bpe_encode", "dedup_minhash_cross",
     "streaming_seq_chain_bucketed", "streaming_seq_chain",
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
