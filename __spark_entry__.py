@@ -3505,6 +3505,67 @@ WHERE bucket < round(least(1.0, n_chars / 400.0) * 10000)
 """
 
 
+def q_sampling_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram bucket distributions fit on the target ('en' docs)
+    and the raw corpus; each doc scored by the summed log importance
+    ratio of its gram buckets; the top 100 selected by the derandomized
+    Gumbel top-k key. All joins are bucket-keyed against a <=10k-row
+    log-ratio table; three linear corpus scans, no all-pairs."""
+    from sneldb_spark.pipeline.sampling import dsir_resample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_resample(d, d.where("lang = 'en'"), 100).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_SAMPLING_DSIR_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w,
+           list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM ws
+),
+gb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000 AS b
+  FROM grams
+),
+qc AS (SELECT b, count(*) AS cq FROM gb GROUP BY b),
+pc AS (SELECT b, count(*) AS cp FROM gb WHERE lang = 'en' GROUP BY b),
+qt AS (SELECT CAST(sum(cq) AS DOUBLE) AS qt FROM qc),
+pt AS (SELECT CAST(coalesce(sum(cp), 0) AS DOUBLE) AS pt FROM pc),
+lr AS (
+  SELECT qc.b,
+         ln((coalesce(cp, 0) + 1.0) / (pt.pt + 1.0 * 10000))
+         - ln((cq + 1.0) / (qt.qt + 1.0 * 10000)) AS lr
+  FROM qc LEFT JOIN pc USING (b), qt, pt
+),
+docb AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+         round(sum(n * lr), 4) AS dsir_logw
+  FROM docb JOIN lr USING (b) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_grams, dsir_logw,
+         round(dsir_logw + (-ln(-ln(
+           greatest(least(
+             ('0x' || substr(md5(doc_id || ':gumbel'), 1, 15))::BIGINT / power(16, 15),
+             1.0 - 1e-12), 1e-12)))), 4) AS dsir_key
+  FROM per
+)
+SELECT doc_id, n_grams, dsir_logw, dsir_key
+FROM keyed ORDER BY dsir_key DESC, doc_id ASC LIMIT 100
+"""
+
+
 def q_sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget fill: docs taken in md5(id) order (stable
     pseudo-random permutation) until each source's running token total
@@ -4274,7 +4335,7 @@ _DRIVER_PRIORITY = [
     # matcher, and all six lifecycle gates (the materializer's state-swap
     # protocol was unified onto stage/publish with resolve() plumbing
     # for the object backend)
-    "text_bpe_encode", "dedup_minhash_cross",
+    "sampling_dsir", "text_bpe_encode", "dedup_minhash_cross",
     "streaming_seq_chain_bucketed", "streaming_seq_chain",
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
@@ -4507,6 +4568,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_split": q_sampling_split,
         "sampling_stratified": q_sampling_stratified,
         "sampling_weighted": q_sampling_weighted,
+        "sampling_dsir": q_sampling_dsir,
         "corpus_mix": q_corpus_mix,
         "corpus_upsample": q_corpus_upsample,
         "sampling_leakage_safe": q_sampling_leakage_safe,
@@ -4753,6 +4815,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "corpus_curation": _curation_sql(),
         "sampling_stratified": _SAMPLING_STRATIFIED_SQL,
         "sampling_weighted": _SAMPLING_WEIGHTED_SQL,
+        "sampling_dsir": _SAMPLING_DSIR_SQL,
         "corpus_mix": _CORPUS_MIX_SQL,
         "corpus_upsample": _CORPUS_UPSAMPLE_SQL,
         "sampling_leakage_safe": _SAMPLING_LEAKAGE_SAFE_SQL,

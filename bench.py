@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_minhash_cross",
     "dedup_simhash",
     "dedup_span_removal",
     "dedup_line_boilerplate",
@@ -109,6 +110,7 @@ BENCH_QUERIES = [
     "text_ngram_counts",
     "text_novelty",
     "text_bpe_pairs",
+    "text_bpe_encode",
     "text_lm_score",
     "text_repetition",
     "text_pii_redact",
@@ -122,6 +124,7 @@ BENCH_QUERIES = [
     "multimodal_audio",
     "sampling_split",
     "sampling_weighted",
+    "sampling_dsir",
     "corpus_mix",
     "corpus_upsample",
     "sampling_leakage_safe",

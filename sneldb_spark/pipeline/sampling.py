@@ -345,3 +345,137 @@ def export_training_shards(
         .mode(mode)
         .parquet(path)
     )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+) -> DataFrame:
+    """(id, b): one row per unigram+bigram occurrence, hashed to a stable
+    bucket in [0, num_buckets). Words are the \\W+ split of the lowercased
+    text; bigrams are space-joined adjacent word pairs. The bucket is the
+    house content hash (md5 -> first 8 hex -> mod), so any SQL engine
+    reproduces the featurization exactly."""
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n1), F.slice(ws, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(ws, bigrams)).alias("gram"),
+    ).select("id", hash_bucket(F.col("gram"), num_buckets).alias("b"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = BUCKETS,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how much more likely its hashed n-gram features are under
+    the TARGET distribution than under the RAW distribution.
+
+    Features are bag-of-hashed unigrams+bigrams over `num_buckets`
+    buckets (the paper's 10k default); both corpus distributions get
+    add-k smoothing over the full bucket space, so target-unseen buckets
+    contribute the smoothed floor rather than -inf. Per document,
+    logw = sum_g [ln p_target(b(g)) - ln p_raw(b(g))] over its gram
+    occurrences, rounded to 4 decimals (engine-portable, same convention
+    as lm_quality_score).
+
+    Scale shape: two passes over raw (bucket distribution; per-doc
+    bucket counts) and one over target, every one ending in a map-side-
+    combined aggregate keyed on <= num_buckets values. The log-ratio
+    table is <= num_buckets rows, so the per-doc scoring join broadcasts
+    under any sane threshold (no hint forced — AQE handles it). Nothing
+    is ever all-pairs and no driver collect occurs; at 100 TB this is
+    three linear scans.
+
+    Output: (id, n_grams, dsir_logw); docs with no tokens have
+    n_grams = 0 and NULL dsir_logw (excluded from resampling, same NULL
+    convention as lm_quality_score).
+    """
+    gb_raw = _hashed_gram_buckets(raw, id_col, text_col, num_buckets)
+    gb_tgt = _hashed_gram_buckets(target, id_col, text_col, num_buckets)
+    qc = gb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    pc = gb_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    qt = qc.agg(F.sum("cq").cast("double").alias("__qt"))
+    pt = pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).cast("double").alias("__pt"))
+    kb = F.lit(add_k * num_buckets)
+    # every bucket a raw doc references has cq >= 1, so a left join from
+    # the raw side covers the full scoring domain; target-absent buckets
+    # take the smoothed floor via coalesce(cp, 0)
+    lr = (
+        qc.join(pc, "b", "left")
+        .crossJoin(qt)
+        .crossJoin(pt)
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("cp", F.lit(0)) + F.lit(add_k)) / (F.col("__pt") + kb))
+                - F.log((F.col("cq") + F.lit(add_k)) / (F.col("__qt") + kb))
+            ).alias("lr"),
+        )
+    )
+    docb = gb_raw.groupBy("id", "b").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        docb.join(lr, "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("dsir_logw"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select("id", F.coalesce("n_grams", F.lit(0)).alias("n_grams"), "dsir_logw")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = BUCKETS,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """DSIR's selection step: sample `k_docs` raw documents without
+    replacement with probability proportional to exp(dsir_logw) — the
+    Gumbel top-k trick, derandomized with the house md5 uniform so the
+    SAME documents are selected on every engine and partitioning.
+
+    key = dsir_logw + Gumbel(0,1) where the Gumbel variate is
+    -ln(-ln(u)) and u = md5("<id>:gumbel") first-15-hex / 16^15, clamped
+    to (0,1) open. Selection is the top `k_docs` by (key desc, id asc) —
+    one TakeOrdered pass, no global sort. Token-less docs (NULL weight)
+    never qualify.
+
+    Output: (id, n_grams, dsir_logw, dsir_key), the selected rows only.
+    """
+    per = dsir_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, add_k=add_k,
+    )
+    u_raw = F.conv(
+        F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":gumbel"))), 1, 15),
+        16, 10,
+    ).cast("double") / F.lit(float(16 ** 15))
+    u = F.greatest(F.least(u_raw, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+    keyed = per.where(F.col("dsir_logw").isNotNull()).select(
+        "id", "n_grams", "dsir_logw",
+        F.round(F.col("dsir_logw") + (-F.log(-F.log(u))), 4).alias("dsir_key"),
+    )
+    return keyed.orderBy(F.col("dsir_key").desc(), F.col("id").asc()).limit(k_docs)

@@ -2102,3 +2102,101 @@ def test_ngram_novelty_all_jvm(docs):
 
     plan = ngram_novelty(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def _py_dsir_weights(raw, target, num_buckets=10_000, add_k=1.0):
+    """Pure-Python reference for dsir_weights: (id -> (n_grams, logw))."""
+    import hashlib
+    import math
+    import re
+
+    def grams(text):
+        ws = [w for w in re.split(r"\W+", text.lower()) if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
+
+    qc, pc = {}, {}
+    per_doc = {}
+    for did, text in raw:
+        bs = [bucket(g) for g in grams(text)]
+        per_doc[did] = bs
+        for b in bs:
+            qc[b] = qc.get(b, 0) + 1
+    for _, text in target:
+        for g in grams(text):
+            b = bucket(g)
+            pc[b] = pc.get(b, 0) + 1
+    qt, pt = float(sum(qc.values())), float(sum(pc.values()))
+    out = {}
+    for did, bs in per_doc.items():
+        if not bs:
+            out[did] = (0, None)
+            continue
+        lw = sum(
+            math.log((pc.get(b, 0) + add_k) / (pt + add_k * num_buckets))
+            - math.log((qc[b] + add_k) / (qt + add_k * num_buckets))
+            for b in bs
+        )
+        out[did] = (len(bs), round(lw, 4))
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    from sneldb_spark.pipeline.sampling import dsir_weights
+
+    raw = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "import numpy as np from collections import defaultdict"),
+        (3, "the fox and the dog ran over the lazy field"),
+        (4, "SELECT doc_id FROM documents WHERE lang = 'en'"),
+        (5, ""),
+        (6, "quick brown dogs jump over lazy foxes every day"),
+    ]
+    target = [(r[0], r[1]) for r in raw if r[0] in (1, 3, 6)]  # prose docs
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_grams"], r["dsir_logw"])
+        for r in dsir_weights(df, tdf).collect()
+    }
+    assert got == _py_dsir_weights(raw, target)
+    # prose docs (in-target style) outscore the code/SQL docs
+    assert min(got[i][1] for i in (1, 3, 6)) > max(got[i][1] for i in (2, 4))
+    # empty doc: zero grams, NULL weight
+    assert got[5] == (0, None)
+
+
+def test_dsir_weights_partitioning_independent(spark, docs):
+    from sneldb_spark.pipeline.sampling import dsir_weights
+
+    tgt = docs.where("lang = 'en'")
+    a = sorted(dsir_weights(docs, tgt).collect())
+    b = sorted(dsir_weights(docs.repartition(13), tgt.repartition(3)).collect())
+    assert a == b
+
+
+def test_dsir_resample_gumbel_topk(spark, docs):
+    from sneldb_spark.pipeline.sampling import dsir_resample, dsir_weights
+
+    tgt = docs.where("lang = 'en'")
+    sel = dsir_resample(docs, tgt, 20).collect()
+    assert len(sel) == 20
+    # selected set is exactly the top-20 by the (key desc, id asc) order
+    # over ALL weighted docs — recompute the key independently
+    import hashlib
+    import math
+
+    w = {r["id"]: r["dsir_logw"] for r in dsir_weights(docs, tgt).collect()
+         if r["dsir_logw"] is not None}
+
+    def key(did):
+        u = int(hashlib.md5(f"{did}:gumbel".encode()).hexdigest()[:15], 16) / 16.0**15
+        u = max(min(u, 1.0 - 1e-12), 1e-12)
+        return round(w[did] + (-math.log(-math.log(u))), 4)
+
+    expect = sorted(w, key=lambda d: (-key(d), d))[:20]
+    assert [r["id"] for r in sel] == expect
+    for r in sel:
+        assert r["dsir_key"] == key(r["id"])
