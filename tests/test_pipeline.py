@@ -2153,6 +2153,7 @@ def test_dsir_weights_match_python_reference(spark):
         (4, "SELECT doc_id FROM documents WHERE lang = 'en'"),
         (5, ""),
         (6, "quick brown dogs jump over lazy foxes every day"),
+        (7, "hello"),  # single word: no bigrams, slice-length-0 edge
     ]
     target = [(r[0], r[1]) for r in raw if r[0] in (1, 3, 6)]  # prose docs
     df = spark.createDataFrame(raw, "doc_id long, text string")
