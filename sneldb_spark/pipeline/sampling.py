@@ -405,6 +405,27 @@ def dsir_weights(
     n_grams = 0 and NULL dsir_logw (excluded from resampling, same NULL
     convention as lm_quality_score).
     """
+    per = _dsir_scored(raw, target, id_col, text_col, num_buckets, add_k)
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select("id", F.coalesce("n_grams", F.lit(0)).alias("n_grams"), "dsir_logw")
+    )
+
+
+def _dsir_scored(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    add_k: float,
+) -> DataFrame:
+    """(id, n_grams, dsir_logw) for every raw doc with >= 1 gram — the
+    scored core shared by dsir_weights (which left-joins the raw ids
+    back so token-less docs appear with NULL weight) and dsir_resample
+    (which would only filter those NULLs out again, so it skips the
+    extra raw scan)."""
     gb_raw = _hashed_gram_buckets(raw, id_col, text_col, num_buckets)
     gb_tgt = _hashed_gram_buckets(target, id_col, text_col, num_buckets)
     qc = gb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
@@ -428,18 +449,13 @@ def dsir_weights(
         )
     )
     docb = gb_raw.groupBy("id", "b").agg(F.count(F.lit(1)).alias("n"))
-    per = (
+    return (
         docb.join(lr, "b")
         .groupBy("id")
         .agg(
             F.sum("n").alias("n_grams"),
             F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("dsir_logw"),
         )
-    )
-    return (
-        raw.select(F.col(id_col).alias("id"))
-        .join(per, "id", "left")
-        .select("id", F.coalesce("n_grams", F.lit(0)).alias("n_grams"), "dsir_logw")
     )
 
 
@@ -460,21 +476,18 @@ def dsir_resample(
     key = dsir_logw + Gumbel(0,1) where the Gumbel variate is
     -ln(-ln(u)) and u = md5("<id>:gumbel") first-15-hex / 16^15, clamped
     to (0,1) open. Selection is the top `k_docs` by (key desc, id asc) —
-    one TakeOrdered pass, no global sort. Token-less docs (NULL weight)
-    never qualify.
+    one TakeOrdered pass, no global sort. Token-less docs never qualify
+    (the scored core only emits docs with >= 1 gram).
 
     Output: (id, n_grams, dsir_logw, dsir_key), the selected rows only.
     """
-    per = dsir_weights(
-        raw, target, id_col=id_col, text_col=text_col,
-        num_buckets=num_buckets, add_k=add_k,
-    )
+    per = _dsir_scored(raw, target, id_col, text_col, num_buckets, add_k)
     u_raw = F.conv(
         F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":gumbel"))), 1, 15),
         16, 10,
     ).cast("double") / F.lit(float(16 ** 15))
     u = F.greatest(F.least(u_raw, F.lit(1.0 - 1e-12)), F.lit(1e-12))
-    keyed = per.where(F.col("dsir_logw").isNotNull()).select(
+    keyed = per.select(
         "id", "n_grams", "dsir_logw",
         F.round(F.col("dsir_logw") + (-F.log(-F.log(u))), 4).alias("dsir_key"),
     )
