@@ -548,3 +548,26 @@ def test_compact_then_show_roundtrip(engine):
     engine.execute("SHOW m")  # creates a delta segment
     engine.materializer.compact("m")
     assert engine.execute("SHOW m").df.count() == 4
+
+
+def test_obj_snapshot_export_import_roundtrip(obj_engine, spark, tmp_path):
+    """Snapshots against an object-backed store: export reads through
+    the backend's live prefix (pointer flips included), import appends
+    through the backend — the snapshot directory itself is a plain
+    POSIX export artifact either way."""
+    from sneldb_spark.store.snapshot import export_snapshot, import_snapshot
+
+    db = obj_engine
+    db.execute('DEFINE snapev FIELDS {"n": "int"}')
+    _feed(db, "snapev", 4)
+    snap = str(tmp_path / "snap")
+    export_snapshot(db.store, snap)
+
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+
+    root2 = str(tmp_path / "db2")
+    db2 = SnelDB(spark, root2, storage=ObjectStoreStorage(DirObjectClient(root2)))
+    import_snapshot(db2.store, snap)
+    assert db2.store.read("snapev").count() == 4
+    assert sorted(r["n"] for r in db2.store.read("snapev").collect()) == [0, 1, 2, 3]
