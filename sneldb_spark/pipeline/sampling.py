@@ -426,6 +426,10 @@ def _dsir_scored(
     back so token-less docs appear with NULL weight) and dsir_resample
     (which would only filter those NULLs out again, so it skips the
     extra raw scan)."""
+    if add_k <= 0:
+        # unsmoothed, a target-absent bucket has p=0 and ln(0) poisons
+        # the doc's weight to NULL — reject rather than emit NULL keys
+        raise ValueError("dsir: add_k must be > 0 (smoothing keeps ln finite)")
     gb_raw = _hashed_gram_buckets(raw, id_col, text_col, num_buckets)
     gb_tgt = _hashed_gram_buckets(target, id_col, text_col, num_buckets)
     qc = gb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))

@@ -2201,3 +2201,13 @@ def test_dsir_resample_gumbel_topk(spark, docs):
     assert [r["id"] for r in sel] == expect
     for r in sel:
         assert r["dsir_key"] == key(r["id"])
+
+
+def test_dsir_rejects_zero_smoothing(spark, docs):
+    from sneldb_spark.pipeline.sampling import dsir_resample, dsir_weights
+
+    tgt = docs.where("lang = 'en'")
+    with pytest.raises(ValueError, match="add_k"):
+        dsir_weights(docs, tgt, add_k=0.0)
+    with pytest.raises(ValueError, match="add_k"):
+        dsir_resample(docs, tgt, 5, add_k=-1.0)
