@@ -347,17 +347,9 @@ def export_training_shards(
     )
 
 
-def _hashed_gram_buckets(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_buckets: int,
-) -> DataFrame:
-    """(id, b): one row per unigram+bigram occurrence, hashed to a stable
-    bucket in [0, num_buckets). Words are the \\W+ split of the lowercased
-    text; bigrams are space-joined adjacent word pairs. The bucket is the
-    house content hash (md5 -> first 8 hex -> mod), so any SQL engine
-    reproduces the featurization exactly."""
+def _grams(text_col: str) -> Column:
+    """Array of unigrams + space-joined adjacent bigrams over the \\W+
+    split of the lowercased text — DSIR's hashed feature domain."""
     ws = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
@@ -366,19 +358,53 @@ def _hashed_gram_buckets(
         F.slice(ws, 1, n1), F.slice(ws, 2, n1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    return F.concat(ws, bigrams)
+
+
+def _hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+) -> DataFrame:
+    """(id, b): one row per unigram+bigram occurrence, hashed to a stable
+    bucket in [0, num_buckets). The bucket is the house content hash
+    (md5 -> first 8 hex -> mod), so any SQL engine reproduces the
+    featurization exactly."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.concat(ws, bigrams)).alias("gram"),
+        F.explode(_grams(text_col)).alias("gram"),
     ).select("id", hash_bucket(F.col("gram"), num_buckets).alias("b"))
+
+
+def dsir_target_profile(
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = BUCKETS,
+) -> DataFrame:
+    """(b, cp): the target corpus's hashed-gram bucket histogram — at
+    most `num_buckets` rows. Persist it once (one small parquet) and
+    pass it to dsir_weights/dsir_resample as `target_profile` to score
+    every future crawl WITHOUT rescanning the target corpus — the same
+    incremental pattern as minhash_cross_pairs' reference signatures.
+    The profile must be built with the same `num_buckets` it is later
+    scored with."""
+    return (
+        target.select(F.explode(_grams(text_col)).alias("gram"))
+        .select(hash_bucket(F.col("gram"), num_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
 
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = BUCKETS,
     add_k: float = 1.0,
+    target_profile: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023): score every raw
@@ -399,13 +425,17 @@ def dsir_weights(
     table is <= num_buckets rows, so the per-doc scoring join broadcasts
     under any sane threshold (no hint forced — AQE handles it). Nothing
     is ever all-pairs and no driver collect occurs; at 100 TB this is
-    three linear scans.
+    three linear scans. Scoring crawls repeatedly against one fixed
+    target? Build `dsir_target_profile` once and pass it as
+    `target_profile` (instead of `target`) — the target scan drops out.
 
     Output: (id, n_grams, dsir_logw); docs with no tokens have
     n_grams = 0 and NULL dsir_logw (excluded from resampling, same NULL
     convention as lm_quality_score).
     """
-    per = _dsir_scored(raw, target, id_col, text_col, num_buckets, add_k)
+    per = _dsir_scored(
+        raw, target, id_col, text_col, num_buckets, add_k, target_profile
+    )
     return (
         raw.select(F.col(id_col).alias("id"))
         .join(per, "id", "left")
@@ -415,11 +445,12 @@ def dsir_weights(
 
 def _dsir_scored(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     num_buckets: int,
     add_k: float,
+    target_profile: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_grams, dsir_logw) for every raw doc with >= 1 gram — the
     scored core shared by dsir_weights (which left-joins the raw ids
@@ -430,10 +461,14 @@ def _dsir_scored(
         # unsmoothed, a target-absent bucket has p=0 and ln(0) poisons
         # the doc's weight to NULL — reject rather than emit NULL keys
         raise ValueError("dsir: add_k must be > 0 (smoothing keeps ln finite)")
+    if (target is None) == (target_profile is None):
+        raise ValueError("dsir: pass exactly one of target / target_profile")
     gb_raw = _hashed_gram_buckets(raw, id_col, text_col, num_buckets)
-    gb_tgt = _hashed_gram_buckets(target, id_col, text_col, num_buckets)
     qc = gb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
-    pc = gb_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    if target_profile is not None:
+        pc = target_profile.select("b", "cp")
+    else:
+        pc = dsir_target_profile(target, text_col, num_buckets)
     qt = qc.agg(F.sum("cq").cast("double").alias("__qt"))
     pt = pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).cast("double").alias("__pt"))
     kb = F.lit(add_k * num_buckets)
@@ -465,12 +500,13 @@ def _dsir_scored(
 
 def dsir_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k_docs: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = BUCKETS,
     add_k: float = 1.0,
+    target_profile: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR's selection step: sample `k_docs` raw documents without
     replacement with probability proportional to exp(dsir_logw) — the
@@ -485,7 +521,9 @@ def dsir_resample(
 
     Output: (id, n_grams, dsir_logw, dsir_key), the selected rows only.
     """
-    per = _dsir_scored(raw, target, id_col, text_col, num_buckets, add_k)
+    per = _dsir_scored(
+        raw, target, id_col, text_col, num_buckets, add_k, target_profile
+    )
     u_raw = F.conv(
         F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":gumbel"))), 1, 15),
         16, 10,

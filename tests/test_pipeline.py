@@ -2211,3 +2211,31 @@ def test_dsir_rejects_zero_smoothing(spark, docs):
         dsir_weights(docs, tgt, add_k=0.0)
     with pytest.raises(ValueError, match="add_k"):
         dsir_resample(docs, tgt, 5, add_k=-1.0)
+
+
+def test_dsir_persisted_target_profile(spark, docs, tmp_path):
+    """Scoring against a persisted dsir_target_profile must equal
+    scoring against the live target corpus, and passing both/neither
+    target forms is rejected."""
+    from sneldb_spark.pipeline.sampling import (
+        dsir_resample,
+        dsir_target_profile,
+        dsir_weights,
+    )
+
+    tgt = docs.where("lang = 'en'")
+    prof_path = str(tmp_path / "profile.parquet")
+    dsir_target_profile(tgt).write.parquet(prof_path)
+    prof = spark.read.parquet(prof_path)
+
+    direct = sorted(dsir_weights(docs, tgt).collect())
+    via_profile = sorted(dsir_weights(docs, target_profile=prof).collect())
+    assert direct == via_profile
+    sel_direct = dsir_resample(docs, tgt, 10).collect()
+    sel_prof = dsir_resample(docs, None, 10, target_profile=prof).collect()
+    assert sel_direct == sel_prof
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(docs, tgt, target_profile=prof)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(docs)
