@@ -654,6 +654,13 @@ def _parse_show(text: str) -> ast.ShowCommand:
     return ast.ShowCommand(name=name)
 
 
+# the only characters the top-level splitter inspects; re's C scanner
+# skips everything between them, so a large BATCH body costs one regex
+# pass instead of a per-character Python loop (the splitter showed up as
+# the single hottest frame in the BATCH ingest profile)
+_SPLIT_TOKEN_RE = re.compile(r'[";{}\[\]]')
+
+
 def _split_commands(body: str) -> list[str]:
     """Split on top-level ';' — semicolons inside string literals or JSON
     blocks belong to the sub-command."""
@@ -661,9 +668,8 @@ def _split_commands(body: str) -> list[str]:
     depth = 0
     in_str = False
     start = 0
-    i = 0
-    while i < len(body):
-        c = body[i]
+    for m in _SPLIT_TOKEN_RE.finditer(body):
+        c = body[m.start()]
         if in_str:
             if c == '"':
                 in_str = False
@@ -674,9 +680,8 @@ def _split_commands(body: str) -> list[str]:
         elif c in "}]":
             depth -= 1
         elif c == ";" and depth == 0:
-            parts.append(body[start:i])
-            start = i + 1
-        i += 1
+            parts.append(body[start:m.start()])
+            start = m.start() + 1
     parts.append(body[start:])
     return [p.strip() for p in parts if p.strip()]
 

@@ -329,8 +329,11 @@ class SnelDB:
             return Result(ok=True, message="PONG")
         if isinstance(cmd, ast.BatchCommand):
             last = Result(ok=True)
-            for sub in cmd.commands:
-                last = self.execute_command(sub, user_id=user_id)
+            # group-commit: one WAL flush at the batch boundary instead
+            # of one per STORE (the batch reply is sent after the flush)
+            with self.store.wal_group():
+                for sub in cmd.commands:
+                    last = self.execute_command(sub, user_id=user_id)
             return last
         if isinstance(
             cmd,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,6 +137,7 @@ class EventStore:
         # retention, and a per-row driver-side log would not scale.
         self._wal_dir = os.path.join(root, "wal")
         self._wal_file = None
+        self._wal_defer = False  # True inside a wal_group() scope
         self._wal_enabled = wal  # [wal] enabled=false: memtable-only buffer
         # Conservative mode (reference wal_archiving.md): archive retired
         # WAL files into this directory before deleting them; None = off.
@@ -288,7 +290,30 @@ class EventStore:
                 os.path.join(self._wal_dir, "pending.jsonl"), "a", encoding="utf-8"
             )
         self._wal_file.write(json.dumps({"t": event_type, "r": row}) + "\n")
-        self._wal_file.flush()
+        if not self._wal_defer:
+            self._wal_file.flush()
+
+    @contextmanager
+    def wal_group(self):
+        """Group-commit scope: WAL appends inside the scope stay in the
+        file object's buffer and reach the OS in ONE flush at exit — the
+        BATCH command's durability boundary (the reply acknowledging the
+        batch is sent after this flush, so the guarantee a client can
+        observe is unchanged; per-STORE flushing inside one batch bought
+        nothing a crash mid-batch wouldn't also lose). Re-entrant: an
+        inner scope defers to the outermost one."""
+        if self._wal_defer:
+            yield
+            return
+        self._wal_defer = True
+        try:
+            yield
+        finally:
+            self._wal_defer = False
+            # FLUSH inside the scope closes/retires the WAL file; only
+            # flush what is still open
+            if self._wal_file is not None:
+                self._wal_file.flush()
 
     def _replay_wal(self):
         import json

@@ -311,3 +311,46 @@ def test_sequence_unknown_link_field_clean_error(engine):
         "QUERY never_defined FOLLOWED BY also_undefined LINKED BY uid"
     )
     assert not res2.ok and "unknown field 'uid'" in res2.message
+
+
+def test_batch_group_commit_wal_complete(engine, tmp_path):
+    """BATCH defers the WAL flush to the batch boundary (group commit):
+    every sub-STORE is in the WAL after the batch returns, recovery
+    replays them, and a FLUSH inside the batch (which retires the WAL
+    file) doesn't break the scope-exit flush."""
+    import os
+
+    engine.execute('DEFINE gc FIELDS { "n": "int" }')
+    stores = "; ".join(
+        f'STORE gc FOR c{i} PAYLOAD {{"n": {i}}}' for i in range(50)
+    )
+    engine.execute(f"BATCH [ {stores} ]")
+    wal = os.path.join(engine.store.root, "wal", "pending.jsonl")
+    assert sum(1 for _ in open(wal)) == 50
+    # FLUSH mid-batch retires the WAL file; post-FLUSH stores land in a
+    # fresh WAL and the exit flush covers them
+    engine.execute(
+        'BATCH [ STORE gc FOR x1 PAYLOAD {"n": 100}; FLUSH; '
+        'STORE gc FOR x2 PAYLOAD {"n": 101} ]'
+    )
+    assert sum(1 for _ in open(wal)) == 1  # only the post-FLUSH store
+    assert engine.df("gc").count() == 52
+    # recovery from the WAL sees the post-FLUSH event (fresh engine on
+    # the same root replays pending.jsonl into its memtable)
+    from sneldb_spark.engine import SnelDB
+
+    db2 = SnelDB(engine.spark, engine.store.root)
+    assert db2.df("gc").count() == 52
+
+
+def test_wal_group_reentrant(engine):
+    """Nested wal_group scopes defer to the outermost one."""
+    st = engine.store
+    engine.execute('DEFINE re FIELDS { "n": "int" }')
+    with st.wal_group():
+        with st.wal_group():
+            st.store("re", "c1", {"n": 1})
+        assert st._wal_defer is True  # still deferring after inner exit
+        st.store("re", "c2", {"n": 2})
+    assert st._wal_defer is False
+    assert engine.df("re").count() == 2
