@@ -622,3 +622,38 @@ def test_bpe_encode_equals_replay_on_trained_merges(spark, docs, num_merges):
         want = [t for w in words for t in _bpe_replay(w, merges)]
         assert got[i] == want
         assert "".join(got[i]) == "".join(words)
+
+
+def _split_commands_reference(body: str) -> list[str]:
+    """The original per-character top-level splitter, kept as the
+    semantic oracle for the regex-scan rewrite in commands/parser.py."""
+    parts, depth, in_str, start, i = [], 0, False, 0, 0
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+        i += 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+@given(
+    body=st.text(
+        alphabet=st.sampled_from(list('abc ;"{}[]:,0\n')), max_size=200
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_split_commands_matches_reference(body):
+    from sneldb_spark.commands.parser import _split_commands
+
+    assert _split_commands(body) == _split_commands_reference(body)
