@@ -190,3 +190,21 @@ def test_client_materialization_lifecycle_and_within(tcp_server):
         assert not bad.ok
     finally:
         c.close()
+
+
+def test_client_store_many_batches(tcp_server):
+    """store_many chunks events into BATCH round trips (group-committed
+    server-side) and surfaces the first failed batch."""
+    host, port = tcp_server.address
+    with SnelDBClient(f"tcp://{host}:{port}") as client:
+        client.define("bulk", {"n": "int"})
+        events = [(f"c{i}", {"n": i}) for i in range(250)]
+        res = client.store_many("bulk", events, batch_size=100)  # 3 batches
+        assert res.ok
+        client.flush()
+        rows = client.query("QUERY bulk")
+        assert len(rows) == 250
+        # a bad payload mid-stream stops at that batch
+        bad = [("c1", {"n": 1}), ("c2", {"n": "not-an-int"})]
+        res2 = client.store_many("bulk", bad, batch_size=1)
+        assert not res2.ok and res2.message
