@@ -519,6 +519,23 @@ class SnelDBClient {
     return this.execute(`STORE ${eventType} FOR ${contextId} PAYLOAD ${JSON.stringify(payload)}`);
   }
 
+  // Bulk STORE via BATCH round trips of batchSize events — one reply and
+  // one server-side WAL group-commit flush per batch instead of per
+  // event. events: [[contextId, payload], ...]; rejects on the first
+  // failed batch, otherwise resolves with the last batch's result.
+  async storeMany(eventType, events, batchSize = 100) {
+    const size = Math.max(batchSize, 1);
+    let last = { ok: true, message: "OK" };
+    for (let i = 0; i < events.length; i += size) {
+      const body = events
+        .slice(i, i + size)
+        .map(([ctx, p]) => `STORE ${eventType} FOR ${ctx} PAYLOAD ${JSON.stringify(p)}`)
+        .join("; ");
+      last = await this.execute(`BATCH [ ${body} ]`);
+    }
+    return last;
+  }
+
   flush() {
     return this.execute("FLUSH");
   }

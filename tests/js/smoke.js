@@ -20,6 +20,14 @@ async function exercise(client, tag, out) {
   );
   out[`${tag}_rows`] = rows.map((r) => [r.context_id, r.amount, r.country]);
   out[`${tag}_ping`] = await client.ping();
+  const bulk = await client.storeMany(
+    `evt_${tag}`,
+    Array.from({ length: 7 }, (_, i) => [`b${i}`, { amount: 100 + i, country: "XX" }]),
+    3 // forces 3 BATCH round trips
+  );
+  await client.flush();
+  const bulkRows = await client.query(`QUERY evt_${tag} WHERE country = "XX"`);
+  out[`${tag}_bulk_ok`] = bulk.ok && bulkRows.length === 7;
   const bad = await client.tryExecute("BOGUS");
   out[`${tag}_bad_ok`] = bad.ok;
   out[`${tag}_bad_msg_nonempty`] = bad.message.length > 0;

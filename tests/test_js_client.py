@@ -33,6 +33,7 @@ EXPECT_ROWS = [["c1", 10, "NL"], ["c1", 25, "NL"]]
 def _check(out, tag):
     assert out[f"{tag}_rows"] == EXPECT_ROWS
     assert out[f"{tag}_ping"] is True
+    assert out[f"{tag}_bulk_ok"] is True  # storeMany BATCH round trips
     assert out[f"{tag}_bad_ok"] is False
     assert out[f"{tag}_bad_msg_nonempty"] is True
 
@@ -54,7 +55,7 @@ def test_js_client_all_transports(engine):
     _check(out, "tcp")
     _check(out, "http")
     _check(out, "ws")
-    assert out["cross_rows"] == 3  # HTTP sees what TCP stored
+    assert out["cross_rows"] == 10  # HTTP sees what TCP stored (3 + 7 bulk)
 
 
 def test_js_client_auth(spark, tmp_path):
