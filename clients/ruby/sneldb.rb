@@ -229,6 +229,22 @@ module SnelDB
       )
     end
 
+    # Bulk STORE via BATCH round trips of batch_size events — one reply
+    # and one server-side WAL group-commit flush per batch instead of
+    # per event. events: [[context_id, payload], ...]; raises on the
+    # first failed batch.
+    def store_many!(event_type, events, batch_size: 100)
+      size = [batch_size, 1].max
+      last = nil
+      events.each_slice(size) do |chunk|
+        body = chunk.map do |ctx, payload|
+          "STORE #{event_type} FOR #{ctx} PAYLOAD #{JSON.generate(payload)}"
+        end.join("; ")
+        last = execute!("BATCH [ #{body} ]")
+      end
+      last
+    end
+
     def query!(command_or_type)
       cmd = command_or_type.to_s
       cmd = "QUERY #{cmd}" unless cmd =~ /\A(QUERY|FIND|COMPARE|PLOT)\b/i

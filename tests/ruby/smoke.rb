@@ -17,6 +17,14 @@ def exercise(client, tag, out)
   )
   out["#{tag}_rows"] = rows.map { |r| [r["context_id"], r["amount"], r["country"]] }
   out["#{tag}_ping"] = client.ping!
+  client.store_many!(
+    "evr_#{tag}",
+    (0...7).map { |i| ["b#{i}", { "amount" => 100 + i, "country" => "XX" }] },
+    batch_size: 3 # forces 3 BATCH round trips
+  )
+  client.flush!
+  bulk_rows = client.query!(%(QUERY evr_#{tag} WHERE country = "XX"))
+  out["#{tag}_bulk_ok"] = bulk_rows.length == 7
   bad = client.execute("BOGUS")
   out["#{tag}_bad_ok"] = bad[:success]
   out["#{tag}_bad_msg_nonempty"] = !bad[:error].to_s.empty?

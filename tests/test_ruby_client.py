@@ -34,6 +34,7 @@ EXPECT_ROWS = [["c1", 10, "NL"], ["c1", 25, "NL"]]
 def _check(out, tag):
     assert out[f"{tag}_rows"] == EXPECT_ROWS
     assert out[f"{tag}_ping"] is True
+    assert out[f"{tag}_bulk_ok"] is True  # store_many! BATCH round trips
     assert out[f"{tag}_bad_ok"] is False
     assert out[f"{tag}_bad_msg_nonempty"] is True
 
@@ -51,7 +52,7 @@ def test_ruby_client_tcp_and_http(engine):
         http.stop()
     _check(out, "tcp")
     _check(out, "http")
-    assert out["cross_rows"] == 3  # HTTP sees what TCP stored
+    assert out["cross_rows"] == 10  # HTTP sees what TCP stored (3 + 7 bulk)
 
 
 def test_ruby_client_auth(spark, tmp_path):
