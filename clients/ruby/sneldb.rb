@@ -235,7 +235,7 @@ module SnelDB
     # first failed batch.
     def store_many!(event_type, events, batch_size: 100)
       size = [batch_size, 1].max
-      last = nil
+      last = "OK"  # empty events: same OK default as the Python/JS ports
       events.each_slice(size) do |chunk|
         body = chunk.map do |ctx, payload|
           "STORE #{event_type} FOR #{ctx} PAYLOAD #{JSON.generate(payload)}"

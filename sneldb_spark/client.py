@@ -479,9 +479,10 @@ class SnelDBClient:
         per event (measured ~6x a store() loop over TCP). `events` is
         [(context_id, payload), ...]; stops at the first failed batch
         and returns its error, otherwise the last batch's result."""
+        size = max(batch_size, 1)
         last = ClientResult(ok=True, message="OK")
-        for i in range(0, len(events), max(batch_size, 1)):
-            chunk = events[i : i + max(batch_size, 1)]
+        for i in range(0, len(events), size):
+            chunk = events[i : i + size]
             body = "; ".join(
                 f"STORE {event_type} FOR {ctx} PAYLOAD {json.dumps(p)}"
                 for ctx, p in chunk

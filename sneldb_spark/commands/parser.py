@@ -658,20 +658,31 @@ def _parse_show(text: str) -> ast.ShowCommand:
 # skips everything between them, so a large BATCH body costs one regex
 # pass instead of a per-character Python loop (the splitter showed up as
 # the single hottest frame in the BATCH ingest profile)
-_SPLIT_TOKEN_RE = re.compile(r'[";{}\[\]]')
+_SPLIT_TOKEN_RE = re.compile(r'[\\";{}\[\]]')
 
 
 def _split_commands(body: str) -> list[str]:
     """Split on top-level ';' — semicolons inside string literals or JSON
-    blocks belong to the sub-command."""
+    blocks belong to the sub-command. Inside a string, JSON escapes are
+    honored: a backslash neutralizes the next character, so an escaped
+    quote (\\") stays IN the string instead of closing it — without this,
+    payload data containing '\\" ; ' would split a BATCH mid-command
+    (user-reachable through the clients' store_many, which JSON-encodes
+    arbitrary payloads into BATCH bodies)."""
     parts: list[str] = []
     depth = 0
     in_str = False
+    escaped_pos = -1  # position neutralized by a preceding backslash
     start = 0
     for m in _SPLIT_TOKEN_RE.finditer(body):
-        c = body[m.start()]
+        pos = m.start()
+        if pos == escaped_pos:
+            continue
+        c = body[pos]
         if in_str:
-            if c == '"':
+            if c == "\\":
+                escaped_pos = pos + 1
+            elif c == '"':
                 in_str = False
         elif c == '"':
             in_str = True
@@ -680,8 +691,8 @@ def _split_commands(body: str) -> list[str]:
         elif c in "}]":
             depth -= 1
         elif c == ";" and depth == 0:
-            parts.append(body[start:m.start()])
-            start = m.start() + 1
+            parts.append(body[start:pos])
+            start = pos + 1
     parts.append(body[start:])
     return [p.strip() for p in parts if p.strip()]
 

@@ -120,7 +120,16 @@ class SnelDB:
         if text.lstrip()[:6].upper().startswith(self._WRITE_HEADS):
             with self._write_serial:
                 cmd = parse_command(text)
-                return self.execute_command(cmd, user_id=user_id)
+                # a BATCH carrying anything beyond STORE/DEFINE (FLUSH,
+                # queries) can run Spark jobs for seconds — don't stall
+                # every other writer behind the lock for those; the lock
+                # exists for short pure-Python write work
+                if not isinstance(cmd, ast.BatchCommand) or all(
+                    isinstance(s, (ast.StoreCommand, ast.DefineCommand))
+                    for s in cmd.commands
+                ):
+                    return self.execute_command(cmd, user_id=user_id)
+            return self.execute_command(cmd, user_id=user_id)
         cmd = parse_command(text)
         return self.execute_command(cmd, user_id=user_id)
 

@@ -310,10 +310,14 @@ class EventStore:
             yield
         finally:
             self._wal_defer = False
-            # FLUSH inside the scope closes/retires the WAL file; only
-            # flush what is still open
-            if self._wal_file is not None:
-                self._wal_file.flush()
+            # FLUSH inside the scope (or from another connection — FLUSH
+            # is not under the engine's write lock) closes/retires the
+            # WAL file; check-and-flush under the same lock every other
+            # _wal_file access holds so a concurrent close can't land
+            # between the check and the flush
+            with self._pending_lock:
+                if self._wal_file is not None:
+                    self._wal_file.flush()
 
     def _replay_wal(self):
         import json

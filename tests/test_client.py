@@ -208,3 +208,26 @@ def test_client_store_many_batches(tcp_server):
         bad = [("c1", {"n": 1}), ("c2", {"n": "not-an-int"})]
         res2 = client.store_many("bulk", bad, batch_size=1)
         assert not res2.ok and res2.message
+
+
+def test_client_store_many_hostile_payloads(tcp_server):
+    """Payload strings containing quotes, semicolons, and brackets must
+    survive the BATCH round trip byte-for-byte (the splitter honors JSON
+    escapes; the JSON decoder does the rest)."""
+    host, port = tcp_server.address
+    hostile = 'a" ] ;x \\ {see}; DROP'
+    with SnelDBClient(f"tcp://{host}:{port}") as client:
+        client.define("hostile", {"msg": "string"})
+        res = client.store_many(
+            "hostile",
+            [("c1", {"msg": hostile}), ("c2", {"msg": "plain"})],
+            batch_size=2,  # both in ONE batch body
+        )
+        assert res.ok
+        client.flush()
+        rows = client.query("QUERY hostile")
+        assert {r["context_id"]: r["msg"] for r in rows} == {
+            "c1": hostile, "c2": "plain",
+        }
+        # empty list: synthetic OK, no round trip
+        assert client.store_many("hostile", []).ok

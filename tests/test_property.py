@@ -625,12 +625,17 @@ def test_bpe_encode_equals_replay_on_trained_merges(spark, docs, num_merges):
 
 
 def _split_commands_reference(body: str) -> list[str]:
-    """The original per-character top-level splitter, kept as the
-    semantic oracle for the regex-scan rewrite in commands/parser.py."""
+    """Per-character top-level splitter — the semantic oracle for the
+    regex-scan implementation in commands/parser.py. Inside strings,
+    JSON escapes neutralize the next character (so \\" stays in the
+    string); outside strings a backslash is ordinary text."""
     parts, depth, in_str, start, i = [], 0, False, 0, 0
     while i < len(body):
         c = body[i]
         if in_str:
+            if c == "\\":
+                i += 2
+                continue
             if c == '"':
                 in_str = False
         elif c == '"':
@@ -649,7 +654,7 @@ def _split_commands_reference(body: str) -> list[str]:
 
 @given(
     body=st.text(
-        alphabet=st.sampled_from(list('abc ;"{}[]:,0\n')), max_size=200
+        alphabet=st.sampled_from(list('abc ;"{}[]:,0\\\n')), max_size=200
     )
 )
 @settings(max_examples=500, deadline=None)
@@ -657,3 +662,13 @@ def test_split_commands_matches_reference(body):
     from sneldb_spark.commands.parser import _split_commands
 
     assert _split_commands(body) == _split_commands_reference(body)
+
+
+def test_split_commands_escaped_quote_in_payload():
+    """The store_many injection shape: payload strings containing an
+    escaped quote followed by '] ;' must NOT split the batch body."""
+    from sneldb_spark.commands.parser import _split_commands
+
+    cmd1 = 'STORE t FOR c1 PAYLOAD {"msg": "a\\" ] ;x"}'
+    cmd2 = 'STORE t FOR c2 PAYLOAD {"n": 1}'
+    assert _split_commands(f"{cmd1}; {cmd2}") == [cmd1, cmd2]
