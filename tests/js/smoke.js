@@ -27,7 +27,15 @@ async function exercise(client, tag, out) {
   );
   await client.flush();
   const bulkRows = await client.query(`QUERY evt_${tag} WHERE country = "XX"`);
-  out[`${tag}_bulk_ok`] = bulk.ok && bulkRows.length === 7;
+  // hostile payload: escaped quote + "] ;" must survive the BATCH body
+  await client.define(`evh_${tag}`, { msg: "string" });
+  const hostile = 'a" ] ;x \\ {see}; DROP';
+  await client.storeMany(`evh_${tag}`, [["h1", { msg: hostile }], ["h2", { msg: "plain" }]], 2);
+  await client.flush();
+  const hRows = await client.query(`QUERY evh_${tag}`);
+  const hOk = hRows.length === 2 &&
+    hRows.some((r) => r.msg === hostile) && hRows.some((r) => r.msg === "plain");
+  out[`${tag}_bulk_ok`] = bulk.ok && bulkRows.length === 7 && hOk;
   const bad = await client.tryExecute("BOGUS");
   out[`${tag}_bad_ok`] = bad.ok;
   out[`${tag}_bad_msg_nonempty`] = bad.message.length > 0;
