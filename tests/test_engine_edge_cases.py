@@ -354,3 +354,52 @@ def test_wal_group_reentrant(engine):
         st.store("re", "c2", {"n": 2})
     assert st._wal_defer is False
     assert engine.df("re").count() == 2
+
+
+def test_concurrent_batches_and_flush_lose_nothing(engine):
+    """The frontend-threading shape: several connections fire pure-STORE
+    BATCHes (serialized, group-committed) while another issues FLUSHes
+    (NOT under the write lock — it retires the WAL file mid-flight).
+    Every event must land exactly once and no thread may error (pins the
+    wal_group exit-flush vs concurrent-FLUSH race)."""
+    import threading
+
+    engine.execute('DEFINE conc FIELDS { "n": "int" }')
+    errors = []
+    n_threads, n_batches, per_batch = 4, 10, 20
+
+    def writer(t):
+        try:
+            for b in range(n_batches):
+                base = (t * n_batches + b) * per_batch
+                body = "; ".join(
+                    f'STORE conc FOR c{base + i} PAYLOAD {{"n": {base + i}}}'
+                    for i in range(per_batch)
+                )
+                engine.execute(f"BATCH [ {body} ]")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    stop = threading.Event()
+
+    def flusher():
+        try:
+            while not stop.is_set():
+                engine.execute("FLUSH")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    fl = threading.Thread(target=flusher)
+    fl.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    fl.join()
+    assert errors == []
+    total = n_threads * n_batches * per_batch
+    rows = engine.df("conc").collect()
+    assert len(rows) == total
+    assert sorted(r["n"] for r in rows) == list(range(total))
