@@ -29,6 +29,15 @@ def engine(spark, tmp_path):
         clock["now"] += 1
         return clock["now"]
 
-    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    root = str(tmp_path / "db")
+    storage = None
+    if os.environ.get("SNELDB_TEST_STORAGE") == "object":
+        # opt-in lane: run every engine-fixture test against the
+        # pointer-flip object backend instead of POSIX renames
+        # (SNELDB_TEST_STORAGE=object python -m pytest tests/)
+        from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+
+        storage = ObjectStoreStorage(DirObjectClient(root))
+    db = SnelDB(spark, root, clock=tick, storage=storage)
     db._test_clock = clock
     return db

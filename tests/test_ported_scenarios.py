@@ -24,6 +24,7 @@ Auth preprocessing mirrors the reference runner exactly:
   Parquet recovery path); ``SLEEP`` is skipped (the test clock ticks).
 """
 
+import os
 import re
 
 import pytest
@@ -99,8 +100,21 @@ def _run(spark, root, clock, commands, config, allow_core_shadow=False) -> str:
         # commands, dispatched as the synthetic bypass principal
         auth = AuthManager()
     wal = not config.get("wal_disabled")
+
+    def _storage():
+        # opt-in lane: replay the full reference scenario corpus against
+        # the pointer-flip object backend (SNELDB_TEST_STORAGE=object)
+        if os.environ.get("SNELDB_TEST_STORAGE") == "object":
+            from sneldb_spark.store.storage import (
+                DirObjectClient,
+                ObjectStoreStorage,
+            )
+
+            return ObjectStoreStorage(DirObjectClient(root))
+        return None
+
     engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal,
-                    allow_core_shadow=allow_core_shadow)
+                    allow_core_shadow=allow_core_shadow, storage=_storage())
     tokens: dict[str, str] = {}
     chunks: list[str] = []
     for raw in commands:
@@ -109,7 +123,8 @@ def _run(spark, root, clock, commands, config, allow_core_shadow=False) -> str:
             continue
         if word == "RESTART":
             engine = SnelDB(spark, root, clock=clock, auth=auth, wal=wal,
-                            allow_core_shadow=allow_core_shadow)
+                            allow_core_shadow=allow_core_shadow,
+                            storage=_storage())
             continue
         cmd = _hmac_placeholders(raw)
         for user, tok in tokens.items():
