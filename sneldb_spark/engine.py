@@ -359,11 +359,21 @@ class SnelDB:
             return Result(ok=True, message="PONG")
         if isinstance(cmd, ast.BatchCommand):
             last = Result(ok=True)
-            # group-commit: one WAL flush at the batch boundary instead
-            # of one per STORE (the batch reply is sent after the flush)
+            # group-commit: one WAL flush+fsync at the batch boundary
+            # instead of one flush per STORE (the batch reply is sent
+            # after the fsync). A MIXED batch (FLUSH/queries between the
+            # stores) runs outside execute()'s write lock so its Spark
+            # work doesn't stall other writers; each STORE/DEFINE
+            # sub-command re-acquires the lock here so write work never
+            # interleaves with serialized writers (RLock: free when the
+            # pure-write path already holds it).
             with self.store.wal_group():
                 for sub in cmd.commands:
-                    last = self.execute_command(sub, user_id=user_id)
+                    if isinstance(sub, (ast.StoreCommand, ast.DefineCommand)):
+                        with self._write_serial:
+                            last = self.execute_command(sub, user_id=user_id)
+                    else:
+                        last = self.execute_command(sub, user_id=user_id)
             return last
         if isinstance(
             cmd,

@@ -137,7 +137,9 @@ class EventStore:
         # retention, and a per-row driver-side log would not scale.
         self._wal_dir = os.path.join(root, "wal")
         self._wal_file = None
-        self._wal_defer = False  # True inside a wal_group() scope
+        # per-THREAD defer flag (`.on`): only the thread inside its own
+        # wal_group() scope defers; other threads' appends flush normally
+        self._wal_defer = threading.local()
         self._wal_enabled = wal  # [wal] enabled=false: memtable-only buffer
         # Conservative mode (reference wal_archiving.md): archive retired
         # WAL files into this directory before deleting them; None = off.
@@ -290,26 +292,37 @@ class EventStore:
                 os.path.join(self._wal_dir, "pending.jsonl"), "a", encoding="utf-8"
             )
         self._wal_file.write(json.dumps({"t": event_type, "r": row}) + "\n")
-        if not self._wal_defer:
+        if not getattr(self._wal_defer, "on", False):
+            # singleton STORE durability boundary: the line reaches the OS
+            # page cache before the reply (userspace flush; the reference
+            # additionally fsyncs — src/engine/core/wal/inner_wal_writer.rs
+            # flush + sync_all — batches get the fsync at wal_group exit,
+            # per-STORE fsync would serialize interactive ingest on disk
+            # latency, so singles stop at the page cache and a host power
+            # loss inside that window can lose acknowledged singles)
             self._wal_file.flush()
 
     @contextmanager
     def wal_group(self):
-        """Group-commit scope: WAL appends inside the scope stay in the
-        file object's buffer and reach the OS in ONE flush at exit — the
-        BATCH command's durability boundary (the reply acknowledging the
-        batch is sent after this flush, so the guarantee a client can
-        observe is unchanged; per-STORE flushing inside one batch bought
-        nothing a crash mid-batch wouldn't also lose). Re-entrant: an
-        inner scope defers to the outermost one."""
-        if self._wal_defer:
+        """Group-commit scope: WAL appends by THIS thread inside the scope
+        stay in the file object's buffer and reach disk in ONE
+        flush+fsync at exit — the BATCH command's durability boundary
+        (the reply acknowledging the batch is sent after the fsync, so
+        the guarantee a client can observe is strictly stronger than
+        per-STORE flushing; a crash mid-batch loses only the unreplied
+        batch). The defer flag is THREAD-LOCAL: a batch deferring its own
+        appends must not make concurrent STOREs on other connections skip
+        their pre-reply flush, nor make another thread's wal_group treat
+        itself as nested and drop its exit flush. Re-entrant per thread:
+        an inner scope defers to the outermost one on the same thread."""
+        if getattr(self._wal_defer, "on", False):
             yield
             return
-        self._wal_defer = True
+        self._wal_defer.on = True
         try:
             yield
         finally:
-            self._wal_defer = False
+            self._wal_defer.on = False
             # FLUSH inside the scope (or from another connection — FLUSH
             # is not under the engine's write lock) closes/retires the
             # WAL file; check-and-flush under the same lock every other
@@ -318,6 +331,7 @@ class EventStore:
             with self._pending_lock:
                 if self._wal_file is not None:
                     self._wal_file.flush()
+                    os.fsync(self._wal_file.fileno())
 
     def _replay_wal(self):
         import json

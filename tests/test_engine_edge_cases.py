@@ -350,9 +350,9 @@ def test_wal_group_reentrant(engine):
     with st.wal_group():
         with st.wal_group():
             st.store("re", "c1", {"n": 1})
-        assert st._wal_defer is True  # still deferring after inner exit
+        assert st._wal_defer.on is True  # still deferring after inner exit
         st.store("re", "c2", {"n": 2})
-    assert st._wal_defer is False
+    assert getattr(st._wal_defer, "on", False) is False
     assert engine.df("re").count() == 2
 
 
@@ -403,3 +403,80 @@ def test_concurrent_batches_and_flush_lose_nothing(engine):
     rows = engine.df("conc").collect()
     assert len(rows) == total
     assert sorted(r["n"] for r in rows) == list(range(total))
+
+
+def test_mixed_batch_does_not_leak_wal_deferral_to_other_threads(engine):
+    """Durability under the threaded-frontend shape the write lock does
+    NOT serialize: a MIXED batch (STORE; QUERY; STORE) runs its Spark
+    work outside the engine write lock while holding its wal_group —
+    concurrent single STOREs and pure-STORE BATCHes on other connections
+    must still have their WAL lines ON DISK (readable from a fresh file
+    handle) before their reply returns. Pins the thread-local defer flag:
+    with a process-wide flag the mixed batch silently disabled every
+    other thread's pre-reply WAL flush (acked writes lost on crash)."""
+    import os as _os
+    import threading
+
+    engine.execute('DEFINE mwx FIELDS { "n": "int" }')
+    engine.execute('DEFINE mws FIELDS { "n": "int" }')
+    wal_path = _os.path.join(engine.store.root, "wal", "pending.jsonl")
+
+    def on_disk(ctx: str) -> bool:
+        try:
+            with open(wal_path, encoding="utf-8") as f:
+                return any(f'"context_id": "{ctx}"' in ln for ln in f)
+        except FileNotFoundError:
+            return False
+
+    errors, missing = [], []
+    done = threading.Event()
+
+    def mixed_batcher():
+        # each iteration holds wal_group across a multi-second-ish Spark
+        # QUERY, the exact window where the old process-wide flag leaked
+        try:
+            for b in range(4):
+                engine.execute(
+                    f'BATCH [ STORE mwx FOR mb{b}a PAYLOAD {{"n": {b}}}; '
+                    f"QUERY mwx; "
+                    f'STORE mwx FOR mb{b}b PAYLOAD {{"n": {b}}} ]'
+                )
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+        finally:
+            done.set()
+
+    def pure_batcher():
+        # with the old flag this thread's wal_group looked "nested" and
+        # skipped its exit flush — its acked batch never reached the OS
+        try:
+            i = 0
+            while not done.is_set():
+                ctx = f"pb{i}"
+                engine.execute(f'BATCH [ STORE mws FOR {ctx} PAYLOAD {{"n": {i}}} ]')
+                if not on_disk(ctx):
+                    missing.append(ctx)
+                i += 1
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    mt = threading.Thread(target=mixed_batcher)
+    pt = threading.Thread(target=pure_batcher)
+    mt.start()
+    pt.start()
+    # single STOREs from this thread race the mixed batch's window too
+    j = 0
+    while not done.is_set():
+        ctx = f"sg{j}"
+        engine.execute(f'STORE mws FOR {ctx} PAYLOAD {{ "n": {j} }}')
+        if not on_disk(ctx):
+            missing.append(ctx)
+        j += 1
+    mt.join()
+    pt.join()
+    assert errors == []
+    assert missing == []
+    # the mixed batch's own stores are group-committed at its exit
+    for b in range(4):
+        assert on_disk(f"mb{b}a")
+        assert on_disk(f"mb{b}b")
