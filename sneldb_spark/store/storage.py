@@ -54,7 +54,20 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 from collections.abc import Iterator
+
+
+class ObjectStoreTransientError(Exception):
+    """A retryable object-store failure: the HTTP 500/503/429/timeout
+    class every real store (S3/GCS/ABFS) returns under load. Carries
+    `op_done`: True means the server applied the operation but the
+    response was lost (the nastier half of 'timeout') — a correct client
+    must retry in a way that tolerates the first attempt having landed."""
+
+    def __init__(self, msg: str, op_done: bool = False):
+        super().__init__(msg)
+        self.op_done = op_done
 
 
 class Storage:
@@ -259,6 +272,162 @@ class DirObjectClient(ObjectClient):
             d = os.path.dirname(d)
 
 
+class FaultInjectingObjectClient(ObjectClient):
+    """Wraps any :class:`ObjectClient` with real object-store failure
+    semantics the perfect-filesystem fake hides:
+
+    - **Transient errors** (HTTP 500/503/timeout): each operation draws
+      against `transient_rate`; half the injected failures set
+      ``op_done=True`` — the server applied the op but the response was
+      lost — so retry layers are exercised against BOTH halves of a
+      timeout, not just the clean connection-refused half.
+    - **Latency**: `latency_s` seconds per round trip (a LIST of 3 pages
+      is 3 round trips).
+    - **List paging**: `page_size` splits ``list`` into S3
+      ListObjectsV2-style pages, each its own faultable round trip, and
+      the listing is NOT a snapshot — keys deleted between pages vanish,
+      keys created between pages may appear (re-listed from the live
+      inner store per page, exactly the consistency a paged LIST gives).
+    - **Crash points**: `fail_at_op` kills the process model at the Nth
+      client operation (`fail_side` 'before' = op never reached the
+      server, 'after' = op landed, then we died) by raising `crash_exc`.
+      Sweeping N over a whole publish/recover episode proves the
+      protocol has no unrecoverable interleaving — the object-store
+      analogue of the local backend's crash matrix.
+
+    Determinism: pass a seeded ``random.Random`` as `rng`; the draw
+    sequence is then a pure function of the op sequence.
+    """
+
+    def __init__(
+        self,
+        inner: ObjectClient,
+        *,
+        rng=None,
+        transient_rate: float = 0.0,
+        latency_s: float = 0.0,
+        page_size: int | None = None,
+        fail_at_op: int | None = None,
+        fail_side: str = "before",
+        crash_exc: type[BaseException] = RuntimeError,
+    ):
+        self.inner = inner
+        self.rng = rng
+        self.transient_rate = transient_rate
+        self.latency_s = latency_s
+        self.page_size = page_size
+        self.fail_at_op = fail_at_op
+        self.fail_side = fail_side
+        self.crash_exc = crash_exc
+        self.op_count = 0  # round trips attempted (crash sweep index)
+        self.transients_injected = 0
+
+    def _round_trip(self, op, *args):
+        """One faultable request/response cycle around `op`."""
+        self.op_count += 1
+        n = self.op_count
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        if self.fail_at_op is not None and n == self.fail_at_op:
+            if self.fail_side == "after":
+                # the op lands (even if it would have raised, e.g. a GET
+                # on a missing key) and THEN the process dies — the crash
+                # preempts whatever the response would have been
+                try:
+                    op(*args)
+                finally:
+                    raise self.crash_exc(
+                        f"simulated crash at op {n} (after)"
+                    ) from None
+            raise self.crash_exc(f"simulated crash at op {n} (before)")
+        if self.rng is not None and self.rng.random() < self.transient_rate:
+            self.transients_injected += 1
+            op_done = self.rng.random() < 0.5
+            if op_done:
+                op(*args)
+            raise ObjectStoreTransientError(
+                f"injected 503 at op {n} (op_done={op_done})", op_done=op_done
+            )
+        return op(*args)
+
+    def put(self, key: str, data: bytes) -> None:
+        self._round_trip(self.inner.put, key, data)
+
+    def get(self, key: str) -> bytes:
+        return self._round_trip(self.inner.get, key)
+
+    def delete(self, key: str) -> None:
+        self._round_trip(self.inner.delete, key)
+
+    def list(self, prefix: str) -> list[str]:
+        if self.page_size is None:
+            return self._round_trip(self.inner.list, prefix)
+        # paged listing: every page is a separate round trip against the
+        # LIVE store keyed by a continuation token (the last key of the
+        # previous page) — not a snapshot, exactly like ListObjectsV2
+        out: list[str] = []
+        after = ""
+        while True:
+            page = self._round_trip(
+                lambda p=prefix, a=after: [
+                    k for k in self.inner.list(p) if k > a
+                ][: self.page_size]
+            )
+            out.extend(page)
+            if len(page) < self.page_size:
+                return out
+            after = page[-1]
+
+
+class RetryingObjectClient(ObjectClient):
+    """Bounded-retry decorator for transient object-store failures —
+    the role a real SDK's retry policy plays (boto3 'standard' mode,
+    GCS resumable retries). Safe because every protocol operation is
+    idempotent under at-least-once delivery:
+
+    - ``put`` is a full-object replace: retrying a put whose first
+      attempt landed rewrites the same bytes (pointer flips put the
+      same target string — re-flipping to the same version is a no-op).
+    - ``get``/``list`` are reads; re-issuing returns current state.
+    - ``delete`` is a silent no-op on an absent key, so a retry after a
+      landed delete succeeds vacuously (S3 DELETE returns 204 either
+      way; GC sweeps rely on this).
+
+    Retries are bounded (`attempts`) with exponential backoff; a still-
+    failing op re-raises the last transient error for the caller to
+    surface. Non-transient exceptions pass through untouched.
+    """
+
+    def __init__(self, inner: ObjectClient, *, attempts: int = 5, backoff_s: float = 0.0):
+        self.inner = inner
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+        self.retries_used = 0
+
+    def _retry(self, op, *args):
+        for i in range(self.attempts):
+            try:
+                return op(*args)
+            except ObjectStoreTransientError:
+                if i == self.attempts - 1:
+                    raise
+                self.retries_used += 1
+                if self.backoff_s:
+                    time.sleep(self.backoff_s * (2**i))
+
+    def put(self, key: str, data: bytes) -> None:
+        self._retry(self.inner.put, key, data)
+
+    def get(self, key: str) -> bytes:
+        return self._retry(self.inner.get, key)
+
+    def list(self, prefix: str) -> list[str]:
+        return self._retry(self.inner.list, prefix)
+
+    def delete(self, key: str) -> None:
+        self._retry(self.inner.delete, key)
+
+
 class ObjectStoreStorage(Storage):
     """Object-store backend: the module docstring's versioned-prefix +
     pointer-flip mapping, concretely.
@@ -298,8 +467,20 @@ class ObjectStoreStorage(Storage):
     _PTR = ".ptr"
     _VER = re.compile(r"\.v(\d+)(?:/|$)")
 
-    def __init__(self, client: ObjectClient):
+    def __init__(self, client: ObjectClient, gc_grace_versions: int = 0):
         self.client = client
+        # Reader grace window (Iceberg-style snapshot retention, minimal
+        # form): keep the `gc_grace_versions` newest SUPERSEDED copies
+        # (version numbers below the live one, plus the raw pre-pointer
+        # prefix while it is the immediately-previous live copy) through
+        # publish and recover, GC'ing them only when later publishes push
+        # them out of the window. 0 (default) = GC immediately after the
+        # flip — correct for single-process tests; >=1 lets an in-flight
+        # reader that resolved the pointer BEFORE a flip finish reading
+        # the superseded copy instead of racing the GC. A reader that
+        # outlives the window re-resolves and retries (read-repair);
+        # see docs/scale.md "Object-store read/write protocol".
+        self.gc_grace_versions = int(gc_grace_versions)
 
     # -- pointer helpers ---------------------------------------------------
     def _ptr_key(self, path: str) -> str:
@@ -383,20 +564,44 @@ class ObjectStoreStorage(Storage):
         # the flip: one atomic single-key put — before it the old copy is
         # live, after it the new one is; there is never a zero-copy moment
         self.client.put(self._ptr_key(dst), staged.encode("utf-8"))
-        for v in vs[:-1]:
-            self._gc_prefix(f"{dst}.v{v}")
-        if cur is not None and cur != staged:
-            self._gc_prefix(cur)
-        self._gc_prefix(dst)  # pre-pointer raw copy, if that was live
+        # GC superseded copies, sparing the newest `gc_grace_versions`
+        # PREVIOUSLY-LIVE ones for in-flight readers (see __init__).
+        # Eligible = versions at or below the outgoing live version;
+        # numbers strictly between it and the new one are abandoned
+        # staging scratch (never readable) and are always GC'd.
+        grace = self.gc_grace_versions
+        below = vs[:-1]  # every version under the newly-live one
+        cur_m = self._VER.search(cur[len(dst):]) if cur else None
+        cur_n = int(cur_m.group(1)) if cur_m else None
+        eligible = [v for v in below if cur_n is not None and v <= cur_n]
+        keep = set(eligible[-grace:]) if grace else set()
+        for v in below:
+            if v not in keep:
+                self._gc_prefix(f"{dst}.v{v}")
+        # the raw pre-pointer prefix: immediately-previous live copy only
+        # on the FIRST flip (cur was None); under grace it survives one
+        # publish cycle and the next publish (cur now versioned) GCs it
+        if not (grace and cur is None):
+            self._gc_prefix(dst)
 
     def recover_dir(self, dst: str) -> None:
         cur = self._target(dst)
         vs = self._versions(dst)
         if cur is not None:
+            # same grace rule as publish: recovery must not collapse the
+            # reader window a concurrent publish just promised
+            grace = self.gc_grace_versions
+            cur_m = self._VER.search(cur[len(dst):])
+            cur_n = int(cur_m.group(1)) if cur_m else None
+            eligible = [
+                v for v in vs if cur_n is not None and v < cur_n
+            ]
+            keep = set(eligible[-grace:]) if grace else set()
             for v in vs:
-                if f"{dst}.v{v}" != cur:
+                if f"{dst}.v{v}" != cur and v not in keep:
                     self._gc_prefix(f"{dst}.v{v}")
-            self._gc_prefix(dst)
+            if not grace:
+                self._gc_prefix(dst)
             return
         if self.client.list(dst.rstrip("/") + "/"):
             # live copy is the raw prefix; staged scratch is discarded and
