@@ -117,6 +117,21 @@ class EventStore:
         # the reference assigns server wall-clock time at ingest.
         self._clock = clock or (lambda: int(time.time()))
         self._pending: dict[str, list[dict]] = {}
+        # Rows swapped out of _pending by a flush but whose Parquet commit
+        # has not landed yet. They stay READABLE from here for the whole
+        # commit window (seconds under load) — without this, a reader (or
+        # the materializer's hwm probe) racing a flush would see
+        # visibility go BACKWARDS: rows neither in the memtable nor yet in
+        # any segment file. The incremental-refresh loss this caused was
+        # real: a SHOW probing cur during the window skipped the whole
+        # in-flight batch permanently (soak-reproduced at 13k ev/s).
+        self._flushing: dict[str, list[dict]] = {}
+        # Bumped (under _pending_lock) at every visibility HANDOVER — the
+        # moment a type's committed Parquet becomes authoritative and its
+        # _flushing rows drop. Readers build their frame buffer-first
+        # (dupes-over-loss order) and retry the build if the epoch moved,
+        # so no frame ever straddles a handover (seqlock pattern).
+        self._visibility_epoch = 0
         # Guards _pending against the threaded frontends: an append racing
         # the flush swap could land on the discarded buffer and vanish.
         self._pending_lock = threading.Lock()
@@ -431,6 +446,10 @@ class EventStore:
     def _flush_locked(self) -> list[str]:
         with self._pending_lock:
             pending, self._pending = self._pending, {}
+            # the swap moves rows memtable -> flushing ATOMICALLY under
+            # the lock (readers snapshot both dicts under it), so the
+            # rows never blink out during the Parquet commit below
+            self._flushing = {et: rows for et, rows in pending.items() if rows}
             rotated = []
             if os.path.isdir(self._wal_dir):
                 if self._wal_file is not None:
@@ -452,12 +471,24 @@ class EventStore:
             for event_type, rows in pending.items():
                 if rows:
                     self._write_rows(event_type, rows)
+                    # visibility handover: the committed files are now
+                    # authoritative; drop the buffered copy and bump the
+                    # epoch so a frame built across this instant rebuilds
+                    with self._pending_lock:
+                        self._flushing.pop(event_type, None)
+                        self._visibility_epoch += 1
         except Exception:
             # Failed commit: rows stay durable in the rotated WAL; put them
             # back in memory too so reads keep seeing them before a retry.
+            # Only the NOT-yet-committed types go back (still in
+            # _flushing) — re-adding already-committed types would
+            # duplicate their rows on the retry flush.
             with self._pending_lock:
                 for event_type, rows in pending.items():
-                    self._pending.setdefault(event_type, [])[:0] = rows
+                    if event_type in self._flushing:
+                        self._pending.setdefault(event_type, [])[:0] = rows
+                self._flushing = {}
+                self._visibility_epoch += 1
             raise
         for path in rotated:
             if self._wal_archive_dir is not None:
@@ -576,9 +607,13 @@ class EventStore:
         FLUSH. The snapshot under the lock keeps a concurrent store/flush
         from mutating the list mid-iteration. The buffer is driver-local and
         bounded by flush policy (exactly the reference's memtable bound), so
-        the LocalTableScan it compiles to stays small by construction."""
+        the LocalTableScan it compiles to stays small by construction.
+        Includes the in-flight flush batch (`_flushing`): rows stay
+        readable through their whole Parquet-commit window."""
         with self._pending_lock:
-            rows = list(self._pending.get(event_type, ()))
+            rows = list(self._flushing.get(event_type, ())) + list(
+                self._pending.get(event_type, ())
+            )
         if not rows:
             return None
         schema = self.registry.get(event_type)
@@ -586,7 +621,32 @@ class EventStore:
 
     def _has_pending(self, event_type: str) -> bool:
         with self._pending_lock:
-            return bool(self._pending.get(event_type))
+            return bool(self._pending.get(event_type)) or bool(
+                self._flushing.get(event_type)
+            )
+
+    @property
+    def visibility_epoch(self) -> int:
+        with self._pending_lock:
+            return self._visibility_epoch
+
+    def _consistent_frame(self, build):
+        """Build a read frame that does not straddle a flush visibility
+        handover. Frames union an eager buffer snapshot with an eagerly
+        listed Parquet scan, buffer FIRST; if a commit lands between the
+        two, the frame would carry the batch twice (buffer copy + new
+        file). The epoch moves exactly at that handover, so build-retry
+        yields a frame from one consistent visibility state. Handovers
+        are rare (one per flushed type) and a rebuild is milliseconds of
+        driver work, so contention is nil; 5 tries always suffices in
+        practice — the final build is returned either way."""
+        df = None
+        for _ in range(5):
+            e0 = self.visibility_epoch
+            df = build()
+            if self.visibility_epoch == e0:
+                return df
+        return df
 
     def read(self, event_type: str) -> DataFrame:
         """DataFrame for one event type (or '*' = union of all types).
@@ -632,22 +692,28 @@ class EventStore:
         if not self.registry.has(event_type):
             return self._empty_core_frame()
         schema = self.registry.get(event_type)
-        pending = self._pending_tail(event_type)
-        if not self.has_data(event_type):
+
+        def build():
+            pending = self._pending_tail(event_type)
+            if not self.has_data(event_type):
+                if pending is not None:
+                    return pending
+                return self.spark.createDataFrame([], schema=schema.spark_struct)
+            # Read with the CURRENT registry schema, not file-inferred: files
+            # written before a version bump lack newly added fields, and
+            # inference from a sampled footer would silently drop those columns
+            # for every row. An explicit schema null-fills them instead
+            # (additive evolution; `DEFINE ... AS n` with changed field TYPES is
+            # rejected at definition time by the registry).
+            df = self.spark.read.schema(schema.spark_struct).parquet(
+                self._path(event_type)
+            )
+            df = df.drop("ingest_date")
             if pending is not None:
-                return pending
-            return self.spark.createDataFrame([], schema=schema.spark_struct)
-        # Read with the CURRENT registry schema, not file-inferred: files
-        # written before a version bump lack newly added fields, and
-        # inference from a sampled footer would silently drop those columns
-        # for every row. An explicit schema null-fills them instead
-        # (additive evolution; `DEFINE ... AS n` with changed field TYPES is
-        # rejected at definition time by the registry).
-        df = self.spark.read.schema(schema.spark_struct).parquet(self._path(event_type))
-        df = df.drop("ingest_date")
-        if pending is not None:
-            df = df.unionByName(pending)
-        return df
+                df = df.unionByName(pending)
+            return df
+
+        return self._consistent_frame(build)
 
     def read_topk(
         self, event_type: str, order_field: str, n: int, desc: bool
@@ -674,18 +740,21 @@ class EventStore:
         schema = self.registry.get(event_type)
         if order_field not in [f.name for f in schema.spark_struct.fields]:
             return None
-        stats = collect_file_stats(self._path(event_type), order_field,
-                                   storage=self.storage)
-        if stats is None:
-            return None
-        keep, _bound = select_topk_files(stats, n, desc)
-        if not keep:
-            return None
-        df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
-        pending = self._pending_tail(event_type)
-        if pending is not None:
-            df = df.unionByName(pending)
-        return df
+        def build():
+            pending = self._pending_tail(event_type)
+            stats = collect_file_stats(self._path(event_type), order_field,
+                                       storage=self.storage)
+            if stats is None:
+                return None
+            keep, _bound = select_topk_files(stats, n, desc)
+            if not keep:
+                return None
+            df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
+            if pending is not None:
+                df = df.unionByName(pending)
+            return df
+
+        return self._consistent_frame(build)
 
     def read_for_context(
         self, event_type: str, context_id: str
@@ -711,20 +780,24 @@ class EventStore:
             or not self.has_data(event_type)
         ):
             return None
-        stats = collect_file_stats(self._path(event_type), "context_id",
-                                   storage=self.storage)
-        if stats is None:
-            return None
-        keep = select_context_files(stats, context_id)
         schema = self.registry.get(event_type)
-        if not keep:
-            df = self.spark.createDataFrame([], schema=schema.spark_struct)
-        else:
-            df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
-        pending = self._pending_tail(event_type)
-        if pending is not None:
-            df = df.unionByName(pending)
-        return df
+
+        def build():
+            pending = self._pending_tail(event_type)
+            stats = collect_file_stats(self._path(event_type), "context_id",
+                                       storage=self.storage)
+            if stats is None:
+                return None
+            keep = select_context_files(stats, context_id)
+            if not keep:
+                df = self.spark.createDataFrame([], schema=schema.spark_struct)
+            else:
+                df = self.spark.read.schema(schema.spark_struct).parquet(*keep)
+            if pending is not None:
+                df = df.unionByName(pending)
+            return df
+
+        return self._consistent_frame(build)
 
     def source_hwm(self, event_type: str) -> tuple[int, int] | None:
         """(max timestamp, max event_id) for one type from Parquet FOOTER
@@ -748,7 +821,14 @@ class EventStore:
                 hwm_ts = int(maxes["timestamp"])
                 hwm_id = int(maxes["event_id"])
         with self._pending_lock:
-            rows = list(self._pending.get(event_type, ()))
+            # memtable plus the in-flight flush batch: a probe during the
+            # Parquet-commit window must never see LOWER marks than a
+            # probe just before it (the materializer trusts cur to close
+            # its delta; a regressed probe is safe, an advanced probe
+            # over invisible rows is not — so the rows stay visible here)
+            rows = list(self._pending.get(event_type, ())) + list(
+                self._flushing.get(event_type, ())
+            )
         for r in rows:
             hwm_ts = max(hwm_ts, r["timestamp"])
             hwm_id = max(hwm_id, r["event_id"])

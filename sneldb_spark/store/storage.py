@@ -158,9 +158,13 @@ class LocalStorage(Storage):
         os.replace(src, dst)
 
     def walk_parquet(self, root: str) -> Iterator[str]:
-        for dirpath, _dirnames, filenames in os.walk(root):
+        # skip _temporary/, .staging crumbs etc. — Spark's readers ignore
+        # underscore/dot-prefixed paths (hidden by convention), so footer
+        # sweeps must too or an in-flight write's task files would count
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
             for f in filenames:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     yield os.path.join(dirpath, f)
 
 
@@ -546,9 +550,14 @@ class ObjectStoreStorage(Storage):
         )
 
     def walk_parquet(self, root: str) -> Iterator[str]:
-        for k in self.client.list(self.resolve(root).rstrip("/") + "/"):
-            if k.endswith(".parquet"):
-                yield k
+        base = self.resolve(root).rstrip("/") + "/"
+        for k in self.client.list(base):
+            if not k.endswith(".parquet"):
+                continue
+            # same hidden-path convention as LocalStorage.walk_parquet
+            if any(seg.startswith(("_", ".")) for seg in k[len(base):].split("/")):
+                continue
+            yield k
 
     # -- publish protocol (pointer-flip; no renames anywhere) --------------
     def stage_path(self, dst: str) -> str:
