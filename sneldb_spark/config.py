@@ -245,3 +245,62 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
             ).start()
         )
     return servers
+
+
+def serve_main(argv: Optional[list] = None) -> int:
+    """Console entry (`sneldb-server`): load a TOML config, boot a local
+    SparkSession, start every configured frontend, and serve until
+    SIGINT/SIGTERM — the counterpart of the reference's `sneldb serve
+    <config>` binary (src/main.rs). Flags override the file so a bare
+    `sneldb-server --tcp 127.0.0.1:7070 --data-dir ./db` needs no file
+    at all."""
+    import argparse
+    import signal
+    import threading
+
+    ap = argparse.ArgumentParser(
+        prog="sneldb-server", description="Run the SnelDB-Spark server"
+    )
+    ap.add_argument("config", nargs="?", help="TOML config path")
+    ap.add_argument("--data-dir", help="engine root (overrides [engine] data_dir)")
+    ap.add_argument("--tcp", help="host:port (overrides [server] tcp_addr)")
+    ap.add_argument("--http", help="host:port (overrides [server] http_addr)")
+    ap.add_argument("--ws", help="host:port (overrides [server] ws_addr)")
+    ap.add_argument("--unix", help="socket path (overrides [server] socket_path)")
+    ap.add_argument("--master", default=None, help="Spark master (default local[*])")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else EngineConfig()
+    if args.data_dir:
+        cfg.data_dir = args.data_dir
+    if args.tcp:
+        cfg.server.tcp_addr = args.tcp
+    if args.http:
+        cfg.server.http_addr = args.http
+    if args.ws:
+        cfg.server.ws_addr = args.ws
+    if args.unix:
+        cfg.server.socket_path = args.unix
+    if not (cfg.server.tcp_addr or cfg.server.http_addr or cfg.server.ws_addr
+            or cfg.server.socket_path):
+        ap.error("no frontend configured: pass --tcp/--http/--ws/--unix "
+                 "or a config with a [server] section")
+
+    from sneldb_spark.session import get_spark
+
+    spark = get_spark(app_name="sneldb-server",
+                      **({"master": args.master} if args.master else {}))
+    engine = create_engine(spark, cfg)
+    servers = serve(engine, cfg)
+    for s in servers:
+        host, port = getattr(s, "address", (None, None))
+        kind = type(s).__name__.replace("SnelDB", "").replace("Server", "") or "tcp"
+        print(f"serving {kind or 'tcp'} on {host}:{port}"
+              if host else f"serving {type(s).__name__}")
+    done = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: done.set())
+    signal.signal(signal.SIGTERM, lambda *_: done.set())
+    done.wait()
+    for s in servers:
+        s.stop()
+    return 0

@@ -1,0 +1,361 @@
+"""Long-running service soak: the engine as a SERVICE, not an episode.
+
+Every test in the suite is a short episode; this tool runs the engine
+for `--duration` seconds as a live TCP service under a realistic
+concurrent mix and asserts the operational invariants a deployment
+cares about:
+
+  - N writer connections streaming BATCHed STOREs continuously
+  - a FLUSH cadence (memtable -> segment) with flush-auto compaction
+    plus the engine's periodic compaction
+  - two live materializations (COUNT BY and a two-step sequence)
+    refreshed on a SHOW cadence
+  - a read mix (filtered QUERY / REPLAY / scalar aggregate) sampling
+    latency the whole time
+
+End-of-run invariants (process exits 1 if any fails):
+
+  I1  exactness: per-type engine row counts == acked events; the
+      COUNT BY materialization equals the writers' own per-plan tally
+  I2  segment-file convergence: per-type parquet file count stays
+      bounded by compaction (< files_cap), never monotone growth
+  I3  memtable drains: pending buffer is empty after the final FLUSH
+  I4  WAL bounded: live WAL bytes ~0 after final FLUSH (rotated +
+      deleted); archive grows only with ingested volume (conservative
+      archiving keeps everything by design — reported, not asserted)
+  I5  latency stability: read p95 of the last third of the run is
+      within 4x the first third (generous: shared-host noise)
+
+Usage:
+  sneldb-soak --duration 1800    (console script; python -m sneldb_spark.tools.soak also works)
+  python tools/soak.py --duration 120 --backend local --out soak.json
+  python tools/soak.py --duration 1800 --backend object --writers 4
+
+The reference has no soak binary; this is the operational-evidence
+counterpart of its long-running server deployment story
+(docs/src/design/wal_archiving.md, compaction.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import threading
+import time
+
+_PLANS = [f"plan{i:02d}" for i in range(8)]
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def _parquet_files(path: str) -> int:
+    n = 0
+    for _dp, _d, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _pctl(xs: list[float], q: float) -> float:
+    if not xs:
+        return 0.0
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(q * len(xs)))]
+
+
+def run_soak(
+    *,
+    duration: float = 120.0,
+    backend: str = "local",
+    writers: int = 4,
+    batch_size: int = 50,
+    flush_every: float = 5.0,
+    show_every: float = 20.0,
+    sample_every: float = 10.0,
+    root: str | None = None,
+    master: str = "local[8]",
+) -> dict:
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.client import SnelDBClient
+    from sneldb_spark.server import SnelDBServer
+    from sneldb_spark.session import get_spark
+
+    import tempfile
+
+    root = root or tempfile.mkdtemp(prefix=f"soak_{backend}_")
+    spark = get_spark(app_name="soak", master=master, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    storage = None
+    if backend == "object":
+        from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+
+        storage = ObjectStoreStorage(DirObjectClient(root), gc_grace_versions=1)
+
+    db = SnelDB(
+        spark,
+        root,
+        wal_archive_dir=os.path.join(root, "archive"),
+        auto_compact_files=8,
+        compaction_interval=30,
+        storage=storage,
+    )
+    server = SnelDBServer(db).start()
+    host, port = server.address
+    url = f"tcp://{host}:{port}"
+
+    with SnelDBClient(url) as admin:
+        admin.execute(
+            'DEFINE soak_evt FIELDS { "n": "u64", "plan": %s, "user_id": "u64" }'
+            % json.dumps(_PLANS)
+        )
+        admin.execute('DEFINE soak_click FIELDS { "n": "u64", "user_id": "u64" }')
+
+    stop = threading.Event()
+    errors: list[str] = []
+    acked = {"soak_evt": 0, "soak_click": 0}
+    plan_tally: dict[str, int] = {p: 0 for p in _PLANS}
+    tally_lock = threading.Lock()
+
+    def writer(w: int):
+        rng = random.Random(1000 + w)
+        try:
+            with SnelDBClient(url, timeout=300.0) as c:
+                seq = 0
+                while not stop.is_set():
+                    stores, plans = [], []
+                    for _ in range(batch_size):
+                        et = "soak_evt" if seq % 4 else "soak_click"
+                        uid = rng.randint(0, 199)
+                        if et == "soak_evt":
+                            plan = _PLANS[seq % len(_PLANS)]
+                            plans.append(plan)
+                            stores.append(
+                                f'STORE soak_evt FOR w{w}c{uid} PAYLOAD '
+                                f'{{"n": {seq}, "plan": "{plan}", "user_id": {uid}}}'
+                            )
+                        else:
+                            stores.append(
+                                f'STORE soak_click FOR w{w}c{uid} PAYLOAD '
+                                f'{{"n": {seq}, "user_id": {uid}}}'
+                            )
+                        seq += 1
+                    r = c.try_execute("BATCH [ " + "; ".join(stores) + " ]")
+                    if not r.ok:
+                        errors.append(f"writer{w}: {r.message}")
+                        return
+                    with tally_lock:
+                        acked["soak_evt"] += sum(1 for s in stores if "soak_evt" in s)
+                        acked["soak_click"] += sum(
+                            1 for s in stores if "soak_click" in s
+                        )
+                        for p in plans:
+                            plan_tally[p] += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(f"writer{w}: {e!r}")
+
+    def flusher():
+        try:
+            with SnelDBClient(url, timeout=600.0) as c:
+                while not stop.wait(flush_every):
+                    c.execute("FLUSH")
+        except Exception as e:  # pragma: no cover
+            errors.append(f"flusher: {e!r}")
+
+    show_lat: list[float] = []
+
+    def shower():
+        try:
+            with SnelDBClient(url, timeout=600.0) as c:
+                # materializations appear once some data exists
+                time.sleep(min(10.0, duration / 4))
+                c.execute("REMEMBER QUERY soak_evt COUNT BY plan AS soak_counts")
+                c.execute(
+                    "REMEMBER QUERY soak_evt FOLLOWED BY soak_click AS soak_seq"
+                )
+                while not stop.wait(show_every):
+                    for name in ("soak_counts", "soak_seq"):
+                        t0 = time.monotonic()
+                        c.execute(f"SHOW {name}")
+                        show_lat.append(time.monotonic() - t0)
+        except Exception as e:  # pragma: no cover
+            errors.append(f"shower: {e!r}")
+
+    read_lat: list[tuple[float, float]] = []  # (t_since_start, seconds)
+    t_start = time.monotonic()
+
+    def reader():
+        rng = random.Random(7)
+        queries = [
+            'QUERY soak_evt WHERE plan = "plan03" LIMIT 100',
+            "REPLAY FOR w0c42",
+            "QUERY soak_evt TOTAL n, COUNT",
+            "QUERY soak_evt WHERE user_id >= 150 COUNT BY plan",
+        ]
+        try:
+            with SnelDBClient(url, timeout=600.0) as c:
+                while not stop.wait(3.0):
+                    q = queries[rng.randrange(len(queries))]
+                    t0 = time.monotonic()
+                    r = c.try_execute(q)
+                    dt = time.monotonic() - t0
+                    if not r.ok:
+                        errors.append(f"reader: {q} -> {r.message}")
+                        return
+                    read_lat.append((time.monotonic() - t_start, dt))
+        except Exception as e:  # pragma: no cover
+            errors.append(f"reader: {e!r}")
+
+    samples: list[dict] = []
+
+    def sampler():
+        ev_dir = os.path.join(root, "events")
+        while not stop.wait(sample_every):
+            with db.store._pending_lock:
+                pending = sum(len(v) for v in db.store._pending.values())
+            recent = [d for (ts, d) in read_lat[-50:]]
+            samples.append(
+                {
+                    "t": round(time.monotonic() - t_start, 1),
+                    "acked": dict(acked),
+                    "segment_parquet_files": _parquet_files(ev_dir),
+                    "wal_bytes": _dir_bytes(os.path.join(root, "wal")),
+                    "archive_bytes": _dir_bytes(os.path.join(root, "archive")),
+                    "pending_rows": pending,
+                    "read_p50_s": round(_pctl(recent, 0.5), 3),
+                    "read_p95_s": round(_pctl(recent, 0.95), 3),
+                }
+            )
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(writers)]
+    threads += [
+        threading.Thread(target=flusher),
+        threading.Thread(target=shower),
+        threading.Thread(target=reader),
+        threading.Thread(target=sampler),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        time.sleep(duration)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+
+    # final settle: flush + compact, then measure the converged state
+    db.store.flush()
+    for et in ("soak_evt", "soak_click"):
+        db.store.compact(et)
+    final_files = _parquet_files(os.path.join(root, "events"))
+    with db.store._pending_lock:
+        final_pending = sum(len(v) for v in db.store._pending.values())
+    final_wal = _dir_bytes(os.path.join(root, "wal"))
+    final_archive = _dir_bytes(os.path.join(root, "archive"))
+    data_bytes = _dir_bytes(os.path.join(root, "events"))
+
+    # I1 exactness
+    checks: dict[str, dict] = {}
+    n_evt = db.df("soak_evt").count()
+    n_click = db.df("soak_click").count()
+    checks["I1_counts_exact"] = {
+        "ok": n_evt == acked["soak_evt"] and n_click == acked["soak_click"],
+        "engine": {"soak_evt": n_evt, "soak_click": n_click},
+        "acked": dict(acked),
+    }
+    shown = {
+        r["plan"]: r["count"]
+        for r in db.execute("SHOW soak_counts").df.collect()
+    }
+    expected_plans = {p: c for p, c in plan_tally.items() if c}
+    checks["I1_materialization_exact"] = {
+        "ok": shown == expected_plans,
+        "shown_groups": len(shown),
+    }
+    # I2 segment convergence: compaction keeps per-type file counts near
+    # auto_compact_files; 2 types * cap * headroom for the window between
+    # compactions, plus the time-series must not be monotone increasing
+    files_series = [s["segment_parquet_files"] for s in samples]
+    files_cap = 2 * 8 * 6
+    checks["I2_segments_converge"] = {
+        "ok": final_files <= files_cap
+        and (len(files_series) < 4 or min(files_series[2:]) < max(files_series) ),
+        "final_files": final_files,
+        "cap": files_cap,
+        "series": files_series,
+    }
+    checks["I3_memtable_drained"] = {"ok": final_pending == 0, "pending": final_pending}
+    checks["I4_wal_bounded"] = {
+        "ok": final_wal < 64 * 1024,
+        "final_wal_bytes": final_wal,
+        "archive_bytes": final_archive,
+        "data_bytes": data_bytes,
+        "archive_to_data_ratio": round(final_archive / max(1, data_bytes), 3),
+    }
+    lats = [(ts, d) for ts, d in read_lat]
+    third = max(1, len(lats) // 3)
+    first_p95 = _pctl([d for _t, d in lats[:third]], 0.95)
+    last_p95 = _pctl([d for _t, d in lats[-third:]], 0.95)
+    checks["I5_latency_stable"] = {
+        "ok": last_p95 <= max(4 * first_p95, first_p95 + 2.0),
+        "first_third_p95_s": round(first_p95, 3),
+        "last_third_p95_s": round(last_p95, 3),
+        "reads": len(lats),
+        "show_p95_s": round(_pctl(show_lat, 0.95), 3),
+        "shows": len(show_lat),
+    }
+    checks["no_thread_errors"] = {"ok": not errors, "errors": errors[:10]}
+
+    server.stop()
+    summary = {
+        "backend": backend,
+        "duration_s": duration,
+        "writers": writers,
+        "batch_size": batch_size,
+        "acked_events": dict(acked),
+        "throughput_ev_s": round(sum(acked.values()) / duration, 1),
+        "samples": samples,
+        "checks": checks,
+        "ok": all(c["ok"] for c in checks.values()),
+        "root": root,
+    }
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--backend", choices=("local", "object"), default="local")
+    ap.add_argument("--writers", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=50)
+    ap.add_argument("--out", default=None, help="write full JSON summary here")
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+    summary = run_soak(
+        duration=args.duration,
+        backend=args.backend,
+        writers=args.writers,
+        batch_size=args.batch_size,
+        master=args.master,
+    )
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=1)
+    slim = {k: v for k, v in summary.items() if k != "samples"}
+    print(json.dumps(slim, indent=1))
+    sys.exit(0 if summary["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
