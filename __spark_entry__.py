@@ -4330,35 +4330,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r7: NEW gates first (bpe encode, cross-corpus near-dedup), then
-    # code changed this round — the vectorized bucketed streaming-chain
-    # matcher, and all six lifecycle gates (the materializer's state-swap
-    # protocol was unified onto stage/publish with resolve() plumbing
-    # for the object backend)
-    "sampling_dsir", "text_bpe_encode", "dedup_minhash_cross",
-    "streaming_seq_chain_bucketed", "streaming_seq_chain",
+    # r8: code changed this round first — the six lifecycle gates run the
+    # incremental-refresh path whose flush-commit visibility race was
+    # fixed (store._flushing + epoch-consistent frames), and the five
+    # pruned-read gates exercise read_topk/read_for_context, now built
+    # through the same consistent-frame guard with hidden-path-filtered
+    # footer sweeps
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
-    # then the FULL r<=4 stale tier (39 gates, oldest driver row first) —
-    # closes the VERDICT r6 rotation-hygiene note in one window
-    "compare_three", "multimodal_features",
-    "sampling_leakage_safe", "sampling_split", "sampling_stratified",
-    "sampling_weighted",
-    "agg_count_field", "agg_per_hour_by", "agg_per_week", "agg_per_year",
-    "agg_per_year_naive",
-    "corpus_curation", "corpus_mix", "corpus_report", "corpus_upsample",
-    "dedup_exact", "dedup_keep_best", "dedup_minhash_clusters",
-    "dedup_minhash_lsh", "dedup_span_removal",
-    "embedding_covariance",
-    "events_active_users", "events_cohort_retention", "events_experiment",
-    "events_json_extract",
-    "multimodal_dedup",
-    "sampling_group_cap", "sampling_token_budget",
-    "similarity_knn_graph",
-    "streaming_dedup", "streaming_window_agg",
-    "text_blocklist", "text_lm_score", "text_ngram_counts",
-    "text_quality_buckets", "text_tfidf", "text_winnow",
-    "tpch_q2", "tpch_q20",
+    "order_limit_offset", "order_multi", "for_context",
+    "replay_context", "replay_typed",
+    # then the rest of the r5-stale tier (VERDICT r7 rotation item: all
+    # 36 gates whose latest driver row is r5 cycle through this window)
+    "agg_multi", "agg_per_month_naive", "agg_percentile", "compare_daily",
+    "dedup_line_boilerplate", "dedup_simhash", "embedding_kmeans",
+    "filter_in_not", "filter_parens", "filter_string_ops",
+    "return_projection", "sampling_training_shuffle", "since_bound",
+    "streaming_seq_followed_by", "streaming_seq_preceded_by",
+    "text_novelty", "text_quality", "until_bound",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19",
+    # remaining slots: the oldest of the r6 tier
+    "agg_count_by", "agg_count_unique", "agg_order_limit", "agg_per_day",
+    "corpus_stats", "decontaminate", "dedup_clusters", "filter_where",
     # (tools/check_correctness.py still verifies ALL entries locally
     # every round; the driver window samples 50.)
 ]
