@@ -860,3 +860,248 @@ def ngram_novelty(
             ).otherwise(F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+def _viterbi_word(w: str, logp: dict, max_len: int) -> tuple[list[str], float] | None:
+    """Best unigram segmentation of one word: maximize total log-prob,
+    tie-break on fewer tokens, then lexicographically smallest token
+    list — a TOTAL deterministic order, so any engine implementing the
+    same rule reproduces the same path bit-for-bit (the oracle replays
+    it by exhaustive enumeration). Returns None when no segmentation
+    exists under the vocabulary (caller decides the fallback)."""
+    n = len(w)
+    # best[i] = (neg_score, ntoks, toks) for prefix w[:i]; tuple order IS
+    # the comparison rule (min neg_score = max score)
+    best: list[tuple | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, [])
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            lp = logp.get(w[j:i])
+            if lp is None:
+                continue
+            prev = best[j]
+            c = (prev[0] - lp, prev[1] + 1, prev[2] + [w[j:i]])
+            if cand is None or c < cand:
+                cand = c
+        best[i] = cand
+    if best[n] is None:
+        return None
+    neg, _k, toks = best[n]
+    return toks, -neg
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 6,
+    seed_size: int = 2000,
+    em_rounds: int = 3,
+    min_word_count: int = 1,
+    max_vocab_collect: int = 5_000_000,
+) -> list[tuple[str, float]]:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959), the hard-EM variant, structured for scale the
+    same way `bpe_train` is: every corpus-sized pass is ONE Spark
+    aggregate, every driver-side structure is vocabulary-bounded.
+
+    - Word table: explode + groupBy (corpus-scale, once) — the same
+      table, cap, and `min_word_count` pruning lever as bpe_train.
+    - Seeding: single characters (always kept, they guarantee every
+      word segments) plus the `seed_size` highest-frequency substrings
+      up to `max_piece_len` — substring counting is a second Spark
+      aggregate over the WORD table (vocabulary-scale x O(len^2)
+      substrings per word, not corpus-scale).
+    - EM rounds: the E-step runs DISTRIBUTED — an Arrow kernel
+      Viterbi-segments each distinct word under the current piece
+      log-probs and emits (piece, word_count) pairs; a groupBy sums
+      expected counts (hard EM: counts are exact longs, so the result
+      is independent of partitioning). The M-step re-derives log-probs
+      driver-side from the vocabulary-sized count table.
+    - Pruning: after the EM rounds, keep the `vocab_size` best pieces
+      by expected count (single chars always survive), then one final
+      E/M settles probabilities on the pruned vocabulary.
+
+    Returns [(piece, logp)] sorted by (-count, piece) — deterministic
+    across runs and partitionings (all ties break lexicographically).
+
+    The reference engine has no tokenizer; this completes the
+    tokenizer-family story (BPE + unigram) for the LLM-data pipeline.
+    """
+    import math
+
+    words_df = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    if min_word_count > 1:
+        words_df = words_df.where(F.col("wc") >= F.lit(int(min_word_count)))
+    words_df = words_df.persist()
+    try:
+        n_words = words_df.count()
+        if n_words > max_vocab_collect:
+            raise ValueError(
+                f"unigram_train: distinct-word vocabulary has {n_words:,} rows, "
+                f"above max_vocab_collect={max_vocab_collect:,}. Raise "
+                "min_word_count to prune the long tail, or raise the cap."
+            )
+
+        # seed substrings: one vocabulary-scale aggregate
+        sub = words_df.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, {int(max_piece_len)}), l ->
+                        transform(sequence(1, greatest(length(w) - l + 1, 0)),
+                                  s -> substring(w, s, l))))"""
+                )
+            ).alias("piece"),
+            F.col("wc"),
+        ).groupBy("piece").agg(F.sum("wc").alias("c"))
+        top = sub.orderBy(F.col("c").desc(), F.col("piece")).limit(
+            int(seed_size)
+        ).collect()
+        chars = {r["piece"] for r in top if len(r["piece"]) == 1}
+        # chars missing from the top table still must seed (guarantee
+        # segmentability); their counts ride in the same table
+        char_rows = sub.where(F.length("piece") == 1).collect()
+        counts = {r["piece"]: r["c"] for r in char_rows}
+        counts.update({r["piece"]: r["c"] for r in top})
+        chars = {p for p in counts if len(p) == 1}
+
+        def mstep(cnt: dict) -> dict:
+            total = sum(cnt.values())
+            floor = math.log(0.5 / total)
+            return {
+                p: (math.log(c / total) if c > 0 else floor)
+                for p, c in cnt.items()
+            }
+
+        logp = mstep(counts)
+        spark = df.sparkSession
+
+        def estep(cur_logp: dict) -> dict:
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            from sneldb_spark.pipeline import ensure_min_partitions
+
+            mx = max(len(p) for p in cur_logp)
+
+            def fn(batches):
+                for pdf in batches:
+                    pieces, cnts = [], []
+                    for w, wc in zip(pdf["w"], pdf["wc"]):
+                        seg = _viterbi_word(w, cur_logp, mx)
+                        if seg is None:
+                            continue
+                        for t in seg[0]:
+                            pieces.append(t)
+                            cnts.append(int(wc))
+                    yield pd.DataFrame({"piece": pieces, "c": cnts})
+
+            schema = T.StructType([
+                T.StructField("piece", T.StringType()),
+                T.StructField("c", T.LongType()),
+            ])
+            rows = (
+                ensure_min_partitions(words_df)
+                .mapInPandas(fn, schema=schema)
+                .groupBy("piece")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+            return {r["piece"]: r["c"] for r in rows}
+
+        for _ in range(max(1, int(em_rounds))):
+            c = estep(logp)
+            # chars always survive with at least a floor count
+            for ch in chars:
+                c.setdefault(ch, 0)
+            counts = c
+            logp = mstep(counts)
+
+        # prune to vocab_size: keep all chars + best multi-char pieces
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )
+        keep = {p for p, _ in multi[: max(0, int(vocab_size) - len(chars))]}
+        keep |= chars
+        logp = {p: lp for p, lp in logp.items() if p in keep}
+        counts = estep(logp)
+        for ch in chars:
+            counts.setdefault(ch, 0)
+        logp = mstep(counts)
+        return sorted(
+            logp.items(), key=lambda kv: (-counts.get(kv[0], 0), kv[0])
+        )
+    finally:
+        words_df.unpersist()
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Viterbi-encode with a unigram vocabulary [(piece, logp)]: per
+    document, the maximum-log-prob segmentation of each word (ties:
+    fewer tokens, then lexicographically smallest token list — the same
+    total order `_viterbi_word` defines, so results are engine- and
+    partitioning-independent). Words that cannot segment under the
+    vocabulary fall back to single characters extended with themselves
+    as unknown pieces is NOT done — they emit as one '<unk>' token,
+    keeping the output total and unambiguous. Same conventions as
+    `bpe_encode`: lowercased \\W+ split, Arrow kernel, per-batch word
+    cache (Zipf: each distinct word encodes once per batch)."""
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sneldb_spark.pipeline import ensure_min_partitions
+
+    logp = {p: float(lp) for p, lp in vocab}
+    mx = max((len(p) for p in logp), default=1)
+    word_re = _re.compile(r"\W+")
+
+    def enc_fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in word_re.split((text or "").lower()):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        seg = _viterbi_word(w, logp, mx)
+                        enc = cache[w] = seg[0] if seg else ["<unk>"]
+                    doc.extend(enc)
+                toks.append(doc)
+            out = pdf.copy()
+            out[out_col] = toks
+            out[f"{out_col}_count"] = [len(t) for t in toks]
+            yield out
+
+    schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType())),
+            T.StructField(f"{out_col}_count", T.IntegerType()),
+        ]
+    )
+    return ensure_min_partitions(df).mapInPandas(enc_fn, schema=schema)

@@ -2239,3 +2239,86 @@ def test_dsir_persisted_target_profile(spark, docs, tmp_path):
         dsir_weights(docs, tgt, target_profile=prof)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_weights(docs)
+
+
+# -- unigram-LM tokenizer (SentencePiece-style, Kudo 2018) ---------------
+
+
+def _enumerate_best(w, logp, max_len):
+    """Exhaustive-search Viterbi reference: enumerate EVERY segmentation
+    and apply the documented total order (max score, fewer tokens,
+    lexicographically smallest list). Exponential - test-only."""
+    best = None
+
+    def rec(i, toks, score):
+        nonlocal best
+        if i == len(w):
+            cand = (-score, len(toks), list(toks))
+            if best is None or cand < best:
+                best = cand
+            return
+        for l in range(1, min(max_len, len(w) - i) + 1):
+            p = w[i:i + l]
+            if p in logp:
+                toks.append(p)
+                rec(i + l, toks, score + logp[p])
+                toks.pop()
+
+    rec(0, [], 0.0)
+    if best is None:
+        return None
+    return best[2], -best[0]
+
+
+def test_unigram_viterbi_matches_exhaustive_enumeration():
+    import random
+
+    from sneldb_spark.pipeline.text import _viterbi_word
+
+    rng = random.Random(17)
+    alphabet = "abcd"
+    for trial in range(300):
+        # exactly-representable log-probs (multiples of 1/64) make the
+        # comparison engine-independent: sums are exact in either order
+        pieces = {c: -rng.randrange(32, 256) / 64 for c in alphabet}
+        for _ in range(rng.randrange(2, 10)):
+            l = rng.randrange(2, 5)
+            p = "".join(rng.choice(alphabet) for _ in range(l))
+            pieces[p] = -rng.randrange(32, 512) / 64
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 11)))
+        got = _viterbi_word(w, pieces, max(len(p) for p in pieces))
+        want = _enumerate_best(w, pieces, max(len(p) for p in pieces))
+        assert got == want, (w, pieces, got, want)
+
+
+def test_unigram_train_deterministic_and_segments_corpus(spark):
+    from sneldb_spark.pipeline.text import unigram_encode, unigram_train
+
+    rows = [
+        (i, " ".join(["sparking", "sparked", "parquet", "marker", "park"][j % 5]
+                     for j in range(i, i + 6)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    v1 = unigram_train(df, vocab_size=30, em_rounds=2, seed_size=200)
+    v2 = unigram_train(df.repartition(7), vocab_size=30, em_rounds=2, seed_size=200)
+    assert v1 == v2  # partitioning-independent (exact long counts)
+    pieces = [p for p, _ in v1]
+    assert any(len(p) > 1 for p in pieces)  # learned multi-char pieces
+    assert {c for p in pieces for c in p if len(p) == 1} <= set("".join(pieces))
+    enc = unigram_encode(df, v1)
+    out = enc.orderBy("doc_id").collect()
+    for r in out:
+        # reconstruction: tokens concatenate back to the word stream
+        joined = "".join(r["tokens"])
+        stream = "".join(w for w in r["text"].lower().split())
+        assert joined == stream
+        assert r["tokens_count"] == len(r["tokens"])
+
+
+def test_unigram_encode_unknown_word_emits_unk(spark):
+    from sneldb_spark.pipeline.text import unigram_encode
+
+    df = spark.createDataFrame([(1, "zzz abc")], ["doc_id", "text"])
+    out = unigram_encode(df, [("a", -1.0), ("b", -1.0), ("c", -1.0)]).collect()[0]
+    assert out["tokens"] == ["<unk>", "a", "b", "c"]
