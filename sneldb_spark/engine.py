@@ -168,7 +168,9 @@ class SnelDB:
             names.append(name)
         return names
 
-    def stream_sequence(self, text: str) -> DataFrame:
+    def stream_sequence(
+        self, text: str, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """Compile the SAME sequence-QUERY text against the live store:
         `A FOLLOWED BY B [FOLLOWED BY C ...] LINKED BY k` runs the
         incremental chain matcher, `A PRECEDED BY B LINKED BY k` the O(1)
@@ -177,6 +179,13 @@ class SnelDB:
         FOR, SINCE/UNTIL and WITHIN apply; aggregates / ORDER / LIMIT and
         USING TIME are batch-only here. Output is the matcher schema
         (link + per-step event ids/timestamps), not the batch row shape.
+
+        `max_files_per_trigger` sizes micro-batches (events per trigger =
+        files x flush batch size): the chain matcher pays a measured
+        ~1.1 s fixed cost per trigger (state machinery, BASELINE.md), so
+        pick the largest trigger your latency budget allows — the
+        amortization table lives in docs/streaming.md "Micro-batch
+        sizing". Default None = all available files per trigger.
 
         Drain multi-type streams with ``trigger(availableNow=True)`` at
         flush barriers — see streaming/sequence.py's multi-source caveat.
@@ -206,7 +215,7 @@ class SnelDB:
 
         ev = None
         for t in dict.fromkeys(types):  # distinct, order-preserving
-            s = self.store.read_stream(t)
+            s = self.store.read_stream(t, max_files_per_trigger)
             if cmd.context_id is not None:
                 s = s.where(F.col("context_id") == F.lit(cmd.context_id))
             for clause, op in ((cmd.since, ">="), (cmd.until, "<")):

@@ -834,17 +834,29 @@ class EventStore:
             hwm_id = max(hwm_id, r["event_id"])
         return hwm_ts, hwm_id
 
-    def read_stream(self, event_type: str) -> DataFrame:
+    def read_stream(
+        self, event_type: str, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """Streaming DataFrame over one event type's Parquet dataset —
         every FLUSH commit surfaces as new files in the file source. The
-        same AST compiles against this source unchanged (query_stream)."""
+        same AST compiles against this source unchanged (query_stream).
+
+        `max_files_per_trigger` is the micro-batch SIZING knob (file
+        source `maxFilesPerTrigger`): stateful operators pay a fixed
+        per-trigger cost (state write + shuffle + Arrow + commit —
+        measured ~1.1 s marginal in BASELINE.md), so throughput is
+        events-per-trigger / (matching + floor). Larger triggers
+        amortize the floor, smaller ones cut latency; the measured
+        trade-off table is in docs/streaming.md "Micro-batch sizing".
+        None (default) = every available file per trigger (one batch
+        per drain under availableNow)."""
         from pyspark.sql import types as T
 
         if event_type == "*":
             types = [t for t in self.registry.event_types() if self.has_data(t)]
             df = None
             for t_ in types:
-                part = self.read_stream(t_)
+                part = self.read_stream(t_, max_files_per_trigger)
                 df = part if df is None else df.unionByName(part, allowMissingColumns=True)
             if df is None:
                 raise QueryError("no events stored yet for streaming read")
@@ -857,11 +869,12 @@ class EventStore:
         # over a just-DEFINEd type) — the file source wants the directory
         # to exist, and an empty one simply yields no batches yet
         os.makedirs(self._path(event_type), exist_ok=True)
-        return (
-            self.spark.readStream.schema(struct)
-            .parquet(self._path(event_type))
-            .drop("ingest_date")
-        )
+        reader = self.spark.readStream.schema(struct)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", int(max_files_per_trigger)
+            )
+        return reader.parquet(self._path(event_type)).drop("ingest_date")
 
     # -- bucketed layout ---------------------------------------------------
     def bucketize(self, event_type: str, buckets: int = 256) -> str:

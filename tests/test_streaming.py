@@ -1174,3 +1174,44 @@ def test_stream_sequence_from_command_text(spark, tmp_path):
         db.stream_sequence(
             'QUERY view FOLLOWED BY buy LINKED BY user_id SINCE "2024-01-01" USING page'
         )
+
+
+def test_stream_sequence_max_files_per_trigger_sizes_batches(spark, tmp_path):
+    """The micro-batch sizing knob: with max_files_per_trigger=1 a drain
+    over several flush commits runs several micro-batches (the fixed
+    per-trigger cost trades against latency — docs/streaming.md); the
+    default drains everything in one. Results identical either way."""
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick)
+    db.execute('DEFINE a FIELDS { "user_id": "string" }')
+    db.execute('DEFINE b FIELDS { "user_id": "string" }')
+    for i in range(3):  # three flush commits -> >=3 files per type
+        db.execute(f'STORE a FOR c{i} PAYLOAD {{ "user_id": "u{i}" }}')
+        db.execute(f'STORE b FOR c{i} PAYLOAD {{ "user_id": "u{i}" }}')
+        db.execute("FLUSH")
+
+    def drain(name, **kw):
+        batches = []
+        q = (
+            db.stream_sequence("QUERY a FOLLOWED BY b LINKED BY user_id", **kw)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .foreachBatch(lambda df, bid: batches.append(df.count()))
+            .start()
+        )
+        q.awaitTermination()
+        return batches
+
+    sized = drain("sized", max_files_per_trigger=1)
+    whole = drain("whole")
+    assert len(sized) >= 3        # one trigger per file commit
+    assert len(whole) <= 2        # availableNow drains in one go
+    assert sum(sized) == sum(whole) == 3  # u0..u2 matched either way
