@@ -82,6 +82,16 @@ class EngineConfig:
     # type's segment-file count exceeds this (reference background
     # compaction, docs/src/design/compaction.md); None = manual compact()
     auto_compact_files: Optional[int] = None
+    # [storage] backend: "grace" (default — versioned prefixes + pointer
+    # flip with a 1-publish reader grace window, store/storage.py
+    # grace_local_storage; required for any engine serving reads
+    # concurrently with compaction) | "local" (rename-based POSIX swaps,
+    # leaner, single-threaded embedded use only — an in-flight reader
+    # can lose files to a compaction publish)
+    storage_backend: str = "grace"
+    # [storage] gc_grace_versions for the grace/object backends: how many
+    # superseded copies each publish spares for in-flight readers
+    gc_grace_versions: int = 1
     # [engine] compaction_interval (reference config/prod.toml:20):
     # opportunistic periodic compaction — writes/reads trigger a sweep
     # once the interval (seconds) has elapsed; None = off
@@ -148,6 +158,12 @@ def load_config(path_or_dict) -> EngineConfig:
     st = doc.get("storage", {})
     cfg.bloom_filters = st.get("bloom_filters", True)
     cfg.auto_compact_files = st.get("auto_compact_files") or None
+    cfg.storage_backend = st.get("backend", "grace")
+    if cfg.storage_backend not in ("grace", "local"):
+        raise ValueError(
+            f"[storage] backend must be 'grace' or 'local', got {cfg.storage_backend!r}"
+        )
+    cfg.gc_grace_versions = int(st.get("gc_grace_versions", 1))
 
     ext = doc.get("extensions", {})
     cfg.approx_count_unique = ext.get("approx_count_unique", False)
@@ -186,7 +202,18 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         auth = AuthManager(
             path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
         )
+    storage = None
+    if cfg.storage_backend == "grace":
+        from sneldb_spark.store.storage import grace_local_storage
+
+        # served engines run reads concurrently with FLUSH/compaction:
+        # publish must keep the superseded segment copy readable for
+        # in-flight plans (see grace_local_storage docstring)
+        storage = grace_local_storage(
+            cfg.data_dir, gc_grace_versions=cfg.gc_grace_versions
+        )
     return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
+                  storage=storage,
                   wal_archive_dir=cfg.wal_archive_dir,
                   bloom_filters=cfg.bloom_filters,
                   auto_compact_files=cfg.auto_compact_files,

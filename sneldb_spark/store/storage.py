@@ -627,5 +627,31 @@ class ObjectStoreStorage(Storage):
                 self._gc_prefix(f"{dst}.v{v}")
 
 
+def grace_local_storage(root: str, gc_grace_versions: int = 1) -> ObjectStoreStorage:
+    """Local-filesystem storage with a reader grace window — the backend a
+    CONCURRENTLY-READ deployment (the server) should run on.
+
+    ``LocalStorage``'s rename-based publish deletes the previous copy the
+    moment the staged one goes live, so a Spark plan that listed segment
+    files before a compaction publish loses them mid-scan
+    (FAILED_READ_FILE — reproduced by tools/soak.py on the rename backend
+    and pinned by tests/test_storage_grace.py). The reference parks
+    readers during segment handover (src/engine/core/compaction, zone
+    swap); on Spark the equivalent with ZERO reader blocking is snapshot
+    retention: publish into a fresh versioned prefix, flip an atomic
+    pointer, and keep the previously-live copy through `gc_grace_versions`
+    further publishes so in-flight plans finish on the superseded copy.
+
+    That protocol is exactly :class:`ObjectStoreStorage`; on a local disk
+    the four client primitives are plain file ops (`DirObjectClient`), so
+    this factory is a one-liner. Embedded single-threaded use (CLI tools,
+    batch gates) can keep the leaner rename-based ``LocalStorage``; any
+    engine that serves reads concurrently with FLUSH/compaction should
+    take this instead — `[storage] backend = "grace"` (the served
+    default) wires it up via config.create_engine.
+    """
+    return ObjectStoreStorage(DirObjectClient(root), gc_grace_versions=gc_grace_versions)
+
+
 #: process-wide default; engine components take a `storage=` override.
 LOCAL = LocalStorage()

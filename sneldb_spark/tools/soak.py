@@ -28,8 +28,14 @@ End-of-run invariants (process exits 1 if any fails):
 
 Usage:
   sneldb-soak --duration 1800    (console script; python -m sneldb_spark.tools.soak also works)
-  python tools/soak.py --duration 120 --backend local --out soak.json
+  python tools/soak.py --duration 120 --backend grace --out soak.json
   python tools/soak.py --duration 1800 --backend object --writers 4
+
+Backends: "grace" (served default — pointer-flip publish, reader grace
+window), "object" (same protocol on the object-store fake), "local"
+(rename-based POSIX swaps — known to lose segment files under a reader
+racing a compaction publish; soak-able to demonstrate exactly that,
+see soak_local_r8.json).
 
 The reference has no soak binary; this is the operational-evidence
 counterpart of its long-running server deployment story
@@ -102,6 +108,15 @@ def run_soak(
         from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
 
         storage = ObjectStoreStorage(DirObjectClient(root), gc_grace_versions=1)
+    elif backend == "grace":
+        # the served default ([storage] backend = "grace"): pointer-flip
+        # publishes with a reader grace window. The rename-based "local"
+        # backend is soak-able for comparison but KNOWN to lose files
+        # under a reader that races a compaction publish (the soak run
+        # that caught it: soak_local_r8.json, reader FAILED_READ_FILE)
+        from sneldb_spark.store.storage import grace_local_storage
+
+        storage = grace_local_storage(root)
 
     db = SnelDB(
         spark,
@@ -336,7 +351,7 @@ def run_soak(
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--duration", type=float, default=120.0)
-    ap.add_argument("--backend", choices=("local", "object"), default="local")
+    ap.add_argument("--backend", choices=("grace", "local", "object"), default="grace")
     ap.add_argument("--writers", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=50)
     ap.add_argument("--out", default=None, help="write full JSON summary here")
