@@ -1495,16 +1495,18 @@ def q_streaming_seq_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAMING_SEQ_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-pairs AS (
-  SELECT a.context_id AS link, a.event_id AS a_event_id,
-         a."timestamp" AS a_timestamp, b.event_id AS b_event_id,
-         b."timestamp" AS b_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id
-              AND b."timestamp" >= a."timestamp")
-SELECT link, a_event_id, a_timestamp, b_event_id, b_timestamp
-FROM pairs WHERE rn = 1"""
+u AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u)
+SELECT context_id AS link, event_id AS a_event_id, "timestamp" AS a_timestamp,
+       (mt).eid AS b_event_id, (mt).ts AS b_timestamp
+FROM m WHERE NOT is_b AND mt IS NOT NULL"""
 
 
 def q_streaming_seq_preceded_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,40 +1562,52 @@ _STREAMING_SEQ_CHAIN_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT * FROM ev WHERE event_type = 'click'),
-p1 AS (
-  SELECT a.context_id AS link, a.event_id AS s0_event_id,
-         a."timestamp" AS s0_timestamp,
-         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
-s1 AS (SELECT * FROM p1 WHERE rn = 1),
-p2 AS (
-  SELECT s1.link, s1.s0_event_id, s1.s0_timestamp,
-         s1.s1_event_id, s1.s1_timestamp,
-         c.event_id AS s2_event_id, c."timestamp" AS s2_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
-                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
-  FROM s1 JOIN c ON c.context_id = s1.link
-              AND c."timestamp" >= s1.s1_timestamp)
-SELECT link, s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
-       s2_event_id, s2_timestamp
-FROM p2 WHERE rn2 = 1"""
+u1 AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m1 AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u1),
+s1 AS (
+  SELECT context_id AS link, event_id AS s0_event_id,
+         "timestamp" AS s0_timestamp,
+         (mt).eid AS s1_event_id, (mt).ts AS s1_timestamp
+  FROM m1 WHERE NOT is_b AND mt IS NOT NULL),
+u2 AS (
+  SELECT link AS context_id, s1_timestamp AS o_ts,
+         s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
+         NULL::BIGINT AS c_event_id, FALSE AS is_c FROM s1
+  UNION ALL
+  SELECT context_id, "timestamp", NULL, NULL, NULL, NULL,
+         event_id, TRUE FROM c),
+m2 AS (
+  SELECT *, min(CASE WHEN is_c THEN struct_pack(ts := o_ts, eid := c_event_id) END)
+    OVER (PARTITION BY context_id ORDER BY o_ts, is_c, coalesce(c_event_id, s0_event_id)
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mc
+  FROM u2)
+SELECT context_id AS link, s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
+       (mc).eid AS s2_event_id, (mc).ts AS s2_timestamp
+FROM m2 WHERE NOT is_c AND mc IS NOT NULL"""
 
 
 _STREAMING_SEQ_PRECEDED_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'error'),
 b AS (SELECT * FROM ev WHERE event_type = 'click'),
-pairs AS (
-  SELECT a.context_id AS link, a.event_id AS a_event_id,
-         a."timestamp" AS a_timestamp, b.event_id AS b_event_id,
-         b."timestamp" AS b_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" DESC, b.event_id DESC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id
-              AND b."timestamp" < a."timestamp")
-SELECT link, a_event_id, a_timestamp, b_event_id, b_timestamp
-FROM pairs WHERE rn = 1"""
+u AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, max(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mt
+  FROM u)
+SELECT context_id AS link, event_id AS a_event_id, "timestamp" AS a_timestamp,
+       (mt).eid AS b_event_id, (mt).ts AS b_timestamp
+FROM m WHERE NOT is_b AND mt IS NOT NULL"""
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3244,25 +3258,36 @@ _ORACLES_CHAIN_MAT_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup' AND k < 40),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND k < 40),
 c AS (SELECT * FROM ev WHERE event_type = 'click' AND k < 40),
-p1 AS (
-  SELECT a.event_id AS s0_event_id, a.context_id AS s0_context_id,
-         a."timestamp" AS s0_timestamp,
-         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
-s1 AS (SELECT * FROM p1 WHERE rn = 1),
-p2 AS (
-  SELECT s1.s0_context_id, s1.s0_event_id, s1.s1_event_id,
-         cc.event_id AS s2_event_id,
-         s1.s0_timestamp, s1.s1_timestamp, cc."timestamp" AS s2_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
-                            ORDER BY cc."timestamp" ASC, cc.event_id ASC) AS rn2
-  FROM s1 JOIN c cc ON cc.context_id = s1.s0_context_id
-              AND cc."timestamp" >= s1.s1_timestamp)
-SELECT s0_context_id, s0_event_id, s1_event_id, s2_event_id,
-       s0_timestamp, s1_timestamp, s2_timestamp
-FROM p2 WHERE rn2 = 1"""
+u1 AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m1 AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u1),
+s1 AS (
+  SELECT context_id AS s0_context_id, event_id AS s0_event_id,
+         "timestamp" AS s0_timestamp,
+         (mt).eid AS s1_event_id, (mt).ts AS s1_timestamp
+  FROM m1 WHERE NOT is_b AND mt IS NOT NULL),
+u2 AS (
+  SELECT s0_context_id AS context_id, s1_timestamp AS o_ts,
+         s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
+         NULL::BIGINT AS c_event_id, FALSE AS is_c FROM s1
+  UNION ALL
+  SELECT context_id, "timestamp", NULL, NULL, NULL, NULL,
+         event_id, TRUE FROM c),
+m2 AS (
+  SELECT *, min(CASE WHEN is_c THEN struct_pack(ts := o_ts, eid := c_event_id) END)
+    OVER (PARTITION BY context_id ORDER BY o_ts, is_c, coalesce(c_event_id, s0_event_id)
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mc
+  FROM u2)
+SELECT context_id AS s0_context_id, s0_event_id, s1_event_id,
+       (mc).eid AS s2_event_id,
+       s0_timestamp, s1_timestamp, (mc).ts AS s2_timestamp
+FROM m2 WHERE NOT is_c AND mc IS NOT NULL"""
 
 
 def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,30 +3351,46 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REMEMBER_SHOW_SEQ_AGG_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-pairs AS (
-  SELECT a.k AS k, a.context_id AS a_ctx, a.value_cents AS a_vc,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+u AS (
+  SELECT context_id, "timestamp", event_id, k, value_cents, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, k, value_cents, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u)
 SELECT k, count(*) AS count,
-       count(DISTINCT a_ctx) AS count_unique_context_id,
-       CAST(sum(a_vc) AS BIGINT) AS total_value_cents,
-       min(a_vc) AS min_value_cents,
-       max(a_vc) AS max_value_cents
-FROM pairs WHERE rn = 1 GROUP BY k"""
+       count(DISTINCT context_id) AS count_unique_context_id,
+       CAST(sum(value_cents) AS BIGINT) AS total_value_cents,
+       min(value_cents) AS min_value_cents,
+       max(value_cents) AS max_value_cents
+FROM m WHERE NOT is_b AND mt IS NOT NULL GROUP BY k"""
 
 
 _REMEMBER_SHOW_SEQ_SQL = f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+u AS (
+  SELECT context_id, "timestamp", event_id, k, NULL::BIGINT AS value_cents,
+         FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, NULL, value_cents, TRUE FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u),
 pairs AS (
-  SELECT a.event_id AS a_event_id, a.context_id AS a_context_id,
-         a."timestamp" AS a_timestamp, a.k AS a_k,
+  SELECT m.event_id AS a_event_id, m.context_id AS a_context_id,
+         m."timestamp" AS a_timestamp, m.k AS a_k,
          b.event_id AS b_event_id, b."timestamp" AS b_timestamp,
-         b.value_cents AS b_value_cents,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+         b.value_cents AS b_value_cents
+  FROM m JOIN b ON b.context_id = m.context_id
+             AND b."timestamp" = (m.mt).ts AND b.event_id = (m.mt).eid
+  WHERE NOT m.is_b)
 SELECT a_event_id, a_context_id, a_timestamp, a_k, b_event_id, b_timestamp, b_value_cents
-FROM pairs WHERE rn = 1"""
+FROM pairs"""
 
 
 def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4150,15 +4191,19 @@ _SEQ_WITHIN_SQL = f"""
 WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-pairs AS (
-  SELECT a.context_id AS a_context_id, a.event_id AS a_event_id,
-         b.event_id AS b_event_id,
-         a."timestamp" AS a_timestamp, b."timestamp" AS b_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
-SELECT a_context_id, a_event_id, b_event_id, a_timestamp, b_timestamp
-FROM pairs WHERE rn = 1 AND b_timestamp - a_timestamp <= 3600
+u AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u)
+SELECT context_id AS a_context_id, event_id AS a_event_id,
+       (mt).eid AS b_event_id, "timestamp" AS a_timestamp, (mt).ts AS b_timestamp
+FROM m
+WHERE NOT is_b AND mt IS NOT NULL AND (mt).ts - "timestamp" <= 3600
 """
 
 
@@ -4182,18 +4227,28 @@ WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT * FROM ev WHERE event_type = 'click'),
-p1 AS (
-  SELECT a.event_id AS head, a.context_id AS link, b."timestamp" AS b_ts,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
-s1 AS (SELECT * FROM p1 WHERE rn = 1),
-p2 AS (
-  SELECT s1.head,
-         ROW_NUMBER() OVER (PARTITION BY s1.head
-                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
-  FROM s1 JOIN c ON c.context_id = s1.link AND c."timestamp" >= s1.b_ts),
-s2 AS (SELECT * FROM p2 WHERE rn2 = 1),
+u1 AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m1 AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u1),
+s1 AS (
+  SELECT event_id AS head, context_id AS link, (mt).ts AS b_ts
+  FROM m1 WHERE NOT is_b AND mt IS NOT NULL),
+u2 AS (
+  SELECT link AS context_id, b_ts AS o_ts, head, FALSE AS is_c FROM s1
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE FROM c),
+m2 AS (
+  SELECT *, min(CASE WHEN is_c THEN struct_pack(ts := o_ts, eid := head) END)
+    OVER (PARTITION BY context_id ORDER BY o_ts, is_c, head
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mc
+  FROM u2),
+s2 AS (SELECT head FROM m2 WHERE NOT is_c AND mc IS NOT NULL),
 n AS (SELECT (SELECT count(*) FROM a) AS n0,
              (SELECT count(*) FROM s1) AS n1,
              (SELECT count(*) FROM s2) AS n2)
@@ -4719,69 +4774,118 @@ def oracle_sql() -> dict[str, str]:
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT * FROM ev WHERE event_type = 'click'),
-p1 AS (
-  SELECT a.event_id AS s0_event_id, a.context_id AS s0_context_id,
-         a."timestamp" AS s0_timestamp,
-         b.event_id AS s1_event_id, b."timestamp" AS s1_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id
-                            ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp"),
-s1 AS (SELECT * FROM p1 WHERE rn = 1),
-p2 AS (
-  SELECT s1.s0_context_id, s1.s0_event_id, s1.s1_event_id,
-         c.event_id AS s2_event_id,
-         s1.s0_timestamp, s1.s1_timestamp, c."timestamp" AS s2_timestamp,
-         ROW_NUMBER() OVER (PARTITION BY s1.s0_event_id
-                            ORDER BY c."timestamp" ASC, c.event_id ASC) AS rn2
-  FROM s1 JOIN c ON c.context_id = s1.s0_context_id
-              AND c."timestamp" >= s1.s1_timestamp)
-SELECT s0_context_id, s0_event_id, s1_event_id, s2_event_id,
-       s0_timestamp, s1_timestamp, s2_timestamp
-FROM p2 WHERE rn2 = 1""",
+u1 AS (
+  SELECT context_id, "timestamp", event_id, FALSE AS is_b FROM a
+  UNION ALL
+  SELECT context_id, "timestamp", event_id, TRUE AS is_b FROM b),
+m1 AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u1),
+s1 AS (
+  SELECT context_id AS s0_context_id, event_id AS s0_event_id,
+         "timestamp" AS s0_timestamp,
+         (mt).eid AS s1_event_id, (mt).ts AS s1_timestamp
+  FROM m1 WHERE NOT is_b AND mt IS NOT NULL),
+u2 AS (
+  SELECT s0_context_id AS context_id, s1_timestamp AS o_ts,
+         s0_event_id, s0_timestamp, s1_event_id, s1_timestamp,
+         NULL::BIGINT AS c_event_id, FALSE AS is_c FROM s1
+  UNION ALL
+  SELECT context_id, "timestamp", NULL, NULL, NULL, NULL,
+         event_id, TRUE FROM c),
+m2 AS (
+  SELECT *, min(CASE WHEN is_c THEN struct_pack(ts := o_ts, eid := c_event_id) END)
+    OVER (PARTITION BY context_id ORDER BY o_ts, is_c, coalesce(c_event_id, s0_event_id)
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mc
+  FROM u2)
+SELECT context_id AS s0_context_id, s0_event_id, s1_event_id,
+       (mc).eid AS s2_event_id,
+       s0_timestamp, s1_timestamp, (mc).ts AS s2_timestamp
+FROM m2 WHERE NOT is_c AND mc IS NOT NULL""",
+        # As-of oracles use the same O(n log n) window form as the engine
+        # plan (union both sides, min/max B-struct over a running frame)
+        # instead of an A x B join + ROW_NUMBER: the join form is
+        # quadratic on a hot link key (at sf1 the zipf-hot context made
+        # DuckDB spill >70 GB), which made the oracle — not the engine —
+        # the scale ceiling of the verification. Semantics are identical:
+        # A sorts before B at equal ts, struct comparison is (ts,
+        # event_id) lexicographic = the append-order tiebreak.
         "seq_followed_by": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+u AS (SELECT *, FALSE AS is_b FROM a UNION ALL SELECT *, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u),
 pairs AS (
-  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+  SELECT {_seq_cols_sql('a_', 'm')}, {_seq_cols_sql('b_', 'b')}
+  FROM m JOIN b ON b.context_id = m.context_id
+             AND b."timestamp" = (m.mt).ts AND b.event_id = (m.mt).eid
+  WHERE NOT m.is_b)
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
-FROM pairs WHERE rn = 1""",
+FROM pairs""",
         "seq_preceded_by": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'error'),
 b AS (SELECT * FROM ev WHERE event_type = 'click'),
+u AS (SELECT *, FALSE AS is_b FROM a UNION ALL SELECT *, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, max(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mt
+  FROM u),
 pairs AS (
-  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" DESC, b.event_id DESC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" < a."timestamp")
+  SELECT {_seq_cols_sql('a_', 'm')}, {_seq_cols_sql('b_', 'b')}
+  FROM m JOIN b ON b.context_id = m.context_id
+             AND b."timestamp" = (m.mt).ts AND b.event_id = (m.mt).eid
+  WHERE NOT m.is_b)
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
-FROM pairs WHERE rn = 1""",
+FROM pairs""",
         "seq_where_sides": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup' AND k < 50),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND value > 100),
+u AS (SELECT *, FALSE AS is_b FROM a UNION ALL SELECT *, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u),
 pairs AS (
-  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
+  SELECT {_seq_cols_sql('a_', 'm')}, {_seq_cols_sql('b_', 'b')}
+  FROM m JOIN b ON b.context_id = m.context_id
+             AND b."timestamp" = (m.mt).ts AND b.event_id = (m.mt).eid
+  WHERE NOT m.is_b)
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
-FROM pairs WHERE rn = 1""",
+FROM pairs""",
         "seq_using_time": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup' AND "timestamp" >= 1704844800),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase' AND "timestamp" >= 1704844800),
+u AS (SELECT *, FALSE AS is_b FROM a UNION ALL SELECT *, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN event_id END)
+    OVER (PARTITION BY context_id ORDER BY event_id, is_b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS meid
+  FROM u),
 pairs AS (
-  SELECT {_seq_cols_sql('a_', 'a')}, {_seq_cols_sql('b_', 'b')},
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b.event_id >= a.event_id)
+  SELECT {_seq_cols_sql('a_', 'm')}, {_seq_cols_sql('b_', 'b')}
+  FROM m JOIN b ON b.context_id = m.context_id AND b.event_id = m.meid
+  WHERE NOT m.is_b)
 SELECT {', '.join('a_' + c for c in EVENT_COLS)}, {', '.join('b_' + c for c in EVENT_COLS)}
-FROM pairs WHERE rn = 1""",
+FROM pairs""",
         "seq_agg": f"""WITH {_EV_CTE},
 a AS (SELECT * FROM ev WHERE event_type = 'signup'),
 b AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-pairs AS (
-  SELECT a.k AS k,
-         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY b."timestamp" ASC, b.event_id ASC) AS rn
-  FROM a JOIN b ON a.context_id = b.context_id AND b."timestamp" >= a."timestamp")
-SELECT k, count(*) AS count FROM pairs WHERE rn = 1 GROUP BY k""",
+u AS (SELECT *, FALSE AS is_b FROM a UNION ALL SELECT *, TRUE AS is_b FROM b),
+m AS (
+  SELECT *, min(CASE WHEN is_b THEN struct_pack(ts := "timestamp", eid := event_id) END)
+    OVER (PARTITION BY context_id ORDER BY "timestamp", is_b, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mt
+  FROM u)
+SELECT k, count(*) AS count FROM m
+WHERE NOT is_b AND mt IS NOT NULL GROUP BY k""",
         "plot_breakdown": f"""WITH {_EV_CTE},
 p AS (SELECT {day} AS bucket, k, count(*) AS purchase_count FROM ev
       WHERE event_type = 'purchase' GROUP BY bucket, k),

@@ -47,6 +47,12 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark(app_name="correctness-check")
     con = duckdb.connect()
+    # Spill guard: an accidentally quadratic oracle must fail loudly, not
+    # fill the repo filesystem (at sf1 a hot-key AxB as-of join spilled
+    # >70 GB into ./.tmp before the window-form rewrite; see the as-of
+    # oracle comment in __spark_entry__.py)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
