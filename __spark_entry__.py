@@ -1688,7 +1688,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_CLUSTERS_SQL = (
     "WITH RECURSIVE pairs AS (" + _NGRAM_JACCARD_SQL + "), "
     """
-edges AS (
+edges AS MATERIALIZED (
   SELECT id1 AS src, id2 AS dst FROM pairs
   UNION
   SELECT id2 AS src, id1 AS dst FROM pairs
@@ -2661,27 +2661,50 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.4)
 
 
-def _semantic_dedup_sql() -> str:
-    # deferred: _EMBEDDING_NEAR_SQL is defined later in the module
+def _semantic_dedup_sql(rounds: int = 16) -> str:
+    # deferred: _EMBEDDING_NEAR_SQL is defined later in the module.
+    #
+    # Components via UNROLLED min-label propagation, not a recursive
+    # transitive closure: `reach` enumerated every (node, reachable node)
+    # pair, which is sum-of-m^2 rows on m-sized clusters and whose
+    # per-step join blows up as |reach| x degree — at sf1 the dense
+    # cluster structure (~thousands of mutual near-pairs per cluster)
+    # made that the verification's scale ceiling, exactly like the AxB
+    # as-of oracles before their window-form rewrite. Each unrolled
+    # round is one |edges| join (new label = min over self + neighbors),
+    # so `rounds` rounds cost rounds x |E| rows. Plain neighbor-min needs
+    # diameter rounds (a 2000-node chain beat rounds=10 at sf0.1), so
+    # each round also SHORTCUTS through the current label node
+    # (l <- min(l, l(l), min over neighbors l)) — pointer jumping makes
+    # label distance double per round, converging in O(log diameter).
+    # Too-small `rounds` fails LOUDLY (labels mismatch the engine's
+    # exact union-find components), never silently passes.
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""lab{i} AS MATERIALIZED (
+  SELECT p.id, least(p.l, coalesce(min(n.l), p.l), coalesce(min(j.l), p.l)) AS l
+  FROM lab{i - 1} p
+  LEFT JOIN edges e ON e.src = p.id
+  LEFT JOIN lab{i - 1} n ON n.id = e.dst
+  LEFT JOIN lab{i - 1} j ON j.id = p.l
+  GROUP BY p.id, p.l
+)"""
+        )
+    unrolled = ",\n".join(steps)
     return (
-        "WITH RECURSIVE pairs AS (" + _EMBEDDING_NEAR_SQL + "), "
+        "WITH pairs AS MATERIALIZED (" + _EMBEDDING_NEAR_SQL + "), "
         """
-edges AS (
+edges AS MATERIALIZED (
   SELECT id1 AS src, id2 AS dst FROM pairs
   UNION
   SELECT id2 AS src, id1 AS dst FROM pairs
 ),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-lab AS (
-  SELECT emb.vec_id AS id,
-         least(emb.vec_id, coalesce(min(r.dst), emb.vec_id)) AS cluster_id
-  FROM embeddings emb LEFT JOIN reach r ON r.src = emb.vec_id
-  GROUP BY emb.vec_id
-),
+lab0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS l FROM embeddings),
+"""
+        + unrolled
+        + f""",
+lab AS (SELECT id, l AS cluster_id FROM lab{rounds}),
 sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
 SELECT lab.id AS vec_id, lab.cluster_id, sz.cluster_size,
        (lab.id = lab.cluster_id) AS is_representative
@@ -2794,15 +2817,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMILARITY_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-exploded AS (
-  SELECT query_id, neighbor_id,
-         CAST(unnest(qe) AS DOUBLE) AS qx, CAST(unnest(ce) AS DOUBLE) AS cx
-  FROM q, c WHERE query_id != neighbor_id
-),
 sims AS (
   SELECT query_id, neighbor_id,
-         round(SUM(qx*cx) / (sqrt(SUM(qx*qx)) * sqrt(SUM(cx*cx))), 4) AS sim
-  FROM exploded GROUP BY 1, 2
+         round(list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]), 4) AS sim
+  FROM q, c WHERE query_id != neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, sim,
@@ -3073,13 +3091,10 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBEDDING_NEAR_SQL = """
 WITH a AS (SELECT vec_id AS id1, embedding AS v1 FROM embeddings),
 b AS (SELECT vec_id AS id2, embedding AS v2 FROM embeddings),
-exploded AS (
-  SELECT id1, id2, CAST(unnest(v1) AS DOUBLE) AS x, CAST(unnest(v2) AS DOUBLE) AS y
-  FROM a, b WHERE id1 < id2
-),
 sims AS (
-  SELECT id1, id2, round(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS sim
-  FROM exploded GROUP BY 1, 2
+  SELECT id1, id2,
+         round(list_cosine_similarity(v1::DOUBLE[], v2::DOUBLE[]), 4) AS sim
+  FROM a, b WHERE id1 < id2
 )
 SELECT id1, id2, sim FROM sims WHERE sim >= 0.4
 """
@@ -3920,16 +3935,10 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_GRAPH_SQL = """
-WITH exploded AS (
+WITH sims AS (
   SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         CAST(unnest(a.embedding) AS DOUBLE) AS qx,
-         CAST(unnest(b.embedding) AS DOUBLE) AS cx
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
   FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
-),
-sims AS (
-  SELECT src_id, dst_id,
-         round(SUM(qx*cx) / (sqrt(SUM(qx*qx)) * sqrt(SUM(cx*cx))), 4) AS sim
-  FROM exploded GROUP BY 1, 2
 ),
 ranked AS (
   SELECT src_id, dst_id, sim,
