@@ -48,3 +48,16 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def quiet_logs(spark: SparkSession) -> None:
+    """Silence executor log chatter for interactive CLI tools.
+
+    setLogLevel lives on the classic SparkContext; under Spark Connect
+    there is no sparkContext attribute, and the tools work fine with the
+    server's default log config — so this is a best-effort no-op there.
+    """
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:
+        pass

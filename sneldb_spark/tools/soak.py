@@ -95,13 +95,13 @@ def run_soak(
     from sneldb_spark.engine import SnelDB
     from sneldb_spark.client import SnelDBClient
     from sneldb_spark.server import SnelDBServer
-    from sneldb_spark.session import get_spark
+    from sneldb_spark.session import get_spark, quiet_logs
 
     import tempfile
 
     root = root or tempfile.mkdtemp(prefix=f"soak_{backend}_")
     spark = get_spark(app_name="soak", master=master, shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+    quiet_logs(spark)
 
     storage = None
     if backend == "object":

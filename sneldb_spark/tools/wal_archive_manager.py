@@ -39,10 +39,10 @@ def main():
         n = wa.export_json(sys.argv[2], sys.argv[3])
         print(f"exported {n} entries -> {sys.argv[3]}")
     elif cmd == "recover":
-        from sneldb_spark.session import get_spark
+        from sneldb_spark.session import get_spark, quiet_logs
 
         spark = get_spark(app_name="wal-recover")
-        spark.sparkContext.setLogLevel("ERROR")
+        quiet_logs(spark)
         df = wa.recover_df(spark, sys.argv[2])
         counts = df.groupBy("t").count().collect()
         total = sum(r["count"] for r in counts)

@@ -55,6 +55,8 @@ ALLOWED_CLASSIC = {
                              "(classic-verified; Connect untested here)",
     "streaming/sessionize.py": "applyInPandasWithState sessionizer "
                                "(classic-verified; Connect untested here)",
+    "session.py": "quiet_logs(): best-effort setLogLevel wrapped in a "
+                  "Connect-safe no-op fallback",
 }
 
 _CLASSIC_RE = re.compile(
