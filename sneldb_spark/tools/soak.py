@@ -91,6 +91,8 @@ def run_soak(
     sample_every: float = 10.0,
     root: str | None = None,
     master: str = "local[8]",
+    fault_rate: float = 0.0,
+    fault_latency_ms: float = 0.0,
 ) -> dict:
     from sneldb_spark.engine import SnelDB
     from sneldb_spark.client import SnelDBClient
@@ -104,10 +106,32 @@ def run_soak(
     quiet_logs(spark)
 
     storage = None
+    fault_client = None
     if backend == "object":
-        from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+        from sneldb_spark.store.storage import (
+            DirObjectClient,
+            FaultInjectingObjectClient,
+            ObjectStoreStorage,
+            RetryingObjectClient,
+        )
 
-        storage = ObjectStoreStorage(DirObjectClient(root), gc_grace_versions=1)
+        client = DirObjectClient(root)
+        if fault_rate or fault_latency_ms:
+            # the fault lane: every put/get/delete/list-page round trip
+            # draws an injected 503 (half with the op already landed) and
+            # pays per-request latency; a bounded-retry client absorbs
+            # them like a real SDK retry policy. attempts=8 keeps the
+            # chance of a terminal failure ~rate^8 per op, so a clean
+            # soak means the RETRIES did the work, not luck.
+            fault_client = FaultInjectingObjectClient(
+                client,
+                rng=random.Random(7),
+                transient_rate=fault_rate,
+                latency_s=fault_latency_ms / 1000.0,
+                page_size=500,
+            )
+            client = RetryingObjectClient(fault_client, attempts=8, backoff_s=0.01)
+        storage = ObjectStoreStorage(client, gc_grace_versions=1)
     elif backend == "grace":
         # the served default ([storage] backend = "grace"): pointer-flip
         # publishes with a reader grace window. The rename-based "local"
@@ -345,6 +369,14 @@ def run_soak(
         "ok": all(c["ok"] for c in checks.values()),
         "root": root,
     }
+    if fault_client is not None:
+        summary["faults"] = {
+            "transient_rate": fault_rate,
+            "latency_ms": fault_latency_ms,
+            "object_ops": fault_client.op_count,
+            "transients_injected": fault_client.transients_injected,
+            "retries_used": storage.client.retries_used,
+        }
     return summary
 
 
@@ -356,6 +388,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=50)
     ap.add_argument("--out", default=None, help="write full JSON summary here")
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--fault-rate", type=float, default=0.0,
+                    help="object backend only: injected transient-error "
+                         "rate per object-store round trip")
+    ap.add_argument("--fault-latency-ms", type=float, default=0.0,
+                    help="object backend only: per-round-trip latency")
     args = ap.parse_args()
     summary = run_soak(
         duration=args.duration,
@@ -363,6 +400,8 @@ def main():
         writers=args.writers,
         batch_size=args.batch_size,
         master=args.master,
+        fault_rate=args.fault_rate,
+        fault_latency_ms=args.fault_latency_ms,
     )
     if args.out:
         with open(args.out, "w", encoding="utf-8") as f:

@@ -412,3 +412,30 @@ def test_engine_lifecycle_on_faulty_object_store(flaky_engine):
     assert db.query("QUERY fo WHERE n >= 50").count() == 10
     assert db._flaky.transients_injected > 0  # the store really was flaky
     db.execute("FORGET mat")
+
+
+def test_soak_fault_lane_wiring(spark, tmp_path):
+    """The ops soak's --fault-rate lane: a short service run on the
+    fault-injecting object backend must stay green end-to-end and report
+    the injected/absorbed counts in its summary (the 15-min evidence run
+    is soak_object_faults_r8.json; this pins the wiring)."""
+    from sneldb_spark.tools.soak import run_soak
+
+    summary = run_soak(
+        duration=6.0,
+        backend="object",
+        writers=2,
+        batch_size=20,
+        flush_every=2.0,
+        show_every=4.0,
+        sample_every=2.0,
+        root=str(tmp_path / "soakroot"),
+        master="local[4]",
+        fault_rate=0.3,
+        fault_latency_ms=0.2,
+    )
+    assert summary["ok"], summary["checks"]
+    f = summary["faults"]
+    assert f["transients_injected"] > 0  # the store really was flaky
+    assert f["retries_used"] > 0  # ...and the retry layer did the absorbing
+    assert summary["checks"]["I1_counts_exact"]["ok"]
