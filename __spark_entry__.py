@@ -1822,9 +1822,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 3,
-                 threshold: float = 0.5) -> str:
+                 threshold: float = 0.5, table: str = "documents") -> str:
     """DuckDB replica of minhash_dedup_pairs: same coefficients (inlined),
-    same shingling, same banding, same verify."""
+    same shingling, same banding, same verify. `table` lets the assign
+    oracle run the identical arithmetic over the distinct-content
+    representative corpus instead of raw documents."""
     from sneldb_spark.pipeline.dedup import _MH_PRIME, _minhash_coeffs
 
     a, b = _minhash_coeffs(num_hashes)
@@ -1835,7 +1837,7 @@ def _minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 3,
 WITH seeds(j, a, b) AS (VALUES {seeds}),
 words AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ws
-  FROM documents
+  FROM {table}
 ),
 shingles AS (
   SELECT doc_id, unnest(CASE WHEN len(ws) >= {n}
@@ -2661,6 +2663,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.4)
 
 
+def _minlabel_rounds_sql(rounds: int) -> str:
+    """Unrolled pointer-jumping min-label rounds over CTEs `edges`
+    (src, dst) and `lab0` (id, l): each round takes the min of self,
+    neighbors' labels, and the LABEL NODE's label (the shortcut that
+    makes label distance double per round — O(log diameter) total).
+    MATERIALIZED is load-bearing: each round references the previous one
+    three times, and DuckDB's default CTE inlining is exponential."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""lab{i} AS MATERIALIZED (
+  SELECT p.id, least(p.l, coalesce(min(n.l), p.l), coalesce(min(j.l), p.l)) AS l
+  FROM lab{i - 1} p
+  LEFT JOIN edges e ON e.src = p.id
+  LEFT JOIN lab{i - 1} n ON n.id = e.dst
+  LEFT JOIN lab{i - 1} j ON j.id = p.l
+  GROUP BY p.id, p.l
+)"""
+        )
+    return ",\n".join(steps)
+
+
 def _semantic_dedup_sql(rounds: int = 16) -> str:
     # deferred: _EMBEDDING_NEAR_SQL is defined later in the module.
     #
@@ -2679,19 +2703,7 @@ def _semantic_dedup_sql(rounds: int = 16) -> str:
     # label distance double per round, converging in O(log diameter).
     # Too-small `rounds` fails LOUDLY (labels mismatch the engine's
     # exact union-find components), never silently passes.
-    steps = []
-    for i in range(1, rounds + 1):
-        steps.append(
-            f"""lab{i} AS MATERIALIZED (
-  SELECT p.id, least(p.l, coalesce(min(n.l), p.l), coalesce(min(j.l), p.l)) AS l
-  FROM lab{i - 1} p
-  LEFT JOIN edges e ON e.src = p.id
-  LEFT JOIN lab{i - 1} n ON n.id = e.dst
-  LEFT JOIN lab{i - 1} j ON j.id = p.l
-  GROUP BY p.id, p.l
-)"""
-        )
-    unrolled = ",\n".join(steps)
+    unrolled = _minlabel_rounds_sql(rounds)
     return (
         "WITH pairs AS MATERIALIZED (" + _EMBEDDING_NEAR_SQL + "), "
         """
@@ -4025,6 +4037,41 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d.select("doc_id"), pairs, id_col="doc_id")
 
 
+def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-flood-safe near-dedup assignment: exact clones collapse to
+    one representative per distinct content BEFORE LSH banding (a flood
+    of E identical pages is E^2/2 candidates per band bucket otherwise),
+    near-dup components run over distinct contents only, and every doc
+    maps back through its content digest — (id, cluster_id), linear
+    output whatever the duplication structure. The oracle replicates the
+    digest collapse, the exact minhash arithmetic over the representative
+    corpus, and pointer-jumping components."""
+    from sneldb_spark.pipeline.dedup import minhash_assign
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_assign(d, threshold=0.5)
+
+
+def _minhash_assign_sql(rounds: int = 16) -> str:
+    return f"""
+WITH dg_map AS MATERIALIZED (SELECT doc_id, md5(text) AS dg FROM documents),
+reps AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM dg_map GROUP BY dg),
+rep_documents AS MATERIALIZED (
+  SELECT r.rep_id AS doc_id, d.text
+  FROM reps r JOIN documents d ON d.doc_id = r.rep_id),
+mh AS MATERIALIZED ({_minhash_sql(table="rep_documents")}),
+edges AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM mh
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM mh),
+lab0 AS MATERIALIZED (SELECT rep_id AS id, rep_id AS l FROM reps),
+{_minlabel_rounds_sql(rounds)},
+rep_lab AS (SELECT id AS rep_id, l AS cluster_id FROM lab{rounds})
+SELECT m.doc_id AS id, rl.cluster_id
+FROM dg_map m JOIN reps r ON r.dg = m.dg JOIN rep_lab rl ON rl.rep_id = r.rep_id
+"""
+
+
 def _minhash_clusters_sql() -> str:
     return (
         "WITH RECURSIVE mh AS (" + _minhash_sql() + "), "
@@ -4470,6 +4517,7 @@ _DRIVER_PRIORITY = [
     # through the same consistent-frame guard with hidden-path-filtered
     # footer sweeps
     "text_unigram_encode",  # NEW this round (unigram-LM tokenizer)
+    "dedup_minhash_assign",  # NEW this round (clone-flood-safe assign)
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
     "order_limit_offset", "order_multi", "for_context",
@@ -4679,6 +4727,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_training_shuffle": q_sampling_training_shuffle,
         "corpus_report": q_corpus_report,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_minhash_assign": q_dedup_minhash_assign,
         "dedup_keep_best": q_dedup_keep_best,
         "seq_funnel_report": q_seq_funnel_report,
         "seq_within_window": q_seq_within_window,
@@ -4975,6 +5024,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "sampling_training_shuffle": _SAMPLING_TRAINING_SHUFFLE_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "dedup_minhash_clusters": _minhash_clusters_sql(),
+        "dedup_minhash_assign": _minhash_assign_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "seq_funnel_report": _SEQ_FUNNEL_SQL,
         "seq_within_window": _SEQ_WITHIN_SQL,

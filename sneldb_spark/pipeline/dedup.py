@@ -505,6 +505,73 @@ def minhash_dedup_pairs(
     return est
 
 
+def minhash_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_rounds: int = 50,
+    max_driver_edges: int = 1_000_000,
+) -> DataFrame:
+    """Clone-flood-safe near-dedup assignment: (id, cluster_id), one row
+    per input document, output LINEAR in corpus size regardless of the
+    duplication structure.
+
+    `minhash_dedup_pairs` + `dedup_clusters` is the right composition
+    when duplicate groups are small, but banding a CLONE FLOOD — E
+    byte-identical copies of the same page (error pages, boilerplate,
+    mirrored docs; routine in web crawls) — puts all E docs in the same
+    bucket of EVERY band: E^2/2 candidate pairs, and the pair list
+    itself is quadratic output. This operator collapses exact clones to
+    one representative per distinct content (md5 digest group-by, min id
+    as representative) BEFORE banding, runs LSH + verify + connected
+    components over DISTINCT CONTENTS only, and maps every doc back
+    through its digest. A 100k-clone flood contributes ONE row to the
+    LSH join instead of 5e9 candidate pairs.
+
+    Exactly equivalent to the naive composition: identical texts have
+    identical shingle sets, so est_jaccard = 1 >= threshold always pairs
+    them (same component), and signatures/bands are pure functions of
+    content, so the rep-space pair graph is the full pair graph
+    contracted over clone groups; min-id cluster labels agree because
+    each representative is already its group's min id.
+
+    Reference parity: the reference has no near-dedup at all — this is
+    part of the training-data pipeline surface (Lee et al. 2022 dedup
+    practice: exact-collapse precedes MinHash).
+    """
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    # digest -> representative (min doc id); persisted: feeds the rep
+    # corpus AND the final map-back join
+    ids = docs.select("id", F.md5(F.col(text_col)).alias("dg")).persist()
+    reps = ids.groupBy("dg").agg(F.min("id").alias("rep_id")).persist()
+    rep_docs = reps.join(
+        docs.withColumnRenamed("id", "rep_id"), "rep_id"
+    ).select(F.col("rep_id").alias(id_col), text_col)
+    pairs = minhash_dedup_pairs(
+        rep_docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, n=n,
+    ).select("id1", "id2")
+    rep_clusters = dedup_clusters(
+        rep_docs.select(id_col), pairs, id_col=id_col,
+        max_rounds=max_rounds, max_driver_edges=max_driver_edges,
+    )
+    out = (
+        ids.join(reps, "dg")
+        .join(rep_clusters.withColumnRenamed("id", "rep_id"), "rep_id")
+        .select("id", "cluster_id")
+    )
+    # materialize before unpersist so the joins don't recompute upstream
+    out = out.persist()
+    out.count()
+    ids.unpersist()
+    reps.unpersist()
+    return out
+
+
 def minhash_cross_pairs(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -2322,3 +2322,56 @@ def test_unigram_encode_unknown_word_emits_unk(spark):
     df = spark.createDataFrame([(1, "zzz abc")], ["doc_id", "text"])
     out = unigram_encode(df, [("a", -1.0), ("b", -1.0), ("c", -1.0)]).collect()[0]
     assert out["tokens"] == ["<unk>", "a", "b", "c"]
+
+
+def test_minhash_assign_equivalent_and_clone_flood_safe(spark):
+    """minhash_assign == the naive pairs+clusters composition on a
+    clone-heavy corpus, while its LSH join sees ONE row per distinct
+    content (a clone flood is E^2/2 banded candidates otherwise)."""
+    from sneldb_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_assign,
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",  # near-dup of 0
+        "completely different payload about spark shuffle partitions",
+        "an unrelated sentence mentioning parquet row groups and footers",
+    ]
+    rows = [(i, base[i]) for i in range(4)]
+    # clone flood: 60 byte-identical copies of doc 0's text
+    rows += [(100 + i, base[0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in minhash_assign(df, threshold=0.5).collect()
+    }
+    pairs = minhash_dedup_pairs(df, threshold=0.5).select("id1", "id2")
+    want = {
+        (r["id"], r["cluster_id"])
+        for r in dedup_clusters(df.select("doc_id"), pairs, id_col="doc_id").collect()
+    }
+    assert got == want
+    assert len(got) == 64  # one row per input doc, linear output
+    # all 61 copies/near-dups of doc 0 share cluster 0
+    assert sum(1 for _id, c in got if c == 0) >= 61
+
+    # the flood: naive banding pairs the 61 identical docs quadratically;
+    # the collapsed rep corpus contributes exactly one row per content
+    naive_cands = minhash_lsh_candidates(
+        minhash_signatures(df, "doc_id", "text", 64, 3), 16, 4
+    ).count()
+    assert naive_cands >= 61 * 60 // 2  # quadratic in the clone count
+    distinct_sigs = minhash_signatures(
+        df.select("text").distinct().withColumn(
+            "doc_id", F.xxhash64("text")
+        ),
+        "doc_id", "text", 64, 3,
+    )
+    rep_cands = minhash_lsh_candidates(distinct_sigs, 16, 4).count()
+    assert rep_cands <= 6  # pairs among 4 distinct contents only
