@@ -63,6 +63,47 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def collapse_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-collapse pre-step for ANY pairwise near-dedup: returns
+    ``(reps, mapping)`` where ``reps`` is one row per DISTINCT content
+    (representative id = min id, original columns preserved) and
+    ``mapping`` is (id, rep_id) for every input row.
+
+    Every similarity kernel in this module is a pure function of
+    content, so byte-identical documents are interchangeable — and every
+    PAIRWISE generator (MinHash banding, SimHash blocks, PPJoin prefix
+    index) degenerates to E^2/2 candidates on an E-clone flood because
+    all E copies share every join key. Run the kernel over ``reps`` and
+    lift the result back through ``mapping`` (see `minhash_assign` for
+    the packaged MinHash composition and `lift_assignments` for the
+    lift). tools/smoke_clone_flood.py measures the law this avoids.
+    """
+    docs = df.withColumnRenamed(id_col, "__cid")
+    mapping = docs.select(
+        F.col("__cid").alias("id"), F.md5(F.col(text_col)).alias("__dg")
+    )
+    reps_ids = mapping.groupBy("__dg").agg(F.min("id").alias("rep_id"))
+    reps = (
+        reps_ids.join(docs, reps_ids.rep_id == docs.__cid)
+        .drop("__cid", "__dg")
+        .withColumnRenamed("rep_id", id_col)
+    )
+    return reps, reps_ids.join(mapping, "__dg").select("id", "rep_id")
+
+
+def lift_assignments(
+    mapping: DataFrame, rep_assign: DataFrame, rep_id_col: str = "id"
+) -> DataFrame:
+    """Lift a rep-space (id, cluster_id) assignment (e.g. from
+    `dedup_clusters` over pairs generated on `collapse_exact` reps) back
+    to every original document: (id, cluster_id), linear output."""
+    return mapping.join(
+        rep_assign.withColumnRenamed(rep_id_col, "rep_id"), "rep_id"
+    ).select("id", "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact) via inverted-index join
 # ---------------------------------------------------------------------------
@@ -543,32 +584,25 @@ def minhash_assign(
     part of the training-data pipeline surface (Lee et al. 2022 dedup
     practice: exact-collapse precedes MinHash).
     """
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col))
-    # digest -> representative (min doc id); persisted: feeds the rep
-    # corpus AND the final map-back join
-    ids = docs.select("id", F.md5(F.col(text_col)).alias("dg")).persist()
-    reps = ids.groupBy("dg").agg(F.min("id").alias("rep_id")).persist()
-    rep_docs = reps.join(
-        docs.withColumnRenamed("id", "rep_id"), "rep_id"
-    ).select(F.col("rep_id").alias(id_col), text_col)
+    reps, mapping = collapse_exact(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+    )
+    # the rep corpus feeds signatures AND the cluster vertex set; the
+    # mapping feeds the final lift — persist both across those consumers
+    reps = reps.persist()
+    mapping = mapping.persist()
     pairs = minhash_dedup_pairs(
-        rep_docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        reps, id_col=id_col, text_col=text_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, n=n,
     ).select("id1", "id2")
     rep_clusters = dedup_clusters(
-        rep_docs.select(id_col), pairs, id_col=id_col,
+        reps.select(id_col), pairs, id_col=id_col,
         max_rounds=max_rounds, max_driver_edges=max_driver_edges,
     )
-    out = (
-        ids.join(reps, "dg")
-        .join(rep_clusters.withColumnRenamed("id", "rep_id"), "rep_id")
-        .select("id", "cluster_id")
-    )
-    # materialize before unpersist so the joins don't recompute upstream
-    out = out.persist()
-    out.count()
-    ids.unpersist()
+    out = lift_assignments(mapping, rep_clusters).persist()
+    out.count()  # materialize before releasing the upstream caches
     reps.unpersist()
+    mapping.unpersist()
     return out
 
 

@@ -2375,3 +2375,44 @@ def test_minhash_assign_equivalent_and_clone_flood_safe(spark):
     )
     rep_cands = minhash_lsh_candidates(distinct_sigs, 16, 4).count()
     assert rep_cands <= 6  # pairs among 4 distinct contents only
+
+
+def test_collapse_exact_composes_with_simhash(spark):
+    """collapse_exact + any pairwise kernel + lift_assignments: the
+    SimHash composition gives the same clusters as running SimHash on the
+    raw corpus, with the clone flood collapsed out of the pair join."""
+    from sneldb_spark.pipeline.dedup import (
+        collapse_exact,
+        dedup_clusters,
+        lift_assignments,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "totally different words about columnar storage engines",
+    ]
+    rows = [(i, texts[i]) for i in range(3)]
+    rows += [(50 + i, texts[0]) for i in range(30)]  # clone flood
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reps, mapping = collapse_exact(df)
+    assert reps.count() == 3  # one per distinct content
+    assert mapping.count() == 33
+
+    def clusters(corpus):
+        fps = simhash_fingerprints(corpus)
+        pairs = simhash_near_pairs(fps, max_hamming=12).select("id1", "id2")
+        return dedup_clusters(corpus.select("doc_id"), pairs, id_col="doc_id")
+
+    lifted = {
+        (r["id"], r["cluster_id"])
+        for r in lift_assignments(mapping, clusters(reps)).collect()
+    }
+    naive = {
+        (r["id"], r["cluster_id"]) for r in clusters(df).collect()
+    }
+    assert lifted == naive
+    assert len(lifted) == 33
