@@ -4947,7 +4947,11 @@ WHERE NOT is_b AND mt IS NOT NULL GROUP BY k""",
         "plot_breakdown": f"""WITH {_EV_CTE},
 p AS (SELECT {day} AS bucket, k, count(*) AS purchase_count FROM ev
       WHERE event_type = 'purchase' GROUP BY bucket, k),
-c AS (SELECT {day} AS bucket, k, sum(value_cents) AS click_total_value_cents FROM ev
+c AS (SELECT {day} AS bucket, k,
+             -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas always
+             -- renders float64; at sf1 the outer join has no NULLs, so
+             -- the spark side arrives int64 and the kinds diverge
+             CAST(sum(value_cents) AS BIGINT) AS click_total_value_cents FROM ev
       WHERE event_type = 'click' GROUP BY bucket, k)
 SELECT COALESCE(p.bucket, c.bucket) AS bucket, COALESCE(p.k, c.k) AS k,
        purchase_count, click_total_value_cents
