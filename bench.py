@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_minhash_cross",
+    "dedup_minhash_assign",
     "dedup_simhash",
     "dedup_span_removal",
     "dedup_line_boilerplate",
@@ -111,6 +112,7 @@ BENCH_QUERIES = [
     "text_novelty",
     "text_bpe_pairs",
     "text_bpe_encode",
+    "text_unigram_encode",
     "text_lm_score",
     "text_repetition",
     "text_pii_redact",
