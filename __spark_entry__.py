@@ -3151,6 +3151,7 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3217,6 +3218,7 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3278,6 +3280,7 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3372,6 +3375,7 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3466,6 +3470,7 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3530,6 +3535,7 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         frame.unpersist()
+        db.close()  # join background SHOW folds before deleting the root
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -4054,7 +4060,7 @@ def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_assign_sql(rounds: int = 16) -> str:
     return f"""
-WITH dg_map AS MATERIALIZED (SELECT doc_id, md5(text) AS dg FROM documents),
+WITH dg_map AS MATERIALIZED (SELECT doc_id, md5(coalesce(text, '')) AS dg FROM documents),
 reps AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM dg_map GROUP BY dg),
 rep_documents AS MATERIALIZED (
   SELECT r.rep_id AS doc_id, d.text
@@ -4510,32 +4516,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r8: code changed this round first — the six lifecycle gates run the
-    # incremental-refresh path whose flush-commit visibility race was
-    # fixed (store._flushing + epoch-consistent frames), and the five
-    # pruned-read gates exercise read_topk/read_for_context, now built
-    # through the same consistent-frame guard with hidden-path-filtered
-    # footer sweeps
-    "text_unigram_encode",  # NEW this round (unigram-LM tokenizer)
-    "dedup_minhash_assign",  # NEW this round (clone-flood-safe assign)
+    # r9: code changed this round first — SHOW is now serve-then-refresh
+    # (stored ∪ delta returned immediately, background fold; the six
+    # lifecycle gates run that path end-to-end), engines default to the
+    # grace storage backend, and collapse_exact/minhash_assign digest
+    # NULL text as '' (the r8 ADVICE contract fix)
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
-    "order_limit_offset", "order_multi", "for_context",
-    "replay_context", "replay_typed",
-    # then the rest of the r5-stale tier (VERDICT r7 rotation item: all
-    # 36 gates whose latest driver row is r5 cycle through this window)
-    "agg_multi", "agg_per_month_naive", "agg_percentile", "compare_daily",
-    "dedup_line_boilerplate", "dedup_simhash", "embedding_kmeans",
-    "filter_in_not", "filter_parens", "filter_string_ops",
-    "return_projection", "sampling_training_shuffle", "since_bound",
-    "streaming_seq_followed_by", "streaming_seq_preceded_by",
-    "text_novelty", "text_quality", "until_bound",
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19",
-    # remaining slots: the oldest of the r6 tier
-    "agg_count_by", "agg_count_unique", "agg_order_limit", "agg_per_day",
-    "corpus_stats", "decontaminate", "dedup_clusters",
+    "dedup_minhash_assign",
+    # then the full r6-stale tier (VERDICT r8 rotation item: all 36
+    # gates whose latest driver row is r6 cycle through this window)
+    "dedup_clusters", "dedup_ngram_jaccard", "embedding_near_pairs",
+    "embedding_quantize", "events_sessionize", "filter_where",
+    "multimodal_audio", "multimodal_resize", "pack_sequences",
+    "plot_breakdown", "semantic_dedup", "seq_agg", "seq_chain",
+    "seq_followed_by", "seq_funnel_report", "seq_preceded_by",
+    "seq_using_time", "seq_where_sides", "seq_within_window",
+    "similarity_ivf_indexed", "similarity_ivf_topk", "similarity_lsh_topk",
+    "similarity_topk", "text_bpe_pairs", "text_chunk", "text_langid",
+    "text_pii_redact", "text_repetition", "text_tokens_fingerprint",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21",
+    "tpch_q22",
+    # remaining slots: the oldest of the r7 tier
+    "agg_count_field", "agg_per_hour_by", "agg_per_week", "agg_per_year",
+    "agg_per_year_naive", "compare_three", "corpus_curation",
     # (tools/check_correctness.py still verifies ALL entries locally
     # every round; the driver window samples 50.)
 ]

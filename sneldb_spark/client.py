@@ -389,6 +389,33 @@ class SnelDBClient:
         """Run a read command and return its normalized records."""
         return self._execute(command).rows
 
+    def execute_stream(self, command: str):
+        """Run one command and yield its JSON protocol frames AS THEY
+        ARRIVE (TCP/Unix line protocol): schema first, then
+        batch frames, then the end/ok/error terminal. The caller sees
+        the first data frame at server time-to-first-frame — the
+        latency SHOW's serve-then-refresh path optimizes — instead of
+        after the full drain `execute` does. JSON output format only."""
+        if self._kind != "tcp" or not isinstance(self._tcp, _TcpTransport):
+            raise ClientError("execute_stream requires a tcp:// or unix:// client")
+        if self.output_format != "json":
+            raise ClientError("execute_stream requires output_format='json'")
+        line = self._format_tcp(command.strip())
+        io = self._tcp._io
+        io.write((line + "\n").encode())
+        io.flush()
+        while True:
+            raw = io.readline()
+            if not raw:
+                raise ClientConnectionError("connection closed mid-response")
+            try:
+                frame = json.loads(raw)
+            except ValueError as e:
+                raise ClientConnectionError(f"bad frame: {raw[:80]!r}") from e
+            yield frame
+            if frame.get("type") in ("end", "ok", "error"):
+                return
+
     def _execute(self, command: str) -> ClientResult:
         command = command.strip()
         if self._kind == "tcp":

@@ -106,6 +106,13 @@ class EngineConfig:
     # stream_sequence chain state layout: 0 = one state row per link key;
     # >0 = hash-bucketed vectorized matcher (streaming/sequence.py)
     stream_key_buckets: int = 0
+    # [materialize] serve_first: SHOW on append-only segment shapes
+    # returns `stored ∪ delta` immediately (first frames stream at
+    # storage-read latency — reference StoredFrameStreamer parity,
+    # src/command/handlers/show/orchestrator.rs:123-170) and folds the
+    # delta into the stored layout on a background thread; false =
+    # refresh-then-serve (SHOW blocks on the full delta persist)
+    materialize_serve_first: bool = True
     # [schema] allow_core_shadow: accept payload fields named after core
     # columns (timestamp/event_id/...) by storing them under
     # "payload_<name>" — reference-compat for scenarios whose payloads
@@ -165,6 +172,9 @@ def load_config(path_or_dict) -> EngineConfig:
         )
     cfg.gc_grace_versions = int(st.get("gc_grace_versions", 1))
 
+    mat = doc.get("materialize", {})
+    cfg.materialize_serve_first = mat.get("serve_first", True)
+
     ext = doc.get("extensions", {})
     cfg.approx_count_unique = ext.get("approx_count_unique", False)
     cfg.approx_percentiles = ext.get("approx_percentiles", False)
@@ -202,7 +212,6 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         auth = AuthManager(
             path=os.path.join(cfg.data_dir, "auth.json"), config=cfg.auth
         )
-    storage = None
     if cfg.storage_backend == "grace":
         from sneldb_spark.store.storage import grace_local_storage
 
@@ -212,6 +221,13 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
         storage = grace_local_storage(
             cfg.data_dir, gc_grace_versions=cfg.gc_grace_versions
         )
+    else:
+        # explicit [storage] backend = "local" opt-in: the leaner
+        # rename-publish swap for single-threaded scratch use (the
+        # engine default is grace — see SnelDB.__init__)
+        from sneldb_spark.store.storage import LOCAL
+
+        storage = LOCAL
     return SnelDB(spark, cfg.data_dir, time_config=cfg.time, auth=auth, wal=cfg.wal,
                   storage=storage,
                   wal_archive_dir=cfg.wal_archive_dir,
@@ -223,7 +239,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
                   sequence_slices=cfg.sequence_slices,
                   multi_link=cfg.multi_link,
                   stream_key_buckets=cfg.stream_key_buckets,
-                  allow_core_shadow=cfg.allow_core_shadow)
+                  allow_core_shadow=cfg.allow_core_shadow,
+                  materialize_serve_first=cfg.materialize_serve_first)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:

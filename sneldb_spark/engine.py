@@ -60,9 +60,23 @@ class SnelDB:
         stream_key_buckets: int = 0,
         storage=None,
         allow_core_shadow: bool = False,
+        materialize_serve_first: bool = True,
     ):
         self.spark = spark
         self.root = root
+        # Default storage backend: GRACE (versioned prefixes + pointer
+        # flip, store/storage.py grace_local_storage) for embedded
+        # engines too, not just served ones — the rename-publish
+        # LocalStorage loses files under an in-flight reader racing
+        # flush-auto-compaction (soak-reproduced, soak_local_r8.json),
+        # and an embedded user reading from one thread while another
+        # flushes hits exactly that. Pass storage=LOCAL explicitly for
+        # single-threaded scratch work where the leaner rename swap is
+        # fine.
+        if storage is None:
+            from sneldb_spark.store.storage import grace_local_storage
+
+            storage = grace_local_storage(root)
         # [extensions] stream_key_buckets: coarse stateful grouping for
         # stream_sequence chains (streaming/sequence.py `key_buckets`) —
         # 0 keeps the one-state-row-per-link layout; >0 multiplexes links
@@ -95,7 +109,9 @@ class SnelDB:
         # for a lake deployment. The EVENT segment store stays on its own
         # append-only layout (Spark reads it like any lake prefix); only
         # the swap-published materialization dirs need the protocol.
-        self.materializer = Materializer(self, root, storage=storage)
+        self.materializer = Materializer(
+            self, root, storage=storage, serve_first=materialize_serve_first
+        )
         self.auth = auth
         # Write commands are serialized: their work (parse, validate,
         # WAL append, memtable insert) is pure Python, and concurrent
@@ -143,6 +159,20 @@ class SnelDB:
         """Parse+compile a read command, returning the DataFrame."""
         cmd = parse_command(text)
         return self.compiler.compile(cmd)
+
+    def close(self) -> None:
+        """Settle the engine for teardown: join in-flight background
+        materialization folds (serve-then-refresh SHOW schedules them)
+        so nothing is still writing when the caller deletes the data
+        dir. Idempotent; the Spark session is NOT stopped (it is shared
+        and caller-owned)."""
+        self.materializer.quiesce()
+
+    def __enter__(self) -> "SnelDB":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def df(self, event_type: str) -> DataFrame:
         """An event type's full table as a plain DataFrame (segments plus

@@ -81,8 +81,13 @@ def collapse_exact(
     lift). tools/smoke_clone_flood.py measures the law this avoids.
     """
     docs = df.withColumnRenamed(id_col, "__cid")
+    # NULL text digests as '' (coalesce) so NULL-text rows collapse with
+    # ''-text rows instead of vanishing from the __dg equi-joins — the
+    # signature kernels treat text as (text or ''), and this preserves
+    # the one-row-per-input contract of minhash_assign.
     mapping = docs.select(
-        F.col("__cid").alias("id"), F.md5(F.col(text_col)).alias("__dg")
+        F.col("__cid").alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__dg"),
     )
     reps_ids = mapping.groupBy("__dg").agg(F.min("id").alias("rep_id"))
     reps = (
@@ -599,8 +604,12 @@ def minhash_assign(
         reps.select(id_col), pairs, id_col=id_col,
         max_rounds=max_rounds, max_driver_edges=max_driver_edges,
     )
-    out = lift_assignments(mapping, rep_clusters).persist()
-    out.count()  # materialize before releasing the upstream caches
+    # localCheckpoint (eager) materializes the result BEFORE the upstream
+    # caches are released, like persist()+count() would — but the blocks
+    # are owned by the returned DataFrame's lineage and reclaimed by the
+    # ContextCleaner when it is garbage-collected, so repeated calls
+    # don't accumulate session-lifetime cached partitions.
+    out = lift_assignments(mapping, rep_clusters).localCheckpoint(eager=True)
     reps.unpersist()
     mapping.unpersist()
     return out

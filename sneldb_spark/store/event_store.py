@@ -99,16 +99,24 @@ class EventStore:
         allow_core_shadow: bool = False,
         storage=None,
     ):
-        from sneldb_spark.store.storage import LOCAL
-
         self.spark = spark
         self.root = root
-        # directory-swap backend (store/storage.py): LocalStorage by
-        # default, ObjectStoreStorage for a lake deployment — used by the
+        # directory-swap backend (store/storage.py): GRACE by default —
+        # versioned prefixes + pointer flip keep a superseded segment
+        # copy readable for in-flight plans, which any engine that reads
+        # from one thread while another flushes/auto-compacts needs (the
+        # rename-publish LocalStorage loses files to a concurrent
+        # compaction publish; soak-reproduced in soak_local_r8.json).
+        # Pass storage=LOCAL explicitly for single-threaded scratch use,
+        # or an ObjectStoreStorage for a lake deployment. Used by the
         # compaction publish, open-time recovery, and the footer sweeps;
         # event appends and reads go through resolve() so a pointer-flip
-        # compaction stays transparent
-        self.storage = storage or LOCAL
+        # compaction stays transparent.
+        if storage is None:
+            from sneldb_spark.store.storage import grace_local_storage
+
+            storage = grace_local_storage(root)
+        self.storage = storage
         self.registry = registry or SchemaRegistry(
             os.path.join(root, "schemas.json"),
             allow_core_shadow=allow_core_shadow,

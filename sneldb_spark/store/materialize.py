@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,12 +40,28 @@ from sneldb_spark.errors import MaterializationError
 
 
 class Materializer:
-    def __init__(self, engine, root: str, storage=None):
+    def __init__(self, engine, root: str, storage=None, serve_first: bool = True):
         from sneldb_spark.store.storage import LOCAL
 
         self.engine = engine
         self.root = os.path.join(root, "materialized")
         self.storage = storage if storage is not None else LOCAL
+        # serve-then-refresh SHOW (reference parity:
+        # src/command/handlers/show/orchestrator.rs:123-170 — the
+        # StoredFrameStreamer spawns BEFORE the delta pipeline, so
+        # time-to-first-frame is a storage read, not a refresh): for the
+        # append-only segment shapes (plain / sequence / chain event
+        # results) SHOW returns `stored-segments ∪ lazily-computed-delta`
+        # immediately and folds the delta into the stored layout on a
+        # background thread. Aggregate/COMPARE shapes stay synchronous —
+        # their result is a state MERGE, not an append, so there is no
+        # stored-first stream to serve.
+        self.serve_first = serve_first
+        self._fold_lock = threading.Lock()
+        self._fold_threads: dict[str, threading.Thread] = {}
+        # (name, exception) pairs from background folds — folds never
+        # raise into the serving thread; quiesce() surfaces them
+        self.fold_errors: list[tuple[str, Exception]] = []
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -53,6 +71,56 @@ class Materializer:
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        """Atomic manifest replace (tmp + os.replace): SHOW serves from
+        the published manifest while a background fold commits a new one,
+        so a reader must never see a truncated file."""
+        p = self._manifest_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)
+
+    # -- background fold machinery (serve-then-refresh SHOW) ---------------
+    def _schedule_fold(self, name: str, fn) -> bool:
+        """Start `fn` on a per-name background thread. One fold per name
+        at a time: if one is in flight, skip — the serve path already
+        computed its frame from the PUBLISHED state and lower bound, and
+        the next stale SHOW re-schedules from wherever the running fold
+        lands. Never blocks the serving thread."""
+        with self._fold_lock:
+            t = self._fold_threads.get(name)
+            if t is not None and t.is_alive():
+                return False
+
+            def run():
+                try:
+                    fn()
+                except Exception as e:  # surfaced via quiesce()/describe()
+                    self.fold_errors.append((name, e))
+
+            t = threading.Thread(
+                target=run, name=f"sneldb-mat-fold-{name}", daemon=True
+            )
+            self._fold_threads[name] = t
+            t.start()
+            return True
+
+    def quiesce(self, name: str | None = None) -> list[tuple[str, Exception]]:
+        """Join in-flight background folds (all names, or one) and return
+        any recorded fold errors. Lifecycle operations that delete or
+        rewrite a materialization's directories (forget, compact) call
+        this first so a fold never writes into a removed tree."""
+        with self._fold_lock:
+            threads = [
+                t
+                for n, t in self._fold_threads.items()
+                if (name is None or n == name)
+            ]
+        for t in threads:
+            t.join()
+        return [e for e in self.fold_errors if name is None or e[0] == name]
 
     # -- helpers ----------------------------------------------------------
     def _source_hwm(self, q) -> tuple[int, int]:
@@ -732,8 +800,7 @@ class Materializer:
                     manifest,
                 ).write.mode("overwrite").parquet(path)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self.engine.spark.read.parquet(path).count()
         if self._agg_incrementable(q, manifest):
             # Materialize the RESULT from the partial state's finalize so
@@ -759,8 +826,7 @@ class Materializer:
                 stored_state, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self.engine.spark.read.parquet(path).count()
         elif self._incrementable(q) and max_rows is None and max_age_seconds is None:
             # retention-free event materializations use the append-only
@@ -778,38 +844,33 @@ class Materializer:
             self._write_state_hwm(path, hwm_ts, hwm_id)
             manifest["segments"] = True
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self._read_segments(path).count()
         elif self._chain_agg_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_chain_agg(name, q, manifest, path)
             manifest["seq_state"] = True
             manifest["chain_steps"] = len(q.sequence.event_types)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self.engine.spark.read.parquet(path).count()
         elif self._chain_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_chain(name, q, path)
             manifest["seq_state"] = True
             manifest["chain_steps"] = len(q.sequence.event_types)
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self._read_segments(path).count()
         elif self._seq_agg_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_sequence_agg(name, q, manifest, path)
             manifest["seq_state"] = True
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self.engine.spark.read.parquet(path).count()
         elif self._seq_incrementable(q, manifest):
             hwm_ts, hwm_id = self._remember_sequence(name, q, path)
             manifest["seq_state"] = True
             manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
             return self._read_segments(path).count()
         else:
             # same probe-then-closed-read ordering as the COMPARE branch
@@ -820,8 +881,7 @@ class Materializer:
             )
             df.write.mode("overwrite").parquet(path)
         manifest["hwm_ts"], manifest["hwm_id"] = hwm_ts, hwm_id
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(name, manifest)
         return self.engine.spark.read.parquet(path).count()
 
     def _remember_sequence(self, name: str, q, path: str) -> tuple[int, int]:
@@ -1030,8 +1090,12 @@ class Materializer:
         dirs alike (resolve is identity on the latter)."""
         d = self._live(state_dir)
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "_hwm.json"), "w") as f:
+        # atomic replace: the serve-first path reads this marker while a
+        # background fold advances it
+        tmp = os.path.join(d, "_hwm.json.tmp")
+        with open(tmp, "w") as f:
             json.dump({"ts": int(hwm_ts), "id": int(hwm_id)}, f)
+        os.replace(tmp, os.path.join(d, "_hwm.json"))
 
     def _read_state_hwm(self, state_dir: str):
         p = os.path.join(self._live(state_dir), "_hwm.json")
@@ -1160,6 +1224,200 @@ class Materializer:
         self._swap_in(merge_sides(c.queries, labels, finals), path)
 
     # -- SHOW -------------------------------------------------------------
+    # -- serve-then-refresh builders ---------------------------------------
+    # Interval segments are named d_{lower_ts}_{lower_id} after the slice
+    # lower bound they cover ((lower, cur]); `base` is the initial
+    # REMEMBER result. A serve frame at published lower L reads base plus
+    # every segment named STRICTLY below L and computes (L, cur] itself —
+    # so a fold's already-committed-but-unmarked segment (named exactly
+    # L) is never double-counted, and nothing is missed.
+    _SEG_NAME = re.compile(r"^d_(-?\d+)_(-?\d+)$")
+
+    def _segment_files_before(self, path: str, lower: tuple[int, int]) -> list[str]:
+        live = self._live(path)
+        files = []
+        for f in self.storage.walk_parquet(path):
+            rel = os.path.relpath(f, live)
+            top = rel.split(os.sep)[0]
+            m = self._SEG_NAME.match(top)
+            if m and (int(m.group(1)), int(m.group(2))) >= tuple(lower):
+                continue
+            files.append(f)
+        return files
+
+    def _stored_union(self, path: str, lower: tuple[int, int], delta: DataFrame) -> DataFrame:
+        """stored-segments-below-lower ∪ delta, lazily. The file listing
+        is pinned at build time; the background fold only ADDS segment
+        dirs, so the stored read never loses files under it."""
+        files = self._segment_files_before(path, lower)
+        if not files:
+            return delta
+        stored = (
+            self.engine.spark.read.option("mergeSchema", "true").parquet(*files)
+        )
+        return stored.unionByName(delta, allowMissingColumns=True)
+
+    def _pin(self, p: str) -> DataFrame:
+        """Read a (small by design) state dir and eagerly localCheckpoint
+        it: the serve frame must not reference state FILES that the
+        background fold's state publish may GC before the frame is
+        consumed. Checkpoint blocks are reclaimed when the frame is
+        garbage-collected."""
+        return self.engine.spark.read.parquet(p).localCheckpoint(eager=True)
+
+    def _published_lower(self, manifest: dict, marker_dir: str) -> tuple[int, int]:
+        """max(manifest hwm, state marker) — the same recovery rule every
+        refresh path applies. `marker_dir` must be the ALREADY-RESOLVED
+        physical dir whose state files the caller reads, so marker and
+        state always come from one immutable published snapshot."""
+        lower = manifest["hwm_ts"], manifest["hwm_id"]
+        marker = self._read_state_hwm(marker_dir)
+        if marker is not None and tuple(marker) > tuple(lower):
+            lower = tuple(marker)
+        return lower
+
+    def _serve_plain(self, q, path: str, lower, cur) -> DataFrame:
+        from sneldb_spark.plans.filters import hwm_at_or_before
+
+        delta = self._delta_slice(
+            self.engine.compiler.compile_query(q).where(hwm_at_or_before(*cur)),
+            *lower,
+        )
+        return self._stored_union(path, lower, delta)
+
+    def _serve_seq(self, q, path: str, state_d: str, lower, cur) -> DataFrame:
+        from sneldb_spark.plans.sequence import sequence_match
+
+        a, b, kind, link, _ts_a, _ts_b = self._seq_sides(q, upper=cur)
+        a_cand = self._pin(os.path.join(state_d, "pending_a")).unionByName(
+            self._delta_slice(a, *lower), allowMissingColumns=True
+        )
+        b_cand = self._pin(os.path.join(state_d, "boundary_b")).unionByName(
+            self._delta_slice(b, *lower), allowMissingColumns=True
+        )
+        pairs = sequence_match(a_cand, b_cand, link, kind)
+        return self._stored_union(path, lower, self._within_pairs(q, pairs))
+
+    def _serve_chain(self, q, path: str, state_d: str, lower, cur) -> DataFrame:
+        frames, _types, _kinds, link = self.engine.compiler.chain_parts(
+            q, upper=cur
+        )
+        n = len(frames)
+        cols = [f.columns for f in frames]
+        deltas = [self._delta_slice(f, *lower) for f in frames]
+        cands = [None] * n
+        for j in range(1, n):
+            cands[j] = self._pin(
+                os.path.join(state_d, f"boundary_{j}")
+            ).unionByName(deltas[j], allowMissingColumns=True)
+        awaiting = self._pin(os.path.join(state_d, "pending_s0")).unionByName(
+            deltas[0], allowMissingColumns=True
+        )
+        advanced = self._chain_first(awaiting, cands[1], link, cols[0], cols[1])
+        for i in range(1, n - 1):
+            await_i = self._pin(
+                os.path.join(state_d, f"pending_s{i}")
+            ).unionByName(advanced, allowMissingColumns=True)
+            advanced = self._chain_step(await_i, cands[i + 1], link, i, cols[i + 1])
+        return self._stored_union(path, lower, self._within_chain(q, advanced, n))
+
+    def _refresh_plain_segments(self, name: str, q, manifest: dict, path: str,
+                                cur: tuple[int, int]):
+        """Fold the (lower, cur] slice of a plain segment-layout
+        materialization into an interval segment + advance the marker
+        (the body the first show() branch always ran; now also the
+        background fold for serve-first)."""
+        from sneldb_spark.plans.filters import hwm_at_or_before
+
+        lower = self._published_lower(manifest, path)
+        delta_df = self._delta_slice(
+            self.engine.compiler.compile_query(q).where(hwm_at_or_before(*cur)),
+            *lower,
+        )
+        # deterministic interval name: a crashed refresh overwrites its
+        # own segment; marker written after, so a crash between the two
+        # just reruns the same idempotent slice
+        seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
+        delta_df.write.mode("overwrite").parquet(seg)
+        self._write_state_hwm(path, *cur)
+
+    def _fold_and_commit(self, name: str, q, manifest: dict, path: str,
+                         cur: tuple[int, int], refresh_fn, marker_dir: str):
+        """Background-fold body: run the refresh, then commit the
+        manifest hwm — the same ordering the sync path uses. Folds are
+        serialized per name (one thread at a time), so re-reading the
+        published lower here is authoritative: a SHOW that raced the
+        previous fold's commit schedules a redundant fold, and this
+        check turns it into a no-op instead of an idempotent re-run."""
+        with open(self._manifest_path(name)) as f:
+            m = json.load(f)
+        if tuple(self._published_lower(m, marker_dir)) >= tuple(cur):
+            return
+        refresh_fn(name, q, m, path, cur)
+        m["hwm_ts"], m["hwm_id"] = cur
+        self._write_manifest(name, m)
+
+    def _try_serve_first(self, name: str, q, manifest: dict, path: str,
+                         cur: tuple[int, int]):
+        """If (and only if) the stale materialization is one of the
+        append-only segment shapes, build the `stored ∪ delta` serve
+        frame, schedule the background fold, and return the frame;
+        None routes the caller to the synchronous ladder. The dispatch
+        predicates mirror show()'s ladder order exactly."""
+        if self._incrementable(q) and manifest.get("segments"):
+            lower = self._published_lower(manifest, path)
+            serve = self._serve_plain(q, path, lower, cur)
+            self._schedule_fold(
+                name,
+                lambda: self._fold_and_commit(
+                    name, q, dict(manifest), path, cur,
+                    self._refresh_plain_segments, path,
+                ),
+            )
+            return serve
+        if self._incrementable(q):
+            return None  # non-segment plain layout: replace semantics
+        # agg shapes (state merges) stay synchronous — ladder order:
+        # seq_agg and chain_agg are checked BEFORE chain/seq there, and
+        # both require state_keys, which the event-shaped layouts never
+        # set, so falling through on them is dispatch-equivalent.
+        if manifest.get("state_keys") is not None or manifest["query"].get(
+            "compare"
+        ):
+            return None
+        state_d = self._live(self._state_path(name))
+        if (
+            self._chain_incrementable(q, manifest)
+            and manifest.get("seq_state")
+            and os.path.exists(os.path.join(state_d, "pending_s0"))
+        ):
+            lower = self._published_lower(manifest, state_d)
+            serve = self._serve_chain(q, path, state_d, lower, cur)
+            self._schedule_fold(
+                name,
+                lambda: self._fold_and_commit(
+                    name, q, dict(manifest), path, cur, self._refresh_chain,
+                    self._state_path(name),
+                ),
+            )
+            return serve
+        if (
+            self._seq_incrementable(q, manifest)
+            and manifest.get("seq_state")
+            and os.path.exists(os.path.join(state_d, "pending_a"))
+        ):
+            lower = self._published_lower(manifest, state_d)
+            serve = self._serve_seq(q, path, state_d, lower, cur)
+            self._schedule_fold(
+                name,
+                lambda: self._fold_and_commit(
+                    name, q, dict(manifest), path, cur, self._refresh_sequence,
+                    self._state_path(name),
+                ),
+            )
+            return serve
+        return None
+
     def show(self, name: str) -> DataFrame:
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
@@ -1181,26 +1439,17 @@ class Materializer:
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
-        if stale and self._incrementable(q) and manifest.get("segments"):
-            from sneldb_spark.plans.filters import hwm_at_or_before
-
-            # marker overrides a manifest that a crash left stale
-            lower = manifest["hwm_ts"], manifest["hwm_id"]
-            marker = self._read_state_hwm(path)
-            if marker is not None and tuple(marker) > tuple(lower):
-                lower = marker
-            delta_df = self._delta_slice(
-                self.engine.compiler.compile_query(q).where(
-                    hwm_at_or_before(cur_ts, cur_id)
-                ),
-                *lower,
+        if stale and self.serve_first:
+            served = self._try_serve_first(
+                name, q, manifest, path, (cur_ts, cur_id)
             )
-            # deterministic interval name: a crashed refresh overwrites
-            # its own segment; marker written after, so a crash between
-            # the two just reruns the same idempotent slice
-            seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
-            delta_df.write.mode("overwrite").parquet(seg)
-            self._write_state_hwm(path, cur_ts, cur_id)
+            if served is not None:
+                return served
+
+        if stale and self._incrementable(q) and manifest.get("segments"):
+            self._refresh_plain_segments(
+                name, q, manifest, path, (cur_ts, cur_id)
+            )
         elif stale and self._incrementable(q):
             delta_df = self._delta_slice(
                 self.engine.compiler.compile_query(q),
@@ -1262,8 +1511,7 @@ class Materializer:
 
         if stale:
             manifest["hwm_ts"], manifest["hwm_id"] = cur_ts, cur_id
-            with open(self._manifest_path(name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            self._write_manifest(name, manifest)
         if manifest.get("segments") or (
             manifest.get("seq_state") and manifest.get("state_keys") is None
         ):
@@ -1305,6 +1553,10 @@ class Materializer:
             "hwm_ts": manifest["hwm_ts"],
             "hwm_id": manifest["hwm_id"],
             "stale": tuple(cur) != (manifest["hwm_ts"], manifest["hwm_id"]),
+            "fold_in_flight": (
+                (t := self._fold_threads.get(name)) is not None and t.is_alive()
+            ),
+            "fold_errors": sum(1 for n, _ in self.fold_errors if n == name),
         }
 
     def forget(self, name: str):
@@ -1313,6 +1565,9 @@ class Materializer:
         config changes; a managed store needs an explicit drop.)"""
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
+        # a background fold writing into a tree being deleted would
+        # resurrect directories (its manifest commit recreates exists())
+        self.quiesce(name)
         self.storage.remove_tree(self._dir(name))
 
     def compact(self, name: str):
@@ -1330,6 +1585,9 @@ class Materializer:
         group-count-sized table."""
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
+        # compaction rewrites the segment layout a fold appends into —
+        # let any in-flight fold land first
+        self.quiesce(name)
         path = os.path.join(self._dir(name), "data")
         self.storage.recover_dir(path)
         with open(self._manifest_path(name)) as f:

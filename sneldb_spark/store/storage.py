@@ -54,6 +54,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 import time
 from collections.abc import Iterator
 
@@ -300,7 +301,12 @@ class FaultInjectingObjectClient(ObjectClient):
       analogue of the local backend's crash matrix.
 
     Determinism: pass a seeded ``random.Random`` as `rng`; the draw
-    sequence is then a pure function of the op sequence.
+    sequence is then a pure function of the op sequence. Counter and rng
+    access is lock-guarded, so the class is safe to share across writer
+    threads (the soak does); under concurrency the op ORDER is whatever
+    the thread schedule produces, so determinism holds per-op-sequence,
+    not per-wall-clock-run. IO and the latency sleep happen outside the
+    lock — concurrent round trips don't serialize.
     """
 
     def __init__(
@@ -325,14 +331,25 @@ class FaultInjectingObjectClient(ObjectClient):
         self.crash_exc = crash_exc
         self.op_count = 0  # round trips attempted (crash sweep index)
         self.transients_injected = 0
+        self._lock = threading.Lock()
 
     def _round_trip(self, op, *args):
         """One faultable request/response cycle around `op`."""
-        self.op_count += 1
-        n = self.op_count
+        with self._lock:
+            self.op_count += 1
+            n = self.op_count
+            crash = self.fail_at_op is not None and n == self.fail_at_op
+            inject = (
+                not crash
+                and self.rng is not None
+                and self.rng.random() < self.transient_rate
+            )
+            op_done = inject and self.rng.random() < 0.5
+            if inject:
+                self.transients_injected += 1
         if self.latency_s:
             time.sleep(self.latency_s)
-        if self.fail_at_op is not None and n == self.fail_at_op:
+        if crash:
             if self.fail_side == "after":
                 # the op lands (even if it would have raised, e.g. a GET
                 # on a missing key) and THEN the process dies — the crash
@@ -344,9 +361,7 @@ class FaultInjectingObjectClient(ObjectClient):
                         f"simulated crash at op {n} (after)"
                     ) from None
             raise self.crash_exc(f"simulated crash at op {n} (before)")
-        if self.rng is not None and self.rng.random() < self.transient_rate:
-            self.transients_injected += 1
-            op_done = self.rng.random() < 0.5
+        if inject:
             if op_done:
                 op(*args)
             raise ObjectStoreTransientError(

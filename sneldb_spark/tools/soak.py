@@ -80,6 +80,59 @@ def _pctl(xs: list[float], q: float) -> float:
     return xs[min(len(xs) - 1, int(q * len(xs)))]
 
 
+def _version_dirs(path: str) -> int:
+    """Count grace/object versioned-prefix dirs (`*.vN`) under `path`."""
+    import re as _re
+
+    n = 0
+    pat = _re.compile(r"\.v\d+$")
+    for _dp, dirnames, _f in os.walk(path):
+        n += sum(1 for d in dirnames if pat.search(d))
+    return n
+
+
+def _proc_reader_main(url: str, duration: float, out: str) -> int:
+    """Separate-PROCESS reader (spawned by run_soak): a client loop in
+    its own interpreter proves the grace window holds across processes,
+    not just threads — a reader that shares no locks, no memtable
+    references, and no Spark session with the server."""
+    from sneldb_spark.client import SnelDBClient
+
+    rng = random.Random(43)
+    queries = [
+        'QUERY soak_evt WHERE plan = "plan05" LIMIT 50',
+        "QUERY soak_click COUNT",
+        "REPLAY FOR w1c17",
+        "QUERY soak_evt TOTAL n",
+    ]
+    lat: list[float] = []
+    errs: list[str] = []
+    t_end = time.monotonic() + duration
+    try:
+        with SnelDBClient(url, timeout=600.0) as c:
+            while time.monotonic() < t_end:
+                q = queries[rng.randrange(len(queries))]
+                t0 = time.monotonic()
+                r = c.try_execute(q)
+                lat.append(time.monotonic() - t0)
+                if not r.ok:
+                    errs.append(f"{q} -> {r.message}")
+                    break
+                time.sleep(2.0)
+    except Exception as e:  # noqa: BLE001 — report, don't crash silently
+        errs.append(repr(e))
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "reads": len(lat),
+                "errors": errs[:10],
+                "read_p95_s": round(_pctl(lat, 0.95), 3),
+            },
+            f,
+        )
+    return 1 if errs else 0
+
+
 def run_soak(
     *,
     duration: float = 120.0,
@@ -213,6 +266,10 @@ def run_soak(
             errors.append(f"flusher: {e!r}")
 
     show_lat: list[float] = []
+    # time-to-first-frame per SHOW: how long until the FIRST data frame
+    # crosses the wire — the serve-then-refresh latency (the full drain
+    # of an ever-growing result is throughput, not responsiveness)
+    show_ttff: list[float] = []
 
     def shower():
         try:
@@ -226,8 +283,19 @@ def run_soak(
                 while not stop.wait(show_every):
                     for name in ("soak_counts", "soak_seq"):
                         t0 = time.monotonic()
-                        c.execute(f"SHOW {name}")
+                        first = None
+                        for frame in c.execute_stream(f"SHOW {name}"):
+                            if first is None and frame.get("type") in (
+                                "batch", "end", "error",
+                            ):
+                                first = time.monotonic() - t0
+                            if frame.get("type") == "error":
+                                errors.append(
+                                    f"shower: SHOW {name} -> {frame.get('message')}"
+                                )
+                                return
                         show_lat.append(time.monotonic() - t0)
+                        show_ttff.append(first if first is not None else 0.0)
         except Exception as e:  # pragma: no cover
             errors.append(f"shower: {e!r}")
 
@@ -269,6 +337,11 @@ def run_soak(
                     "t": round(time.monotonic() - t_start, 1),
                     "acked": dict(acked),
                     "segment_parquet_files": _parquet_files(ev_dir),
+                    "total_parquet_files": _parquet_files(root),
+                    # versioned-prefix accumulation (grace/object publish
+                    # protocol): the suspect behind the r8 object-backend
+                    # read-p95 growth — sampled to profile it
+                    "version_dirs": _version_dirs(root),
                     "wal_bytes": _dir_bytes(os.path.join(root, "wal")),
                     "archive_bytes": _dir_bytes(os.path.join(root, "archive")),
                     "pending_rows": pending,
@@ -276,6 +349,22 @@ def run_soak(
                     "read_p95_s": round(_pctl(recent, 0.95), 3),
                 }
             )
+
+    # separate-PROCESS reader: its own interpreter + client connection,
+    # sharing nothing with the server process but the TCP socket and the
+    # on-disk grace protocol
+    import subprocess
+
+    proc_out = os.path.join(root, "proc_reader.json")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "sneldb_spark.tools.soak",
+            "--proc-reader", url,
+            "--proc-duration", str(duration),
+            "--proc-out", proc_out,
+        ],
+        env={**os.environ, "PYTHONPATH": os.pathsep.join(sys.path)},
+    )
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(writers)]
     threads += [
@@ -292,6 +381,11 @@ def run_soak(
         stop.set()
         for t in threads:
             t.join()
+    try:
+        proc_rc = proc.wait(timeout=300)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        proc.kill()
+        proc_rc = -9
 
     # final settle: flush + compact, then measure the converged state
     db.store.flush()
@@ -347,12 +441,42 @@ def run_soak(
     first_p95 = _pctl([d for _t, d in lats[:third]], 0.95)
     last_p95 = _pctl([d for _t, d in lats[-third:]], 0.95)
     checks["I5_latency_stable"] = {
-        "ok": last_p95 <= max(4 * first_p95, first_p95 + 2.0),
+        # r9: tightened from 4x to 2x (VERDICT r8 #3 — the object
+        # backend's 30.7→51.8s drift passed the old generous bound);
+        # +1.0s absolute floor keeps sub-second baselines from failing
+        # on shared-host jitter alone
+        "ok": last_p95 <= max(2 * first_p95, first_p95 + 1.0),
         "first_third_p95_s": round(first_p95, 3),
         "last_third_p95_s": round(last_p95, 3),
         "reads": len(lats),
         "show_p95_s": round(_pctl(show_lat, 0.95), 3),
         "shows": len(show_lat),
+    }
+    # I6: SHOW time-to-first-frame — serve-then-refresh must put first
+    # bytes on the wire at storage-read latency even under full ingest
+    # (reference StoredFrameStreamer parity). Fault lanes pay injected
+    # per-round-trip latency on the storage protocol ops, so the bound
+    # scales there.
+    ttff_limit = 2.0 if not (fault_rate or fault_latency_ms) else 5.0
+    ttff_p95 = _pctl(show_ttff, 0.95)
+    checks["I6_show_ttff"] = {
+        "ok": not show_ttff or ttff_p95 < ttff_limit,
+        "ttff_p95_s": round(ttff_p95, 3),
+        "ttff_max_s": round(max(show_ttff), 3) if show_ttff else 0.0,
+        "limit_s": ttff_limit,
+        "shows": len(show_ttff),
+    }
+    # I7: the separate-process reader saw zero failed reads
+    proc_summary = {}
+    if os.path.exists(proc_out):
+        with open(proc_out, encoding="utf-8") as f:
+            proc_summary = json.load(f)
+    checks["I7_multiprocess_reader"] = {
+        "ok": proc_rc == 0
+        and not proc_summary.get("errors")
+        and proc_summary.get("reads", 0) > 0,
+        "exit_code": proc_rc,
+        **proc_summary,
     }
     checks["no_thread_errors"] = {"ok": not errors, "errors": errors[:10]}
 
@@ -382,6 +506,11 @@ def run_soak(
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    # hidden lane: run as the separate-process reader run_soak spawns
+    ap.add_argument("--proc-reader", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--proc-duration", type=float, default=120.0,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--proc-out", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--duration", type=float, default=120.0)
     ap.add_argument("--backend", choices=("grace", "local", "object"), default="grace")
     ap.add_argument("--writers", type=int, default=4)
@@ -394,6 +523,10 @@ def main():
     ap.add_argument("--fault-latency-ms", type=float, default=0.0,
                     help="object backend only: per-round-trip latency")
     args = ap.parse_args()
+    if args.proc_reader:
+        sys.exit(
+            _proc_reader_main(args.proc_reader, args.proc_duration, args.proc_out)
+        )
     summary = run_soak(
         duration=args.duration,
         backend=args.backend,

@@ -1051,11 +1051,15 @@ def test_sequence_event_refresh_is_crash_idempotent(spark, tmp_path):
     store("signup", "u2"); store("purchase", "u2")
     db.execute("FLUSH")
     assert db.execute("SHOW fx").df.count() == 2
+    # serve-first SHOW folds in the background: join it so the manifest
+    # rollback below actually simulates a crash AFTER the state swap
+    assert db.materializer.quiesce("fx") == []
 
     post = _json.loads(mpath.read_text())
     post["hwm_ts"], post["hwm_id"] = pre["hwm_ts"], pre["hwm_id"]
     mpath.write_text(_json.dumps(post))
     assert db.execute("SHOW fx").df.count() == 2  # not 3/4
+    assert db.materializer.quiesce("fx") == []
 
     store("signup", "u3"); store("purchase", "u3")
     db.execute("FLUSH")

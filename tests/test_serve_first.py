@@ -1,0 +1,273 @@
+"""Serve-then-refresh SHOW (reference StoredFrameStreamer parity,
+src/command/handlers/show/orchestrator.rs:123-170) and the grace default
+for embedded engines.
+
+The contract under test: on the append-only segment shapes (plain /
+sequence / chain event results) a stale SHOW returns `stored ∪ delta`
+immediately — exact as of the probed high-water mark — while the delta
+folds into the stored layout on a background thread. Values must be
+exact whether the caller consumes the frame before, during, or after the
+fold; lifecycle ops (FORGET, compact) must quiesce the fold first.
+"""
+
+import json
+import threading
+import time
+
+import pytest
+
+
+def _mk_db(spark, tmp_path, **kw):
+    from sneldb_spark.engine import SnelDB
+
+    clock = {"now": 1_700_000_000}
+
+    def tick():
+        clock["now"] += 1
+        return clock["now"]
+
+    db = SnelDB(spark, str(tmp_path / "db"), clock=tick, **kw)
+    return db
+
+
+def _store(db, et, ctx, payload):
+    db.execute(f"STORE {et} FOR {ctx} PAYLOAD {json.dumps(payload)}")
+
+
+def test_serve_first_plain_segments_exact_and_folds(spark, tmp_path):
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    for i in range(10):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mp")
+    for i in range(10, 16):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+
+    df = db.execute("SHOW mp").df
+    assert df.count() == 16  # exact before/despite the background fold
+    assert db.materializer.quiesce("mp") == []
+    # fold landed: manifest advanced, a second SHOW is not stale and
+    # serves the folded segments with the same values
+    assert not db.materializer.describe("mp")["stale"]
+    assert db.execute("SHOW mp").df.count() == 16
+    # second delta round folds on top of the first fold's segments
+    for i in range(16, 20):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW mp").df.count() == 20
+    assert db.materializer.quiesce("mp") == []
+    assert db.execute("SHOW mp").df.count() == 20
+
+
+def test_serve_first_sequence_exact_across_fold_rounds(spark, tmp_path):
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    for i in range(6):
+        _store(db, "signup", f"s{i}", {"user_id": f"u{i}"})
+        _store(db, "purchase", f"p{i}", {"user_id": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute(
+        "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY user_id AS ms"
+    )
+    for i in range(6, 10):
+        _store(db, "signup", f"s{i}", {"user_id": f"u{i}"})
+        _store(db, "purchase", f"p{i}", {"user_id": f"u{i}"})
+    db.execute("FLUSH")
+
+    served = db.execute("SHOW ms").df
+    # the serve frame is self-contained: consuming it AFTER the fold
+    # published new state must still give exactly the snapshot values
+    assert db.materializer.quiesce("ms") == []
+    assert served.count() == 10
+    assert db.execute("SHOW ms").df.count() == 10
+    # a SHOW with no new data schedules nothing and serves the segments
+    assert not db.materializer.describe("ms")["fold_in_flight"]
+
+
+def test_serve_first_chain_and_forget_quiesces(spark, tmp_path):
+    db = _mk_db(spark, tmp_path, multi_link=True)
+    for t in ("a", "b", "c"):
+        db.execute(f'DEFINE {t} FIELDS {{ "u": "string" }}')
+    for i in range(5):
+        for t in ("a", "b", "c"):
+            _store(db, t, f"x{i}{t}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute(
+        "REMEMBER QUERY a FOLLOWED BY b FOLLOWED BY c LINKED BY u AS mc"
+    )
+    for i in range(5, 8):
+        for t in ("a", "b", "c"):
+            _store(db, t, f"x{i}{t}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW mc").df.count() == 8
+    # FORGET must join the in-flight fold, then fully remove the tree —
+    # a late fold commit would otherwise resurrect manifest.json
+    db.execute("FORGET mc")
+    assert not db.materializer.exists("mc")
+    time.sleep(0.2)
+    assert not db.materializer.exists("mc")
+
+
+def test_serve_first_show_returns_while_fold_pending(spark, tmp_path):
+    """The serving thread never blocks on the fold: with the fold thread
+    deliberately stalled, SHOW still returns and its frame is exact."""
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    for i in range(4):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mslow")
+    for i in range(4, 7):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+
+    gate = threading.Event()
+    orig = db.materializer._refresh_plain_segments
+
+    def stalled(*a, **kw):
+        gate.wait(timeout=30)
+        return orig(*a, **kw)
+
+    db.materializer._refresh_plain_segments = stalled
+    try:
+        df = db.execute("SHOW mslow").df
+        assert db.materializer.describe("mslow")["fold_in_flight"]
+        # manifest has NOT advanced (fold stalled) but values are exact
+        assert df.count() == 7
+        assert db.materializer.describe("mslow")["stale"]
+        # a second stale SHOW while the fold is stalled serves exactly,
+        # skips scheduling a duplicate fold
+        assert db.execute("SHOW mslow").df.count() == 7
+    finally:
+        gate.set()
+        db.materializer._refresh_plain_segments = orig
+    assert db.materializer.quiesce("mslow") == []
+    assert not db.materializer.describe("mslow")["stale"]
+    assert db.execute("SHOW mslow").df.count() == 7
+
+
+def test_sync_mode_opt_out(spark, tmp_path):
+    """materialize_serve_first=False restores refresh-then-serve: after
+    SHOW returns, the manifest is already advanced."""
+    db = _mk_db(spark, tmp_path, materialize_serve_first=False)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS msync")
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW msync").df.count() == 2
+    assert not db.materializer.describe("msync")["stale"]
+    assert not db.materializer.describe("msync")["fold_in_flight"]
+
+
+def test_embedded_default_storage_is_grace(spark, tmp_path):
+    """VERDICT r8 #2: an embedded SnelDB / EventStore constructed without
+    a storage argument defaults to the grace backend (versioned prefixes
+    + pointer flip), not the rename-publish LocalStorage whose
+    reader-vs-compaction race the r8 soak reproduced."""
+    from sneldb_spark.store.event_store import EventStore
+    from sneldb_spark.store.storage import ObjectStoreStorage
+
+    db = _mk_db(spark, tmp_path)
+    assert isinstance(db.store.storage, ObjectStoreStorage)
+    assert isinstance(db.materializer.storage, ObjectStoreStorage)
+    es = EventStore(spark, str(tmp_path / "es"))
+    assert isinstance(es.storage, ObjectStoreStorage)
+
+
+def test_embedded_threaded_reader_vs_flush_compact(spark, tmp_path):
+    """The r8 soak's reader-vs-compaction crash, embedded (no server
+    wrapper): one thread REPLAYs in a loop while another ingests with
+    flush-auto-compaction on. On the (now default) grace backend every
+    read must succeed on a consistent snapshot."""
+    db = _mk_db(spark, tmp_path, auto_compact_files=2)
+    db.execute('DEFINE ev FIELDS { "u": "string", "n": "int" }')
+    _store(db, "ev", "c0", {"u": "u0", "n": 0})
+    db.execute("FLUSH")
+
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = db.execute("QUERY ev").df.count()
+                assert n >= 1
+            except Exception as e:  # noqa: BLE001 — the failure under test
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 30):
+            _store(db, "ev", f"c{i}", {"u": f"u{i}", "n": i})
+            if i % 3 == 0:
+                db.execute("FLUSH")  # repeatedly trips auto-compaction
+        db.execute("FLUSH")
+    finally:
+        stop.set()
+        t.join()
+    assert errors == []
+    assert db.execute("QUERY ev").df.count() == 30
+
+
+def test_collapse_exact_keeps_null_text_rows(spark):
+    """ADVICE r8 (medium): NULL text must digest as '' so NULL-text rows
+    collapse with ''-text rows instead of vanishing from the mapping —
+    minhash_assign keeps its one-row-per-input contract."""
+    from sneldb_spark.pipeline.dedup import collapse_exact, minhash_assign
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "hello world"), (5, None)],
+        "doc_id long, text string",
+    )
+    reps, mapping = collapse_exact(df)
+    assert mapping.count() == 5  # every input row mapped
+    m = {r["id"]: r["rep_id"] for r in mapping.collect()}
+    assert m[2] == m[3] == m[5] == 2  # NULL and '' share one rep (min id)
+    assert m[1] == m[4] == 1
+    out = minhash_assign(df, threshold=0.9)
+    assert out.count() == 5
+    by_id = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert by_id[2] == by_id[3] == by_id[5]
+    assert by_id[1] == by_id[4]
+
+
+def test_fault_client_thread_safe_counters(tmp_path):
+    """ADVICE r8 (low): concurrent round trips must not undercount
+    op_count/transients_injected (lock-guarded draw section)."""
+    import random
+
+    from sneldb_spark.store.storage import (
+        DirObjectClient,
+        FaultInjectingObjectClient,
+        ObjectStoreTransientError,
+    )
+
+    bucket = str(tmp_path / "obj")
+    inner = DirObjectClient(bucket)
+    client = FaultInjectingObjectClient(
+        inner, rng=random.Random(7), transient_rate=0.3
+    )
+    n_threads, per_thread = 8, 200
+
+    def worker(k):
+        for i in range(per_thread):
+            try:
+                client.put(f"{bucket}/t{k}/k{i}", b"x")
+            except ObjectStoreTransientError:
+                pass
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert client.op_count == n_threads * per_thread
+    # rate 0.3 over 1600 draws: a huge margin around the mean (~480)
+    assert 300 < client.transients_injected < 700
