@@ -847,6 +847,126 @@ def semantic_dedup(
     )
 
 
+_CROSS_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("new_id", T.LongType()),
+        T.StructField("ref_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
+def semantic_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All NEW x REF pairs with cosine >= threshold (exact, blocked) —
+    the embedding analogue of `minhash_cross_pairs`: incremental
+    semantic dedup checks a new batch against an already-curated corpus
+    WITHOUT re-pairing the reference against itself.
+
+    Each side blocks independently on xxhash64(id); a new row in block
+    i is replicated to every (i, j) group and a ref row in block j to
+    every (i, j) group, so each cross pair meets in exactly ONE group —
+    one float64 GEMM per group, only above-threshold pairs emitted.
+    Shuffle volume is n_blocks * (|new| + |ref|) rows; ref-vs-ref and
+    new-vs-new work is never done (that is the whole point — at 100 TB
+    the reference corpus dominates and re-blocking it quadratically per
+    increment would swamp the delta's own cost).
+    """
+    olist = F.array(*[F.lit(i) for i in range(n_blocks)])
+    new = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("bn"),
+        F.lit(0).alias("side"),
+    ).select("id", "v", "side", "bn", F.explode(olist).alias("br"))
+    ref = ref_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("br"),
+        F.lit(1).alias("side"),
+    ).select("id", "v", "side", F.explode(olist).alias("bn"), "br")
+    rep = new.unionByName(ref)
+
+    def score_pair(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        nmask = pdf["side"].to_numpy() == 0
+        new_ids = pdf["id"].to_numpy()[nmask]
+        ref_ids = pdf["id"].to_numpy()[~nmask]
+        if not len(new_ids) or not len(ref_ids):
+            return pd.DataFrame(columns=["new_id", "ref_id", "sim"])
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        new_unit, ref_unit = unit[nmask], unit[~nmask]
+        parts = []
+        # chunk the new side: the sims slab stays chunk x |ref-block|
+        # (<=160 MB), same accounting as embedding_near_pairs
+        chunk = max(64, int(20_000_000 / max(1, len(ref_ids))))
+        for s in range(0, len(new_ids), chunk):
+            sims = new_unit[s : s + chunk] @ ref_unit.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            ii, jj = np.nonzero(sims >= threshold)
+            if not len(ii):
+                continue
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "new_id": new_ids[s + ii],
+                        "ref_id": ref_ids[jj],
+                        "sim": sims[ii, jj],
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(columns=["new_id", "ref_id", "sim"])
+        return pd.concat(parts, ignore_index=True)
+
+    return rep.groupBy("bn", "br").applyInPandas(
+        score_pair, schema=_CROSS_PAIR_SCHEMA
+    )
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """One row per NEW vector: (id, ref_matches, best_sim, is_novel) —
+    is_novel = no reference vector within the cosine threshold. The
+    curated-corpus growth step is `new.where(is_novel)`; the reference
+    corpus is scanned once per increment and never self-joined."""
+    pairs = semantic_cross_pairs(
+        new_df, ref_df, threshold, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, n_blocks=n_blocks,
+    )
+    agg = pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("ref_matches"),
+        F.max("sim").alias("best_sim"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(agg, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce(F.col("ref_matches"), F.lit(0)).alias("ref_matches"),
+            F.col("best_sim"),
+            F.col("ref_matches").isNull().alias("is_novel"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index: cluster-partitioned Parquet + file-level probe pruning
 # ---------------------------------------------------------------------------

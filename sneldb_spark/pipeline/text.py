@@ -1105,3 +1105,117 @@ def unigram_encode(
         ]
     )
     return ensure_min_partitions(df).mapInPandas(enc_fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear classifier inference (hashed n-gram bag -> classes)
+# ---------------------------------------------------------------------------
+
+def hashed_linear_weights(
+    spark, num_buckets: int, num_classes: int, scale: int = 1000
+):
+    """Deterministic synthetic weight table (bucket, class, w) for the
+    hashed linear classifier: w = (md5int(bucket ':' class) % (2*scale+1)
+    - scale) / scale, reproducible bit-for-bit in any engine with md5
+    (the DuckDB oracle regenerates it from the same formula). A real
+    deployment replaces this with offline-trained weights loaded from
+    Parquet — the inference path below does not care where the table
+    came from."""
+    classes = F.explode(F.array(*[F.lit(c) for c in range(num_classes)]))
+    key = F.concat(
+        F.col("bucket").cast("string"), F.lit(":"), F.col("class").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .select("bucket", classes.alias("class"))
+        .select(
+            "bucket",
+            "class",
+            ((h % (2 * scale + 1) - scale) / float(scale)).alias("w"),
+        )
+    )
+
+
+def fasttext_classify(
+    df,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    round_digits: int = 4,
+):
+    """fastText-style LINEAR text-classifier inference, pure codegen:
+    tokenize, hash unigrams (+ bigrams) into `num_buckets`, mean-pool the
+    per-class weights of the document's feature bag, pick the argmax
+    class (ties -> lowest class id). This is the shape the production
+    quality-filter stacks deploy next to the CCNet LM (a trained linear
+    classifier over hashed n-gram bags, cf. fastText / DCLM quality
+    filters); training happens offline — inference is the corpus-scale
+    pass, and here it is three narrow JVM stages: explode features, one
+    broadcast join against the weight table, one (id, class) partial
+    aggregation. No Python in the hot path.
+
+    `weights` is (bucket long, class int, w double); buckets absent from
+    the table contribute 0 (inner join drops them, the mean divides by
+    the FULL feature count either way). Returns one row per input doc:
+    (id, label, score) with label null for docs with no token hitting
+    the table. Scale: the weight table is num_buckets x num_classes
+    rows — a few million at most, the definition of broadcast-able; the
+    corpus-side explode is linear in token count and feeds a partial
+    (map-side) aggregation, so the only shuffle is group-count-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    feats = F.col("__toks")
+    if bigrams:
+        # guard size<2: Spark's sequence(1, 0) DESCENDS ([1, 0]), which
+        # would fabricate null bigrams for single-token docs
+        bi = F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(F.col("__toks"), bi)
+    base = base.select(
+        "__id", feats.alias("__feats")
+    ).withColumn("__n", F.size("__feats"))
+    ex = base.where(F.col("__n") > 0).select(
+        "__id", "__n", F.explode("__feats").alias("__feat")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+    scored = (
+        ex.withColumn("bucket", bucket)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("__id", "class")
+        .agg((F.sum("w") / F.max("__n")).alias("__score"))
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("class").asc()
+    )
+    winner = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__id"),
+            F.col("class").alias("label"),
+            F.round("__score", round_digits).alias("score"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(winner, "__id", "left")
+        .select(F.col("__id").alias(id_col), "label", "score")
+    )

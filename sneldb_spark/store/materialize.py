@@ -1265,6 +1265,41 @@ class Materializer:
         garbage-collected."""
         return self.engine.spark.read.parquet(p).localCheckpoint(eager=True)
 
+    @staticmethod
+    def _is_missing_file_err(e: Exception) -> bool:
+        s = str(e)
+        return (
+            "FAILED_READ_FILE" in s
+            or "FileNotFoundException" in s
+            or "PATH_NOT_FOUND" in s
+            or "does not exist" in s
+        )
+
+    def _pin_state_snapshot(self, name: str, manifest: dict,
+                            subdirs: list[str]):
+        """(resolved state dir, lower, {subdir: pinned frame}) from ONE
+        published state snapshot. A concurrent fold's publish can flip
+        the pointer and GC the copy we resolved mid-pin (the grace
+        window is a knob; gc_grace_versions=0 GCs immediately) — the
+        documented reader contract is re-resolve and retry
+        (docs/scale.md read-repair), which is exact here because marker
+        and state re-read together: a newer snapshot means a larger
+        lower and a correspondingly smaller delta."""
+        last: Exception | None = None
+        for _ in range(6):
+            d = self._live(self._state_path(name))
+            lower = self._published_lower(manifest, d)
+            try:
+                pins = {
+                    s: self._pin(os.path.join(d, s)) for s in subdirs
+                }
+                return d, lower, pins
+            except Exception as e:  # noqa: BLE001 — retry only read races
+                if not self._is_missing_file_err(e):
+                    raise
+                last = e
+        raise last
+
     def _published_lower(self, manifest: dict, marker_dir: str) -> tuple[int, int]:
         """max(manifest hwm, state marker) — the same recovery rule every
         refresh path applies. `marker_dir` must be the ALREADY-RESOLVED
@@ -1285,39 +1320,48 @@ class Materializer:
         )
         return self._stored_union(path, lower, delta)
 
-    def _serve_seq(self, q, path: str, state_d: str, lower, cur) -> DataFrame:
+    def _serve_seq(self, name: str, q, manifest: dict, path: str, cur) -> DataFrame:
         from sneldb_spark.plans.sequence import sequence_match
 
+        _d, lower, pins = self._pin_state_snapshot(
+            name, manifest, ["pending_a", "boundary_b"]
+        )
         a, b, kind, link, _ts_a, _ts_b = self._seq_sides(q, upper=cur)
-        a_cand = self._pin(os.path.join(state_d, "pending_a")).unionByName(
+        a_cand = pins["pending_a"].unionByName(
             self._delta_slice(a, *lower), allowMissingColumns=True
         )
-        b_cand = self._pin(os.path.join(state_d, "boundary_b")).unionByName(
+        b_cand = pins["boundary_b"].unionByName(
             self._delta_slice(b, *lower), allowMissingColumns=True
         )
         pairs = sequence_match(a_cand, b_cand, link, kind)
         return self._stored_union(path, lower, self._within_pairs(q, pairs))
 
-    def _serve_chain(self, q, path: str, state_d: str, lower, cur) -> DataFrame:
+    def _serve_chain(self, name: str, q, manifest: dict, path: str, cur) -> DataFrame:
         frames, _types, _kinds, link = self.engine.compiler.chain_parts(
             q, upper=cur
         )
         n = len(frames)
         cols = [f.columns for f in frames]
+        _d, lower, pins = self._pin_state_snapshot(
+            name,
+            manifest,
+            [f"pending_s{i}" for i in range(n - 1)]
+            + [f"boundary_{j}" for j in range(1, n)],
+        )
         deltas = [self._delta_slice(f, *lower) for f in frames]
         cands = [None] * n
         for j in range(1, n):
-            cands[j] = self._pin(
-                os.path.join(state_d, f"boundary_{j}")
-            ).unionByName(deltas[j], allowMissingColumns=True)
-        awaiting = self._pin(os.path.join(state_d, "pending_s0")).unionByName(
+            cands[j] = pins[f"boundary_{j}"].unionByName(
+                deltas[j], allowMissingColumns=True
+            )
+        awaiting = pins["pending_s0"].unionByName(
             deltas[0], allowMissingColumns=True
         )
         advanced = self._chain_first(awaiting, cands[1], link, cols[0], cols[1])
         for i in range(1, n - 1):
-            await_i = self._pin(
-                os.path.join(state_d, f"pending_s{i}")
-            ).unionByName(advanced, allowMissingColumns=True)
+            await_i = pins[f"pending_s{i}"].unionByName(
+                advanced, allowMissingColumns=True
+            )
             advanced = self._chain_step(await_i, cands[i + 1], link, i, cols[i + 1])
         return self._stored_union(path, lower, self._within_chain(q, advanced, n))
 
@@ -1391,8 +1435,7 @@ class Materializer:
             and manifest.get("seq_state")
             and os.path.exists(os.path.join(state_d, "pending_s0"))
         ):
-            lower = self._published_lower(manifest, state_d)
-            serve = self._serve_chain(q, path, state_d, lower, cur)
+            serve = self._serve_chain(name, q, manifest, path, cur)
             self._schedule_fold(
                 name,
                 lambda: self._fold_and_commit(
@@ -1406,8 +1449,7 @@ class Materializer:
             and manifest.get("seq_state")
             and os.path.exists(os.path.join(state_d, "pending_a"))
         ):
-            lower = self._published_lower(manifest, state_d)
-            serve = self._serve_seq(q, path, state_d, lower, cur)
+            serve = self._serve_seq(name, q, manifest, path, cur)
             self._schedule_fold(
                 name,
                 lambda: self._fold_and_commit(

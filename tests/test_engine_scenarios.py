@@ -1193,11 +1193,15 @@ def test_materializer_compact_segments(spark, tmp_path):
         db.execute(f'STORE ev FOR c{i} PAYLOAD {{ "v": {i} }}')
         db.execute("FLUSH")
         db.execute("SHOW ev_all")
+        assert db.materializer.quiesce("ev_all") == []  # fold lands
     data = _os.path.join(str(tmp_path / "db"), "materialized", "ev_all", "data")
-    before = {d for d in _os.listdir(data) if d.startswith("d_")}
+    # resolve(): compaction on the (default) grace backend publishes the
+    # rewritten layout into a versioned sibling prefix
+    live = lambda: db.materializer.storage.resolve(data)  # noqa: E731
+    before = {d for d in _os.listdir(live()) if d.startswith("d_")}
     assert len(before) == 3
     db.materializer.compact("ev_all")
-    after = {d for d in _os.listdir(data) if d.startswith("d_")}
+    after = {d for d in _os.listdir(live()) if d.startswith("d_")}
     assert after == set()
     rows = sorted(r["v"] for r in db.execute("SHOW ev_all").df.collect())
     assert rows == [0, 1, 2, 3]
@@ -1206,7 +1210,8 @@ def test_materializer_compact_segments(spark, tmp_path):
     db.execute("FLUSH")
     rows = sorted(r["v"] for r in db.execute("SHOW ev_all").df.collect())
     assert rows == [0, 1, 2, 3, 9]
-    assert any(d.startswith("d_") for d in _os.listdir(data))
+    assert db.materializer.quiesce("ev_all") == []
+    assert any(d.startswith("d_") for d in _os.listdir(live()))
 
 
 def test_multi_link_chain_extension(spark, tmp_path):

@@ -2416,3 +2416,92 @@ def test_collapse_exact_composes_with_simhash(spark):
     }
     assert lifted == naive
     assert len(lifted) == 33
+
+
+def test_fasttext_classify_matches_python_reference(spark):
+    """Hashed linear classifier inference: the codegen pipeline (explode
+    + broadcast weight join + mean pool + argmax) must equal a plain
+    Python reimplementation on the same weight formula."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sneldb_spark.pipeline.text import fasttext_classify, hashed_linear_weights
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark shuffles partitions across the cluster"),
+        (3, "one"),          # single token: no bigrams
+        (4, ""),             # no tokens at all -> label null
+        (5, None),           # NULL text -> label null
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    nb, nc = 1 << 10, 3
+    w = hashed_linear_weights(spark, nb, nc)
+    out = {r["doc_id"]: (r["label"], r["score"])
+           for r in fasttext_classify(df, w, num_buckets=nb).collect()}
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(bucket: int, c: int) -> float:
+        return (md5int(f"{bucket}:{c}") % 2001 - 1000) / 1000.0
+
+    for doc_id, text in texts:
+        toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            assert out[doc_id] == (None, None)
+            continue
+        scores = {
+            c: sum(weight(md5int(f) % nb, c) for f in feats) / len(feats)
+            for c in range(nc)
+        }
+        label = min(sorted(scores), key=lambda c: (-scores[c], c))
+        assert out[doc_id][0] == label, (doc_id, scores, out[doc_id])
+        assert abs(out[doc_id][1] - round(scores[label], 4)) < 1e-9
+    assert out[1] == out[6]  # identical text -> identical decision
+
+
+def test_semantic_cross_pairs_matches_naive(spark):
+    """Cross-corpus blocked GEMM == naive per-pair cosine; every NEW x
+    REF pair meets exactly once and no same-side pair is emitted."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sneldb_spark.pipeline.similarity import (
+        semantic_cross_pairs,
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new = df.where(F.col("vec_id") < 20)
+    ref = df.where(F.col("vec_id") >= 20)
+    got = {
+        (r["new_id"], r["ref_id"]): r["sim"]
+        for r in semantic_cross_pairs(new, ref, 0.3, n_blocks=4).collect()
+    }
+    unit = vecs.astype("float64")
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    want = {}
+    for i in range(20):
+        for j in range(20, 60):
+            s = round(float(unit[i] @ unit[j]), 4)
+            if s >= 0.3:
+                want[(i, j)] = s
+    assert got == want
+    inc = semantic_dedup_incremental(new, ref, 0.3, n_blocks=4)
+    rows = {r["vec_id"]: r for r in inc.collect()}
+    assert len(rows) == 20  # one row per NEW vector, always
+    for i in range(20):
+        matches = [s for (n, _), s in want.items() if n == i]
+        assert rows[i]["ref_matches"] == len(matches)
+        assert rows[i]["is_novel"] == (not matches)
+        if matches:
+            assert abs(rows[i]["best_sim"] - max(matches)) < 1e-9

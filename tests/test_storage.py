@@ -519,7 +519,14 @@ def test_obj_engine_forget_sweeps_everything(obj_engine):
 # -- engine integration: crashed swap is repaired by SHOW ----------------
 
 
-def test_show_repairs_crashed_swap(engine):
+def test_show_repairs_crashed_swap(spark, tmp_path):
+    # The moved-aside `.old` crash window is a LOCALSTORAGE publish
+    # shape (the grace/object protocol flips a pointer and has no such
+    # window), so this test pins the rename backend explicitly.
+    from sneldb_spark.engine import SnelDB
+    from sneldb_spark.store.storage import LOCAL
+
+    engine = SnelDB(spark, str(tmp_path / "db"), storage=LOCAL)
     engine.execute('DEFINE order FIELDS {"amount": "int"}')
     for i in range(4):
         engine.execute(f'STORE order FOR ctx{i} PAYLOAD {{"amount": {i}}}')
@@ -528,6 +535,7 @@ def test_show_repairs_crashed_swap(engine):
     engine.execute(f'STORE order FOR ctx9 PAYLOAD {{"amount": 9}}')
     engine.execute("FLUSH")
     assert engine.execute("SHOW mat").df.count() == 5
+    engine.close()  # settle the background fold before faking the crash
 
     # simulate a crash mid-publish: live copy moved aside, staged copy
     # not yet promoted (the exact window ADVICE r4 flagged for compact())

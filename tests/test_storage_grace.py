@@ -41,8 +41,11 @@ def _build(spark, root, storage=None):
 
 
 def test_local_storage_loses_inflight_reader_to_compaction(spark, tmp_path):
-    """The motivating defect: rename-based publish + concurrent reader."""
-    db = _build(spark, str(tmp_path / "db"))
+    """The motivating defect: rename-based publish + concurrent reader.
+    LOCAL must now be requested explicitly — engines default to grace."""
+    from sneldb_spark.store.storage import LOCAL
+
+    db = _build(spark, str(tmp_path / "db"), storage=LOCAL)
     df = db.execute("QUERY t").df  # plan lists the pre-compaction files
     db.store.compact("t")
     with pytest.raises(Exception, match="(?i)file|exist"):
