@@ -44,6 +44,19 @@ def _dumps(obj) -> str:
     return json.dumps(obj, separators=(",", ":"))
 
 
+def _row_sources(df: DataFrame):
+    """Iterate a result's rows, part-aware: a serve-then-refresh SHOW
+    attaches `__sneldb_serve_parts__ = (stored, delta)` and the parts
+    stream SEQUENTIALLY — the stored parquet scan's first task puts
+    frames on the wire while the delta's join plan (the expensive
+    planning work) hasn't been paid yet. Same rows, same order as
+    iterating the union plan (stored partitions precede delta
+    partitions there too)."""
+    parts = getattr(df, "__sneldb_serve_parts__", None)
+    for part in parts if parts is not None else (df,):
+        yield from part.toLocalIterator()
+
+
 def json_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterator[str]:
     """Yield JSON frame lines for a result DataFrame."""
     schema = df.schema
@@ -56,7 +69,7 @@ def json_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> Iterat
     )
     total = 0
     batch: list[list] = []
-    for row in df.toLocalIterator():
+    for row in _row_sources(df):
         batch.append([_json_cell(v) for v in row])
         if len(batch) >= batch_size:
             total += len(batch)
@@ -96,7 +109,8 @@ def arrow_ipc_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> I
 
     import pyarrow as pa
 
-    schema = df.limit(0).toArrow().schema
+    probe = getattr(df, "__sneldb_serve_parts__", (df,))[0]
+    schema = probe.limit(0).toArrow().schema
     names = [f.name for f in df.schema.fields]
     sink = io.BytesIO()
     writer = pa.ipc.new_stream(sink, schema)
@@ -117,7 +131,7 @@ def arrow_ipc_frames(df: DataFrame, batch_size: int = STREAMING_BATCH_SIZE) -> I
 
     yield take()  # schema message
     batch: list = []
-    for row in df.toLocalIterator():
+    for row in _row_sources(df):
         batch.append(tuple(row))
         if len(batch) >= batch_size:
             writer.write_batch(to_batch(batch))

@@ -57,6 +57,15 @@ class Materializer:
         # their result is a state MERGE, not an append, so there is no
         # stored-first stream to serve.
         self.serve_first = serve_first
+        # Fold-side segment-count bound: every refresh appends one
+        # interval dir, and the serve path's stored-plan cost (file
+        # listing + mergeSchema footer reads) is linear in the dir
+        # count — a SHOW-every-20s service would otherwise watch its
+        # time-to-first-frame creep. When a fold leaves more than this
+        # many interval segments, it compacts them into a fresh base
+        # (same S7 rationale as the event store's auto_compact_files).
+        # None = manual compact() only.
+        self.auto_compact_segments: int | None = 48
         self._fold_lock = threading.Lock()
         self._fold_threads: dict[str, threading.Thread] = {}
         # (name, exception) pairs from background folds — folds never
@@ -112,11 +121,12 @@ class Materializer:
         any recorded fold errors. Lifecycle operations that delete or
         rewrite a materialization's directories (forget, compact) call
         this first so a fold never writes into a removed tree."""
+        me = threading.current_thread()
         with self._fold_lock:
             threads = [
                 t
                 for n, t in self._fold_threads.items()
-                if (name is None or n == name)
+                if (name is None or n == name) and t is not me
             ]
         for t in threads:
             t.join()
@@ -1248,14 +1258,33 @@ class Materializer:
     def _stored_union(self, path: str, lower: tuple[int, int], delta: DataFrame) -> DataFrame:
         """stored-segments-below-lower ∪ delta, lazily. The file listing
         is pinned at build time; the background fold only ADDS segment
-        dirs, so the stored read never loses files under it."""
+        dirs, so the stored read never loses files under it.
+
+        The returned frame carries `__sneldb_serve_parts__ = (stored,
+        delta)`: the response streamer (response.py) iterates the parts
+        SEQUENTIALLY when present, so the first wire frames need only
+        the stored parquet scan's plan + one file-read task — the
+        delta's join plan (the expensive planning) is paid while stored
+        frames are already flowing. Values and order are identical to
+        iterating the union (stored partitions precede delta partitions
+        in a union plan anyway)."""
         files = self._segment_files_before(path, lower)
         if not files:
             return delta
         stored = (
             self.engine.spark.read.option("mergeSchema", "true").parquet(*files)
         )
-        return stored.unionByName(delta, allowMissingColumns=True)
+        out = stored.unionByName(delta, allowMissingColumns=True)
+        if set(stored.columns) == set(delta.columns):
+            # identical column sets (the norm — one query shape wrote
+            # both): parts stream safely under the union's schema. With
+            # drift (allowMissingColumns filled nulls) skip the split —
+            # correctness over the streaming micro-optimization.
+            out.__sneldb_serve_parts__ = (
+                stored.select(out.columns),
+                delta.select(out.columns),
+            )
+        return out
 
     def _pin(self, p: str) -> DataFrame:
         """Read a (small by design) state dir and eagerly localCheckpoint
@@ -1400,6 +1429,20 @@ class Materializer:
         refresh_fn(name, q, m, path, cur)
         m["hwm_ts"], m["hwm_id"] = cur
         self._write_manifest(name, m)
+        lim = self.auto_compact_segments
+        if lim is not None:
+            try:
+                live = self._live(path)
+                n_seg = sum(
+                    1 for d in os.listdir(live) if self._SEG_NAME.match(d)
+                )
+            except OSError:
+                n_seg = 0
+            if n_seg > lim:
+                # compact() quiesces (self-aware: skips this thread) and
+                # rewrites the interval layout into one base — bounds
+                # the serve path's listing/footer cost at ~lim dirs
+                self.compact(name)
 
     def _try_serve_first(self, name: str, q, manifest: dict, path: str,
                          cur: tuple[int, int]):

@@ -271,3 +271,58 @@ def test_fault_client_thread_safe_counters(tmp_path):
     assert client.op_count == n_threads * per_thread
     # rate 0.3 over 1600 draws: a huge margin around the mean (~480)
     assert 300 < client.transients_injected < 700
+
+
+def test_fold_auto_compacts_segment_layout(spark, tmp_path):
+    """When folds leave more interval segments than the bound, the NEXT
+    fold compacts them into a fresh base — serve-path listing cost stays
+    bounded over an arbitrarily long SHOW cadence."""
+    import os
+
+    db = _mk_db(spark, tmp_path)
+    db.materializer.auto_compact_segments = 3
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mc")
+    for i in range(1, 7):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+        db.execute("FLUSH")
+        assert db.execute("SHOW mc").df.count() == i + 1
+        assert db.materializer.quiesce("mc") == []
+    data = os.path.join(str(tmp_path / "db"), "materialized", "mc", "data")
+    live = db.materializer.storage.resolve(data)
+    n_seg = sum(1 for d in os.listdir(live) if d.startswith("d_"))
+    assert n_seg <= 3 + 1  # compaction fired at least once mid-run
+    assert db.execute("SHOW mc").df.count() == 7
+    # still incremental afterwards
+    _store(db, "ev", "c9", {"u": "u9"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW mc").df.count() == 8
+    assert db.materializer.quiesce("mc") == []
+
+
+def test_serve_parts_stream_stored_first(spark, tmp_path):
+    """The serve frame advertises (stored, delta) parts and the JSON
+    framer streams them with identical total rows."""
+    import json as _json
+
+    from sneldb_spark.response import json_frames
+
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    for i in range(4):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mparts")
+    for i in range(4, 6):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    df = db.execute("SHOW mparts").df
+    parts = getattr(df, "__sneldb_serve_parts__", None)
+    assert parts is not None and len(parts) == 2
+    assert parts[0].columns == df.columns == parts[1].columns
+    frames = [_json.loads(f) for f in json_frames(df)]
+    assert frames[0]["type"] == "schema"
+    assert frames[-1]["type"] == "end" and frames[-1]["row_count"] == 6
+    assert db.materializer.quiesce("mparts") == []
