@@ -337,6 +337,22 @@ class SnelDB:
 
     # -- dispatch ---------------------------------------------------------
     def execute_command(self, cmd: ast.Command, user_id: Optional[str] = None) -> Result:
+        # Scheduler-pool placement for job-running commands (see
+        # session.set_scheduler_pool — FAIR across pools is what keeps a
+        # small SHOW/QUERY's first task from queueing behind a whole
+        # flush job). STORE/DEFINE are pure Python — no jobs, no call.
+        if isinstance(cmd, ast.FlushCommand):
+            from sneldb_spark.session import set_scheduler_pool
+
+            set_scheduler_pool(self.spark, "sneldb-bulk")
+        elif isinstance(
+            cmd,
+            (ast.QueryCommand, ast.ReplayCommand, ast.CompareCommand,
+             ast.ShowCommand, ast.ExplainCommand),
+        ):
+            from sneldb_spark.session import set_scheduler_pool
+
+            set_scheduler_pool(self.spark, "sneldb-serve")
         if isinstance(cmd, ast.DefineCommand):
             if self.auth is not None:
                 self._require_admin(user_id, "define schemas")
@@ -381,7 +397,13 @@ class SnelDB:
                 message=f"remembered query '{cmd.name}'\nrows stored: {n}",
             )
         if isinstance(cmd, ast.ShowCommand):
-            self.store.flush()
+            # NO implicit flush: the refresh's source probe and delta
+            # slice read the memtable exactly like QUERY does (S4
+            # pre-flush visibility), so a SHOW is already exact over
+            # unflushed rows — and a synchronous whole-store parquet
+            # commit on the serve path was the single largest
+            # time-to-first-frame term the soak measured (3-23 s under
+            # ingest, dwarfing the actual refresh).
             return Result(ok=True, df=self.materializer.show(cmd.name))
         if isinstance(cmd, ast.ForgetCommand):
             # FORGET permanently deletes a materialization's data, state,

@@ -50,6 +50,27 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def set_scheduler_pool(spark: SparkSession, pool: str) -> None:
+    """Tag THIS thread's subsequent jobs with a scheduler pool.
+
+    `spark.scheduler.mode=FAIR` alone changes nothing for a
+    single-pool application: fairness is ACROSS pools, and the default
+    pool runs FIFO internally — so a served engine's small read jobs
+    still queue behind whole flush/fold jobs (head-of-line blocking
+    measured at 70+ s SHOW first-frame under saturation). Distinct
+    pools per job class (serve vs bulk) is what actually interleaves
+    them; pools are created on demand with default weight, no
+    allocation file needed. Local properties are per-thread, exactly
+    the granularity the threaded server needs.
+
+    Classic-only API (sparkContext); a Connect session no-ops — pool
+    placement is a server-side scheduling hint, never correctness."""
+    try:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    except Exception:
+        pass
+
+
 def quiet_logs(spark: SparkSession) -> None:
     """Silence executor log chatter for interactive CLI tools.
 

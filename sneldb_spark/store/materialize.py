@@ -104,6 +104,11 @@ class Materializer:
                 return False
 
             def run():
+                from sneldb_spark.session import set_scheduler_pool
+
+                # bulk pool: fold jobs must not head-of-line-block the
+                # serve pool's small first-frame tasks (FAIR across pools)
+                set_scheduler_pool(self.engine.spark, "sneldb-bulk")
                 try:
                     fn()
                 except Exception as e:  # surfaced via quiesce()/describe()
@@ -1271,9 +1276,12 @@ class Materializer:
         files = self._segment_files_before(path, lower)
         if not files:
             return delta
-        stored = (
-            self.engine.spark.read.option("mergeSchema", "true").parquet(*files)
-        )
+        # explicit schema (the delta side's — compiled from the CURRENT
+        # registry): no mergeSchema inference job, no distributed footer
+        # sweep on the serve path. Parquet schema-on-read fills columns
+        # a pre-evolution segment lacks with nulls, the same outcome
+        # unionByName(allowMissingColumns) gives.
+        stored = self.engine.spark.read.schema(delta.schema).parquet(*files)
         out = stored.unionByName(delta, allowMissingColumns=True)
         if set(stored.columns) == set(delta.columns):
             # identical column sets (the norm — one query shape wrote
@@ -1314,14 +1322,30 @@ class Materializer:
         (docs/scale.md read-repair), which is exact here because marker
         and state re-read together: a newer snapshot means a larger
         lower and a correspondingly smaller delta."""
+        from concurrent.futures import ThreadPoolExecutor
+
         last: Exception | None = None
         for _ in range(6):
             d = self._live(self._state_path(name))
             lower = self._published_lower(manifest, d)
             try:
-                pins = {
-                    s: self._pin(os.path.join(d, s)) for s in subdirs
-                }
+                # pin jobs are independent small reads — run them
+                # concurrently (each is a Spark job; serial pins were a
+                # measured second of serve-path latency under load)
+                def pin_in_pool(p: str):
+                    # fresh thread: re-tag the serve pool (local
+                    # properties are per-thread under pinned-thread mode)
+                    from sneldb_spark.session import set_scheduler_pool
+
+                    set_scheduler_pool(self.engine.spark, "sneldb-serve")
+                    return self._pin(p)
+
+                with ThreadPoolExecutor(max_workers=len(subdirs)) as px:
+                    futs = {
+                        s: px.submit(pin_in_pool, os.path.join(d, s))
+                        for s in subdirs
+                    }
+                    pins = {s: f.result() for s, f in futs.items()}
                 return d, lower, pins
             except Exception as e:  # noqa: BLE001 — retry only read races
                 if not self._is_missing_file_err(e):
