@@ -2777,7 +2777,7 @@ _FASTTEXT_SQL = rf"""
 WITH weights AS MATERIALIZED (
   SELECT b.range AS bucket, c.range AS class,
          ((('0x' || substr(md5(b.range || ':' || c.range), 1, 8))::BIGINT
-           % 2001 - 1000) / 1000.0) AS w
+           % 2049 - 1024) / 1024.0) AS w
   FROM range({1 << 14}) b, range(4) c
 ),
 words AS (

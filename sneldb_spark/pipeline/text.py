@@ -1112,7 +1112,7 @@ def unigram_encode(
 # ---------------------------------------------------------------------------
 
 def hashed_linear_weights(
-    spark, num_buckets: int, num_classes: int, scale: int = 1000
+    spark, num_buckets: int, num_classes: int, scale: int = 1024
 ):
     """Deterministic synthetic weight table (bucket, class, w) for the
     hashed linear classifier: w = (md5int(bucket ':' class) % (2*scale+1)
@@ -1120,7 +1120,14 @@ def hashed_linear_weights(
     (the DuckDB oracle regenerates it from the same formula). A real
     deployment replaces this with offline-trained weights loaded from
     Parquet — the inference path below does not care where the table
-    came from."""
+    came from.
+
+    `scale` defaults to a POWER OF TWO on purpose: weights are then
+    dyadic rationals (exact doubles), so a document's weight SUM is
+    exact and independent of Spark's partition-order addition — without
+    this, two engines summing in different orders disagree in the last
+    bits and a round(score, 4) flips on boundary documents (caught at
+    sf1, where 50k docs make such boundaries likely)."""
     classes = F.explode(F.array(*[F.lit(c) for c in range(num_classes)]))
     key = F.concat(
         F.col("bucket").cast("string"), F.lit(":"), F.col("class").cast("string")

@@ -2447,7 +2447,7 @@ def test_fasttext_classify_matches_python_reference(spark):
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
     def weight(bucket: int, c: int) -> float:
-        return (md5int(f"{bucket}:{c}") % 2001 - 1000) / 1000.0
+        return (md5int(f"{bucket}:{c}") % 2049 - 1024) / 1024.0
 
     for doc_id, text in texts:
         toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
