@@ -404,17 +404,42 @@ class SnelDBClient:
         io = self._tcp._io
         io.write((line + "\n").encode())
         io.flush()
-        while True:
+
+        def read_frame() -> dict:
             raw = io.readline()
             if not raw:
                 raise ClientConnectionError("connection closed mid-response")
             try:
-                frame = json.loads(raw)
+                return json.loads(raw)
             except ValueError as e:
                 raise ClientConnectionError(f"bad frame: {raw[:80]!r}") from e
-            yield frame
-            if frame.get("type") in ("end", "ok", "error"):
-                return
+
+        done = False
+        try:
+            while True:
+                frame = read_frame()
+                if frame.get("type") in ("end", "ok", "error"):
+                    done = True
+                    yield frame
+                    return
+                yield frame
+        finally:
+            # Abandoned before the terminal frame (break after measuring
+            # time-to-first-frame, generator GC, exception in the caller):
+            # unread batch frames would otherwise stay buffered and the
+            # NEXT command on this connection would parse them as its own
+            # response. Resync by draining to the terminal frame; if the
+            # drain itself fails, poison the transport so the next call
+            # errors loudly instead of desyncing silently.
+            if not done:
+                try:
+                    while read_frame().get("type") not in ("end", "ok", "error"):
+                        pass
+                except Exception:
+                    try:
+                        self._tcp.close()
+                    except Exception:
+                        pass
 
     def _execute(self, command: str) -> ClientResult:
         command = command.strip()

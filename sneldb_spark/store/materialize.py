@@ -25,6 +25,7 @@ import json
 import os
 import re
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,8 +70,15 @@ class Materializer:
         self._fold_lock = threading.Lock()
         self._fold_threads: dict[str, threading.Thread] = {}
         # (name, exception) pairs from background folds — folds never
-        # raise into the serving thread; quiesce() surfaces them
+        # raise into the serving thread; quiesce() surfaces (and drains)
+        # them, and a later successful fold for the name clears them
         self.fold_errors: list[tuple[str, Exception]] = []
+        # Live serve frames per name (weak: a drained/dropped frame
+        # leaves the set on GC). A serve frame pins its stored file
+        # listing at build time; auto-compaction defers while any are
+        # outstanding so a fold-triggered compact + later publishes
+        # can't GC pinned files under a slow reader.
+        self._serve_frames: dict[str, weakref.WeakSet] = {}
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -92,6 +100,29 @@ class Materializer:
         os.replace(tmp, p)
 
     # -- background fold machinery (serve-then-refresh SHOW) ---------------
+    def _register_serve(self, name: str, frame: DataFrame) -> None:
+        with self._fold_lock:
+            self._serve_frames.setdefault(name, weakref.WeakSet()).add(frame)
+
+    def _serves_outstanding(self, name: str) -> bool:
+        ws = self._serve_frames.get(name)
+        return bool(ws) and len(ws) > 0
+
+    def _fold_in_flight(self, name: str) -> bool:
+        t = self._fold_threads.get(name)
+        return t is not None and t.is_alive() and t is not threading.current_thread()
+
+    def _pinned_lives(self, name: str) -> set[str]:
+        """Physical copy paths still pinned by live serve frames for
+        `name` — passed as keep_live to every data-path publish/recover
+        so compaction GC spares them until their readers drop."""
+        ws = self._serve_frames.get(name)
+        return {
+            p
+            for f in (ws or ())
+            if (p := getattr(f, "__sneldb_pinned_live__", None)) is not None
+        }
+
     def _schedule_fold(self, name: str, fn) -> bool:
         """Start `fn` on a per-name background thread. One fold per name
         at a time: if one is in flight, skip — the serve path already
@@ -111,8 +142,16 @@ class Materializer:
                 set_scheduler_pool(self.engine.spark, "sneldb-bulk")
                 try:
                     fn()
+                    # a committed fold supersedes any earlier transient
+                    # failure for this name — describe() must not report
+                    # a permanently-stale error count
+                    with self._fold_lock:
+                        self.fold_errors = [
+                            e for e in self.fold_errors if e[0] != name
+                        ]
                 except Exception as e:  # surfaced via quiesce()/describe()
-                    self.fold_errors.append((name, e))
+                    with self._fold_lock:
+                        self.fold_errors.append((name, e))
 
             t = threading.Thread(
                 target=run, name=f"sneldb-mat-fold-{name}", daemon=True
@@ -121,11 +160,18 @@ class Materializer:
             t.start()
             return True
 
-    def quiesce(self, name: str | None = None) -> list[tuple[str, Exception]]:
-        """Join in-flight background folds (all names, or one) and return
-        any recorded fold errors. Lifecycle operations that delete or
-        rewrite a materialization's directories (forget, compact) call
-        this first so a fold never writes into a removed tree."""
+    def quiesce(self, name: str | None = None,
+                drain: bool = True) -> list[tuple[str, Exception]]:
+        """Join in-flight background folds (all names, or one) and DRAIN
+        any recorded fold errors (pop-and-return: surfacing an error is
+        consuming it — otherwise one transient failure makes every later
+        quiesce()/describe() for that name report stale errors forever,
+        and forget()+re-REMEMBER inherits the dead materialization's
+        count). Lifecycle operations that delete or rewrite a
+        materialization's directories (forget, compact) call this first
+        so a fold never writes into a removed tree; compact passes
+        drain=False — it quiesces as a side effect and must not swallow
+        errors its caller never sees."""
         me = threading.current_thread()
         with self._fold_lock:
             threads = [
@@ -135,7 +181,17 @@ class Materializer:
             ]
         for t in threads:
             t.join()
-        return [e for e in self.fold_errors if name is None or e[0] == name]
+        with self._fold_lock:
+            drained = [
+                e for e in self.fold_errors if name is None or e[0] == name
+            ]
+            if drain:
+                self.fold_errors = [
+                    e
+                    for e in self.fold_errors
+                    if not (name is None or e[0] == name)
+                ]
+        return drained
 
     # -- helpers ----------------------------------------------------------
     def _source_hwm(self, q) -> tuple[int, int]:
@@ -435,7 +491,7 @@ class Materializer:
         return chains[-1], n, (hwm_ts, hwm_id), cleanup
 
     def _refresh_chain(self, name: str, q, manifest: dict, path: str,
-                       cur: tuple[int, int]):
+                       cur: tuple[int, int], served: dict | None = None):
         """Incremental chain refresh: per-step delta candidates
         (boundary ∪ (lower, cur] slice), stepwise advance of carried +
         newly-formed chains, append completed chains as an interval
@@ -443,10 +499,20 @@ class Materializer:
         awaiting step i had NO eligible candidate at the old mark (the
         match is unconditional — no window), so its first at-or-after
         among boundary ∪ delta IS its first overall; same-second ties
-        ride in via the boundary frames, exactly like the single link."""
-        lower, completed, new_pend, cands, n, cleanup = self._chain_delta_match(
-            name, q, manifest, cur
-        )
+        ride in via the boundary frames, exactly like the single link.
+        With a `served` bundle at the same lower bound, the fold writes
+        the serve path's checkpointed frames — no second advance."""
+        lower = self._published_lower(manifest, self._state_path(name))
+        if served is not None and tuple(served["lower"]) == tuple(lower):
+            completed, new_pend, cands, n = (
+                served["completed"], served["new_pend"],
+                served["cands"], served["n"],
+            )
+            cleanup = lambda: None  # noqa: E731
+        else:
+            lower, completed, new_pend, cands, n, cleanup = (
+                self._chain_delta_match(name, q, manifest, cur)
+            )
         seg = os.path.join(self._live(path), f"d_{lower[0]}_{lower[1]}")
         state = self._state_path(name)
         nxt = self.storage.stage_path(state)
@@ -524,54 +590,30 @@ class Materializer:
 
     def _chain_delta_match(self, name: str, q, manifest: dict,
                            cur: tuple[int, int]):
-        """The shared stepwise delta advance; returns (lower, completed
-        [window-filtered], new_pend frames, cands, n, cleanup)."""
+        """The stepwise delta advance against the PUBLISHED state paths
+        (fold/sync path — the serve path runs the same builder over
+        pinned snapshots); returns (lower, completed [window-filtered],
+        new_pend frames, cands, n, cleanup). cleanup is a no-op kept
+        for call-site symmetry: the per-step advances are GC-scoped
+        lazy localCheckpoints now, not persists."""
         spark = self.engine.spark
         lower = manifest["hwm_ts"], manifest["hwm_id"]
         marker = self._read_state_hwm(self._state_path(name))
         if marker is not None and tuple(marker) > tuple(lower):
             lower = marker
-        frames, types, kinds, link = self.engine.compiler.chain_parts(q, upper=cur)
-        n = len(frames)
-        cols = [f.columns for f in frames]
+        parts = self.engine.compiler.chain_parts(q, upper=cur)
+        n = len(parts[0])
         pend_ps, bound_ps = self._chain_state_paths(name, n)
-        deltas = [self._delta_slice(f, *lower) for f in frames]
-        cands = [None] * n
+        state = {
+            f"pending_s{i}": spark.read.parquet(pend_ps[i])
+            for i in range(n - 1)
+        }
         for j in range(1, n):
-            cands[j] = spark.read.parquet(bound_ps[j]).unionByName(
-                deltas[j], allowMissingColumns=True
-            )
-        awaiting = spark.read.parquet(pend_ps[0]).unionByName(
-            deltas[0], allowMissingColumns=True
-        ).persist()
-        advanced = self._chain_first(awaiting, cands[1], link, cols[0], cols[1]).persist()
-        new_pend = [
-            awaiting.join(
-                advanced.select(F.col("s0_event_id").alias("event_id")),
-                "event_id", "left_anti",
-            )
-        ]
-        persisted = [awaiting, advanced]
-        for i in range(1, n - 1):
-            await_i = spark.read.parquet(pend_ps[i]).unionByName(
-                advanced, allowMissingColumns=True
-            ).persist()
-            advanced = self._chain_step(
-                await_i, cands[i + 1], link, i, cols[i + 1]
-            ).persist()
-            persisted += [await_i, advanced]
-            new_pend.append(
-                await_i.join(
-                    advanced.select("s0_event_id"), "s0_event_id", "left_anti"
-                )
-            )
-        completed = self._within_chain(q, advanced, n)
-
-        def cleanup():
-            for c in persisted:
-                c.unpersist()
-
-        return lower, completed, new_pend, cands, n, cleanup
+            state[f"boundary_{j}"] = spark.read.parquet(bound_ps[j])
+        completed, new_pend, cands, n = self._chain_delta_frames(
+            q, cur, lower, state, parts
+        )
+        return lower, completed, new_pend, cands, n, lambda: None
 
     def _chain_agg_incrementable(self, q, manifest: dict) -> bool:
         """Chain AGGREGATES: completed chains are append-only per refresh
@@ -966,7 +1008,7 @@ class Materializer:
         return hwm_ts, hwm_id
 
     def _refresh_sequence(self, name: str, q, manifest: dict, path: str,
-                          cur: tuple[int, int]):
+                          cur: tuple[int, int], served: dict | None = None):
         """Incremental sequence SHOW: match ONLY (pending A's + delta A's)
         against (boundary B's + delta B's) — never the history. Append-
         ordered server timestamps make this exact: a stored pair can
@@ -986,10 +1028,20 @@ class Materializer:
         marker = self._read_state_hwm(self._state_path(name))
         if marker is not None and tuple(marker) > tuple(lower):
             lower = marker
-        a_cand, b_cand, kind, link = self._seq_delta_candidates(
-            name, q, lower, cur
-        )
-        new_pairs = sequence_match(a_cand, b_cand, link, kind).persist()
+        if served is not None and tuple(served["lower"]) == tuple(lower):
+            # fold from the served bundle: the as-of match was built
+            # (and lazily checkpointed) by the serve path — write those
+            # rows instead of re-running the match
+            a_cand, b_cand = served["a_cand"], served["b_cand"]
+            kind, link = served["kind"], served["link"]
+            new_pairs = served["pairs"]
+        else:
+            a_cand, b_cand, kind, link = self._seq_delta_candidates(
+                name, q, lower, cur
+            )
+            new_pairs = sequence_match(a_cand, b_cand, link, kind).localCheckpoint(
+                eager=False
+            )
 
         new_pending, new_boundary = self._seq_carry_state(
             a_cand, b_cand, kind, link, new_pairs, cur_ts,
@@ -1011,7 +1063,6 @@ class Materializer:
         self._within_pairs(q, new_pairs).write.mode("overwrite").parquet(seg)
         new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
         new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
-        new_pairs.unpersist()
         self._write_state_hwm(nxt, cur[0], cur[1])
         # Publish the state as ONE unit (store/storage.py protocol — the
         # same swap every result dir uses; formerly a bespoke
@@ -1248,17 +1299,30 @@ class Materializer:
     # L) is never double-counted, and nothing is missed.
     _SEG_NAME = re.compile(r"^d_(-?\d+)_(-?\d+)$")
 
-    def _segment_files_before(self, path: str, lower: tuple[int, int]) -> list[str]:
+    def _segment_files_before(
+        self, path: str, lower: tuple[int, int]
+    ) -> tuple[str, list[str]]:
+        # Resolve ONCE and walk the resolved physical copy itself
+        # (resolving an already-physical `dst.vN` dir is the identity).
+        # Resolving twice — once here, once inside walk_parquet(path) —
+        # raced a concurrent auto-compaction publish: the walked files
+        # then relpath'd outside `live` ('../data.vN/...'), the d_*
+        # regex never matched, and a served SHOW silently double-counted
+        # folded rows alongside the recomputed delta.
         live = self._live(path)
         files = []
-        for f in self.storage.walk_parquet(path):
+        for f in self.storage.walk_parquet(live):
             rel = os.path.relpath(f, live)
             top = rel.split(os.sep)[0]
+            if top == os.pardir:
+                raise RuntimeError(
+                    f"segment listing escaped its resolved dir: {f} vs {live}"
+                )
             m = self._SEG_NAME.match(top)
             if m and (int(m.group(1)), int(m.group(2))) >= tuple(lower):
                 continue
             files.append(f)
-        return files
+        return live, files
 
     def _stored_union(self, path: str, lower: tuple[int, int], delta: DataFrame) -> DataFrame:
         """stored-segments-below-lower ∪ delta, lazily. The file listing
@@ -1273,7 +1337,7 @@ class Materializer:
         frames are already flowing. Values and order are identical to
         iterating the union (stored partitions precede delta partitions
         in a union plan anyway)."""
-        files = self._segment_files_before(path, lower)
+        live, files = self._segment_files_before(path, lower)
         if not files:
             return delta
         # explicit schema (the delta side's — compiled from the CURRENT
@@ -1283,6 +1347,11 @@ class Materializer:
         # unionByName(allowMissingColumns) gives.
         stored = self.engine.spark.read.schema(delta.schema).parquet(*files)
         out = stored.unionByName(delta, allowMissingColumns=True)
+        # record WHICH physical copy this frame's listing pins: every
+        # later publish on the data path (compact / recover) passes the
+        # union of live frames' pins as keep_live, so GC never deletes a
+        # copy a registered reader is still streaming from
+        out.__sneldb_pinned_live__ = live
         if set(stored.columns) == set(delta.columns):
             # identical column sets (the norm — one query shape wrote
             # both): parts stream safely under the union's schema. With
@@ -1364,16 +1433,27 @@ class Materializer:
             lower = tuple(marker)
         return lower
 
-    def _serve_plain(self, q, path: str, lower, cur) -> DataFrame:
+    def _serve_plain(self, q, path: str, lower, cur):
+        """(serve frame, fold bundle). The delta slice is lazily
+        localCheckpointed so the serve drain and the background fold
+        SHARE one computation — the fold writes the same rows instead
+        of re-running the slice (reference parity: one delta pipeline
+        feeds both the stream and the persist,
+        src/command/handlers/show/delta/refresher.rs)."""
         from sneldb_spark.plans.filters import hwm_at_or_before
 
         delta = self._delta_slice(
             self.engine.compiler.compile_query(q).where(hwm_at_or_before(*cur)),
             *lower,
-        )
-        return self._stored_union(path, lower, delta)
+        ).localCheckpoint(eager=False)
+        serve = self._stored_union(path, lower, delta)
+        return serve, {"lower": tuple(lower), "delta": delta}
 
-    def _serve_seq(self, name: str, q, manifest: dict, path: str, cur) -> DataFrame:
+    def _serve_seq(self, name: str, q, manifest: dict, path: str, cur):
+        """(serve frame, fold bundle): the as-of match over pinned state
+        ∪ delta is built ONCE; the bundle hands the checkpointed pairs
+        (plus the candidate frames the carry-state derivation needs) to
+        the background fold so it never re-runs the match."""
         from sneldb_spark.plans.sequence import sequence_match
 
         _d, lower, pins = self._pin_state_snapshot(
@@ -1386,51 +1466,104 @@ class Materializer:
         b_cand = pins["boundary_b"].unionByName(
             self._delta_slice(b, *lower), allowMissingColumns=True
         )
-        pairs = sequence_match(a_cand, b_cand, link, kind)
-        return self._stored_union(path, lower, self._within_pairs(q, pairs))
-
-    def _serve_chain(self, name: str, q, manifest: dict, path: str, cur) -> DataFrame:
-        frames, _types, _kinds, link = self.engine.compiler.chain_parts(
-            q, upper=cur
+        pairs = sequence_match(a_cand, b_cand, link, kind).localCheckpoint(
+            eager=False
         )
+        serve = self._stored_union(path, lower, self._within_pairs(q, pairs))
+        bundle = {
+            "lower": tuple(lower), "a_cand": a_cand, "b_cand": b_cand,
+            "kind": kind, "link": link, "pairs": pairs,
+        }
+        return serve, bundle
+
+    def _chain_delta_frames(self, q, cur, lower, state, parts):
+        """Shared stepwise delta advance over carried state frames
+        (`state` maps pending_s{i}/boundary_{j} → DataFrame: published
+        reads on the fold path, pinned snapshots on the serve path;
+        `parts` is the precompiled chain_parts tuple). Returns
+        (completed [window-filtered], new_pend, cands, n). Each step's
+        advance output is lazily localCheckpointed: it feeds the next
+        step, the pending anti-join, AND (for the last step) the served
+        result and the fold's segment write — one computation for all."""
+        frames, _types, _kinds, link = parts
         n = len(frames)
         cols = [f.columns for f in frames]
+        deltas = [self._delta_slice(f, *lower) for f in frames]
+        cands = [None] * n
+        for j in range(1, n):
+            cands[j] = state[f"boundary_{j}"].unionByName(
+                deltas[j], allowMissingColumns=True
+            )
+        awaiting = state["pending_s0"].unionByName(
+            deltas[0], allowMissingColumns=True
+        )
+        advanced = self._chain_first(
+            awaiting, cands[1], link, cols[0], cols[1]
+        ).localCheckpoint(eager=False)
+        new_pend = [
+            awaiting.join(
+                advanced.select(F.col("s0_event_id").alias("event_id")),
+                "event_id", "left_anti",
+            )
+        ]
+        for i in range(1, n - 1):
+            await_i = state[f"pending_s{i}"].unionByName(
+                advanced, allowMissingColumns=True
+            )
+            advanced = self._chain_step(
+                await_i, cands[i + 1], link, i, cols[i + 1]
+            ).localCheckpoint(eager=False)
+            new_pend.append(
+                await_i.join(
+                    advanced.select("s0_event_id"), "s0_event_id", "left_anti"
+                )
+            )
+        return self._within_chain(q, advanced, n), new_pend, cands, n
+
+    def _serve_chain(self, name: str, q, manifest: dict, path: str, cur):
+        """(serve frame, fold bundle): the stepwise chain advance over
+        pinned state ∪ delta is built once; completed chains serve
+        immediately while the bundle gives the fold the SAME frames to
+        persist (segment + next state) without a second advance."""
+        parts = self.engine.compiler.chain_parts(q, upper=cur)
+        n = len(parts[0])
         _d, lower, pins = self._pin_state_snapshot(
             name,
             manifest,
             [f"pending_s{i}" for i in range(n - 1)]
             + [f"boundary_{j}" for j in range(1, n)],
         )
-        deltas = [self._delta_slice(f, *lower) for f in frames]
-        cands = [None] * n
-        for j in range(1, n):
-            cands[j] = pins[f"boundary_{j}"].unionByName(
-                deltas[j], allowMissingColumns=True
-            )
-        awaiting = pins["pending_s0"].unionByName(
-            deltas[0], allowMissingColumns=True
+        completed, new_pend, cands, n = self._chain_delta_frames(
+            q, cur, lower, pins, parts
         )
-        advanced = self._chain_first(awaiting, cands[1], link, cols[0], cols[1])
-        for i in range(1, n - 1):
-            await_i = pins[f"pending_s{i}"].unionByName(
-                advanced, allowMissingColumns=True
-            )
-            advanced = self._chain_step(await_i, cands[i + 1], link, i, cols[i + 1])
-        return self._stored_union(path, lower, self._within_chain(q, advanced, n))
+        serve = self._stored_union(path, lower, completed)
+        bundle = {
+            "lower": tuple(lower), "completed": completed,
+            "new_pend": new_pend, "cands": cands, "n": n,
+        }
+        return serve, bundle
 
     def _refresh_plain_segments(self, name: str, q, manifest: dict, path: str,
-                                cur: tuple[int, int]):
+                                cur: tuple[int, int],
+                                served: dict | None = None):
         """Fold the (lower, cur] slice of a plain segment-layout
         materialization into an interval segment + advance the marker
         (the body the first show() branch always ran; now also the
-        background fold for serve-first)."""
+        background fold for serve-first). With a `served` bundle whose
+        lower bound still matches the published one, the fold writes the
+        serve path's checkpointed delta instead of re-running the slice."""
         from sneldb_spark.plans.filters import hwm_at_or_before
 
         lower = self._published_lower(manifest, path)
-        delta_df = self._delta_slice(
-            self.engine.compiler.compile_query(q).where(hwm_at_or_before(*cur)),
-            *lower,
-        )
+        if served is not None and tuple(served["lower"]) == tuple(lower):
+            delta_df = served["delta"]
+        else:
+            delta_df = self._delta_slice(
+                self.engine.compiler.compile_query(q).where(
+                    hwm_at_or_before(*cur)
+                ),
+                *lower,
+            )
         # deterministic interval name: a crashed refresh overwrites its
         # own segment; marker written after, so a crash between the two
         # just reruns the same idempotent slice
@@ -1439,18 +1572,34 @@ class Materializer:
         self._write_state_hwm(path, *cur)
 
     def _fold_and_commit(self, name: str, q, manifest: dict, path: str,
-                         cur: tuple[int, int], refresh_fn, marker_dir: str):
+                         cur: tuple[int, int], refresh_fn, marker_dir: str,
+                         served: dict | None = None):
         """Background-fold body: run the refresh, then commit the
         manifest hwm — the same ordering the sync path uses. Folds are
         serialized per name (one thread at a time), so re-reading the
         published lower here is authoritative: a SHOW that raced the
         previous fold's commit schedules a redundant fold, and this
-        check turns it into a no-op instead of an idempotent re-run."""
+        check turns it into a no-op instead of an idempotent re-run.
+
+        `served` is the serve path's fold bundle (the already-built
+        delta/match frames, lazily checkpointed): the refresh writes
+        those rows instead of recomputing the slice. If the bundle's
+        serve-time file listing outlived the source's GC grace window
+        (event-store compaction between serve and fold), the write
+        fails with a missing-file error and the fold falls back to a
+        full recompute from fresh listings — every refresh is
+        idempotent (interval-named segment overwrite + staged state),
+        so the retry is safe at any failure point before the publish."""
         with open(self._manifest_path(name)) as f:
             m = json.load(f)
         if tuple(self._published_lower(m, marker_dir)) >= tuple(cur):
             return
-        refresh_fn(name, q, m, path, cur)
+        try:
+            refresh_fn(name, q, m, path, cur, served)
+        except Exception as e:  # noqa: BLE001 — retry only read races
+            if served is None or not self._is_missing_file_err(e):
+                raise
+            refresh_fn(name, q, m, path, cur, None)
         m["hwm_ts"], m["hwm_id"] = cur
         self._write_manifest(name, m)
         lim = self.auto_compact_segments
@@ -1465,7 +1614,10 @@ class Materializer:
             if n_seg > lim:
                 # compact() quiesces (self-aware: skips this thread) and
                 # rewrites the interval layout into one base — bounds
-                # the serve path's listing/footer cost at ~lim dirs
+                # the serve path's listing/footer cost at ~lim dirs.
+                # Live serve frames keep their pinned pre-compact copy
+                # through the publish (keep_live), so compacting under
+                # a slow reader is safe.
                 self.compact(name)
 
     def _try_serve_first(self, name: str, q, manifest: dict, path: str,
@@ -1477,12 +1629,13 @@ class Materializer:
         predicates mirror show()'s ladder order exactly."""
         if self._incrementable(q) and manifest.get("segments"):
             lower = self._published_lower(manifest, path)
-            serve = self._serve_plain(q, path, lower, cur)
+            serve, bundle = self._serve_plain(q, path, lower, cur)
+            self._register_serve(name, serve)
             self._schedule_fold(
                 name,
                 lambda: self._fold_and_commit(
                     name, q, dict(manifest), path, cur,
-                    self._refresh_plain_segments, path,
+                    self._refresh_plain_segments, path, bundle,
                 ),
             )
             return serve
@@ -1502,12 +1655,13 @@ class Materializer:
             and manifest.get("seq_state")
             and os.path.exists(os.path.join(state_d, "pending_s0"))
         ):
-            serve = self._serve_chain(name, q, manifest, path, cur)
+            serve, bundle = self._serve_chain(name, q, manifest, path, cur)
+            self._register_serve(name, serve)
             self._schedule_fold(
                 name,
                 lambda: self._fold_and_commit(
                     name, q, dict(manifest), path, cur, self._refresh_chain,
-                    self._state_path(name),
+                    self._state_path(name), bundle,
                 ),
             )
             return serve
@@ -1516,12 +1670,13 @@ class Materializer:
             and manifest.get("seq_state")
             and os.path.exists(os.path.join(state_d, "pending_a"))
         ):
-            serve = self._serve_seq(name, q, manifest, path, cur)
+            serve, bundle = self._serve_seq(name, q, manifest, path, cur)
+            self._register_serve(name, serve)
             self._schedule_fold(
                 name,
                 lambda: self._fold_and_commit(
                     name, q, dict(manifest), path, cur, self._refresh_sequence,
-                    self._state_path(name),
+                    self._state_path(name), bundle,
                 ),
             )
             return serve
@@ -1538,13 +1693,23 @@ class Materializer:
             q = query_from_json(manifest["query"])
         path = os.path.join(self._dir(name), "data")
         # repair a crashed swap/compact before the first read (no-op and
-        # metadata-cheap when clean); ditto the marker-carrying state dirs
-        self.storage.recover_dir(path)
-        if manifest.get("state_keys") is not None or manifest.get("seq_state"):
-            self.storage.recover_dir(self._state_path(name))
-        if manifest.get("compare_state_keys") is not None:
-            for i in range(len(manifest["compare_state_keys"])):
-                self.storage.recover_dir(self._compare_state_dir(name, i))
+        # metadata-cheap when clean); ditto the marker-carrying state dirs.
+        # keep_live: recovery GC must spare copies live serve frames pinned.
+        self.storage.recover_dir(path, keep_live=self._pinned_lives(name))
+        # State recovery repairs a CRASHED publish — but an in-flight
+        # background fold is legitimately staging the next state version
+        # right now, and recover_dir would GC its half-written staging as
+        # crash scratch (the fold then publishes an incomplete state dir).
+        # Skip while a fold is alive; a genuinely crashed fold leaves no
+        # live thread, so the next SHOW recovers as before.
+        if not self._fold_in_flight(name):
+            if manifest.get("state_keys") is not None or manifest.get(
+                "seq_state"
+            ):
+                self.storage.recover_dir(self._state_path(name))
+            if manifest.get("compare_state_keys") is not None:
+                for i in range(len(manifest["compare_state_keys"])):
+                    self.storage.recover_dir(self._compare_state_dir(name, i))
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
@@ -1691,14 +1856,27 @@ class Materializer:
         either way); the consumed-hwm marker is preserved so refresh
         bookkeeping is untouched. No-op for state-merged (aggregate /
         compare) materializations — their result is already one compact
-        group-count-sized table."""
+        group-count-sized table.
+
+        Slow-reader contract: a serve frame built BEFORE this compaction
+        pins the pre-flip file listing and keeps reading the superseded
+        copy through the storage grace window (`gc_grace_versions`,
+        default 1 for grace backends) — it survives THIS publish but not
+        a second one. The fold-triggered auto-compact path therefore
+        defers while serve frames are outstanding (_fold_and_commit);
+        an explicit compact() call is the operator's assertion that no
+        reader will out-live gc_grace_versions further publishes —
+        size that knob to cover the maximum client drain time times the
+        publish cadence, or re-resolve and retry on FAILED_READ_FILE
+        (docs/scale.md read-repair)."""
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
         # compaction rewrites the segment layout a fold appends into —
-        # let any in-flight fold land first
-        self.quiesce(name)
+        # let any in-flight fold land first (errors stay recorded for
+        # the owner's quiesce to surface)
+        self.quiesce(name, drain=False)
         path = os.path.join(self._dir(name), "data")
-        self.storage.recover_dir(path)
+        self.storage.recover_dir(path, keep_live=self._pinned_lives(name))
         with open(self._manifest_path(name)) as f:
             manifest = json.load(f)
         segmented = manifest.get("segments") or (
@@ -1718,4 +1896,7 @@ class Materializer:
         merged.write.mode("overwrite").parquet(os.path.join(staging, "base"))
         if marker is not None:
             self._write_state_hwm(staging, *marker)
-        self.storage.publish_dir(path)
+        # keep_live: copies pinned by live serve frames survive this
+        # publish's GC — a slow reader drains its exact snapshot even
+        # across multiple compaction cycles
+        self.storage.publish_dir(path, keep_live=self._pinned_lives(name))

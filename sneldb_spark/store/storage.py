@@ -114,10 +114,17 @@ class Storage:
     def stage_path(self, dst: str) -> str:
         return dst + self._STAGING
 
-    def publish_dir(self, dst: str) -> None:
+    def publish_dir(self, dst: str, keep_live: set[str] | None = None) -> None:
         """Make the staged copy at `stage_path(dst)` the live copy.
         Preconditions: the staged copy is complete (the caller finished
-        writing it). Postcondition clauses 1-2 of the module contract."""
+        writing it). Postcondition clauses 1-2 of the module contract.
+
+        `keep_live`: physical copy paths an in-flight reader has pinned
+        (a serve frame's build-time file listing) that GC must spare.
+        The rename-based local protocol CANNOT honor it — the previous
+        copy is moved aside and removed (LOCAL is the single-process,
+        no-concurrent-reader backend by contract); the pointer-flip
+        backend keeps pinned versions alive until their readers drop."""
         staging, old = self.stage_path(dst), dst + self._OLD
         if not self.exists(staging):
             raise FileNotFoundError(f"no staged copy at {staging}")
@@ -127,8 +134,9 @@ class Storage:
         self.rename(staging, dst)  # step 2: staged copy goes live
         self.remove_tree(old)  # step 3: GC
 
-    def recover_dir(self, dst: str) -> None:
-        """Repair a crashed publish; idempotent, cheap when clean."""
+    def recover_dir(self, dst: str, keep_live: set[str] | None = None) -> None:
+        """Repair a crashed publish; idempotent, cheap when clean.
+        `keep_live` as in publish_dir (honored by pointer-flip backends)."""
         staging, old = self.stage_path(dst), dst + self._OLD
         if not self.exists(dst):
             if self.exists(old):
@@ -579,7 +587,7 @@ class ObjectStoreStorage(Storage):
         vs = self._versions(dst)
         return f"{dst}.v{(vs[-1] + 1) if vs else 1}"
 
-    def publish_dir(self, dst: str) -> None:
+    def publish_dir(self, dst: str, keep_live: set[str] | None = None) -> None:
         cur = self._target(dst)
         vs = self._versions(dst)
         staged = f"{dst}.v{vs[-1]}" if vs else None
@@ -589,28 +597,33 @@ class ObjectStoreStorage(Storage):
         # live, after it the new one is; there is never a zero-copy moment
         self.client.put(self._ptr_key(dst), staged.encode("utf-8"))
         # GC superseded copies, sparing the newest `gc_grace_versions`
-        # PREVIOUSLY-LIVE ones for in-flight readers (see __init__).
+        # PREVIOUSLY-LIVE ones for in-flight readers (see __init__) and
+        # every copy in `keep_live` — versions a registered reader (serve
+        # frame) pinned at build time stay readable until that reader
+        # drops, however many publish cycles it sleeps through.
         # Eligible = versions at or below the outgoing live version;
         # numbers strictly between it and the new one are abandoned
         # staging scratch (never readable) and are always GC'd.
         grace = self.gc_grace_versions
+        pinned = keep_live or set()
         below = vs[:-1]  # every version under the newly-live one
         cur_m = self._VER.search(cur[len(dst):]) if cur else None
         cur_n = int(cur_m.group(1)) if cur_m else None
         eligible = [v for v in below if cur_n is not None and v <= cur_n]
         keep = set(eligible[-grace:]) if grace else set()
         for v in below:
-            if v not in keep:
+            if v not in keep and f"{dst}.v{v}" not in pinned:
                 self._gc_prefix(f"{dst}.v{v}")
         # the raw pre-pointer prefix: immediately-previous live copy only
         # on the FIRST flip (cur was None); under grace it survives one
         # publish cycle and the next publish (cur now versioned) GCs it
-        if not (grace and cur is None):
+        if not (grace and cur is None) and dst not in pinned:
             self._gc_prefix(dst)
 
-    def recover_dir(self, dst: str) -> None:
+    def recover_dir(self, dst: str, keep_live: set[str] | None = None) -> None:
         cur = self._target(dst)
         vs = self._versions(dst)
+        pinned = keep_live or set()
         if cur is not None:
             # same grace rule as publish: recovery must not collapse the
             # reader window a concurrent publish just promised
@@ -622,9 +635,13 @@ class ObjectStoreStorage(Storage):
             ]
             keep = set(eligible[-grace:]) if grace else set()
             for v in vs:
-                if f"{dst}.v{v}" != cur and v not in keep:
+                if (
+                    f"{dst}.v{v}" != cur
+                    and v not in keep
+                    and f"{dst}.v{v}" not in pinned
+                ):
                     self._gc_prefix(f"{dst}.v{v}")
-            if not grace:
+            if not grace and dst not in pinned:
                 self._gc_prefix(dst)
             return
         if self.client.list(dst.rstrip("/") + "/"):

@@ -231,3 +231,32 @@ def test_client_store_many_hostile_payloads(tcp_server):
         }
         # empty list: synthetic OK, no round trip
         assert client.store_many("hostile", []).ok
+
+
+def test_execute_stream_abandoned_resyncs_connection(tcp_server):
+    """ADVICE r9: a caller that abandons execute_stream before the
+    terminal frame (e.g. breaks after measuring time-to-first-frame)
+    must not leave unread frames buffered — the generator's close path
+    drains to the terminal so the NEXT command on the same connection
+    parses its own response, not leftovers."""
+    host, port = tcp_server.address
+    with SnelDBClient(f"tcp://{host}:{port}") as client:
+        client.define("streamer", {"n": "int"})
+        for i in range(6):
+            client.store("streamer", f"sc{i}", {"n": i})
+        client.flush()
+
+        gen = client.execute_stream("QUERY streamer")
+        first = next(gen)
+        assert first["type"] == "schema"
+        gen.close()  # abandon: batch + end frames still on the wire
+
+        # the same connection answers the next command correctly
+        res = client.execute("QUERY streamer COUNT")
+        assert res.ok and res.rows[0]["count"] == 6
+
+        # and a fully-drained stream still works end-to-end afterwards
+        frames = list(client.execute_stream("QUERY streamer"))
+        assert frames[0]["type"] == "schema"
+        assert frames[-1]["type"] == "end"
+        assert frames[-1]["row_count"] == 6

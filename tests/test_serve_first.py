@@ -326,3 +326,205 @@ def test_serve_parts_stream_stored_first(spark, tmp_path):
     assert frames[0]["type"] == "schema"
     assert frames[-1]["type"] == "end" and frames[-1]["row_count"] == 6
     assert db.materializer.quiesce("mparts") == []
+
+
+def test_fold_writes_served_delta_no_second_match(spark, tmp_path):
+    """VERDICT r9 #1: one delta pipeline feeds both the stream and the
+    persist (reference: src/command/handlers/show/delta/refresher.rs).
+    For a sequence materialization the as-of match must be BUILT once —
+    the background fold writes the serve path's checkpointed pairs
+    instead of re-running sequence_match over the slice."""
+    import sneldb_spark.plans.sequence as seqmod
+
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE signup FIELDS { "user_id": "string" }')
+    db.execute('DEFINE purchase FIELDS { "user_id": "string" }')
+    for i in range(4):
+        _store(db, "signup", f"s{i}", {"user_id": f"u{i}"})
+        _store(db, "purchase", f"p{i}", {"user_id": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute(
+        "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY user_id AS m1"
+    )
+    for i in range(4, 7):
+        _store(db, "signup", f"s{i}", {"user_id": f"u{i}"})
+        _store(db, "purchase", f"p{i}", {"user_id": f"u{i}"})
+    db.execute("FLUSH")
+
+    calls = []
+    orig = seqmod.sequence_match
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    seqmod.sequence_match = counting
+    try:
+        served = db.execute("SHOW m1").df
+        assert db.materializer.quiesce("m1") == []
+        # serve built the match ONCE; the fold reused it
+        assert len(calls) == 1
+        assert served.count() == 7
+    finally:
+        seqmod.sequence_match = orig
+    assert db.execute("SHOW m1").df.count() == 7
+
+
+def test_plain_fold_skips_recompile_with_bundle(spark, tmp_path):
+    """Plain segment shape: the fold writes the served (checkpointed)
+    delta — compile_query runs once for the serve frame, zero times in
+    the fold."""
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS m2")
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+
+    calls = []
+    orig = db.engine_compiler_compile_query = db.compiler.compile_query
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    db.compiler.compile_query = counting
+    try:
+        assert db.execute("SHOW m2").df.count() == 2
+        assert db.materializer.quiesce("m2") == []
+        assert len(calls) == 1
+    finally:
+        db.compiler.compile_query = orig
+    assert db.execute("SHOW m2").df.count() == 2
+
+
+def test_compaction_keeps_pinned_serve_listing_for_slow_reader(spark, tmp_path):
+    """VERDICT r9 #6 / ADVICE r9: a serve frame pins its stored file
+    listing at build time. Auto-compaction does NOT wait for readers
+    (deferring would starve compaction under a steady SHOW stream and
+    let the segment count grow without bound) — instead every data-path
+    publish/recover passes the live frames' pinned copies as keep_live,
+    so GC spares them across ARBITRARILY MANY compaction cycles until
+    the reader drops. After the frame is GC'd, the next publish reclaims
+    the pinned copy."""
+    import gc
+    import os
+    from pathlib import Path
+
+    db = _mk_db(spark, tmp_path)
+    db.materializer.auto_compact_segments = 1
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mgc")
+    data = os.path.join(str(tmp_path / "db"), "materialized", "mgc", "data")
+
+    def n_segments():
+        live = db.materializer.storage.resolve(data)
+        return sum(1 for d in os.listdir(live) if d.startswith("d_"))
+
+    # slow reader: a serve frame held across several fold+compact rounds
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+    held = db.execute("SHOW mgc").df  # never drained yet
+    assert db.materializer.quiesce("mgc") == []
+    pinned = getattr(held, "__sneldb_pinned_live__", None)
+    assert pinned is not None
+    # several more rounds; auto_compact_segments=1 forces repeated
+    # compaction publishes — far past the default grace window of 1
+    for i in range(2, 6):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+        db.execute("FLUSH")
+        assert db.execute("SHOW mgc").df.count() == i + 1
+        assert db.materializer.quiesce("mgc") == []
+    assert n_segments() <= 2  # compaction kept running (no deferral)
+    # the pinned copy survived every GC pass...
+    assert any(Path(pinned).rglob("*.parquet"))
+    # ...so the slow reader drains exactly its snapshot
+    assert held.count() == 2
+    del held
+    gc.collect()
+    assert not db.materializer._serves_outstanding("mgc")
+    # next publish reclaims the no-longer-pinned copy
+    _store(db, "ev", "c9", {"u": "u9"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW mgc").df.count() == 7
+    assert db.materializer.quiesce("mgc") == []
+    assert not (
+        Path(pinned).exists() and any(Path(pinned).rglob("*.parquet"))
+    )
+    assert db.execute("SHOW mgc").df.count() == 7
+
+
+def test_quiesce_drains_fold_errors_and_success_clears(spark, tmp_path):
+    """ADVICE r9: fold errors are consumed when surfaced (quiesce pops)
+    and a later successful fold clears any stale entries — describe()
+    must not report a one-off transient forever."""
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS merr")
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+
+    orig = db.materializer._refresh_plain_segments
+
+    def boom(*a, **kw):
+        raise RuntimeError("transient fold failure")
+
+    db.materializer._refresh_plain_segments = boom
+    try:
+        assert db.execute("SHOW merr").df.count() == 2  # serve still exact
+        errs = db.materializer.quiesce("merr")
+        assert len(errs) == 1 and "transient" in str(errs[0][1])
+        # drained: surfacing consumed it
+        assert db.materializer.quiesce("merr") == []
+        assert db.materializer.describe("merr")["fold_errors"] == 0
+    finally:
+        db.materializer._refresh_plain_segments = orig
+    # the manifest never advanced; the next SHOW refolds successfully
+    assert db.execute("SHOW merr").df.count() == 2
+    assert db.materializer.quiesce("merr") == []
+    assert not db.materializer.describe("merr")["stale"]
+
+
+def test_fold_falls_back_when_served_bundle_unreadable(spark, tmp_path):
+    """If the served bundle's serve-time file listing outlived the
+    source GC grace window, the fold's write fails with a missing-file
+    error and _fold_and_commit recomputes from fresh listings."""
+    import shutil
+
+    from sneldb_spark.commands.serde import query_from_json
+
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mfb")
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+
+    mat = db.materializer
+    with open(mat._manifest_path("mfb")) as f:
+        manifest = json.load(f)
+    q = query_from_json(manifest["query"])
+    path = mat._dir("mfb") + "/data"
+    cur = mat._source_hwm(q)
+    lower = mat._published_lower(manifest, path)
+    # poisoned delta: analysis succeeds, execution hits missing files
+    gone = tmp_path / "gone"
+    spark.range(3).write.parquet(str(gone))
+    poisoned = spark.read.parquet(str(gone))
+    shutil.rmtree(gone)
+    bundle = {"lower": tuple(lower), "delta": poisoned}
+    mat._fold_and_commit(
+        "mfb", q, manifest, path, cur, mat._refresh_plain_segments, path,
+        bundle,
+    )
+    # fallback recomputed the real slice and committed
+    with open(mat._manifest_path("mfb")) as f:
+        m2 = json.load(f)
+    assert (m2["hwm_ts"], m2["hwm_id"]) == tuple(cur)
+    assert db.execute("SHOW mfb").df.count() == 2
