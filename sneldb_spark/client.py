@@ -389,6 +389,26 @@ class SnelDBClient:
         """Run a read command and return its normalized records."""
         return self._execute(command).rows
 
+    def execute_table(self, command: str):
+        """Arrow-format bulk read: return the result as a pyarrow.Table
+        WITHOUT converting to per-row Python dicts — the drain path for
+        large results (to_pylist on a million-row result is exactly the
+        per-row Python cost the Arrow format exists to avoid). Requires
+        output_format='arrow'. Non-read replies (ok/error JSON lines)
+        raise/return via the normal result folding."""
+        if self.output_format != "arrow":
+            raise ClientError("execute_table requires output_format='arrow'")
+        command = command.strip()
+        if self._kind == "tcp":
+            out = self._tcp.round_trip(self._format_tcp(command), arrow=True)
+            if isinstance(out, list):  # JSON ok/error line
+                return _frames_to_result(out)
+            return out
+        out = self._http.post(command, self._http_headers(command), arrow=True)
+        if isinstance(out, tuple):
+            return out[0]
+        return _frames_to_result(out)
+
     def execute_stream(self, command: str):
         """Run one command and yield its JSON protocol frames AS THEY
         ARRIVE (TCP/Unix line protocol): schema first, then

@@ -193,6 +193,9 @@ class RememberCommand:
 @dataclass
 class ShowCommand:
     name: str
+    # bounded service read (extension): cap the returned rows at the
+    # sink — SHOW's refresh/serve semantics are unchanged
+    limit: int | None = None
 
 
 @dataclass

@@ -645,13 +645,27 @@ def _parse_remember(text: str) -> ast.RememberCommand:
 
 
 def _parse_show(text: str) -> ast.ShowCommand:
+    # SHOW <name> [LIMIT n] — the LIMIT is our extension (like FORGET/
+    # EXPLAIN): a bounded service read. A monitoring client probing a
+    # large materialization must not be forced into a full drain; the
+    # limit caps the result at the sink, the serve/refresh semantics are
+    # unchanged.
     parts = text.strip().split()
+    limit = None
+    if len(parts) == 4 and parts[2].upper() == "LIMIT":
+        try:
+            limit = int(parts[3])
+        except ValueError:
+            raise ParseError(f"SHOW LIMIT expects an integer: {parts[3]!r}")
+        if limit < 0:
+            raise ParseError("SHOW LIMIT must be >= 0")
+        parts = parts[:2]
     if len(parts) != 2:
         raise ParseError("SHOW expects exactly one argument")
     name = parts[1].strip('"')
     if not _ALIAS_RE.match(name):
         raise ParseError(f"invalid materialization name: {name!r}")
-    return ast.ShowCommand(name=name)
+    return ast.ShowCommand(name=name, limit=limit)
 
 
 # the only characters the top-level splitter inspects; re's C scanner

@@ -404,7 +404,15 @@ class SnelDB:
             # commit on the serve path was the single largest
             # time-to-first-frame term the soak measured (3-23 s under
             # ingest, dwarfing the actual refresh).
-            return Result(ok=True, df=self.materializer.show(cmd.name))
+            df = self.materializer.show(cmd.name)
+            if cmd.limit is not None:
+                # bounded service read: cap at the sink. The limit plan
+                # scans the union's stored partitions first and
+                # short-circuits, so a LIMIT'd SHOW of a huge
+                # materialization reads a handful of parquet files —
+                # the probe/monitoring read pattern the soak uses.
+                df = df.limit(cmd.limit)
+            return Result(ok=True, df=df)
         if isinstance(cmd, ast.ForgetCommand):
             # FORGET permanently deletes a materialization's data, state,
             # and manifest — destructive, so it is admin-gated exactly like

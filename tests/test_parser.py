@@ -205,3 +205,18 @@ def test_within_without_sequence_rejected():
         "QUERY a FOLLOWED BY b FOLLOWED BY c LINKED BY ctx WITHIN 60"
     )
     assert cmd.sequence_within == 60
+
+
+def test_show_limit_extension():
+    """SHOW <name> LIMIT n — bounded service read (extension)."""
+    cmd = parse_command("SHOW board LIMIT 100")
+    assert isinstance(cmd, ast.ShowCommand)
+    assert cmd.name == "board" and cmd.limit == 100
+    assert parse_command("SHOW board").limit is None
+    assert parse_command("SHOW board LIMIT 0").limit == 0
+    with pytest.raises(ParseError):
+        parse_command("SHOW board LIMIT x")
+    with pytest.raises(ParseError):
+        parse_command("SHOW board LIMIT -1")
+    with pytest.raises(ParseError):
+        parse_command("SHOW board LIMIT 1 2")

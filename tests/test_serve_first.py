@@ -528,3 +528,21 @@ def test_fold_falls_back_when_served_bundle_unreadable(spark, tmp_path):
         m2 = json.load(f)
     assert (m2["hwm_ts"], m2["hwm_id"]) == tuple(cur)
     assert db.execute("SHOW mfb").df.count() == 2
+
+
+def test_show_limit_bounded_service_read(spark, tmp_path):
+    """SHOW <name> LIMIT n is the bounded probe pattern the soak's TTFF
+    uses: capped rows on a stale serve frame, full values untouched."""
+    db = _mk_db(spark, tmp_path)
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    for i in range(8):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mlim")
+    for i in range(8, 12):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+    db.execute("FLUSH")
+    assert db.execute("SHOW mlim LIMIT 5").df.count() == 5
+    assert db.materializer.quiesce("mlim") == []
+    assert db.execute("SHOW mlim").df.count() == 12
+    assert db.execute("SHOW mlim LIMIT 100").df.count() == 12
