@@ -2815,6 +2815,87 @@ FROM documents d LEFT JOIN winner w ON w.doc_id = d.doc_id AND w.rn = 1
 """
 
 
+def q_text_fasttext_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style classifier TRAINING (the other half of
+    text_fasttext_classify): binary logistic-style regression over the
+    hashed unigram+bigram bag, 2 full-batch gradient passes, dyadic
+    arithmetic end-to-end (piecewise-linear sigmoid surrogate, 1/1024
+    weight quantization per step) so the fit is bit-reproducible —
+    the oracle unrolls the same two passes in SQL. Labels are a
+    deterministic md5 split of doc_id (the oracle regenerates them; a
+    real deployment feeds human/LM labels). Distributed: per pass one
+    broadcast weight join + one bucket-keyed map-side-combined
+    aggregation; nothing collected to the driver."""
+    from sneldb_spark.pipeline.text import fasttext_train
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = d.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("y"),
+    )
+    return fasttext_train(
+        d, labels, num_buckets=1 << 14, iters=2, lr_shift=2, scale=1024
+    )
+
+
+_FASTTEXT_TRAIN_SQL = rf"""
+WITH labels AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) AS y
+  FROM documents
+),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+featl AS (
+  SELECT doc_id,
+         unnest(ws || CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END) AS f
+  FROM words WHERE len(ws) > 0
+),
+feats AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM (
+    SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % {1 << 14} AS bucket
+    FROM featl)
+  GROUP BY doc_id, bucket
+),
+m AS (SELECT count(DISTINCT doc_id) AS m FROM feats),
+g1 AS (
+  SELECT f.bucket, sum((0.5 - l.y) * f.cnt) AS g
+  FROM feats f JOIN labels l USING (doc_id) GROUP BY f.bucket
+),
+w1 AS (
+  SELECT bucket, floor((0.0 - 0.25 * g / m.m) * 1024 + 0.5) / 1024 AS w
+  FROM g1, m
+),
+s2 AS (
+  SELECT f.doc_id, sum(w1.w * f.cnt) AS s
+  FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id
+),
+p2 AS (
+  SELECT doc_id, greatest(0.0, least(1.0, 0.5 + s / 4)) AS p FROM s2
+),
+g2 AS (
+  SELECT f.bucket, sum((p2.p - l.y) * f.cnt) AS g
+  FROM feats f JOIN p2 USING (doc_id) JOIN labels l USING (doc_id)
+  GROUP BY f.bucket
+)
+SELECT bucket,
+       floor((coalesce(w1.w, 0) - 0.25 * coalesce(g2.g, 0) / m.m) * 1024 + 0.5)
+         / 1024 AS w
+FROM w1 FULL JOIN g2 USING (bucket), m
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact percentiles; at 100 TB
     the documented swap is approx_percentile)."""
@@ -3174,6 +3255,11 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, rd: int = 6) -
   SELECT c, cent FROM c{n} WHERE c NOT IN (SELECT c FROM u{n})
 )"""
             )
+    return ctes
+
+
+def _kmeans_summary_sql(k: int = 8, iters: int = 3, dim: int = 64, rd: int = 6) -> str:
+    ctes = _kmeans_oracle_sql(k, iters, dim, rd)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT CAST(c AS INTEGER) AS cluster, count(*) AS n,
@@ -3182,7 +3268,42 @@ FROM a{iters} GROUP BY c"""
     )
 
 
-_EMBEDDING_KMEANS_SQL = _kmeans_oracle_sql()
+_EMBEDDING_KMEANS_SQL = _kmeans_summary_sql()
+
+
+def q_sampling_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection (kmeans → cap_per_group composition):
+    sample evenly across the embedding space's semantic regions instead
+    of letting one dense mode dominate the mix (DCLM-style curation).
+    The kmeans half reuses the gate-verified Lloyd loop; the cap half
+    the gate-verified md5-order window — the oracle unrolls both."""
+    from sneldb_spark.pipeline.sampling import cluster_balanced_sample
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_balanced_sample(e, k=8, iters=3, cap=40)
+
+
+def _cluster_balanced_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, rd: int = 6, cap: int = 40
+) -> str:
+    ctes = _kmeans_oracle_sql(k, iters, dim, rd)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+ranked AS (
+  SELECT vec_id, c AS cluster,
+         row_number() OVER (
+           PARTITION BY c
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM a{iters}
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       CAST(rn AS INTEGER) AS group_rank
+FROM ranked WHERE rn <= {cap}"""
+    )
+
+
+_CLUSTER_BALANCED_SQL = _cluster_balanced_sql()
 
 
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4606,32 +4727,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r9: code changed this round first — SHOW is now serve-then-refresh
-    # (stored ∪ delta returned immediately, background fold; the six
-    # lifecycle gates run that path end-to-end), engines default to the
-    # grace storage backend, and collapse_exact/minhash_assign digest
-    # NULL text as '' (the r8 ADVICE contract fix)
-    "semantic_dedup_cross",  # NEW this round (cross-corpus SemDeDup)
-    "text_fasttext_classify",  # NEW this round (hashed linear classifier)
+    # r10: never-driver-rowed gates first (new this round), then changed
+    # paths — the serve-then-refresh fold now writes the SERVED delta
+    # (one delta pipeline feeds stream and persist), compaction GC keeps
+    # copies pinned by live serve frames (keep_live), and SHOW grew a
+    # bounded LIMIT form; the six lifecycle gates run those paths
+    # end-to-end
+    "text_fasttext_train",  # NEW this round (classifier training)
+    "sampling_cluster_balanced",  # NEW this round (kmeans→cap composition)
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
-    "dedup_minhash_assign",
-    # then the full r6-stale tier (VERDICT r8 rotation item: all 36
-    # gates whose latest driver row is r6 cycle through this window)
-    "dedup_clusters", "dedup_ngram_jaccard", "embedding_near_pairs",
-    "embedding_quantize", "events_sessionize", "filter_where",
-    "multimodal_audio", "multimodal_resize", "pack_sequences",
-    "plot_breakdown", "semantic_dedup", "seq_agg", "seq_chain",
-    "seq_followed_by", "seq_funnel_report", "seq_preceded_by",
-    "seq_using_time", "seq_where_sides", "seq_within_window",
-    "similarity_ivf_indexed", "similarity_ivf_topk", "similarity_lsh_topk",
-    "similarity_topk", "text_bpe_pairs", "text_chunk", "text_langid",
-    "text_pii_redact", "text_repetition", "text_tokens_fingerprint",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21",
-    "tpch_q22",
-    # remaining slots: the oldest of the r7 tier
-    "agg_count_field", "agg_per_hour_by", "agg_per_week", "agg_per_year",
-    "agg_per_year_naive",
+    # then the full r7-stale tier (VERDICT r9 rotation item: all 39
+    # gates whose latest driver row is r7 cycle through this window)
+    "compare_three", "corpus_curation", "corpus_mix", "corpus_report",
+    "corpus_upsample", "dedup_exact", "dedup_keep_best",
+    "dedup_minhash_clusters", "dedup_minhash_cross", "dedup_minhash_lsh",
+    "dedup_span_removal", "embedding_covariance", "events_active_users",
+    "events_cohort_retention", "events_experiment", "events_json_extract",
+    "multimodal_dedup", "multimodal_features", "sampling_dsir",
+    "sampling_group_cap", "sampling_leakage_safe", "sampling_split",
+    "sampling_stratified", "sampling_token_budget", "sampling_weighted",
+    "similarity_knn_graph", "streaming_dedup", "streaming_seq_chain",
+    "streaming_seq_chain_bucketed", "streaming_window_agg",
+    "text_blocklist", "text_bpe_encode", "text_lm_score",
+    "text_ngram_counts", "text_quality_buckets", "text_tfidf",
+    "text_winnow", "tpch_q2", "tpch_q20",
+    # remaining slots: start cycling the r8 tier (its heaviest scans)
+    "tpch_q1", "tpch_q3", "tpch_q18",
     # (tools/check_correctness.py still verifies ALL entries locally
     # every round; the driver window samples 50.)
 ]
@@ -4812,6 +4934,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_cross": q_semantic_dedup_cross,
         "text_fasttext_classify": q_text_fasttext_classify,
+        "text_fasttext_train": q_text_fasttext_train,
         "corpus_stats": q_corpus_stats,
         "text_chunk": q_text_chunk,
         "pack_sequences": q_pack_sequences,
@@ -4838,6 +4961,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_quantize": q_embedding_quantize,
         "embedding_kmeans": q_embedding_kmeans,
+        "sampling_cluster_balanced": q_sampling_cluster_balanced,
         "embedding_covariance": q_embedding_covariance,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -5115,6 +5239,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_dedup_cross": _SEMANTIC_CROSS_SQL,
         "text_fasttext_classify": _FASTTEXT_SQL,
+        "text_fasttext_train": _FASTTEXT_TRAIN_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "text_chunk": _TEXT_CHUNK_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -5140,6 +5265,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
         "embedding_kmeans": _EMBEDDING_KMEANS_SQL,
+        "sampling_cluster_balanced": _CLUSTER_BALANCED_SQL,
         "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

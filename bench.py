@@ -118,6 +118,13 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "decontaminate",
     "semantic_dedup",
+    # r9/r10 additions: cross-corpus SemDeDup, hashed linear classifier
+    # (inference + training), cluster-balanced sampling — every operator
+    # family keeps a per-round perf trend line
+    "semantic_dedup_cross",
+    "text_fasttext_classify",
+    "text_fasttext_train",
+    "sampling_cluster_balanced",
     "corpus_stats",
     "text_chunk",
     "pack_sequences",

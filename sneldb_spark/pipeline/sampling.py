@@ -534,3 +534,42 @@ def dsir_resample(
         F.round(F.col("dsir_logw") + (-F.log(-F.log(u))), 4).alias("dsir_key"),
     )
     return keyed.orderBy(F.col("dsir_key").desc(), F.col("id").asc()).limit(k_docs)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cluster-balanced selection over an embedding corpus: Lloyd
+    k-means partitions the embedding space (deterministic lowest-id
+    seeding — see clustering.kmeans), then an exact per-cluster cap
+    keeps at most `cap` vectors per cluster in md5(id) order — the
+    embedding-space analogue of per-domain capping (cf. cluster-
+    balanced data selection in DCLM/SemDeDup-style curation: sample
+    evenly across semantic regions instead of letting one dense mode
+    dominate the training mix).
+
+    Pure composition of two shipped kernels: kmeans (codegen
+    literal-centroid assignment, k·(d+1)-cell map-side-combined
+    updates) and cap_per_group (one window shuffle on the cluster key).
+    Output: (id, cluster, group_rank) for the kept rows.
+    """
+    from sneldb_spark.pipeline.clustering import kmeans
+
+    assigned, _ = kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    return cap_per_group(
+        assigned.select(id_col, "cluster"),
+        group_col="cluster", cap=cap, id_col=id_col,
+    ).select(
+        id_col,
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("group_rank").cast("int").alias("group_rank"),
+    )

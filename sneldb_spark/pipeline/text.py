@@ -1226,3 +1226,146 @@ def fasttext_classify(
         .join(winner, "__id", "left")
         .select(F.col("__id").alias(id_col), "label", "score")
     )
+
+
+def fasttext_features(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+):
+    """The shared hashed-bag featurizer: one row per (doc, bucket) with
+    the integer occurrence count — the exact feature map
+    :func:`fasttext_classify` scores and :func:`fasttext_train` fits.
+    Docs with no tokens produce no rows (they are neither trainable nor
+    classifiable)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    feats = F.col("__toks")
+    if bigrams:
+        bi = F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(F.col("__toks"), bi)
+    ex = (
+        base.select("__id", feats.alias("__feats"))
+        .where(F.size("__feats") > 0)
+        .select("__id", F.explode("__feats").alias("__feat"))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+    return (
+        ex.withColumn("bucket", bucket)
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__id").alias(id_col), "bucket", "cnt")
+    )
+
+
+def fasttext_train(
+    df,
+    labels,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    iters: int = 2,
+    lr_shift: int = 2,
+    scale: int = 1024,
+):
+    """TRAIN the hashed linear classifier's weight table — the other
+    half of :func:`fasttext_classify` (which consumes a trained table;
+    reference analogue: offline fastText/DCLM quality-filter training
+    feeding the corpus-scale inference pass). Binary logistic-style
+    regression over the hashed n-gram bag, full-batch gradient descent,
+    distributed end-to-end:
+
+    - features: the SAME hashed unigram(+bigram) bag inference uses,
+      as integer per-(doc, bucket) counts (persisted once, reused by
+      every pass)
+    - prediction: p = clamp(1/2 + s/4, 0, 1) over the raw margin
+      s = Σ w·cnt — a piecewise-LINEAR sigmoid surrogate, chosen so
+      every per-doc margin and per-bucket gradient stays a dyadic
+      rational (exact in float64, partition-order independent): w is
+      quantized to 1/scale (scale a power of two), counts are integers,
+      and 1/4 is a power of two
+    - update: w ← floor((w - lr·G/m)·scale + ½)/scale with lr = 2^-lr_shift
+      and m = number of trainable docs; G/m is ONE correctly-rounded
+      IEEE division of identical operands in any engine, so the whole
+      iteration is bit-reproducible (the same dyadic-quantization move
+      that fixed fasttext_classify's sf1 sum-order boundary)
+
+    Scale: each pass is one broadcast join (weights ≤ num_buckets rows)
+    plus one bucket-keyed aggregation with map-side partial combine —
+    the shuffle is partitions×buckets bounded, never corpus-sized; the
+    weight table is localCheckpointed per pass so plans stay flat.
+    Nothing is collected to the driver.
+
+    `labels` is a (id_col, label_col∈{0,1}) frame. Returns the weight
+    table (bucket, w) for buckets seen in training (w may be 0.0).
+    """
+    lr = 1.0 / (1 << lr_shift)
+    feats = fasttext_features(
+        df, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, bigrams=bigrams,
+    ).join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("__y")
+        ),
+        id_col,
+    ).persist()
+    try:
+        m = feats.select(id_col).distinct().count()
+        if m == 0:
+            spark = df.sparkSession
+            return spark.createDataFrame([], "bucket long, w double")
+        weights = None  # w0 = 0 everywhere (implicit)
+        for _ in range(int(iters)):
+            if weights is None:
+                scored = feats.withColumn("__p", F.lit(0.5))
+            else:
+                margin = (
+                    feats.join(F.broadcast(weights), "bucket")
+                    .groupBy(id_col)
+                    .agg(F.sum(F.col("w") * F.col("cnt")).alias("__s"))
+                )
+                scored = feats.join(margin, id_col).withColumn(
+                    "__p",
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
+                    ),
+                )
+            grad = scored.groupBy("bucket").agg(
+                F.sum((F.col("__p") - F.col("__y")) * F.col("cnt")).alias("__g")
+            )
+            if weights is None:
+                stepped = grad.select(
+                    "bucket", (F.lit(0.0) - F.lit(lr) * F.col("__g") / m).alias("__w")
+                )
+            else:
+                stepped = weights.join(grad, "bucket", "full_outer").select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0))
+                        - F.lit(lr) * F.coalesce(F.col("__g"), F.lit(0.0)) / m
+                    ).alias("__w"),
+                )
+            weights = stepped.select(
+                "bucket",
+                (F.floor(F.col("__w") * scale + F.lit(0.5)) / scale).alias("w"),
+            ).localCheckpoint(eager=True)
+        return weights
+    finally:
+        feats.unpersist()

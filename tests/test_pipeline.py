@@ -2505,3 +2505,76 @@ def test_semantic_cross_pairs_matches_naive(spark):
         assert rows[i]["is_novel"] == (not matches)
         if matches:
             assert abs(rows[i]["best_sim"] - max(matches)) < 1e-9
+
+
+def test_fasttext_train_separates_and_reproduces(spark):
+    """Training the hashed linear classifier: weights move toward the
+    labels (a 'good'-marked corpus scores positive for class 1), the
+    dyadic pipeline is bit-reproducible run-to-run, and the trained
+    table plugs straight into the weight-join shape inference uses."""
+    from sneldb_spark.pipeline.text import fasttext_features, fasttext_train
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 1
+        word = "excellent wonderful" if pos else "terrible awful"
+        rows.append((i, f"this film was {word} truly {word}", 1 if pos else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    labels = df.select("doc_id", "y")
+    w = fasttext_train(df, labels, num_buckets=1 << 10, iters=2)
+    w2 = fasttext_train(df, labels, num_buckets=1 << 10, iters=2)
+    # bit-reproducible: dyadic arithmetic makes the fit order-independent
+    a = sorted(map(tuple, w.collect()))
+    b = sorted(map(tuple, w2.collect()))
+    assert a == b and len(a) > 0
+    # every weight is a 1/1024 dyadic rational
+    assert all(round(x * 1024) == x * 1024 for _, x in a)
+    # the fit separates the training set: margin sign == label
+    feats = fasttext_features(df, num_buckets=1 << 10)
+    margins = {
+        r["doc_id"]: r["s"]
+        for r in feats.join(w, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("s"))
+        .collect()
+    }
+    for i, _t, y in rows:
+        assert (margins[i] > 0) == (y == 1), (i, margins[i], y)
+
+
+def test_fasttext_train_empty_and_unlabeled(spark):
+    from sneldb_spark.pipeline.text import fasttext_train
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    labels = df.select("doc_id", F.lit(1).alias("y"))
+    w = fasttext_train(df, labels, num_buckets=64)
+    assert w.count() == 0  # no tokens anywhere -> nothing trainable
+
+
+def test_cluster_balanced_sample_caps_each_cluster(spark):
+    """kmeans -> cap_per_group composition: two obvious modes, cap=2 ->
+    at most 2 kept per cluster, chosen in deterministic md5 order."""
+    from sneldb_spark.pipeline.sampling import cluster_balanced_sample
+
+    vecs = []
+    for i in range(10):
+        vecs.append((i, [0.0 + i * 0.001, 0.0]))        # mode A
+        vecs.append((100 + i, [10.0 + i * 0.001, 10.0]))  # mode B
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(df, k=2, iters=2, cap=2)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert len(rows) == 4 and all(len(v) == 2 for v in by_cluster.values())
+    # each kept set comes from one mode (clusters align with the modes)
+    for members in by_cluster.values():
+        assert all(m < 100 for m in members) or all(m >= 100 for m in members)
+    # deterministic across runs
+    again = sorted(
+        (r["cluster"], r["vec_id"], r["group_rank"])
+        for r in cluster_balanced_sample(df, k=2, iters=2, cap=2).collect()
+    )
+    assert again == sorted((r["cluster"], r["vec_id"], r["group_rank"]) for r in rows)
