@@ -1111,6 +1111,23 @@ def unigram_encode(
 # fastText-style linear classifier inference (hashed n-gram bag -> classes)
 # ---------------------------------------------------------------------------
 
+def _bigrams(toks_col: str):
+    """Adjacent-token bigrams as zip_with(slice, slice) — O(tokens) PER
+    REFERENCE of the token array. The earlier transform(sequence, i ->
+    element_at(toks, i)) form was O(tokens²) once the optimizer inlined
+    the tokenizer into it: InferFiltersFromGenerate derives a
+    size(feats) > 0 predicate from the downstream explode and pushes it
+    below the token projection, substituting filter(split(text)) into
+    EVERY element_at — measured as a 6-10x single-threaded stall on the
+    pre-Exchange FileScan. slice handles size<2 for free (length
+    clamps at 0 -> empty bigram list)."""
+    n = F.greatest(F.size(toks_col) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(F.col(toks_col), F.lit(1), n),
+        F.slice(F.col(toks_col), F.lit(2), n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
 def hashed_linear_weights(
     spark, num_buckets: int, num_classes: int, scale: int = 1024
 ):
@@ -1176,29 +1193,30 @@ def fasttext_classify(
     """
     from pyspark.sql import Window
 
+    from sneldb_spark.pipeline import ensure_min_partitions
+
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
         lambda x: x != F.lit(""),
     )
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    # CPU-heavy explode/hash stage: widen a small single-file input to
+    # the core count (no-op at scale — see ensure_min_partitions)
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    )
     feats = F.col("__toks")
     if bigrams:
-        # guard size<2: Spark's sequence(1, 0) DESCENDS ([1, 0]), which
-        # would fabricate null bigrams for single-token docs
-        bi = F.when(
-            F.size("__toks") >= 2,
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        feats = F.concat(F.col("__toks"), bi)
+        feats = F.concat(F.col("__toks"), _bigrams("__toks"))
     base = base.select(
         "__id", feats.alias("__feats")
     ).withColumn("__n", F.size("__feats"))
-    ex = base.where(F.col("__n") > 0).select(
-        "__id", "__n", F.explode("__feats").alias("__feat")
-    )
+    # NO size()>0 pre-filter: explode of an empty array yields no rows
+    # anyway, and a WHERE here gets pushed below the token/bigram
+    # projections — the pushed predicate inlines the whole transform so
+    # each element_at re-evaluates filter(split(text)), O(tokens²) per
+    # doc, evaluated in the Filter AND again in the Project (measured
+    # 5-10x on the sf0.1 documents table).
+    ex = base.select("__id", "__n", F.explode("__feats").alias("__feat"))
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10).cast("long"),
         F.lit(num_buckets),
@@ -1240,25 +1258,22 @@ def fasttext_features(
     :func:`fasttext_classify` scores and :func:`fasttext_train` fits.
     Docs with no tokens produce no rows (they are neither trainable nor
     classifiable)."""
+    from sneldb_spark.pipeline import ensure_min_partitions
+
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
         lambda x: x != F.lit(""),
     )
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    # same widen-small-inputs rule as fasttext_classify: the explode and
+    # per-feature hash serialize on a single-file input otherwise
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    )
     feats = F.col("__toks")
     if bigrams:
-        bi = F.when(
-            F.size("__toks") >= 2,
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        feats = F.concat(F.col("__toks"), bi)
-    ex = (
-        base.select("__id", feats.alias("__feats"))
-        .where(F.size("__feats") > 0)
-        .select("__id", F.explode("__feats").alias("__feat"))
+        feats = F.concat(F.col("__toks"), _bigrams("__toks"))
+    ex = base.select("__id", feats.alias("__feats")).select(
+        "__id", F.explode("__feats").alias("__feat")
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10).cast("long"),
