@@ -75,9 +75,9 @@ class Materializer:
         self.fold_errors: list[tuple[str, Exception]] = []
         # Live serve frames per name (weak: a drained/dropped frame
         # leaves the set on GC). A serve frame pins its stored file
-        # listing at build time; auto-compaction defers while any are
-        # outstanding so a fold-triggered compact + later publishes
-        # can't GC pinned files under a slow reader.
+        # listing at build time; every data-path publish/recover passes
+        # the live frames' pinned copies as keep_live so compaction can
+        # run on cadence while GC spares what a slow reader still needs.
         self._serve_frames: dict[str, weakref.WeakSet] = {}
 
     def _dir(self, name: str) -> str:
