@@ -344,7 +344,12 @@ def run_soak(
     def shower():
         try:
             with SnelDBClient(url, timeout=600.0) as c, SnelDBClient(
-                arrow_url, timeout=600.0, output_format="arrow"
+                # generous per-read cap for the bulk-export lane: a
+                # tens-of-millions-row drain behind a flush convoy can
+                # legitimately gap >600 s between frames late in a long
+                # soak (the r10 ladder's one TimeoutError was this
+                # harness cap, not a stall — the drain itself was live)
+                arrow_url, timeout=1800.0, output_format="arrow"
             ) as ac:
                 # materializations appear once some data exists
                 time.sleep(min(10.0, duration / 4))
