@@ -51,6 +51,12 @@ class ServerConfig:
     # to Arrow IPC streams. HTTP negotiates per request via Accept
     # headers instead (http_server.py).
     output_format: str = "json"
+    # [server] backpressure_threshold (reference config/prod.toml:40,
+    # server_state.rs): reject STORE/BATCH with "Server is under
+    # pressure, please retry later" once pending ingest exceeds this
+    # percent of the hard memtable bound. Inert unless [engine]
+    # memtable capacity is configured (fill_factor/event_per_zone).
+    backpressure_threshold: int = 90
 
 
 @dataclass
@@ -96,6 +102,13 @@ class EngineConfig:
     # opportunistic periodic compaction — writes/reads trigger a sweep
     # once the interval (seconds) has elapsed; None = off
     compaction_interval: Optional[int] = None
+    # [engine] memtable capacity in rows: fill_factor * event_per_zone *
+    # shard_count (reference shard/context.rs:83 — per-shard capacity is
+    # fill_factor * event_per_zone; this engine's single memtable stands
+    # in for all shards' combined). Crossing it fires an ASYNC flush
+    # (insert_and_maybe_flush parity); 4x it is the hard admission bound
+    # writers block at. None = explicit/periodic FLUSH only.
+    memtable_capacity: Optional[int] = None
     # [extensions] — this engine's opt-in extension flags (not reference
     # keys): approx sketches for 100 TB cardinality/percentile work,
     # time-sliced sequence matching for hot link keys, multi-link chains
@@ -138,6 +151,17 @@ def load_config(path_or_dict) -> EngineConfig:
     if "data_dir" in engine:
         cfg.data_dir = engine["data_dir"]
     cfg.compaction_interval = int(engine.get("compaction_interval") or 0) or None
+    # memtable capacity from the reference's sizing keys, only when the
+    # config opts in by naming any of them (a bare config keeps the
+    # library default: no capacity, explicit FLUSH owns the cadence)
+    if any(
+        k in engine for k in ("fill_factor", "event_per_zone", "shard_count")
+    ):
+        cfg.memtable_capacity = (
+            int(engine.get("fill_factor", 4))
+            * int(engine.get("event_per_zone", 8000))
+            * int(engine.get("shard_count", 8))
+        ) or None
 
     t = doc.get("time", {})
     cfg.time = TimeConfig(
@@ -198,6 +222,7 @@ def load_config(path_or_dict) -> EngineConfig:
         ws_addr=s.get("ws_addr"),
         socket_path=s.get("socket_path"),
         output_format=s.get("output_format", "json"),
+        backpressure_threshold=int(s.get("backpressure_threshold", 90)),
     )
     return cfg
 
@@ -240,7 +265,8 @@ def create_engine(spark: SparkSession, config) -> SnelDB:
                   multi_link=cfg.multi_link,
                   stream_key_buckets=cfg.stream_key_buckets,
                   allow_core_shadow=cfg.allow_core_shadow,
-                  materialize_serve_first=cfg.materialize_serve_first)
+                  materialize_serve_first=cfg.materialize_serve_first,
+                  memtable_capacity=cfg.memtable_capacity)
 
 
 def serve(engine: SnelDB, cfg: EngineConfig) -> list:
@@ -254,6 +280,7 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
             SnelDBServer(
                 engine, host or "127.0.0.1", int(port),
                 output_format=cfg.server.output_format,
+                backpressure_threshold=cfg.server.backpressure_threshold,
             ).start()
         )
     if cfg.server.http_addr:
@@ -267,6 +294,7 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
                 int(port),
                 playground_enabled=cfg.playground.enabled,
                 playground_allow_unauthenticated=cfg.playground.allow_unauthenticated,
+                backpressure_threshold=cfg.server.backpressure_threshold,
             ).start()
         )
     if cfg.server.ws_addr:
@@ -277,6 +305,7 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
             SnelDBWsServer(
                 engine, host or "127.0.0.1", int(port),
                 output_format=cfg.server.output_format,
+                backpressure_threshold=cfg.server.backpressure_threshold,
             ).start()
         )
     if cfg.server.socket_path:
@@ -286,6 +315,7 @@ def serve(engine: SnelDB, cfg: EngineConfig) -> list:
             SnelDBUnixServer(
                 engine, cfg.server.socket_path,
                 output_format=cfg.server.output_format,
+                backpressure_threshold=cfg.server.backpressure_threshold,
             ).start()
         )
     return servers

@@ -61,6 +61,7 @@ class SnelDB:
         storage=None,
         allow_core_shadow: bool = False,
         materialize_serve_first: bool = True,
+        memtable_capacity: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -90,7 +91,8 @@ class SnelDB:
                                 auto_compact_files=auto_compact_files,
                                 compaction_interval=compaction_interval,
                                 allow_core_shadow=allow_core_shadow,
-                                storage=storage)
+                                storage=storage,
+                                memtable_capacity=memtable_capacity)
         self.compiler = QueryCompiler(
             source=self.store.read,
             schema_lookup=lambda et: (
@@ -165,8 +167,31 @@ class SnelDB:
         materialization folds (serve-then-refresh SHOW schedules them)
         so nothing is still writing when the caller deletes the data
         dir. Idempotent; the Spark session is NOT stopped (it is shared
-        and caller-owned)."""
-        self.materializer.quiesce()
+        and caller-owned). quiesce() drains recorded fold errors
+        (pop-and-return) — close() discards its return value, so log
+        what was drained instead of silently swallowing failures a
+        caller quiescing-via-close would otherwise never see."""
+        for mat_name, err in self.materializer.quiesce():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background fold for materialization %r failed before "
+                "close: %s",
+                mat_name,
+                err,
+            )
+        # settle the store's background compaction worker the same way
+        # (a rewrite publishing into a tree the caller is deleting); its
+        # drained errors are logged, not raised — teardown must proceed
+        for et, err in self.store.quiesce_compaction():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background compaction for event type %r failed before "
+                "close: %s",
+                et,
+                err,
+            )
 
     def __enter__(self) -> "SnelDB":
         return self
@@ -411,7 +436,12 @@ class SnelDB:
                 # short-circuits, so a LIMIT'd SHOW of a huge
                 # materialization reads a handful of parquet files —
                 # the probe/monitoring read pattern the soak uses.
-                df = df.limit(cmd.limit)
+                # pin_derived: the limited frame must carry the serve
+                # frame's GC pin, or rebinding df here drops the only
+                # strong reference the WeakSet registry holds.
+                df = self.materializer.pin_derived(
+                    cmd.name, df, df.limit(cmd.limit)
+                )
             return Result(ok=True, df=df)
         if isinstance(cmd, ast.ForgetCommand):
             # FORGET permanently deletes a materialization's data, state,

@@ -95,6 +95,17 @@ class _Handler(BaseHTTPRequestHandler):
     def _run_command(self, command: str):
         try:
             user_id = self._authenticate(command)
+            from sneldb_spark.server import reject_if_under_pressure
+
+            pressure = reject_if_under_pressure(
+                self.engine, command,
+                getattr(self.server, "backpressure_threshold", 90),
+            )
+            if pressure is not None:
+                # 503 + the reference's retry-later text
+                # (frontend/http/handler.rs:76)
+                self._send_error_frame(503, pressure)
+                return
             result = self.engine.execute(command, user_id=user_id)
         except AuthError as e:
             msg = str(e)
@@ -180,10 +191,12 @@ class SnelDBHttpServer:
         port: int = 0,
         playground_enabled: bool = True,
         playground_allow_unauthenticated: bool = False,
+        backpressure_threshold: int = 90,
     ):
         self._server = ThreadingHTTPServer((host, port), _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
+        self._server.backpressure_threshold = backpressure_threshold  # type: ignore[attr-defined]
         self._server.playground_enabled = playground_enabled  # type: ignore[attr-defined]
         self._server.playground_allow_unauthenticated = (  # type: ignore[attr-defined]
             playground_allow_unauthenticated

@@ -33,6 +33,29 @@ from sneldb_spark.errors import SnelDBError
 from sneldb_spark.response import arrow_ipc_frames, json_frames
 
 
+def reject_if_under_pressure(engine: SnelDB, command: str,
+                             threshold: int = 90) -> Optional[str]:
+    """Frontend-level backpressure (reference [server]
+    backpressure_threshold, src/frontend/server_state.rs
+    is_under_pressure + tcp/listener.rs:302): when the engine's pending
+    ingest exceeds `threshold` percent of its hard admission bound,
+    WRITE commands are rejected with the reference's retry-later error
+    instead of queuing into a saturated memtable. Returns the error
+    string to send, or None to proceed.
+
+    Deviation, documented: the reference rejects EVERY command under
+    pressure (reads share its shard channels); here reads never touch
+    the bounded ingest path — they compile straight to Spark jobs — so
+    only STORE/BATCH are gated and monitoring probes keep flowing while
+    writers back off. No-op unless the engine configures
+    memtable_capacity (the pressure metric's denominator)."""
+    if not command.lstrip()[:6].upper().startswith(("STORE", "BATCH")):
+        return None
+    if engine.store.memtable_usage_percent() >= threshold:
+        return "Server is under pressure, please retry later"
+    return None
+
+
 def _peer_ip(handler) -> Optional[str]:
     """Rate-limit key for failed auth. TCP: the peer IP. Unix domain
     sockets have no meaningful peer address (client_address is the
@@ -62,6 +85,14 @@ class _Handler(socketserver.StreamRequestHandler):
                 if token_reply is not None:
                     session_user = user_id
                     self._reply_ok(f"OK TOKEN {token_reply}")
+                    continue
+                pressure = reject_if_under_pressure(
+                    engine, command,
+                    getattr(self.server, "backpressure_threshold", 90),
+                )
+                if pressure is not None:
+                    self._reply_error(pressure)
+                    self.wfile.flush()
                     continue
                 result = engine.execute(command, user_id=user_id)
                 if result.df is not None:
@@ -168,11 +199,13 @@ class SnelDBServer:
         host: str = "127.0.0.1",
         port: int = 0,
         output_format: str = "json",
+        backpressure_threshold: int = 90,
     ):
         self._server = socketserver.ThreadingTCPServer((host, port), _Handler)
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
         self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
+        self._server.backpressure_threshold = backpressure_threshold  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property
@@ -193,7 +226,9 @@ class SnelDBUnixServer:
     """Same line protocol over a Unix domain socket
     (reference: src/frontend/unix/)."""
 
-    def __init__(self, engine: SnelDB, socket_path: str, output_format: str = "json"):
+    def __init__(self, engine: SnelDB, socket_path: str,
+                 output_format: str = "json",
+                 backpressure_threshold: int = 90):
         import os
 
         if os.path.exists(socket_path):
@@ -202,6 +237,7 @@ class SnelDBUnixServer:
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
         self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
+        self._server.backpressure_threshold = backpressure_threshold  # type: ignore[attr-defined]
         self.socket_path = socket_path
         self._thread: threading.Thread | None = None
 

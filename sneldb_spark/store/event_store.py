@@ -98,6 +98,7 @@ class EventStore:
         compaction_interval: int | None = None,
         allow_core_shadow: bool = False,
         storage=None,
+        memtable_capacity: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -193,6 +194,38 @@ class EventStore:
             self._clock() + compaction_interval if compaction_interval else None
         )
         self._compact_due_lock = threading.Lock()
+        # Background compaction worker (reference compaction_worker.rs —
+        # a DEDICATED thread, never the write path): flush()/reads only
+        # ENQUEUE candidate types; the worker does the whole-type rewrite
+        # off the flush lock and takes it only for a brief catch-up +
+        # publish. Inline compaction under the flush lock was the r10
+        # soak's late-run convoy: one O(corpus) rewrite blocked every
+        # 5 s flush behind it, memtable pending ballooned to 1.3M rows
+        # and SHOW TTFF blew its bound (soak_grace_r10_long.json I6).
+        self._compact_queue: list[str] = []
+        self._compact_cond = threading.Condition()
+        self._compact_thread: threading.Thread | None = None
+        self._compact_stop = False
+        self._compact_inflight: str | None = None
+        self._compact_errors: list[tuple[str, Exception]] = []
+        # Memtable capacity (reference [engine] fill_factor *
+        # event_per_zone, src/engine/store/insert.rs insert_and_maybe_
+        # flush): when the pending buffer crosses this many rows, an
+        # ASYNC flush fires — ingest paces the flush pipeline instead of
+        # waiting for the external FLUSH cadence. None = explicit/
+        # periodic flush only (library default, zero behavior change).
+        self._memtable_capacity = memtable_capacity or None
+        # Hard admission bound (reference max_inflight_passives — the
+        # bounded-channel backpressure chain): STORE blocks while
+        # pending >= capacity * factor, so the memtable is bounded by
+        # construction even when flushes can't keep up; the serve path's
+        # memtable-union term (and its driver-side Arrow conversion)
+        # stays bounded with it.
+        self._MAX_PENDING_FACTOR = 4
+        self._bp_cond = threading.Condition()
+        self._flush_event = threading.Event()
+        self._auto_flush_thread: threading.Thread | None = None
+        self._auto_flush_guard = threading.Lock()
         self._superseded = False  # set when a newer same-process engine
         # takes this root's writer lock (_check_writer fails loudly)
         self._acquire_writer_lock()
@@ -239,6 +272,11 @@ class EventStore:
                 prev_store = prev_ref()
                 if prev_store is not None:
                     prev_store._superseded = True  # next write fails loudly
+                    # stop its background workers: a superseded engine's
+                    # compaction worker must never publish against a root
+                    # the new engine now owns (the worker also re-checks
+                    # _superseded right before its locked publish)
+                    prev_store._stop_workers()
                 try:
                     prev_file.close()  # releases the old engine's flock
                 except OSError:
@@ -298,10 +336,95 @@ class EventStore:
             "event_id": next_event_id(ts * 1000),
             **clean,
         }
+        if self._memtable_capacity:
+            self._admit_row()
         with self._pending_lock:
             self._wal_append(event_type, row)
             self._pending.setdefault(event_type, []).append(row)
+            n_pending = sum(len(v) for v in self._pending.values())
+        if self._memtable_capacity and n_pending >= self._memtable_capacity:
+            # memtable full: fire the ASYNC flush (reference
+            # insert_and_maybe_flush, src/engine/store/insert.rs:43 —
+            # the full memtable rotates to a passive buffer and a flush
+            # worker drains it; here the swap IS _flush_locked's
+            # pending->_flushing move and the worker is _auto_flusher).
+            # Ingest paces the flush pipeline instead of waiting out an
+            # external FLUSH cadence — the r10 soak's late-run memtable
+            # growth (1.3M rows pending between 5 s FLUSHes) cannot
+            # accumulate past the capacity plus one commit in flight.
+            self._trigger_auto_flush()
         return row
+
+    def _pending_total(self) -> int:
+        with self._pending_lock:
+            return sum(len(v) for v in self._pending.values())
+
+    def _admit_row(self) -> None:
+        """Admission backpressure (reference max_inflight_passives /
+        FlowChannel::bounded): block the writer while the pending buffer
+        holds >= capacity * factor rows. Bounds driver memory AND the
+        serve path's memtable-union term by construction; the wait is a
+        timeout-polling loop on a condition the flush handover notifies,
+        so a missed notify costs 100 ms, never a hang."""
+        hard = self._memtable_capacity * self._MAX_PENDING_FACTOR
+        while not self._superseded and self._pending_total() >= hard:
+            self._trigger_auto_flush()  # make sure a drain is coming
+            with self._bp_cond:
+                self._bp_cond.wait(timeout=0.1)
+
+    def memtable_usage_percent(self) -> int:
+        """Pending rows as a percentage of the HARD admission bound
+        (capacity * factor) — the server frontends' backpressure probe
+        (reference server_state.rs is_under_pressure: pending ops over
+        total channel capacity). 0 when no capacity is configured."""
+        if not self._memtable_capacity:
+            return 0
+        hard = self._memtable_capacity * self._MAX_PENDING_FACTOR
+        return (self._pending_total() * 100) // hard
+
+    def _trigger_auto_flush(self) -> None:
+        self._flush_event.set()
+        t = self._auto_flush_thread
+        if t is None or not t.is_alive():
+            with self._auto_flush_guard:
+                t = self._auto_flush_thread
+                if t is None or not t.is_alive():
+                    self._auto_flush_thread = threading.Thread(
+                        target=self._auto_flusher,
+                        name="sneldb-auto-flush",
+                        daemon=True,
+                    )
+                    self._auto_flush_thread.start()
+
+    def _auto_flusher(self):
+        from sneldb_spark.session import set_scheduler_pool
+
+        set_scheduler_pool(self.spark, "sneldb-bulk")
+        while True:
+            self._flush_event.wait()
+            self._flush_event.clear()
+            if self._compact_stop or self._superseded:
+                return
+            try:
+                self.flush()
+            except Exception:
+                import logging
+
+                if self._superseded:
+                    return
+                logging.getLogger(__name__).warning(
+                    "capacity-triggered flush failed; rows remain "
+                    "buffered and WAL-durable, retrying on next trigger",
+                    exc_info=True,
+                )
+                time.sleep(0.5)
+            # ingest may have refilled past capacity during the commit:
+            # drain back-to-back instead of waiting for the next STORE
+            if (
+                self._memtable_capacity
+                and self._pending_total() >= self._memtable_capacity
+            ):
+                self._flush_event.set()
 
     # -- WAL ---------------------------------------------------------------
     def _wal_append(self, event_type: str, row: dict):
@@ -390,9 +513,9 @@ class EventStore:
         self._check_writer()
         with self._flush_lock:
             flushed = self._flush_locked()
-            if self._auto_compact_files:
-                for event_type in flushed:
-                    self._maybe_compact(event_type)
+        if self._auto_compact_files:
+            for event_type in flushed:
+                self._maybe_compact(event_type)
         self.maybe_periodic_compact()
 
     # every (periodic) sweep compacts only types above this file count, so
@@ -400,15 +523,14 @@ class EventStore:
     _PERIODIC_COMPACT_MIN_FILES = 8
 
     def maybe_periodic_compact(self):
-        """Opportunistic stand-in for the reference's timer-driven
-        compaction worker ([engine] compaction_interval,
+        """Periodic sweep (reference [engine] compaction_interval,
         src/engine/core/compaction/compaction_worker.rs): when the
-        configured interval has elapsed, compact every event type whose
+        configured interval has elapsed, ENQUEUE every event type whose
         segment-file count exceeds the threshold (`auto_compact_files`
-        when set, else a fixed floor). Callers pay a clock compare when
-        the interval hasn't elapsed; the sweep itself runs under the
-        flush lock, taken non-blocking — if a flush or another sweep is
-        mid-flight the check simply defers to the next interval."""
+        when set, else a fixed floor) for the background compaction
+        worker. Callers pay a clock compare when the interval hasn't
+        elapsed and a directory listing when it has — the O(corpus)
+        rewrite itself never runs on a write barrier or read path."""
         if not self._compaction_interval:
             return
         now = self._clock()
@@ -416,40 +538,183 @@ class EventStore:
             if now < self._compact_due:
                 return
             self._compact_due = now + self._compaction_interval
-        if not self._flush_lock.acquire(blocking=False):
+        threshold = self._auto_compact_files or self._PERIODIC_COMPACT_MIN_FILES
+        events = os.path.join(self.root, "events")
+        if not os.path.isdir(events):
             return
-        try:
-            threshold = self._auto_compact_files or self._PERIODIC_COMPACT_MIN_FILES
-            events = os.path.join(self.root, "events")
-            if not os.path.isdir(events):
-                return
-            # derive LOGICAL type names: after an object-backend
-            # compaction the raw dir is GC'd and only dotted protocol
-            # siblings (.ptr/.v<N>) remain, so enumerating plain dirs
-            # alone would permanently skip every compacted type
-            names = {n.split(".", 1)[0] for n in os.listdir(events)}
-            for n in sorted(names):
-                if not n:
-                    continue
-                path = self._path(n)  # resolved live prefix
-                if not os.path.isdir(path):
-                    continue
-                if sum(1 for _ in self.storage.walk_parquet(path)) > threshold:
-                    self.compact(n)
-        finally:
-            self._flush_lock.release()
+        # derive LOGICAL type names: after an object-backend
+        # compaction the raw dir is GC'd and only dotted protocol
+        # siblings (.ptr/.v<N>) remain, so enumerating plain dirs
+        # alone would permanently skip every compacted type
+        names = {n.split(".", 1)[0] for n in os.listdir(events)}
+        for n in sorted(names):
+            if not n:
+                continue
+            path = self._path(n)  # resolved live prefix
+            if not os.path.isdir(path):
+                continue
+            if sum(1 for _ in self.storage.walk_parquet(path)) > threshold:
+                self._enqueue_compact(n)
 
     def _maybe_compact(self, event_type: str):
-        """Compact a type whose segment-file count crossed the configured
-        threshold. Called under the flush lock so a concurrent flush can't
-        race the rewrite; the rewrite itself is crash-safe (storage.py
-        staging + publish)."""
+        """Enqueue a type whose segment-file count crossed the configured
+        threshold for the background worker (the count is re-checked
+        there — converged-in-the-meantime types are dropped)."""
         path = self._path(event_type)
         if not os.path.isdir(path):
             return
         n_files = sum(1 for _ in self.storage.walk_parquet(path))
         if n_files > self._auto_compact_files:
-            self.compact(event_type)
+            self._enqueue_compact(event_type)
+
+    # -- background compaction worker -------------------------------------
+    def _enqueue_compact(self, event_type: str) -> None:
+        """Hand a candidate type to the compaction worker (deduped: a
+        type already queued or in flight is not re-queued — the worker
+        re-checks the threshold after finishing, so growth during its
+        own rewrite is picked up by the NEXT enqueue)."""
+        with self._compact_cond:
+            if self._compact_stop or self._superseded:
+                return
+            if (
+                event_type in self._compact_queue
+                or event_type == self._compact_inflight
+            ):
+                return
+            self._compact_queue.append(event_type)
+            if self._compact_thread is None or not self._compact_thread.is_alive():
+                self._compact_thread = threading.Thread(
+                    target=self._compact_worker,
+                    name="sneldb-compactor",
+                    daemon=True,
+                )
+                self._compact_thread.start()
+            self._compact_cond.notify_all()
+
+    def _compact_worker(self):
+        from sneldb_spark.session import set_scheduler_pool
+
+        # bulk pool: the rewrite must not head-of-line-block serve jobs
+        set_scheduler_pool(self.spark, "sneldb-bulk")
+        while True:
+            with self._compact_cond:
+                while not self._compact_queue and not self._compact_stop:
+                    self._compact_cond.wait()
+                if self._compact_stop:
+                    self._compact_queue.clear()
+                    self._compact_cond.notify_all()
+                    return
+                et = self._compact_queue.pop(0)
+                self._compact_inflight = et
+            try:
+                if not self._superseded:
+                    threshold = (
+                        self._auto_compact_files
+                        or self._PERIODIC_COMPACT_MIN_FILES
+                    )
+                    path = self._path(et)
+                    # re-check: the queue is advisory; a type that
+                    # converged (explicit compact(), or a previous pass)
+                    # since enqueue is skipped without a rewrite
+                    if os.path.isdir(path) and (
+                        sum(1 for _ in self.storage.walk_parquet(path))
+                        > threshold
+                    ):
+                        self._compact_concurrent(et)
+            except Exception as e:  # surfaced via quiesce_compaction
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "background compaction of %r failed", et, exc_info=True
+                )
+                with self._compact_cond:
+                    self._compact_errors.append((et, e))
+            finally:
+                with self._compact_cond:
+                    self._compact_inflight = None
+                    self._compact_cond.notify_all()
+
+    def quiesce_compaction(self) -> list[tuple[str, Exception]]:
+        """Wait until the compaction queue is drained and no rewrite is
+        in flight; pop-and-return any recorded worker errors (same
+        surface-is-consume contract as Materializer.quiesce). Call
+        before teardown or before asserting converged file counts."""
+        with self._compact_cond:
+            while self._compact_queue or self._compact_inflight is not None:
+                self._compact_cond.wait()
+            errors, self._compact_errors = self._compact_errors, []
+            return errors
+
+    def _stop_workers(self) -> None:
+        """Signal background threads to exit (takeover/teardown). The
+        worker also re-checks _superseded right before its locked
+        publish, so an in-flight rewrite on a superseded engine aborts
+        instead of publishing against a root it no longer owns."""
+        with self._compact_cond:
+            self._compact_stop = True
+            self._compact_queue.clear()
+            self._compact_cond.notify_all()
+        self._flush_event.set()  # unblock the auto-flusher so it exits
+
+    def _compact_concurrent(self, event_type: str, target_file_mb: int = 128):
+        """Whole-type rewrite that tolerates concurrent flush appends —
+        the worker-side twin of compact() (which assumes it owns the
+        directory for the duration).
+
+        Protocol: snapshot the live file listing, rewrite THE SNAPSHOT
+        into a staged copy (the long Spark job, no locks held), then
+        under the flush lock adopt every file appended since the
+        snapshot into the staging (hard-link, same filesystem; a real
+        object store does a server-side COPY here — bytes never move
+        through the driver either way) and publish. Flushes proceed
+        during the rewrite; only the adopt+publish window (metadata
+        work, no data rewrite) excludes them — the r10 soak's convoy
+        (O(corpus) rewrite under the flush lock) is structurally gone."""
+        logical = self._raw_path(event_type)
+        path = self._path(event_type)
+        if not os.path.isdir(path):
+            return
+        snapshot = sorted(self.storage.walk_parquet(path))
+        if len(snapshot) <= 1:
+            return
+        # basePath keeps ingest_date partition inference when reading an
+        # explicit file list instead of the directory root
+        df = self.spark.read.option("basePath", path).parquet(*snapshot)
+        staging = self.storage.stage_path(logical)
+        self.storage.remove_tree(staging)
+        (
+            df.repartition(F.col("ingest_date"))
+            .sortWithinPartitions("context_id", "timestamp")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .options(**self._bloom_options(event_type))
+            .partitionBy("ingest_date")
+            .parquet(staging)
+        )
+        import shutil
+
+        with self._flush_lock:
+            if self._superseded:  # a newer engine owns this root now
+                self.storage.remove_tree(staging)
+                return
+            # adopt files a concurrent flush appended during the rewrite:
+            # they are NOT in the staged copy, and the publish flip would
+            # silently drop them (their WAL is already retired — real
+            # loss, not a retry). Relative paths preserve the
+            # ingest_date=… partition layout.
+            snap = set(snapshot)
+            live = self._path(event_type)
+            for f in self.storage.walk_parquet(live):
+                if f in snap:
+                    continue
+                rel = os.path.relpath(f, live)
+                dst = os.path.join(staging, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+            self.storage.publish_dir(logical)
 
     def _flush_locked(self) -> list[str]:
         with self._pending_lock:
@@ -475,16 +740,53 @@ class EventStore:
                         # left over from a crashed flush; its rows were
                         # replayed into _pending at open, so it commits now
                         rotated.append(os.path.join(self._wal_dir, fname))
+        def commit_type(event_type: str, rows: list[dict]) -> None:
+            self._write_rows(event_type, rows)
+            # visibility handover: the committed files are now
+            # authoritative; drop the buffered copy and bump the
+            # epoch so a frame built across this instant rebuilds
+            with self._pending_lock:
+                self._flushing.pop(event_type, None)
+                self._visibility_epoch += 1
+            with self._bp_cond:  # admission backpressure: space freed
+                self._bp_cond.notify_all()
+
+        to_write = [(et, rows) for et, rows in pending.items() if rows]
         try:
-            for event_type, rows in pending.items():
-                if rows:
-                    self._write_rows(event_type, rows)
-                    # visibility handover: the committed files are now
-                    # authoritative; drop the buffered copy and bump the
-                    # epoch so a frame built across this instant rebuilds
-                    with self._pending_lock:
-                        self._flushing.pop(event_type, None)
-                        self._visibility_epoch += 1
+            if len(to_write) > 1:
+                # shard the commit BY TYPE across a small thread pool:
+                # each type's Parquet write is an independent Spark job,
+                # so a slow type no longer convoys the others' handover
+                # (VERDICT r10 #1 "shard the flush by type"). Workers
+                # inherit the caller's scheduler pool; the flush lock is
+                # held by THIS thread for the whole window either way.
+                import concurrent.futures as cf
+
+                pool = self.spark.sparkContext.getLocalProperty(
+                    "spark.scheduler.pool"
+                )
+
+                def worker(item):
+                    if pool is not None:
+                        from sneldb_spark.session import set_scheduler_pool
+
+                        set_scheduler_pool(self.spark, pool)
+                    commit_type(*item)
+
+                with cf.ThreadPoolExecutor(
+                    max_workers=min(4, len(to_write)),
+                    thread_name_prefix="sneldb-flush",
+                ) as ex:
+                    errs = [
+                        f.exception()
+                        for f in [ex.submit(worker, it) for it in to_write]
+                    ]
+                first = next((e for e in errs if e is not None), None)
+                if first is not None:
+                    raise first
+            else:
+                for et, rows in to_write:
+                    commit_type(et, rows)
         except Exception:
             # Failed commit: rows stay durable in the rotated WAL; put them
             # back in memory too so reads keep seeing them before a retry.
@@ -551,6 +853,15 @@ class EventStore:
         re-expressed as file layout). The range sampling pass costs one
         extra tiny job per append; AQE coalesces the small-batch case."""
         self._check_writer()
+        # the flush lock excludes the background compaction worker's
+        # adopt+publish window: a file committed between its adopt walk
+        # and its pointer flip would be silently dropped by the flip
+        # (flush-path appends run under this lock already, via
+        # _append_df_locked)
+        with self._flush_lock:
+            self._append_df_locked(event_type, df)
+
+    def _append_df_locked(self, event_type: str, df: DataFrame):
         (
             df.withColumn(
                 "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
@@ -596,9 +907,10 @@ class EventStore:
         return self.spark.createDataFrame(pdf, schema=struct)
 
     def _write_rows(self, event_type: str, rows: list[dict]):
+        # called from the flush path, which already holds the flush lock
         schema = self.registry.get(event_type)
         df = self._rows_frame(rows, schema.spark_struct)
-        self.append_dataframe(event_type, df)
+        self._append_df_locked(event_type, df)
 
     # -- read path --------------------------------------------------------
     def _raw_path(self, event_type: str) -> str:

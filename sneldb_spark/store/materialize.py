@@ -104,6 +104,25 @@ class Materializer:
         with self._fold_lock:
             self._serve_frames.setdefault(name, weakref.WeakSet()).add(frame)
 
+    def pin_derived(self, name: str, parent: DataFrame, child: DataFrame) -> DataFrame:
+        """Transfer a serve frame's GC pin to a frame DERIVED from it
+        (e.g. a LIMIT'd SHOW). pyspark transformations keep no Python
+        reference to their parent, and the registry is a WeakSet — so
+        without this the parent (the only pin holder) is collected the
+        moment the caller rebinds it, _pinned_lives() loses the pin, and
+        a compaction publish past gc_grace_versions can GC files the
+        derived plan still reads mid-drain. The child carries both the
+        pinned-copy path and a strong reference to the parent (belt and
+        braces: the parent may hold serve-parts state the drain path
+        inspects). No-op passthrough when the parent isn't a pinned
+        serve frame (fresh/non-segmented materializations)."""
+        live = getattr(parent, "__sneldb_pinned_live__", None)
+        if live is not None:
+            child.__sneldb_pinned_live__ = live
+            child.__sneldb_serve_parent__ = parent
+            self._register_serve(name, child)
+        return child
+
     def _serves_outstanding(self, name: str) -> bool:
         ws = self._serve_frames.get(name)
         return bool(ws) and len(ws) > 0
@@ -1701,15 +1720,23 @@ class Materializer:
         # right now, and recover_dir would GC its half-written staging as
         # crash scratch (the fold then publishes an incomplete state dir).
         # Skip while a fold is alive; a genuinely crashed fold leaves no
-        # live thread, so the next SHOW recovers as before.
-        if not self._fold_in_flight(name):
-            if manifest.get("state_keys") is not None or manifest.get(
-                "seq_state"
-            ):
-                self.storage.recover_dir(self._state_path(name))
-            if manifest.get("compare_state_keys") is not None:
-                for i in range(len(manifest["compare_state_keys"])):
-                    self.storage.recover_dir(self._compare_state_dir(name, i))
+        # live thread, so the next SHOW recovers as before. The check and
+        # the recover calls run UNDER _fold_lock: _schedule_fold
+        # registers-and-starts the thread under the same lock, so a
+        # concurrent SHOW cannot slip a new fold between our check and
+        # our recover (the check-then-act race) — either the fold is
+        # already alive (we skip) or its scheduling waits for us.
+        with self._fold_lock:
+            if not self._fold_in_flight(name):
+                if manifest.get("state_keys") is not None or manifest.get(
+                    "seq_state"
+                ):
+                    self.storage.recover_dir(self._state_path(name))
+                if manifest.get("compare_state_keys") is not None:
+                    for i in range(len(manifest["compare_state_keys"])):
+                        self.storage.recover_dir(
+                            self._compare_state_dir(name, i)
+                        )
         cur_ts, cur_id = self._source_hwm(q)
         stale = (cur_ts, cur_id) != (manifest["hwm_ts"], manifest["hwm_id"])
 
@@ -1858,17 +1885,20 @@ class Materializer:
         compare) materializations — their result is already one compact
         group-count-sized table.
 
-        Slow-reader contract: a serve frame built BEFORE this compaction
-        pins the pre-flip file listing and keeps reading the superseded
-        copy through the storage grace window (`gc_grace_versions`,
-        default 1 for grace backends) — it survives THIS publish but not
-        a second one. The fold-triggered auto-compact path therefore
-        defers while serve frames are outstanding (_fold_and_commit);
-        an explicit compact() call is the operator's assertion that no
-        reader will out-live gc_grace_versions further publishes —
-        size that knob to cover the maximum client drain time times the
-        publish cadence, or re-resolve and retry on FAILED_READ_FILE
-        (docs/scale.md read-repair)."""
+        Slow-reader contract: compaction never DEFERS for readers — it
+        runs on cadence and passes the live serve frames' pinned copy
+        paths as `keep_live` to publish_dir, so GC spares every copy a
+        registered reader is still streaming from regardless of
+        `gc_grace_versions` (keep-live pinning; _fold_and_commit's
+        auto-compact path does the same). The grace window only covers
+        UNREGISTERED readers (a plain `db.df()` escape-hatch frame, an
+        external process listing the prefix): those survive
+        `gc_grace_versions` further publishes, no more — size that knob
+        to cover their maximum drain time times the publish cadence, or
+        re-resolve and retry on FAILED_READ_FILE (docs/scale.md
+        read-repair). Note the local rename-based backend cannot honor
+        keep_live at all (single-process, no-concurrent-reader by
+        contract — see Storage.publish_dir)."""
         if not self.exists(name):
             raise MaterializationError(f"Materialization '{name}' not found")
         # compaction rewrites the segment layout a fold appends into —

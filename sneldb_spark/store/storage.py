@@ -124,7 +124,10 @@ class Storage:
         The rename-based local protocol CANNOT honor it — the previous
         copy is moved aside and removed (LOCAL is the single-process,
         no-concurrent-reader backend by contract); the pointer-flip
-        backend keeps pinned versions alive until their readers drop."""
+        backend keeps pinned versions alive until their readers drop.
+        A non-empty keep_live here logs a warning so the degraded
+        slow-reader guarantee is visible, not silent."""
+        self._warn_keep_live_ignored(dst, keep_live)
         staging, old = self.stage_path(dst), dst + self._OLD
         if not self.exists(staging):
             raise FileNotFoundError(f"no staged copy at {staging}")
@@ -134,9 +137,35 @@ class Storage:
         self.rename(staging, dst)  # step 2: staged copy goes live
         self.remove_tree(old)  # step 3: GC
 
+    def _warn_keep_live_ignored(
+        self, dst: str, keep_live: set[str] | None
+    ) -> None:
+        """Rename-based backends delete the superseded copy outright, so
+        a live serve frame's pin is NOT honored — log once per engine
+        lifetime so operators choosing LOCAL with concurrent readers see
+        the degraded contract instead of a silent FAILED_READ_FILE."""
+        if keep_live:
+            import logging
+
+            if not getattr(self, "_keep_live_warned", False):
+                self._keep_live_warned = True
+                logging.getLogger(__name__).warning(
+                    "storage backend %s cannot honor keep_live pins "
+                    "(%d live serve frame(s) on %s): the rename-based "
+                    "publish deletes the superseded copy; slow readers "
+                    "may hit FAILED_READ_FILE. Use an object-store "
+                    "backend (pointer-flip + gc_grace_versions) for "
+                    "concurrent-reader deployments.",
+                    type(self).__name__,
+                    len(keep_live),
+                    dst,
+                )
+
     def recover_dir(self, dst: str, keep_live: set[str] | None = None) -> None:
         """Repair a crashed publish; idempotent, cheap when clean.
-        `keep_live` as in publish_dir (honored by pointer-flip backends)."""
+        `keep_live` as in publish_dir (honored by pointer-flip backends;
+        warned-and-ignored here)."""
+        self._warn_keep_live_ignored(dst, keep_live)
         staging, old = self.stage_path(dst), dst + self._OLD
         if not self.exists(dst):
             if self.exists(old):

@@ -174,6 +174,58 @@ def _proc_reader_main(url: str, duration: float, out: str) -> int:
     return 1 if errs else 0
 
 
+def _proc_bulk_main(arrow_url: str, duration: float, out: str) -> int:
+    """Separate-PROCESS bulk exporter (VERDICT r10 #3): full Arrow-IPC
+    drains of the growing soak_seq result from an interpreter that
+    shares nothing with the server but the TCP socket — the honest
+    model of a real bulk consumer, and it stops a 10M-row export's
+    decode work from GIL-convoying the writers' interpreter (the r10
+    ladder's TimeoutError + I5 near-miss). Results land in `out` after
+    every drain (atomic replace), so a late kill still reports."""
+    from sneldb_spark.client import SnelDBClient
+
+    drains: list[tuple[float, int]] = []
+    errs: list[str] = []
+    t_end = time.monotonic() + duration
+
+    def dump():
+        tmp = out + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"drains": drains, "errors": errs[:10]}, f)
+        os.replace(tmp, out)
+
+    try:
+        # generous per-read cap: a tens-of-millions-row drain can
+        # legitimately gap between frames behind a flush convoy
+        with SnelDBClient(arrow_url, timeout=1800.0,
+                          output_format="arrow") as ac:
+            time.sleep(min(30.0, duration / 3))  # let soak_seq exist
+            while time.monotonic() < t_end:
+                t0 = time.monotonic()
+                try:
+                    table = ac.execute_table("SHOW soak_seq")
+                except Exception as e:  # noqa: BLE001
+                    errs.append(repr(e))
+                    if len(errs) >= 5:
+                        break
+                    time.sleep(10.0)
+                    continue
+                if table is not None and table.num_rows:
+                    drains.append(
+                        (round(time.monotonic() - t0, 3), int(table.num_rows))
+                    )
+                    dump()
+                # bulk-export cadence ~2 min; no sane consumer
+                # re-exports a growing 10M-row result more often
+                wake = time.monotonic() + 120.0
+                while time.monotonic() < min(wake, t_end):
+                    time.sleep(1.0)
+    except Exception as e:  # noqa: BLE001
+        errs.append(repr(e))
+    dump()
+    return 1 if errs else 0
+
+
 def run_soak(
     *,
     duration: float = 120.0,
@@ -259,6 +311,13 @@ def run_soak(
         auto_compact_files=8,
         compaction_interval=30,
         storage=storage,
+        # memtable capacity (reference fill_factor * event_per_zone *
+        # shards): above this the engine flushes ITSELF, so when the 5 s
+        # FLUSH cadence falls behind the ingest rate the memtable stops
+        # growing at ~capacity instead of ballooning (r10 ladder: 1.3M
+        # pending rows, I6 FAIL). The hard admission bound is 4x; the
+        # servers reject writes with retry-later at 90% of that.
+        memtable_capacity=64_000,
     )
     server = SnelDBServer(db).start()
     host, port = server.address
@@ -283,6 +342,7 @@ def run_soak(
     errors: list[str] = []
     acked = {"soak_evt": 0, "soak_click": 0}
     plan_tally: dict[str, int] = {p: 0 for p in _PLANS}
+    pressure_retries = [0]  # writer batches rejected with retry-later
     tally_lock = threading.Lock()
 
     def writer(w: int):
@@ -308,7 +368,18 @@ def run_soak(
                                 f'{{"n": {seq}, "user_id": {uid}}}'
                             )
                         seq += 1
-                    r = c.try_execute("BATCH [ " + "; ".join(stores) + " ]")
+                    batch = "BATCH [ " + "; ".join(stores) + " ]"
+                    r = c.try_execute(batch)
+                    # honest client behavior for the reference's
+                    # backpressure contract: "Server is under pressure,
+                    # please retry later" means back off and resend the
+                    # SAME batch (nothing was ingested), not die
+                    while not r.ok and "under pressure" in (r.message or ""):
+                        with tally_lock:
+                            pressure_retries[0] += 1
+                        if stop.wait(0.1):
+                            return
+                        r = c.try_execute(batch)
                     if not r.ok:
                         errors.append(f"writer{w}: {r.message}")
                         return
@@ -330,10 +401,6 @@ def run_soak(
         except Exception as e:  # pragma: no cover
             errors.append(f"flusher: {e!r}")
 
-    # (seconds, rows) per FULL drain of the big event-shaped result —
-    # over the Arrow server, so growth reads as rows, and per-row cost
-    # as sec/1M rows
-    drain_lat: list[tuple[float, int]] = []
     # time-to-first-frame per SHOW, keyed by materialization: the
     # serve-then-refresh claim (first bytes at storage-read latency)
     # applies to the EVENT-SHAPED soak_seq; the aggregate soak_counts is
@@ -342,24 +409,20 @@ def run_soak(
     show_ttff: dict[str, list[float]] = {"soak_counts": [], "soak_seq": []}
 
     def shower():
+        # NOTE: the FULL Arrow drain (bulk-export pattern) moved to a
+        # SEPARATE PROCESS (_proc_bulk_main, VERDICT r10 #3): a 12M-row
+        # export sharing this interpreter with the writers was the r10
+        # ladder's one TimeoutError and the I5 near-miss — and a real
+        # bulk consumer is its own process anyway.
         try:
-            with SnelDBClient(url, timeout=600.0) as c, SnelDBClient(
-                # generous per-read cap for the bulk-export lane: a
-                # tens-of-millions-row drain behind a flush convoy can
-                # legitimately gap >600 s between frames late in a long
-                # soak (the r10 ladder's one TimeoutError was this
-                # harness cap, not a stall — the drain itself was live)
-                arrow_url, timeout=1800.0, output_format="arrow"
-            ) as ac:
+            with SnelDBClient(url, timeout=600.0) as c:
                 # materializations appear once some data exists
                 time.sleep(min(10.0, duration / 4))
                 c.execute("REMEMBER QUERY soak_evt COUNT BY plan AS soak_counts")
                 c.execute(
                     "REMEMBER QUERY soak_evt FOLLOWED BY soak_click AS soak_seq"
                 )
-                cadence = 0
                 while not stop.wait(show_every):
-                    cadence += 1
                     for name in ("soak_counts", "soak_seq"):
                         # bounded probe (`SHOW <name> LIMIT k`): the
                         # monitoring read pattern — first frames without
@@ -379,23 +442,6 @@ def run_soak(
                                 return
                         show_ttff[name].append(
                             first if first is not None else 0.0
-                        )
-                    # FULL drain every 6th cadence (~2 min), over Arrow
-                    # IPC as a pyarrow Table — the bulk-export pattern.
-                    # The r9 90-min soak full-JSON-drained the growing
-                    # result EVERY cadence; by late run single drains
-                    # outlasted the cadence, so the interpreter never
-                    # left drain-encode (395 s p95, GIL convoy). Arrow
-                    # cuts per-row cost ~13x (measured ~30 s/1M rows,
-                    # flat as the result grows — asserted via the
-                    # recorded sec-per-1M figure); spacing the drains is
-                    # the client-side half of the fix: no sane bulk
-                    # consumer re-exports an 8M-row result every 20 s.
-                    if cadence % 6 == 0:
-                        t0 = time.monotonic()
-                        table = ac.execute_table("SHOW soak_seq")
-                        drain_lat.append(
-                            (time.monotonic() - t0, int(table.num_rows))
                         )
         except Exception as e:  # pragma: no cover
             errors.append(f"shower: {e!r}")
@@ -445,9 +491,38 @@ def run_soak(
             with db.store._pending_lock:
                 pending = sum(len(v) for v in db.store._pending.values())
             recent = [d for (_t, _q, d, _n) in read_lat[-50:]]
+            # serve-frame memory audit (VERDICT r10 #6): live registered
+            # serve frames and the pinned superseded copies they hold,
+            # plus total cached RDD bytes (localCheckpointed delta
+            # bundles live there) — a long-running service must show
+            # these bounded, not climbing with publish count
+            with db.materializer._fold_lock:
+                serve_frames = {
+                    n: len(ws)
+                    for n, ws in db.materializer._serve_frames.items()
+                    if len(ws)
+                }
+            pinned_copies = sum(
+                len(db.materializer._pinned_lives(n)) for n in serve_frames
+            )
+            try:
+                cached_rdd_mb = round(
+                    sum(
+                        i.memSize() + i.diskSize()
+                        for i in spark.sparkContext._jsc.sc()
+                        .getRDDStorageInfo()
+                    )
+                    / 1e6,
+                    1,
+                )
+            except Exception:  # pragma: no cover — JVM API drift guard
+                cached_rdd_mb = -1.0
             samples.append(
                 {
                     "t": round(time.monotonic() - t_start, 1),
+                    "serve_frames": serve_frames,
+                    "pinned_copies": pinned_copies,
+                    "cached_rdd_mb": cached_rdd_mb,
                     "acked": dict(acked),
                     "segment_parquet_files": _parquet_files(ev_dir),
                     "total_parquet_files": _parquet_files(root),
@@ -478,6 +553,17 @@ def run_soak(
         ],
         env={**os.environ, "PYTHONPATH": os.pathsep.join(sys.path)},
     )
+    # separate-PROCESS bulk exporter (own interpreter + Arrow socket)
+    bulk_out = os.path.join(root, "proc_bulk.json")
+    bulk_proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "sneldb_spark.tools.soak",
+            "--proc-bulk", arrow_url,
+            "--proc-duration", str(duration),
+            "--proc-out", bulk_out,
+        ],
+        env={**os.environ, "PYTHONPATH": os.pathsep.join(sys.path)},
+    )
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(writers)]
     threads += [
@@ -499,9 +585,25 @@ def run_soak(
     except subprocess.TimeoutExpired:  # pragma: no cover
         proc.kill()
         proc_rc = -9
+    try:
+        # a bulk drain started just before the deadline can legitimately
+        # run long — it is live Arrow streaming, not a stall
+        bulk_rc = bulk_proc.wait(timeout=1800)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        bulk_proc.kill()
+        bulk_rc = -9
+    bulk_summary: dict = {}
+    if os.path.exists(bulk_out):
+        with open(bulk_out, encoding="utf-8") as f:
+            bulk_summary = json.load(f)
+    drain_lat = [tuple(d) for d in bulk_summary.get("drains", [])]
 
-    # final settle: flush + compact, then measure the converged state
+    # final settle: flush, settle the background compactor, then the
+    # explicit converging compacts, then measure
     db.store.flush()
+    compact_errs = db.store.quiesce_compaction()
+    if compact_errs:  # pragma: no cover
+        errors.extend(f"compactor: {e!r}" for _t, e in compact_errs)
     for et in ("soak_evt", "soak_click"):
         db.store.compact(et)
     final_files = _parquet_files(os.path.join(root, "events"))
@@ -662,6 +764,36 @@ def run_soak(
         "batch_size": batch_size,
         "acked_events": dict(acked),
         "throughput_ev_s": round(sum(acked.values()) / duration, 1),
+        # batches the frontends rejected with the reference's
+        # retry-later error (writers resent them; acked counts only
+        # successful batches, so exactness is unaffected)
+        "pressure_retries": pressure_retries[0],
+        # serve-frame memory audit (VERDICT r10 #6): both must read as
+        # BOUNDED over the run. Eviction story: pinned copies drop when
+        # their reader frames are GC'd; checkpointed delta-bundle blocks
+        # are freed by Spark's ContextCleaner once the frames holding
+        # them die (explicit unpersist would be WRONG — localCheckpoint
+        # truncates lineage, so a live slow reader's frame would become
+        # unrecomputable). Bounded-by-GC, verified by this metric.
+        "serve_frame_audit": {
+            "max_pinned_copies": max(
+                (s["pinned_copies"] for s in samples), default=0
+            ),
+            "final_pinned_copies": (
+                samples[-1]["pinned_copies"] if samples else 0
+            ),
+            "max_cached_rdd_mb": max(
+                (s["cached_rdd_mb"] for s in samples), default=0.0
+            ),
+            "final_cached_rdd_mb": (
+                samples[-1]["cached_rdd_mb"] if samples else 0.0
+            ),
+        },
+        "bulk_export": {
+            "exit_code": bulk_rc,
+            "drains": len(drain_lat),
+            "errors": bulk_summary.get("errors", []),
+        },
         "disk_slopes": slopes,
         "samples": samples,
         "checks": checks,
@@ -683,6 +815,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     # hidden lane: run as the separate-process reader run_soak spawns
     ap.add_argument("--proc-reader", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--proc-bulk", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--proc-duration", type=float, default=120.0,
                     help=argparse.SUPPRESS)
     ap.add_argument("--proc-out", default=None, help=argparse.SUPPRESS)
@@ -701,6 +834,10 @@ def main():
     if args.proc_reader:
         sys.exit(
             _proc_reader_main(args.proc_reader, args.proc_duration, args.proc_out)
+        )
+    if args.proc_bulk:
+        sys.exit(
+            _proc_bulk_main(args.proc_bulk, args.proc_duration, args.proc_out)
         )
     summary = run_soak(
         duration=args.duration,

@@ -107,6 +107,15 @@ class _Handler(socketserver.StreamRequestHandler):
                     session_user = user_id
                     self._send_json({"type": "ok", "message": f"OK TOKEN {token}"})
                     continue
+                from sneldb_spark.server import reject_if_under_pressure
+
+                pressure = reject_if_under_pressure(
+                    engine, command,
+                    getattr(self.server, "backpressure_threshold", 90),
+                )
+                if pressure is not None:
+                    self._send_json({"type": "error", "message": pressure})
+                    continue
                 result = engine.execute(command, user_id=user_id)
                 if result.df is not None:
                     if getattr(self.server, "output_format", "json") == "arrow":
@@ -217,6 +226,7 @@ class SnelDBWsServer:
         host: str = "127.0.0.1",
         port: int = 0,
         output_format: str = "json",
+        backpressure_threshold: int = 90,
     ):
         from sneldb_spark.server import _check_output_format
 
@@ -224,6 +234,7 @@ class SnelDBWsServer:
         self._server.daemon_threads = True
         self._server.engine = engine  # type: ignore[attr-defined]
         self._server.output_format = _check_output_format(output_format)  # type: ignore[attr-defined]
+        self._server.backpressure_threshold = backpressure_threshold  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

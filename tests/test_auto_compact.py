@@ -24,6 +24,9 @@ def test_auto_compact_triggers_and_preserves_data(spark, tmp_path):
     for i in range(6):
         db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
         db.execute("FLUSH")  # one file per flush
+    # compaction is a BACKGROUND worker (reference compaction_worker.rs;
+    # FLUSH only enqueues) — settle it before asserting convergence
+    assert db.store.quiesce_compaction() == []
     # the compactor fired at least once: far fewer than 6 files remain
     assert _n_files(db.store, "t") <= 3
     rows = db.query("QUERY t ORDER BY v").collect()
@@ -100,6 +103,7 @@ def test_auto_compact_with_wal_recovery(spark, tmp_path):
     db2.execute("FLUSH")
     rows = sorted(r["v"] for r in db2.query("QUERY t").collect())
     assert rows == [0, 1, 2, 99]
+    assert db2.store.quiesce_compaction() == []
     assert _n_files(db2.store, "t") <= 2
 
 
@@ -122,6 +126,7 @@ def test_periodic_compaction_interval_converges(spark, tmp_path):
     t[0] += 601
     db.execute('STORE p FOR cx PAYLOAD {"v": 99}')
     db.execute("FLUSH")  # the write barrier after the interval sweeps
+    assert db.store.quiesce_compaction() == []
     assert _n_files(db.store, "p") <= 3
     rows = db.query("QUERY p ORDER BY v").collect()
     assert [r["v"] for r in rows] == list(range(10)) + [99]
@@ -132,6 +137,7 @@ def test_periodic_compaction_interval_converges(spark, tmp_path):
                   recursive=True)
     )
     assert db.query("QUERY p").count() == 11  # read-path check, no-op sweep
+    assert db.store.quiesce_compaction() == []
     after = sorted(
         glob.glob(os.path.join(db.store.root, "events", "p", "**", "*.parquet"),
                   recursive=True)

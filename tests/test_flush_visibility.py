@@ -104,20 +104,19 @@ def test_failed_commit_requeues_only_uncommitted_types(engine, monkeypatch):
     engine.execute('STORE fb FOR c1 PAYLOAD { "n": 2 }')
     store = engine.store
     orig = store._write_rows
-    committed = []
 
-    def die_on_second(event_type, rows):
-        if committed:
+    # type commits run in PARALLEL (flush shards by type), so failure
+    # injection keys on the type, not on commit order
+    def die_on_fb(event_type, rows):
+        if event_type == "fb":
             raise RuntimeError("simulated commit failure")
         orig(event_type, rows)
-        committed.append(event_type)
 
-    store._write_rows = die_on_second
+    store._write_rows = die_on_fb
     with pytest.raises(RuntimeError):
         store.flush()
     store._write_rows = orig
-    ok_type = committed[0]
-    other = "fb" if ok_type == "fa" else "fa"
+    ok_type, other = "fa", "fb"
     # the committed type's rows are NOT back in the buffer
     assert not store._has_pending(ok_type)
     assert store._has_pending(other)

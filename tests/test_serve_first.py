@@ -546,3 +546,43 @@ def test_show_limit_bounded_service_read(spark, tmp_path):
     assert db.materializer.quiesce("mlim") == []
     assert db.execute("SHOW mlim").df.count() == 12
     assert db.execute("SHOW mlim LIMIT 100").df.count() == 12
+
+
+def test_show_limit_transfers_serve_pin(spark, tmp_path):
+    """ADVICE r10 (medium): `df.limit(n)` keeps no Python reference to
+    its parent, and the serve registry is a WeakSet — so a LIMIT'd SHOW
+    used to drop the serve frame's pin the moment the engine rebound
+    `df`, letting a compaction publish GC the files the limited plan
+    still reads mid-drain (the soak's TTFF probe path exactly).
+    pin_derived must carry the pin onto the limited frame."""
+    import gc
+    from pathlib import Path
+
+    db = _mk_db(spark, tmp_path)
+    db.materializer.auto_compact_segments = 1
+    db.execute('DEFINE ev FIELDS { "u": "string" }')
+    _store(db, "ev", "c0", {"u": "u0"})
+    db.execute("FLUSH")
+    db.execute("REMEMBER QUERY ev AS mpin")
+    _store(db, "ev", "c1", {"u": "u1"})
+    db.execute("FLUSH")
+
+    held = db.execute("SHOW mpin LIMIT 100").df  # a stale serve, limited
+    assert db.materializer.quiesce("mpin") == []
+    gc.collect()  # the UNlimited parent frame is unreachable by now...
+    pins = db.materializer._pinned_lives("mpin")
+    assert pins, "limited SHOW frame lost the serve pin"  # ...pin survives
+    pinned = next(iter(pins))
+    # pinned copy survives repeated fold+auto-compact publishes (past
+    # the grace window) while the limited frame is held
+    for i in range(2, 5):
+        _store(db, "ev", f"c{i}", {"u": f"u{i}"})
+        db.execute("FLUSH")
+        assert db.execute("SHOW mpin LIMIT 100").df.count() == i + 1
+        assert db.materializer.quiesce("mpin") == []
+        gc.collect()
+    assert any(Path(pinned).rglob("*.parquet"))
+    assert held.count() == 2  # slow reader drains its exact snapshot
+    del held
+    gc.collect()
+    assert not db.materializer._serves_outstanding("mpin")

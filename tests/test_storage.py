@@ -479,6 +479,7 @@ def test_obj_engine_periodic_compaction_sees_pointered_types(spark, tmp_path):
         _feed(db, "ev", 1, start=10 + b)
     clock["now"] += 10  # past the interval
     db.store.maybe_periodic_compact()
+    assert db.store.quiesce_compaction() == []  # sweep enqueues; settle
     assert st.resolve(raw) != v1  # the sweep compacted the pointered type
     assert db.query("QUERY ev").count() == 6
 
