@@ -2896,6 +2896,140 @@ FROM w1 FULL JOIN g2 USING (bucket), m
 """
 
 
+def q_quality_score_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring END-TO-END (VERDICT r10 #8): train
+    the hashed linear classifier on one md5-split half of the corpus,
+    then score the HELD-OUT half with the trained weight table — the
+    production shape (train once on a labeled slice, score every crawl;
+    DCLM/CCNet fastText quality filters). Composition of two shipped,
+    individually-gated kernels: fasttext_train (2 dyadic gradient
+    passes, bit-reproducible) feeding fasttext_score (explode + ONE
+    broadcast weight join + per-doc map-side-combined margin). The
+    oracle chains the two existing oracles: the unrolled training SQL
+    over the train half, then the scoring margin over the apply half.
+    Scores are exact dyadic rationals (1/1024-quantized weights ×
+    integer counts, /4 sigmoid surrogate), so no rounding is needed
+    for the cross-engine hash."""
+    from sneldb_spark.pipeline.text import fasttext_score, fasttext_train
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+    )
+    train, apply = d.where(sp == 0), d.where(sp == 1)
+    labels = train.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("y"),
+    )
+    w = fasttext_train(
+        train, labels, num_buckets=1 << 14, iters=2, lr_shift=2, scale=1024
+    )
+    return fasttext_score(apply, w, num_buckets=1 << 14)
+
+
+_QUALITY_PIPELINE_SQL = rf"""
+WITH split AS (
+  SELECT *, (('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2) AS sp
+  FROM documents
+),
+train AS (SELECT * FROM split WHERE sp = 0),
+apply AS (SELECT * FROM split WHERE sp = 1),
+labels AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) AS y
+  FROM train
+),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                     x -> x <> '') AS ws
+  FROM train
+),
+featl AS (
+  SELECT doc_id,
+         unnest(ws || CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END) AS f
+  FROM words WHERE len(ws) > 0
+),
+feats AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM (
+    SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % {1 << 14} AS bucket
+    FROM featl)
+  GROUP BY doc_id, bucket
+),
+m AS (SELECT count(DISTINCT doc_id) AS m FROM feats),
+g1 AS (
+  SELECT f.bucket, sum((0.5 - l.y) * f.cnt) AS g
+  FROM feats f JOIN labels l USING (doc_id) GROUP BY f.bucket
+),
+w1 AS (
+  SELECT bucket, floor((0.0 - 0.25 * g / m.m) * 1024 + 0.5) / 1024 AS w
+  FROM g1, m
+),
+s2 AS (
+  SELECT f.doc_id, sum(w1.w * f.cnt) AS s
+  FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id
+),
+p2 AS (
+  SELECT doc_id, greatest(0.0, least(1.0, 0.5 + s / 4)) AS p FROM s2
+),
+g2 AS (
+  SELECT f.bucket, sum((p2.p - l.y) * f.cnt) AS g
+  FROM feats f JOIN p2 USING (doc_id) JOIN labels l USING (doc_id)
+  GROUP BY f.bucket
+),
+w2 AS (
+  SELECT bucket,
+         floor((coalesce(w1.w, 0) - 0.25 * coalesce(g2.g, 0) / m.m) * 1024 + 0.5)
+           / 1024 AS w
+  FROM w1 FULL JOIN g2 USING (bucket), m
+),
+awords AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                     x -> x <> '') AS ws
+  FROM apply
+),
+afeatl AS (
+  SELECT doc_id,
+         unnest(ws || CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END) AS f
+  FROM awords WHERE len(ws) > 0
+),
+afeats AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM (
+    SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % {1 << 14} AS bucket
+    FROM afeatl)
+  GROUP BY doc_id, bucket
+),
+margin AS (
+  SELECT a.doc_id, sum(coalesce(w2.w, 0) * a.cnt) AS s
+  FROM afeats a LEFT JOIN w2 USING (bucket) GROUP BY a.doc_id
+),
+scorep AS (
+  SELECT doc_id, greatest(0.0, least(1.0, 0.5 + s / 4)) AS score FROM margin
+)
+SELECT a.doc_id, p.score,
+       CAST(CASE WHEN p.score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM apply a LEFT JOIN scorep p USING (doc_id)
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact percentiles; at 100 TB
     the documented swap is approx_percentile)."""
@@ -4727,33 +4861,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code is unchanged. tools/check_correctness.py still verifies ALL
 # entries locally every round.
 _DRIVER_PRIORITY = [
-    # r10: never-driver-rowed gates first (new this round), then changed
-    # paths — the serve-then-refresh fold now writes the SERVED delta
-    # (one delta pipeline feeds stream and persist), compaction GC keeps
-    # copies pinned by live serve frames (keep_live), and SHOW grew a
-    # bounded LIMIT form; the six lifecycle gates run those paths
-    # end-to-end
-    "text_fasttext_train",  # NEW this round (classifier training)
-    "sampling_cluster_balanced",  # NEW this round (kmeans→cap composition)
+    # r11: changed-path gates first — the flush commit now shards by
+    # type across a thread pool, compaction moved to a background worker
+    # (snapshot rewrite + locked adopt/publish), and the memtable grew
+    # capacity-triggered async flush + admission backpressure; the six
+    # lifecycle gates run STORE→FLUSH→REMEMBER→SHOW end-to-end through
+    # all of that (plus the serve-pin transfer on the SHOW path)
+    "quality_score_pipeline",  # NEW this round (train→score composition)
     "remember_show", "remember_show_agg", "remember_show_seq",
     "remember_show_seq_agg", "remember_show_chain", "remember_show_compare",
-    # then the full r7-stale tier (VERDICT r9 rotation item: all 39
-    # gates whose latest driver row is r7 cycle through this window)
-    "compare_three", "corpus_curation", "corpus_mix", "corpus_report",
-    "corpus_upsample", "dedup_exact", "dedup_keep_best",
-    "dedup_minhash_clusters", "dedup_minhash_cross", "dedup_minhash_lsh",
-    "dedup_span_removal", "embedding_covariance", "events_active_users",
-    "events_cohort_retention", "events_experiment", "events_json_extract",
-    "multimodal_dedup", "multimodal_features", "sampling_dsir",
-    "sampling_group_cap", "sampling_leakage_safe", "sampling_split",
-    "sampling_stratified", "sampling_token_budget", "sampling_weighted",
-    "similarity_knn_graph", "streaming_dedup", "streaming_seq_chain",
-    "streaming_seq_chain_bucketed", "streaming_window_agg",
-    "text_blocklist", "text_bpe_encode", "text_lm_score",
-    "text_ngram_counts", "text_quality_buckets", "text_tfidf",
-    "text_winnow", "tpch_q2", "tpch_q20",
-    # remaining slots: start cycling the r8 tier (its heaviest scans)
-    "tpch_q1", "tpch_q3", "tpch_q18",
+    # then the full r8-stale tier (VERDICT r10 #5 rotation: all 40
+    # gates whose latest driver row is r8 cycle through this window)
+    "agg_count_by", "agg_count_unique", "agg_multi", "agg_order_limit",
+    "agg_per_day", "agg_per_month_naive", "agg_percentile",
+    "compare_daily", "corpus_stats", "decontaminate",
+    "dedup_line_boilerplate", "dedup_simhash", "embedding_kmeans",
+    "filter_in_not", "filter_parens", "filter_string_ops", "for_context",
+    "order_limit_offset", "order_multi", "replay_context", "replay_typed",
+    "return_projection", "sampling_training_shuffle", "since_bound",
+    "streaming_seq_followed_by", "streaming_seq_preceded_by",
+    "text_novelty", "text_quality", "text_unigram_encode",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q4", "tpch_q5", "tpch_q6", "until_bound",
+    # remaining slots: start cycling the r9 tier (heaviest scans first)
+    "tpch_q9", "tpch_q21", "tpch_q7",
     # (tools/check_correctness.py still verifies ALL entries locally
     # every round; the driver window samples 50.)
 ]
@@ -4935,6 +5066,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_cross": q_semantic_dedup_cross,
         "text_fasttext_classify": q_text_fasttext_classify,
         "text_fasttext_train": q_text_fasttext_train,
+        "quality_score_pipeline": q_quality_score_pipeline,
         "corpus_stats": q_corpus_stats,
         "text_chunk": q_text_chunk,
         "pack_sequences": q_pack_sequences,
@@ -5240,6 +5372,7 @@ FROM p FULL OUTER JOIN c ON p.bucket = c.bucket""",
         "semantic_dedup_cross": _SEMANTIC_CROSS_SQL,
         "text_fasttext_classify": _FASTTEXT_SQL,
         "text_fasttext_train": _FASTTEXT_TRAIN_SQL,
+        "quality_score_pipeline": _QUALITY_PIPELINE_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "text_chunk": _TEXT_CHUNK_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,

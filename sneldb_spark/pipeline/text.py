@@ -1246,6 +1246,66 @@ def fasttext_classify(
     )
 
 
+def fasttext_score(
+    df,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    threshold: float = 0.5,
+):
+    """Score documents with a BINARY weight table trained by
+    :func:`fasttext_train` — the apply half of the production quality
+    pipeline (train once on a labeled slice, score every crawl; cf.
+    DCLM / CCNet fastText quality filters). Uses the TRAINING margin
+    convention (s = Σ w·cnt over the hashed bag, p = clamp(½ + s/4,
+    0, 1) — the same piecewise-linear sigmoid surrogate), so a model's
+    held-out scores are bit-identical to what its own training pass
+    would have computed: w is 1/scale-quantized dyadic, counts are
+    integers, and ¼ is a power of two, so p is exact in float64 in any
+    engine — no rounding needed for cross-engine comparison.
+
+    Buckets unseen in training score 0 (left join + coalesce). Returns
+    one row per input doc: (id, score, keep) with score null and keep 0
+    for token-less docs. Scale: identical shape to fasttext_classify —
+    explode, ONE broadcast join against the ≤num_buckets-row weight
+    table, one map-side-combined per-doc aggregation; the only shuffle
+    is doc-count-sized."""
+    feats = fasttext_features(
+        df, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, bigrams=bigrams,
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("cnt")).alias(
+                "__s"
+            )
+        )
+        .select(
+            id_col,
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
+            ).alias("score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "score",
+            F.when(F.col("score") >= threshold, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def fasttext_features(
     df,
     id_col: str = "doc_id",
