@@ -762,9 +762,15 @@ class EventStore:
                 # held by THIS thread for the whole window either way.
                 import concurrent.futures as cf
 
-                pool = self.spark.sparkContext.getLocalProperty(
-                    "spark.scheduler.pool"
-                )
+                try:
+                    pool = self.spark.sparkContext.getLocalProperty(
+                        "spark.scheduler.pool"
+                    )
+                except Exception:
+                    # Spark Connect: no client-side sparkContext, and
+                    # scheduler pools are a classic-scheduler concept —
+                    # workers just run in the server's default pool
+                    pool = None
 
                 def worker(item):
                     if pool is not None:

@@ -57,6 +57,15 @@ ALLOWED_CLASSIC = {
                                "(classic-verified; Connect untested here)",
     "session.py": "quiet_logs(): best-effort setLogLevel wrapped in a "
                   "Connect-safe no-op fallback",
+    "store/event_store.py": "flush workers inherit the caller's "
+                            "scheduler pool via sparkContext."
+                            "getLocalProperty, wrapped in a Connect-safe "
+                            "fallback (pools are classic-only; workers "
+                            "then run in the server default pool)",
+    "tools/soak.py": "soak harness is classic-local by definition (it "
+                     "boots its own server + local session); the cached-"
+                     "RDD-bytes metric reads the JVM RDDStorageInfo via "
+                     "_jsc behind a try/except",
 }
 
 _CLASSIC_RE = re.compile(
