@@ -1711,23 +1711,26 @@ class Materializer:
         else:
             q = query_from_json(manifest["query"])
         path = os.path.join(self._dir(name), "data")
-        # repair a crashed swap/compact before the first read (no-op and
-        # metadata-cheap when clean); ditto the marker-carrying state dirs.
-        # keep_live: recovery GC must spare copies live serve frames pinned.
-        self.storage.recover_dir(path, keep_live=self._pinned_lives(name))
-        # State recovery repairs a CRASHED publish — but an in-flight
-        # background fold is legitimately staging the next state version
-        # right now, and recover_dir would GC its half-written staging as
-        # crash scratch (the fold then publishes an incomplete state dir).
-        # Skip while a fold is alive; a genuinely crashed fold leaves no
-        # live thread, so the next SHOW recovers as before. The check and
-        # the recover calls run UNDER _fold_lock: _schedule_fold
-        # registers-and-starts the thread under the same lock, so a
-        # concurrent SHOW cannot slip a new fold between our check and
-        # our recover (the check-then-act race) — either the fold is
-        # already alive (we skip) or its scheduling waits for us.
+        # Recovery repairs a CRASHED publish — but an in-flight
+        # background fold is legitimately staging the next data/state
+        # version right now (the fold thread also runs auto-compaction's
+        # staged base rewrite), and recover_dir racing it is the exact
+        # deleted-staging-mid-write failure the storage layer now guards
+        # against structurally. Skip ALL recovery while a fold is alive;
+        # a live fold implies no crash, and a genuinely crashed fold
+        # leaves no live thread, so the next SHOW recovers as before.
+        # The check and the recover calls run UNDER _fold_lock:
+        # _schedule_fold registers-and-starts the thread under the same
+        # lock, so a concurrent SHOW cannot slip a new fold between our
+        # check and our recover (the check-then-act race) — either the
+        # fold is already alive (we skip) or its scheduling waits for
+        # us. keep_live: recovery GC must spare copies live serve frames
+        # pinned.
         with self._fold_lock:
             if not self._fold_in_flight(name):
+                self.storage.recover_dir(
+                    path, keep_live=self._pinned_lives(name)
+                )
                 if manifest.get("state_keys") is not None or manifest.get(
                     "seq_state"
                 ):
@@ -1924,6 +1927,24 @@ class Materializer:
         staging = self.storage.stage_path(path)
         self.storage.remove_tree(staging)
         merged.write.mode("overwrite").parquet(os.path.join(staging, "base"))
+        # completeness guard (defense in depth behind the storage-level
+        # never-GC-above-the-pointer rule): if anything deleted staged
+        # files mid-write, ABORT — publishing a base-less copy silently
+        # truncates the materialization's entire history (the failure
+        # the r11 soak caught). The un-published staging is reclaimed by
+        # the next publish; the live layout stays intact and the next
+        # auto-compact retries.
+        had_rows = any(True for _ in self.storage.walk_parquet(path))
+        staged_ok = any(
+            True
+            for f in self.storage.walk_parquet(os.path.join(staging, "base"))
+        )
+        if had_rows and not staged_ok:
+            raise MaterializationError(
+                f"compaction staging for '{name}' lost its rewritten base "
+                "mid-write (concurrent GC?); aborting publish — the live "
+                "segment layout is untouched"
+            )
         if marker is not None:
             self._write_state_hwm(staging, *marker)
         # keep_live: copies pinned by live serve frames survive this

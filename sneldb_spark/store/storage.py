@@ -664,6 +664,18 @@ class ObjectStoreStorage(Storage):
             ]
             keep = set(eligible[-grace:]) if grace else set()
             for v in vs:
+                # NEVER GC a version ABOVE the live pointer: from this
+                # side it is indistinguishable from a concurrent
+                # compaction's IN-PROGRESS staging, and deleting it
+                # mid-write published a base-less (truncated) copy
+                # (soak-reproduced: SHOW's recover racing the fold
+                # thread's auto-compact rewrite cost a soak_seq
+                # materialization ~10M stored rows). A genuinely
+                # abandoned staging is reclaimed by the NEXT publish —
+                # whose GC runs with the new pointer already flipped,
+                # so every number below it is provably dead.
+                if cur_n is not None and v > cur_n:
+                    continue
                 if (
                     f"{dst}.v{v}" != cur
                     and v not in keep
@@ -674,10 +686,11 @@ class ObjectStoreStorage(Storage):
                 self._gc_prefix(dst)
             return
         if self.client.list(dst.rstrip("/") + "/"):
-            # live copy is the raw prefix; staged scratch is discarded and
-            # re-derived by the next refresh (matrix: dst present)
-            for v in vs:
-                self._gc_prefix(f"{dst}.v{v}")
+            # live copy is the raw prefix. Staged versions are NOT GC'd
+            # here for the same reason as above: a concurrent FIRST
+            # compaction may be staging .v1 right now, and recovery
+            # cannot tell it from crash scratch. The first publish
+            # reclaims abandoned stagings (its GC runs after the flip).
             return
         if vs:
             # first publish crashed after staging, before the flip

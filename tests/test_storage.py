@@ -212,27 +212,36 @@ def test_obj_recover_clean_is_noop(ost, tmp_path):
     assert _read_live(ost, dst) == "live"
 
 
-def test_obj_recover_gcs_stray_staging_when_pointer_present(ost, tmp_path):
-    # crash mid-staging with the live copy untouched
+def test_obj_recover_defers_stray_staging_gc_to_next_publish(ost, tmp_path):
+    # crash mid-staging with the live copy untouched: recover must NOT
+    # touch the staging (a version above the pointer is
+    # indistinguishable from a concurrent compaction's in-progress
+    # rewrite — deleting it mid-write published truncated copies, r11
+    # soak regression); the next publish reclaims it after its flip
     dst = str(tmp_path / "bucket" / "data")
     _stage_obj(ost, dst, "live")
     ost.publish_dir(dst)
     stray = _stage_obj(ost, dst, "partial")
     ost.recover_dir(dst)
     assert _read_live(ost, dst) == "live"
-    assert not ost.client.list(stray + "/")
+    assert ost.client.list(stray + "/")  # spared: maybe in-progress
+    fresh = _stage_obj(ost, dst, "next")
+    ost.publish_dir(dst)
+    assert _read_live(ost, dst) == "next"
+    assert not ost.client.list(stray + "/")  # reclaimed post-flip
 
 
-def test_obj_recover_keeps_raw_discards_scratch(ost, tmp_path):
+def test_obj_recover_keeps_raw_and_spares_scratch(ost, tmp_path):
     # first publish crashed after staging, with a raw live copy present:
-    # raw stays live, the staged scratch is discarded and re-derived
-    # (the local matrix's "dst present -> GC strays" row)
+    # raw stays live; the staged scratch is SPARED (it may be a
+    # concurrent FIRST compaction staging .v1 — same r11 race as above)
+    # and reclaimed by the eventual first publish
     dst = str(tmp_path / "bucket" / "state")
     ost.client.put(os.path.join(dst, "f.txt"), b"raw")
     scratch = _stage_obj(ost, dst, "scratch")
     ost.recover_dir(dst)
     assert ost.resolve(dst) == dst and _read_live(ost, dst) == "raw"
-    assert not ost.client.list(scratch + "/")
+    assert ost.client.list(scratch + "/")  # spared: maybe in-progress
 
 
 def test_obj_recover_promotes_staging_on_first_publish_crash(ost, tmp_path):

@@ -105,3 +105,102 @@ def test_create_engine_defaults_to_grace_backend(spark, tmp_path):
         load_config(
             {"engine": {"data_dir": str(tmp_path / "x")}, "storage": {"backend": "s3"}}
         )
+
+
+def test_recover_never_gcs_staging_above_live_pointer(tmp_path):
+    """Regression (r11 soak, soak_seq lost ~10M stored rows): a
+    compaction stages `dst.v(N+1)` over a long Spark write while SHOW's
+    recover_dir runs concurrently. recover used to GC every version that
+    was neither the pointer target, grace-kept, nor pinned — which
+    includes the IN-PROGRESS staging (its number is above the live one),
+    so the compact then published a base-less truncated copy. recover
+    must leave numbers above the pointer alone; abandoned stagings are
+    reclaimed by the next publish (whose GC runs after its flip)."""
+    from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+
+    st = ObjectStoreStorage(DirObjectClient(str(tmp_path)), gc_grace_versions=1)
+    dst = str(tmp_path / "data")
+    # live copy at v1 via a normal publish
+    stage = st.stage_path(dst)
+    st.client.put(f"{stage}/base/part-0.parquet", b"v1")
+    st.publish_dir(dst)
+    assert st.resolve(dst).endswith(".v1")
+    # a compaction is mid-write into v2 (partial staging)
+    stage2 = st.stage_path(dst)
+    assert stage2.endswith(".v2")
+    st.client.put(f"{stage2}/base/part-0.parquet", b"half-written")
+    # concurrent SHOW recover: must NOT delete the staging
+    st.recover_dir(dst)
+    assert st.client.list(stage2 + "/"), "recover deleted in-progress staging"
+    # the compact finishes and publishes; the staged bytes survive intact
+    st.client.put(f"{stage2}/base/part-1.parquet", b"rest")
+    st.publish_dir(dst)
+    assert st.resolve(dst).endswith(".v2")
+    assert st.client.get(f"{stage2}/base/part-0.parquet") == b"half-written"
+    # an ABANDONED staging (v3, creator crashed) survives recover too...
+    stage3 = st.stage_path(dst)
+    st.client.put(f"{stage3}/base/part-0.parquet", b"abandoned")
+    st.recover_dir(dst)
+    assert st.client.list(stage3 + "/")
+    # ...and is reclaimed by the NEXT publish (flip first, then GC)
+    stage4 = st.stage_path(dst)
+    assert stage4.endswith(".v4")
+    st.client.put(f"{stage4}/base/part-0.parquet", b"v4")
+    st.publish_dir(dst)
+    assert st.resolve(dst).endswith(".v4")
+    assert not st.client.list(stage3 + "/"), "abandoned staging not reclaimed"
+
+
+def test_recover_keeps_first_staging_over_raw_prefix(tmp_path):
+    """Same race, pre-first-publish shape: the live copy is the raw
+    prefix (REMEMBER wrote it directly, no pointer yet) and the FIRST
+    compaction is staging .v1 — recover must leave it."""
+    from sneldb_spark.store.storage import DirObjectClient, ObjectStoreStorage
+
+    st = ObjectStoreStorage(DirObjectClient(str(tmp_path)), gc_grace_versions=1)
+    dst = str(tmp_path / "data")
+    st.client.put(f"{dst}/base/part-0.parquet", b"raw-live")
+    stage = st.stage_path(dst)
+    assert stage.endswith(".v1")
+    st.client.put(f"{stage}/base/part-0.parquet", b"first-compact")
+    st.recover_dir(dst)
+    assert st.client.list(stage + "/"), "recover deleted first staging"
+    st.publish_dir(dst)
+    assert st.resolve(dst).endswith(".v1")
+
+
+def test_compact_aborts_when_staging_lost(spark, tmp_path):
+    """The materializer's completeness guard (belt behind the storage
+    fix): if the staged base vanished mid-compact, publish must ABORT
+    loudly with the live layout untouched — not flip to a truncated
+    copy."""
+    from sneldb_spark.errors import MaterializationError
+
+    root = str(tmp_path / "db")
+    db = _build(spark, root, storage=grace_local_storage(root))
+    db.execute("REMEMBER QUERY t AS mseg")
+    _fill(db, 12, 15)
+    db.execute("FLUSH")
+    assert db.execute("SHOW mseg").df.count() == 15
+    assert db.materializer.quiesce("mseg") == []
+
+    st = db.materializer.storage
+    orig_walk = st.walk_parquet
+
+    def lossy_walk(root_path):
+        # simulate the staged rewrite being GC'd mid-write: a staging
+        # prefix (data.vN/base) lists empty while everything else is
+        # intact — the guard probes exactly walk_parquet(staging/base)
+        if ".v" in root_path and root_path.endswith("/base"):
+            return iter(())
+        return orig_walk(root_path)
+
+    st.walk_parquet = lossy_walk
+    try:
+        with pytest.raises(MaterializationError, match="lost its rewritten"):
+            db.materializer.compact("mseg")
+    finally:
+        st.walk_parquet = orig_walk
+    # live layout untouched, result still exact
+    assert db.execute("SHOW mseg").df.count() == 15
+    db.close()
