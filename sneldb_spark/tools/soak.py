@@ -736,6 +736,19 @@ def run_soak(
         "exit_code": proc_rc,
         **proc_summary,
     }
+    # I8: the bulk exporter's drained row counts must be NON-DECREASING —
+    # soak_seq is append-only (FOLLOWED BY pairs only accrue), so a drop
+    # means stored history was lost. This is the invariant that caught
+    # the r11 recover-vs-compaction-staging data loss (a SHOW's recover
+    # GC'd the auto-compact's half-written staging and a truncated base
+    # was published: drains went 11.6M -> 1.4M mid-run).
+    drain_rows = [n for _d, n in drain_lat]
+    checks["I8_bulk_drains_monotone"] = {
+        "ok": all(a <= b for a, b in zip(drain_rows, drain_rows[1:])),
+        "rows_series": drain_rows,
+        "bulk_exit_code": bulk_rc,
+        "bulk_errors": bulk_summary.get("errors", []),
+    }
     checks["no_thread_errors"] = {"ok": not errors, "errors": errors[:10]}
 
     server.stop()
