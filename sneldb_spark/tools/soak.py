@@ -194,34 +194,35 @@ def _proc_bulk_main(arrow_url: str, duration: float, out: str) -> int:
             json.dump({"drains": drains, "errors": errs[:10]}, f)
         os.replace(tmp, out)
 
-    try:
-        # generous per-read cap: a tens-of-millions-row drain can
-        # legitimately gap between frames behind a flush convoy
-        with SnelDBClient(arrow_url, timeout=1800.0,
-                          output_format="arrow") as ac:
-            time.sleep(min(30.0, duration / 3))  # let soak_seq exist
-            while time.monotonic() < t_end:
-                t0 = time.monotonic()
-                try:
-                    table = ac.execute_table("SHOW soak_seq")
-                except Exception as e:  # noqa: BLE001
-                    errs.append(repr(e))
-                    if len(errs) >= 5:
-                        break
-                    time.sleep(10.0)
-                    continue
-                if table is not None and table.num_rows:
-                    drains.append(
-                        (round(time.monotonic() - t0, 3), int(table.num_rows))
-                    )
-                    dump()
-                # bulk-export cadence ~2 min; no sane consumer
-                # re-exports a growing 10M-row result more often
-                wake = time.monotonic() + 120.0
-                while time.monotonic() < min(wake, t_end):
-                    time.sleep(1.0)
-    except Exception as e:  # noqa: BLE001
-        errs.append(repr(e))
+    t_start = time.monotonic()
+    time.sleep(min(30.0, duration / 3))  # let soak_seq exist
+    while time.monotonic() < t_end:
+        t0 = time.monotonic()
+        try:
+            # a FRESH connection per drain: a socket that tripped its
+            # idle cap is dead — reusing it turns one slow drain into a
+            # cascade of instant "cannot read from timed out object"
+            # failures (r11 ladder). The generous per-read cap covers
+            # legitimate inter-frame gaps behind a flush convoy.
+            with SnelDBClient(arrow_url, timeout=1800.0,
+                              output_format="arrow") as ac:
+                table = ac.execute_table("SHOW soak_seq")
+            if table is not None and table.num_rows:
+                drains.append(
+                    (round(time.monotonic() - t0, 3), int(table.num_rows))
+                )
+                dump()
+        except Exception as e:  # noqa: BLE001
+            errs.append(
+                f"t={round(time.monotonic() - t_start, 1)}s "
+                f"after={round(time.monotonic() - t0, 1)}s: {e!r}"
+            )
+            dump()
+        # bulk-export cadence ~2 min; no sane consumer re-exports a
+        # growing 10M-row result more often
+        wake = time.monotonic() + 120.0
+        while time.monotonic() < min(wake, t_end):
+            time.sleep(1.0)
     dump()
     return 1 if errs else 0
 
