@@ -3329,8 +3329,9 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery / cluster-balanced sampling): deterministic lowest-id
     seeding, 3 rounds, per-cluster size + inertia. The whole loop is
     JVM codegen — literal-centroid distance folds for assignment (narrow
-    map, no shuffle) and per-dimension `avg(vec[i])` for the update (one
-    k*(d+1)-cell map-side-combined aggregate per round). Rounding each
+    map, no shuffle) and per-dimension means via posexplode +
+    groupBy(cluster, pos) for the update (one k*d-cell map-side-combined
+    aggregate per round). Rounding each
     centroid coordinate and distance to 6 decimals pins the iteration
     bit-for-bit across engines, so the unrolled SQL oracle reproduces
     the exact assignments."""
