@@ -99,6 +99,48 @@ class Materializer:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, p)
 
+    def _parallel_writes(self, *thunks) -> None:
+        """Run independent write actions concurrently (each is a Spark
+        job; actions are only sequential because the driver calls them
+        sequentially — overlapping them back-fills the tail of one job
+        with the next one's tasks). Callers pass writes that are
+        mutually independent AND whose shared inputs are already
+        materialized (persisted / checkpointed / written), so no input
+        is computed twice. Worker threads re-tag the caller's scheduler
+        pool (local properties are per-thread). First exception wins;
+        all writes are awaited either way so a failure never leaves a
+        stray in-flight job writing into a directory the caller is
+        about to clean up."""
+        thunks = [t for t in thunks if t is not None]
+        if len(thunks) <= 1:
+            for t in thunks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        from sneldb_spark.session import set_scheduler_pool
+
+        try:
+            pool = self.engine.spark.sparkContext.getLocalProperty(
+                "spark.scheduler.pool"
+            )
+        except Exception:  # Spark Connect: server-side scheduling
+            pool = None
+
+        def run(t):
+            if pool is not None:
+                set_scheduler_pool(self.engine.spark, pool)
+            t()
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(thunks)),
+            thread_name_prefix="sneldb-mat-write",
+        ) as ex:
+            errs = [f.exception() for f in [ex.submit(run, t) for t in thunks]]
+        first = next((e for e in errs if e is not None), None)
+        if first is not None:
+            raise first
+
     # -- background fold machinery (serve-then-refresh SHOW) ---------------
     def _register_serve(self, name: str, frame: DataFrame) -> None:
         with self._fold_lock:
@@ -427,10 +469,15 @@ class Materializer:
     def _remember_chain(self, name: str, q, path: str) -> tuple[int, int]:
         """Initial chain materialization: stepwise match, store completed
         chains as the segment base, carry per-step state."""
-        completed, n, hwm, cleanup = self._chain_initial_match(name, q)
+        completed, n, hwm, cleanup, write_state = self._chain_initial_match(
+            name, q
+        )
+        # base FIRST: it materializes every persisted chain step, so the
+        # parallel state writes below are pure cached-read jobs
         self._within_chain(q, completed, n).write.mode("overwrite").parquet(
             os.path.join(path, "base")
         )
+        write_state()
         cleanup()
         return hwm
 
@@ -444,24 +491,36 @@ class Materializer:
 
         spark = self.engine.spark
         approx = self.engine.compiler.approx_count_unique
-        completed, n, hwm, cleanup = self._chain_initial_match(name, q)
+        completed, n, hwm, cleanup, write_state = self._chain_initial_match(
+            name, q
+        )
         state, keys = self.engine.compiler.compile_chain_aggregate_partial(
             q, self._within_chain(q, completed, n)
         )
         spath = self._seq_agg_state_path(name)
+        # agg-state FIRST (it materializes the persisted chain steps),
+        # then finalize + the per-step carry state concurrently — all
+        # pure cached-read jobs by that point
         state.write.mode("overwrite").parquet(spath)
         self._write_state_hwm(spath, *hwm)
         manifest["state_keys"] = keys
-        finalize_partial_state(
-            spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
-        ).write.mode("overwrite").parquet(path)
+        self._parallel_writes(
+            lambda: finalize_partial_state(
+                spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
+            ).write.mode("overwrite").parquet(path),
+            write_state,
+        )
         cleanup()
         return hwm
 
     def _chain_initial_match(self, name: str, q):
-        """Stepwise full match (capturing every intermediate) + per-step
-        pending/boundary state writes; returns (completed chains
-        [persisted], n_steps, hwm, cleanup)."""
+        """Stepwise full match (capturing every intermediate); returns
+        (completed chains [persisted], n_steps, hwm, cleanup,
+        write_state). `write_state` writes the per-step pending/boundary
+        state dirs CONCURRENTLY (they are mutually independent small
+        frames off the persisted chain steps) — callers invoke it after
+        their own result write has materialized the persisted chains, so
+        the parallel writes are pure cached-read jobs."""
         hwm_ts, hwm_id = self._source_hwm(q)
         frames, types, kinds, link = self.engine.compiler.chain_parts(
             q, upper=(hwm_ts, hwm_id)
@@ -478,36 +537,42 @@ class Materializer:
             )
         pend_ps, bound_ps = self._chain_state_paths(name, n)
         gap = q.sequence_within
-        pend0 = frames[0].join(
-            chains[0].select(F.col("s0_event_id").alias("event_id")),
-            "event_id", "left_anti",
-        )
-        if gap is not None:
-            pend0 = pend0.where(
-                F.col("timestamp").cast("long") >= F.lit(hwm_ts - int(gap))
-            )
-        pend0.write.mode("overwrite").parquet(pend_ps[0])
-        for i in range(1, n - 1):
-            pend_i = chains[i - 1].join(
-                chains[i].select("s0_event_id"), "s0_event_id", "left_anti"
-            )
-            if gap is not None:
-                pend_i = pend_i.where(
-                    F.col(f"s{i}_timestamp").cast("long")
-                    >= F.lit(hwm_ts - int(gap))
+
+        def _write_pend(i: int):
+            if i == 0:
+                pend = frames[0].join(
+                    chains[0].select(F.col("s0_event_id").alias("event_id")),
+                    "event_id", "left_anti",
                 )
-            pend_i.write.mode("overwrite").parquet(pend_ps[i])
-        for j in range(1, n):
+                cursor_ts = "timestamp"
+            else:
+                pend = chains[i - 1].join(
+                    chains[i].select("s0_event_id"), "s0_event_id", "left_anti"
+                )
+                cursor_ts = f"s{i}_timestamp"
+            if gap is not None:
+                pend = pend.where(
+                    F.col(cursor_ts).cast("long") >= F.lit(hwm_ts - int(gap))
+                )
+            pend.write.mode("overwrite").parquet(pend_ps[i])
+
+        def _write_bound(j: int):
             frames[j].where(
                 F.col("timestamp").cast("long") == F.lit(hwm_ts)
             ).write.mode("overwrite").parquet(bound_ps[j])
-        self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
+
+        def write_state():
+            self._parallel_writes(
+                *[(lambda i=i: _write_pend(i)) for i in range(n - 1)],
+                *[(lambda j=j: _write_bound(j)) for j in range(1, n)],
+            )
+            self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
 
         def cleanup():
             for c in chains:
                 c.unpersist()
 
-        return chains[-1], n, (hwm_ts, hwm_id), cleanup
+        return chains[-1], n, (hwm_ts, hwm_id), cleanup, write_state
 
     def _refresh_chain(self, name: str, q, manifest: dict, path: str,
                        cur: tuple[int, int], served: dict | None = None):
@@ -590,9 +655,14 @@ class Materializer:
 
     def _write_chain_next_state(self, nxt: str, q, new_pend, cands, n: int,
                                 cur: tuple[int, int]):
+        """The per-step pending/boundary writes are mutually independent
+        and their shared inputs (the stepwise advance checkpoints) were
+        materialized by the caller's segment write — run them
+        concurrently; the hwm marker lands after all of them."""
         cur_ts = cur[0]
         gap = q.sequence_within
-        for i, p in enumerate(new_pend):
+
+        def _write_pend(i: int, p):
             if gap is not None:
                 cursor_ts = "timestamp" if i == 0 else f"s{i}_timestamp"
                 p = p.where(
@@ -601,10 +671,16 @@ class Materializer:
             p.write.mode("overwrite").parquet(
                 os.path.join(nxt, f"pending_s{i}")
             )
-        for j in range(1, n):
+
+        def _write_bound(j: int):
             cands[j].where(
                 F.col("timestamp").cast("long") == F.lit(cur_ts)
             ).write.mode("overwrite").parquet(os.path.join(nxt, f"boundary_{j}"))
+
+        self._parallel_writes(
+            *[(lambda i=i, p=p: _write_pend(i, p)) for i, p in enumerate(new_pend)],
+            *[(lambda j=j: _write_bound(j)) for j in range(1, n)],
+        )
         self._write_state_hwm(nxt, cur[0], cur[1])
 
     def _chain_delta_match(self, name: str, q, manifest: dict,
@@ -984,8 +1060,12 @@ class Materializer:
         pending, boundary = self._seq_carry_state(
             a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
         )
-        pending.write.mode("overwrite").parquet(pend_p)
-        boundary.write.mode("overwrite").parquet(bound_p)
+        # both carry frames read the persisted match (materialized by the
+        # base write above): independent cached-read jobs, run together
+        self._parallel_writes(
+            lambda: pending.write.mode("overwrite").parquet(pend_p),
+            lambda: boundary.write.mode("overwrite").parquet(bound_p),
+        )
         pairs.unpersist()
         self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
         return hwm_ts, hwm_id
@@ -1020,8 +1100,10 @@ class Materializer:
             pending, boundary = self._seq_carry_state(
                 a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
             )
-            pending.write.mode("overwrite").parquet(pend_p)
-            boundary.write.mode("overwrite").parquet(bound_p)
+            self._parallel_writes(
+                lambda: pending.write.mode("overwrite").parquet(pend_p),
+                lambda: boundary.write.mode("overwrite").parquet(bound_p),
+            )
         finally:
             pairs.unpersist()
         return hwm_ts, hwm_id
@@ -1078,10 +1160,17 @@ class Materializer:
         nxt = self.storage.stage_path(state)
         self.storage.remove_tree(nxt)
         # segment FIRST: until the state publish lands, a rerun recomputes
-        # the same slice and overwrites this segment idempotently
+        # the same slice and overwrites this segment idempotently (it also
+        # materializes the checkpointed match the carry writes read)
         self._within_pairs(q, new_pairs).write.mode("overwrite").parquet(seg)
-        new_pending.write.mode("overwrite").parquet(os.path.join(nxt, "pending_a"))
-        new_boundary.write.mode("overwrite").parquet(os.path.join(nxt, "boundary_b"))
+        self._parallel_writes(
+            lambda: new_pending.write.mode("overwrite").parquet(
+                os.path.join(nxt, "pending_a")
+            ),
+            lambda: new_boundary.write.mode("overwrite").parquet(
+                os.path.join(nxt, "boundary_b")
+            ),
+        )
         self._write_state_hwm(nxt, cur[0], cur[1])
         # Publish the state as ONE unit (store/storage.py protocol — the
         # same swap every result dir uses; formerly a bespoke
@@ -1153,13 +1242,20 @@ class Materializer:
                 a_cand, b_cand, kind, link, new_pairs, cur_ts,
                 max_gap=q.sequence_within,
             )
-            new_pending.write.mode("overwrite").parquet(
-                os.path.join(nxt, "pending_a")
+            # three independent staged writes (carry state off the
+            # persisted match, finalize off the just-written agg_state);
+            # nothing is visible until the publishes below
+            self._parallel_writes(
+                lambda: new_pending.write.mode("overwrite").parquet(
+                    os.path.join(nxt, "pending_a")
+                ),
+                lambda: new_boundary.write.mode("overwrite").parquet(
+                    os.path.join(nxt, "boundary_b")
+                ),
+                lambda: final.write.mode("overwrite").parquet(
+                    self.storage.stage_path(path)
+                ),
             )
-            new_boundary.write.mode("overwrite").parquet(
-                os.path.join(nxt, "boundary_b")
-            )
-            final.write.mode("overwrite").parquet(self.storage.stage_path(path))
             self.storage.publish_dir(path)
             # state publish AFTER the data replace: a promoted new state
             # must imply the visible result already reflects the merged
@@ -1264,21 +1360,31 @@ class Materializer:
         approx = self.engine.compiler.approx_count_unique
         labels = side_labels(c.queries, c.labels)
         hwm = self._source_hwm(c)
-        keys_list, finals = [], []
+        keys_list, sps, writes = [], [], []
         for i, s in enumerate(c.queries):
             state, keys = self.engine.compiler.compile_aggregate_partial(
                 s, upper=hwm
             )
             sp = self._compare_state_dir(name, i)
-            state.write.mode("overwrite").parquet(sp)
-            self._write_state_hwm(sp, *hwm)
+
+            def write_side(state=state, sp=sp):
+                state.write.mode("overwrite").parquet(sp)
+                self._write_state_hwm(sp, *hwm)
+
+            writes.append(write_side)
             keys_list.append(keys)
-            finals.append(
-                finalize_partial_state(
-                    self.engine.spark.read.parquet(sp), s.aggs, keys,
-                    approx_unique=approx,
-                )
+            sps.append(sp)
+        # each side's state write scans only ITS source slice — mutually
+        # independent jobs, run together; the finalize frames are built
+        # (and the merged result written) off the committed states after
+        self._parallel_writes(*writes)
+        finals = [
+            finalize_partial_state(
+                self.engine.spark.read.parquet(sp), s.aggs, keys,
+                approx_unique=approx,
             )
+            for s, keys, sp in zip(c.queries, keys_list, sps)
+        ]
         merge_sides(c.queries, labels, finals).write.mode("overwrite").parquet(path)
         manifest["compare_state_keys"] = keys_list
         return hwm
@@ -1295,17 +1401,26 @@ class Materializer:
         approx = self.engine.compiler.approx_count_unique
         labels = side_labels(c.queries, c.labels)
         lower = (manifest["hwm_ts"], manifest["hwm_id"])
-        finals = []
-        for i, s in enumerate(c.queries):
-            keys = manifest["compare_state_keys"][i]
-            sp = self._compare_state_dir(name, i)
-            self._merge_state_delta(sp, s, keys, lower, cur)
-            finals.append(
-                finalize_partial_state(
-                    self.engine.spark.read.parquet(self._live(sp)), s.aggs,
-                    keys, approx_unique=approx,
-                )
+        # each side merges only ITS delta into ITS state dir (write +
+        # per-side publish, fully self-contained) — independent jobs,
+        # run together; the side merge reads the published states after
+        self._parallel_writes(*[
+            (lambda i=i, s=s: self._merge_state_delta(
+                self._compare_state_dir(name, i),
+                s, manifest["compare_state_keys"][i], lower, cur,
+            ))
+            for i, s in enumerate(c.queries)
+        ])
+        finals = [
+            finalize_partial_state(
+                self.engine.spark.read.parquet(
+                    self._live(self._compare_state_dir(name, i))
+                ),
+                s.aggs, manifest["compare_state_keys"][i],
+                approx_unique=approx,
             )
+            for i, s in enumerate(c.queries)
+        ]
         self._swap_in(merge_sides(c.queries, labels, finals), path)
 
     # -- SHOW -------------------------------------------------------------
