@@ -110,6 +110,30 @@ def _gate_tmpdir() -> str:
     return tempfile.mkdtemp(prefix="sneldb_gate_", dir=base)
 
 
+def _parallel_ingest(db, frame: DataFrame, types, pred, cols,
+                     coalesce: int | None = None) -> None:
+    """Gate-staging helper: append one filtered slice per event type,
+    all types CONCURRENTLY (the engine's per-type append locks make
+    multi-type appends independent Spark jobs — one type's write tail
+    back-fills with the next type's tasks). Identical rows land in
+    identical per-type layouts as the sequential loop wrote; only the
+    driver-side call overlap changes, so every gate's result is
+    unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(et: str):
+        sel = frame.where((F.col("event_type") == et) & pred).select(cols)
+        if coalesce is not None:
+            sel = sel.coalesce(coalesce)
+        db.store.append_dataframe(et, sel)
+
+    with ThreadPoolExecutor(max_workers=len(types)) as ex:
+        errs = [f.exception() for f in [ex.submit(one, et) for et in types]]
+    first = next((e for e in errs if e is not None), None)
+    if first is not None:
+        raise first
+
+
 def _events_frame(
     spark: SparkSession, sf_dir: str, pre_since: int | None = None
 ) -> DataFrame:
@@ -3539,23 +3563,14 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"k": "int | null", "props": "string", "value": "float",
                  "value_cents": "int"},
             )
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("signup", "purchase"),
+                         F.col("timestamp") <= mid_ts, cols)
         db.execute(
             "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id "
             "AS funnel_mat"
         )
-        for et in ("signup", "purchase"):
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("signup", "purchase"),
+                         F.col("timestamp") > mid_ts, cols)
         out = db.execute("SHOW funnel_mat").df.select(
             "a_event_id", "a_context_id", "a_timestamp", "a_k",
             "b_event_id", "b_timestamp", "b_value_cents",
@@ -3601,23 +3616,14 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"k": "int | null", "props": "string", "value": "float",
                  "value_cents": "int"},
             )
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
-                ).select(cols).coalesce(2),
-            )
+        _parallel_ingest(db, frame, types, F.col("timestamp") <= mid_ts,
+                         cols, coalesce=2)
         db.execute(
             "REMEMBER QUERY signup FOLLOWED BY purchase FOLLOWED BY click "
             "LINKED BY context_id AS chain_mat"
         )
-        for et in types:
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
-                ).select(cols).coalesce(2),
-            )
+        _parallel_ingest(db, frame, types, F.col("timestamp") > mid_ts,
+                         cols, coalesce=2)
         out = db.execute("SHOW chain_mat").df.select(
             "s0_context_id", "s0_event_id", "s1_event_id", "s2_event_id",
             "s0_timestamp", "s1_timestamp", "s2_timestamp",
@@ -3696,12 +3702,8 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"k": "int | null", "props": "string", "value": "float",
                  "value_cents": "int"},
             )
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") <= mid_ts)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("signup", "purchase"),
+                         F.col("timestamp") <= mid_ts, cols)
         db.execute(
             # unqualified fields resolve to the HEAD (signup) side,
             # matching the oracle's a.* aggregates
@@ -3709,13 +3711,8 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT, COUNT UNIQUE context_id, TOTAL value_cents, "
             "MIN value_cents, MAX value_cents BY k AS funnel_stats"
         )
-        for et in ("signup", "purchase"):
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("timestamp") > mid_ts)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("signup", "purchase"),
+                         F.col("timestamp") > mid_ts, cols)
         out = db.execute("SHOW funnel_stats").df
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
@@ -3859,23 +3856,14 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", "value_cents"]
         for et in ("purchase", "click"):
             db.store.registry.define(et, dict(fields))
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("event_id") <= mid)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("purchase", "click"),
+                         F.col("event_id") <= mid, cols)
         db.execute(
             "REMEMBER PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
             "OVER day(timestamp) AS daily_board"
         )
-        for et in ("purchase", "click"):
-            db.store.append_dataframe(
-                et,
-                frame.where(
-                    (F.col("event_type") == et) & (F.col("event_id") > mid)
-                ).select(cols),
-            )
+        _parallel_ingest(db, frame, ("purchase", "click"),
+                         F.col("event_id") > mid, cols)
         out = db.execute("SHOW daily_board").df
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)

@@ -150,6 +150,13 @@ class EventStore:
         # delete them after its own commit — before the first flush's commit
         # succeeded, losing the WAL durability those rows were promised.
         self._flush_lock = threading.Lock()
+        # Per-type append locks (see append_dataframe): appends of
+        # DIFFERENT types overlap as independent Spark jobs; same-type
+        # writers serialize (shared _temporary staging), and the
+        # compaction adopt window takes flush lock + the type's append
+        # lock to exclude every writer of the type it is flipping.
+        self._append_locks: dict[str, threading.Lock] = {}
+        self._append_locks_guard = threading.Lock()
         # WAL for the pending buffer (the reference's durability point S3,
         # src/engine/core/wal/): every interactive STORE appends one JSON
         # line before acknowledging; FLUSH rotates the log and deletes it
@@ -693,7 +700,12 @@ class EventStore:
         )
         import shutil
 
-        with self._flush_lock:
+        # lock order: _flush_lock -> per-type append lock (the flush
+        # path's commit threads take them in this order too). Holding
+        # BOTH excludes every writer of this type during the adopt walk
+        # + pointer flip: flush commits (flush lock) and bulk appends
+        # (per-type lock).
+        with self._flush_lock, self._append_lock(event_type):
             if self._superseded:  # a newer engine owns this root now
                 self.storage.remove_tree(staging)
                 return
@@ -715,6 +727,13 @@ class EventStore:
                 except OSError:
                     shutil.copy2(f, dst)
             self.storage.publish_dir(logical)
+
+    def _append_lock(self, event_type: str) -> threading.Lock:
+        with self._append_locks_guard:
+            lock = self._append_locks.get(event_type)
+            if lock is None:
+                lock = self._append_locks[event_type] = threading.Lock()
+            return lock
 
     def _flush_locked(self) -> list[str]:
         with self._pending_lock:
@@ -859,12 +878,18 @@ class EventStore:
         re-expressed as file layout). The range sampling pass costs one
         extra tiny job per append; AQE coalesces the small-batch case."""
         self._check_writer()
-        # the flush lock excludes the background compaction worker's
-        # adopt+publish window: a file committed between its adopt walk
-        # and its pointer flip would be silently dropped by the flip
-        # (flush-path appends run under this lock already, via
-        # _append_df_locked)
-        with self._flush_lock:
+        # Per-TYPE append lock (not the global flush lock): appends to
+        # different types write disjoint directories and are safe to
+        # overlap (independent Spark jobs — a multi-type bulk load
+        # back-fills one type's write tail with the next one's tasks);
+        # same-type appends must serialize because concurrent jobs
+        # appending one directory share its _temporary staging. The
+        # compaction worker's adopt+publish window excludes appends of
+        # the type it is flipping by taking this same lock (a file
+        # committed between its adopt walk and its pointer flip would be
+        # silently dropped by the flip); flush-path commits take it per
+        # type under the flush lock (lock order: _flush_lock -> append).
+        with self._append_lock(event_type):
             self._append_df_locked(event_type, df)
 
     def _append_df_locked(self, event_type: str, df: DataFrame):
@@ -913,10 +938,15 @@ class EventStore:
         return self.spark.createDataFrame(pdf, schema=struct)
 
     def _write_rows(self, event_type: str, rows: list[dict]):
-        # called from the flush path, which already holds the flush lock
+        # called from the flush path, which already holds the flush lock;
+        # the per-type append lock (taken BELOW the flush lock, same
+        # order as the compaction adopt) serializes this commit against
+        # a concurrent bulk append of the same type — they would share
+        # the directory's _temporary staging otherwise
         schema = self.registry.get(event_type)
         df = self._rows_frame(rows, schema.spark_struct)
-        self._append_df_locked(event_type, df)
+        with self._append_lock(event_type):
+            self._append_df_locked(event_type, df)
 
     # -- read path --------------------------------------------------------
     def _raw_path(self, event_type: str) -> str:
