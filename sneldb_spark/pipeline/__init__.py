@@ -10,6 +10,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def cluster_parallelism(spark) -> int:
+    """Core count of the cluster, Connect-safe (falls back to the
+    shuffle-partition conf when no sparkContext is exposed)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (ValueError, TypeError):
+            return 200
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster has
     cores. CPU-heavy stages (shingling, signature aggs, GEMM batches) are
@@ -18,17 +30,10 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     is ever added on the large-data path)."""
     target = min_partitions
     if target is None:
-        spark = df.sparkSession
-        try:
-            target = spark.sparkContext.defaultParallelism
-        except Exception:
-            # Spark Connect exposes no sparkContext; the shuffle-partition
-            # conf is the same order of magnitude and always readable —
-            # but may be non-numeric (e.g. "auto" under some AQE setups)
-            try:
-                target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            except (ValueError, TypeError):
-                target = 200
+        # Spark Connect exposes no sparkContext; the shuffle-partition
+        # conf is the same order of magnitude and always readable —
+        # but may be non-numeric (e.g. "auto" under some AQE setups)
+        target = cluster_parallelism(df.sparkSession)
     target = min(target, 200)
     try:
         current = df.rdd.getNumPartitions()

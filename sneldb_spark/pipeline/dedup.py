@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sneldb_spark.pipeline import ensure_min_partitions
+from sneldb_spark.pipeline import cluster_parallelism, ensure_min_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +249,14 @@ def ngram_jaccard_pairs(
         .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
         .distinct()
     )
+    # Spread the verify: candidate pairs are a few bytes each, so AQE's
+    # byte-based coalescing collapses the distinct's exchange to ~1
+    # partition — but every candidate costs an array_intersect over two
+    # full shingle arrays downstream (CPU-bound, not byte-bound). An
+    # explicit repartition (AQE honors user-specified partition counts)
+    # keeps the verify spread over the cluster; the extra exchange moves
+    # only (id1, id2) pairs. 2x on the whole kernel at sf0.1.
+    cand = cand.repartition(cluster_parallelism(df.sparkSession), "id1")
     # Exact verification JVM-side: |A∩B| via array_intersect of the sorted
     # hash arrays — no per-pair posting join. Join strategy is left to AQE:
     # it broadcasts the doc-array table when it fits and falls back to a
