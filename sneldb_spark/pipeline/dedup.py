@@ -80,22 +80,33 @@ def collapse_exact(
     the packaged MinHash composition and `lift_assignments` for the
     lift). tools/smoke_clone_flood.py measures the law this avoids.
     """
-    docs = df.withColumnRenamed(id_col, "__cid")
     # NULL text digests as '' (coalesce) so NULL-text rows collapse with
-    # ''-text rows instead of vanishing from the __dg equi-joins — the
+    # ''-text rows instead of vanishing from the __dg grouping — the
     # signature kernels treat text as (text or ''), and this preserves
     # the one-row-per-input contract of minhash_assign.
-    mapping = docs.select(
-        F.col("__cid").alias("id"),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__dg"),
+    # One min_by aggregation derives the representative ROW per digest in
+    # a single exchange (vs the earlier groupBy + two joins = three
+    # exchanges) — and, unlike a window over the digest, it keeps
+    # map-side partial aggregation: an E-clone flood collapses to one
+    # row per map task BEFORE the shuffle instead of concentrating E
+    # full-text rows in one unsplittable window task (the flood is the
+    # adversarial input this helper exists for).
+    base = df.withColumn("__dg", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    agg = base.groupBy("__dg").agg(
+        F.min(F.col(id_col)).alias("rep_id"),
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__rep_row"),
     )
-    reps_ids = mapping.groupBy("__dg").agg(F.min("id").alias("rep_id"))
-    reps = (
-        reps_ids.join(docs, reps_ids.rep_id == docs.__cid)
-        .drop("__cid", "__dg")
-        .withColumnRenamed("rep_id", id_col)
+    reps = agg.select("__rep_row.*")
+    # mapping joins only the NARROW (id, digest) projection against the
+    # digest->rep_id half of the aggregate (column pruning drops the
+    # min_by struct from this branch), so the join is skew-splittable by
+    # AQE under a flood where a window would not be.
+    mapping = (
+        base.select(F.col(id_col).alias("id"), "__dg")
+        .join(agg.select("__dg", "rep_id"), "__dg")
+        .select("id", "rep_id")
     )
-    return reps, reps_ids.join(mapping, "__dg").select("id", "rep_id")
+    return reps, mapping
 
 
 def lift_assignments(
@@ -320,9 +331,12 @@ def dedup_clusters(
     # driver union-find replaces `diameter` shuffle+checkpoint rounds with
     # one collect of O(edges) longs; past it, the distributed loop below
     # is the unbounded-scale path (both paths oracle- and unit-tested).
-    n_edges = edges.count()
-    if n_edges <= max_driver_edges:
-        edge_rows = edges.collect()
+    # One bounded collect decides the path AND fetches the edges: take
+    # max_driver_edges+1 rows — short means the whole edge list is now
+    # on the driver (no separate count() job/pass), overflow falls
+    # through to the distributed loop.
+    edge_rows = edges.limit(max_driver_edges + 1).collect()
+    if len(edge_rows) <= max_driver_edges:
         parent: dict = {}
 
         def find(x):
