@@ -489,7 +489,6 @@ class Materializer:
         one-estimator rule every aggregate materialization follows."""
         from sneldb_spark.plans.aggregates import finalize_partial_state
 
-        spark = self.engine.spark
         approx = self.engine.compiler.approx_count_unique
         completed, n, hwm, cleanup, write_state = self._chain_initial_match(
             name, q
@@ -498,15 +497,23 @@ class Materializer:
             q, self._within_chain(q, completed, n)
         )
         spath = self._seq_agg_state_path(name)
-        # agg-state FIRST (it materializes the persisted chain steps),
-        # then finalize + the per-step carry state concurrently — all
-        # pure cached-read jobs by that point
-        state.write.mode("overwrite").parquet(spath)
-        self._write_state_hwm(spath, *hwm)
+        # Materialize the agg state ONCE (eager localCheckpoint — this
+        # also materializes the persisted chain steps), then run the
+        # state write, the finalize write, and the per-step carry state
+        # all concurrently: every write consumes already-materialized
+        # rows, and finalize reads the same rows the state dir holds
+        # (one-estimator rule), just without the write -> read-back leg.
+        state_ck = state.localCheckpoint(eager=True)
         manifest["state_keys"] = keys
+
+        def _write_agg_state():
+            state_ck.write.mode("overwrite").parquet(spath)
+            self._write_state_hwm(spath, *hwm)
+
         self._parallel_writes(
+            _write_agg_state,
             lambda: finalize_partial_state(
-                spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
+                state_ck, q.aggs, keys, approx_unique=approx
             ).write.mode("overwrite").parquet(path),
             write_state,
         )
@@ -641,12 +648,23 @@ class Materializer:
         nxt = self.storage.stage_path(state)
         self.storage.remove_tree(nxt)
         nxt_agg = os.path.join(nxt, "agg_state")
-        merged.write.mode("overwrite").parquet(nxt_agg)
+        # materialize the merge ONCE (eager localCheckpoint — this also
+        # materializes the stepwise-advance checkpoints the carry state
+        # reads), then stage the merged state, its finalize, and the
+        # per-step carry state concurrently; the state dir and the
+        # result derive from the same materialized rows (one-estimator
+        # rule), and nothing is visible until the publishes below
+        merged_ck = merged.localCheckpoint(eager=True)
         final = finalize_partial_state(
-            spark.read.parquet(nxt_agg), q.aggs, keys, approx_unique=approx
+            merged_ck, q.aggs, keys, approx_unique=approx
         )
-        self._write_chain_next_state(nxt, q, new_pend, cands, n, cur)
-        final.write.mode("overwrite").parquet(self.storage.stage_path(path))
+        self._parallel_writes(
+            lambda: merged_ck.write.mode("overwrite").parquet(nxt_agg),
+            lambda: final.write.mode("overwrite").parquet(
+                self.storage.stage_path(path)
+            ),
+            lambda: self._write_chain_next_state(nxt, q, new_pend, cands, n, cur),
+        )
         self.storage.publish_dir(path)
         cleanup()
         # state publish AFTER the data replace: a promoted new state must
@@ -970,13 +988,28 @@ class Materializer:
             state, keys = self.engine.compiler.compile_aggregate_partial(
                 q, upper=hwm
             )
-            state.write.mode("overwrite").parquet(self._state_path(name))
-            self._write_state_hwm(self._state_path(name), *hwm)
+            # Materialize the partial state ONCE (eager localCheckpoint),
+            # then write the state dir and the finalized result
+            # concurrently — both writes consume the same materialized
+            # rows, so the one-estimator rule holds exactly as it did
+            # when finalize re-read the just-written state files, without
+            # the sequential write -> read-back -> write chain (two extra
+            # scheduler turnarounds on tiny grouped state).
+            state_ck = state.localCheckpoint(eager=True)
             manifest["state_keys"] = keys
-            stored_state = self.engine.spark.read.parquet(self._state_path(name))
-            finalize_partial_state(
-                stored_state, q.aggs, keys, approx_unique=approx
-            ).write.mode("overwrite").parquet(path)
+
+            def _write_agg_state():
+                state_ck.write.mode("overwrite").parquet(
+                    self._state_path(name)
+                )
+                self._write_state_hwm(self._state_path(name), *hwm)
+
+            self._parallel_writes(
+                _write_agg_state,
+                lambda: finalize_partial_state(
+                    state_ck, q.aggs, keys, approx_unique=approx
+                ).write.mode("overwrite").parquet(path),
+            )
             manifest["hwm_ts"], manifest["hwm_id"] = hwm
             self._write_manifest(name, manifest)
             return self.engine.spark.read.parquet(path).count()
@@ -1080,7 +1113,6 @@ class Materializer:
         from sneldb_spark.plans.aggregates import finalize_partial_state
         from sneldb_spark.plans.sequence import sequence_match
 
-        spark = self.engine.spark
         approx = self.engine.compiler.approx_count_unique
         hwm_ts, hwm_id = self._source_hwm(q)
         a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
@@ -1090,17 +1122,28 @@ class Materializer:
                 q, self._within_pairs(q, pairs)
             )
             spath = self._seq_agg_state_path(name)
-            state.write.mode("overwrite").parquet(spath)
-            self._write_state_hwm(spath, hwm_ts, hwm_id)
+            # Materialize the partial state ONCE (eager localCheckpoint —
+            # this also materializes the persisted match), then run the
+            # state write, the finalize write, and both carry-state
+            # writes concurrently: all four consume materialized rows,
+            # and finalize reads exactly the rows the state dir holds
+            # (one-estimator rule) without the write -> read-back leg.
+            state_ck = state.localCheckpoint(eager=True)
             manifest["state_keys"] = keys
-            finalize_partial_state(
-                spark.read.parquet(spath), q.aggs, keys, approx_unique=approx
-            ).write.mode("overwrite").parquet(path)
             pend_p, bound_p = self._seq_state_paths(name)
             pending, boundary = self._seq_carry_state(
                 a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
             )
+
+            def _write_agg_state():
+                state_ck.write.mode("overwrite").parquet(spath)
+                self._write_state_hwm(spath, hwm_ts, hwm_id)
+
             self._parallel_writes(
+                _write_agg_state,
+                lambda: finalize_partial_state(
+                    state_ck, q.aggs, keys, approx_unique=approx
+                ).write.mode("overwrite").parquet(path),
                 lambda: pending.write.mode("overwrite").parquet(pend_p),
                 lambda: boundary.write.mode("overwrite").parquet(bound_p),
             )
@@ -1225,27 +1268,33 @@ class Materializer:
                 ),
                 q.aggs, keys, approx_unique=approx,
             )
-            # materialize the merge ONCE; finalize reads the tmp files so
-            # the merge isn't recomputed, and everything below still sees
-            # only pre-refresh directories until the publish
+            # materialize the merge ONCE (eager localCheckpoint), and
+            # everything below still sees only pre-refresh directories
+            # until the publish
             state = self._state_path(name)
             nxt = self.storage.stage_path(state)
             self.storage.remove_tree(nxt)
             nxt_agg = os.path.join(nxt, "agg_state")
-            merged_state.write.mode("overwrite").parquet(nxt_agg)
-            self._write_state_hwm(nxt_agg, cur[0], cur[1])
+            merged_ck = merged_state.localCheckpoint(eager=True)
             final = finalize_partial_state(
-                spark.read.parquet(nxt_agg), q.aggs, keys,
-                approx_unique=approx,
+                merged_ck, q.aggs, keys, approx_unique=approx,
             )
             new_pending, new_boundary = self._seq_carry_state(
                 a_cand, b_cand, kind, link, new_pairs, cur_ts,
                 max_gap=q.sequence_within,
             )
-            # three independent staged writes (carry state off the
-            # persisted match, finalize off the just-written agg_state);
+
+            def _write_merged():
+                merged_ck.write.mode("overwrite").parquet(nxt_agg)
+                self._write_state_hwm(nxt_agg, cur[0], cur[1])
+
+            # four independent staged writes (carry state off the
+            # persisted match, the merged state and its finalize both
+            # off the one materialized merge — same rows in the state
+            # dir and under the result, one-estimator rule intact);
             # nothing is visible until the publishes below
             self._parallel_writes(
+                _write_merged,
                 lambda: new_pending.write.mode("overwrite").parquet(
                     os.path.join(nxt, "pending_a")
                 ),
@@ -1329,18 +1378,68 @@ class Materializer:
         )
         self._swap_in_with_marker(merged, spath, cur)
 
-    def _merge_agg_delta(self, name: str, q, manifest: dict,
-                         cur: tuple[int, int]) -> DataFrame:
-        """Aggregate ONLY the rows past the high-water mark, merge into the
-        stored per-group state, persist the new state, and return it. The
-        history scan is replaced by a delta scan whose hwm predicate
-        reaches the Parquet scan (pushdown-tested)."""
-        spath = self._state_path(name)
-        self._merge_state_delta(
-            spath, q, manifest["state_keys"],
-            (manifest["hwm_ts"], manifest["hwm_id"]), cur,
+    def _refresh_agg(self, name: str, q, manifest: dict, path: str,
+                     cur: tuple[int, int]):
+        """Incremental plain-aggregate SHOW: aggregate ONLY the rows past
+        the high-water mark (the delta scan's hwm predicate reaches the
+        Parquet scan, pushdown-tested), merge into the stored per-group
+        state, and finalize. The state write and the result write both
+        consume ONE materialized merge (eager localCheckpoint), so the
+        one-estimator rule holds exactly as it did when finalize re-read
+        the just-swapped state files — minus two sequential scheduler
+        turnarounds. The state's own hwm marker wins over the manifest
+        (a crash between state publish and manifest write must not
+        double-merge), and the read is closed at `cur` so a row racing
+        in mid-refresh is consumed exactly once by the next delta."""
+        from sneldb_spark.plans.aggregates import (
+            finalize_partial_state,
+            merge_partial_states,
         )
-        return self.engine.spark.read.parquet(self._live(spath))
+
+        approx = self.engine.compiler.approx_count_unique
+        keys = manifest["state_keys"]
+        spath = self._state_path(name)
+        lower = (manifest["hwm_ts"], manifest["hwm_id"])
+        marker = self._read_state_hwm(spath)
+        if marker is not None and tuple(marker) > tuple(lower):
+            lower = tuple(marker)
+        if tuple(lower) >= tuple(cur):
+            # state already covers cur (crash between state publish and
+            # manifest write): rebuild the visible result from the
+            # stored state without re-merging
+            self._swap_in(
+                finalize_partial_state(
+                    self.engine.spark.read.parquet(self._live(spath)),
+                    q.aggs, keys, approx_unique=approx,
+                ),
+                path,
+            )
+            return
+        delta, _ = self.engine.compiler.compile_aggregate_partial(
+            q, hwm=lower, upper=cur
+        )
+        stored = self.engine.spark.read.parquet(self._live(spath))
+        merged_ck = merge_partial_states(
+            stored.unionByName(delta), q.aggs, keys, approx_unique=approx
+        ).localCheckpoint(eager=True)
+        sstage = self.storage.stage_path(spath)
+
+        def _write_state():
+            merged_ck.write.mode("overwrite").parquet(sstage)
+            self._write_state_hwm(sstage, *cur)
+
+        self._parallel_writes(
+            _write_state,
+            lambda: finalize_partial_state(
+                merged_ck, q.aggs, keys, approx_unique=approx
+            ).write.mode("overwrite").parquet(self.storage.stage_path(path)),
+        )
+        # same publish order as the previous sequential form: state
+        # (with its marker) first, then the visible result — a crash in
+        # between leaves marker > manifest hwm, which the next refresh
+        # resolves via the early branch above
+        self.storage.publish_dir(spath)
+        self.storage.publish_dir(path)
 
     # -- COMPARE materialization (extension) -------------------------------
     def _compare_state_dir(self, name: str, i: int) -> str:
@@ -1906,16 +2005,7 @@ class Materializer:
         elif stale and self._agg_incrementable(q, manifest) and manifest.get(
             "state_keys"
         ) is not None and self.storage.exists(self._state_path(name)):
-            merged_state = self._merge_agg_delta(name, q, manifest, (cur_ts, cur_id))
-            from sneldb_spark.plans.aggregates import finalize_partial_state
-
-            self._swap_in(
-                finalize_partial_state(
-                    merged_state, q.aggs, manifest["state_keys"],
-                    approx_unique=self.engine.compiler.approx_count_unique,
-                ),
-                path,
-            )
+            self._refresh_agg(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._compare_incrementable(q, manifest) and manifest.get(
             "compare_state_keys"
         ) is not None and self.storage.exists(self._compare_state_dir(name, 0)):
