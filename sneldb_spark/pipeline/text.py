@@ -1401,46 +1401,56 @@ def fasttext_train(
         id_col,
     ).persist()
     try:
+        # Pass-1 gradient FIRST: with w0 = 0 every prediction is the
+        # constant 1/2, so G1 needs neither weights nor m — making it
+        # the action that materializes the persisted featurization. The
+        # m probe (needed only to SCALE the step) then reads the cache
+        # (~0.1 s) instead of the old order's second full
+        # featurize+shuffle pass.
+        grad1 = feats.groupBy("bucket").agg(
+            F.sum((F.lit(0.5) - F.col("__y")) * F.col("cnt")).alias("__g")
+        ).localCheckpoint(eager=True)
         m = feats.select(id_col).distinct().count()
         if m == 0:
             spark = df.sparkSession
             return spark.createDataFrame([], "bucket long, w double")
-        weights = None  # w0 = 0 everywhere (implicit)
-        for _ in range(int(iters)):
-            if weights is None:
-                scored = feats.withColumn("__p", F.lit(0.5))
-            else:
-                margin = (
-                    feats.join(F.broadcast(weights), "bucket")
-                    .groupBy(id_col)
-                    .agg(F.sum(F.col("w") * F.col("cnt")).alias("__s"))
-                )
-                scored = feats.join(margin, id_col).withColumn(
-                    "__p",
-                    F.greatest(
-                        F.lit(0.0),
-                        F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
-                    ),
-                )
+
+        def quantize(stepped):
+            return stepped.select(
+                "bucket",
+                (F.floor(F.col("__w") * scale + F.lit(0.5)) / scale).alias("w"),
+            )
+
+        # pass-1 weights stay a LAZY select over the checkpointed
+        # gradient (flat single-step plan, identical values) — pass 2's
+        # broadcast build evaluates it straight off the checkpoint blocks
+        weights = quantize(grad1.select(
+            "bucket", (F.lit(0.0) - F.lit(lr) * F.col("__g") / m).alias("__w")
+        ))
+        for _ in range(int(iters) - 1):
+            margin = (
+                feats.join(F.broadcast(weights), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("w") * F.col("cnt")).alias("__s"))
+            )
+            scored = feats.join(margin, id_col).withColumn(
+                "__p",
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
+                ),
+            )
             grad = scored.groupBy("bucket").agg(
                 F.sum((F.col("__p") - F.col("__y")) * F.col("cnt")).alias("__g")
             )
-            if weights is None:
-                stepped = grad.select(
-                    "bucket", (F.lit(0.0) - F.lit(lr) * F.col("__g") / m).alias("__w")
-                )
-            else:
-                stepped = weights.join(grad, "bucket", "full_outer").select(
-                    "bucket",
-                    (
-                        F.coalesce(F.col("w"), F.lit(0.0))
-                        - F.lit(lr) * F.coalesce(F.col("__g"), F.lit(0.0)) / m
-                    ).alias("__w"),
-                )
-            weights = stepped.select(
+            stepped = weights.join(grad, "bucket", "full_outer").select(
                 "bucket",
-                (F.floor(F.col("__w") * scale + F.lit(0.5)) / scale).alias("w"),
-            ).localCheckpoint(eager=True)
+                (
+                    F.coalesce(F.col("w"), F.lit(0.0))
+                    - F.lit(lr) * F.coalesce(F.col("__g"), F.lit(0.0)) / m
+                ).alias("__w"),
+            )
+            weights = quantize(stepped).localCheckpoint(eager=True)
         return weights
     finally:
         feats.unpersist()
