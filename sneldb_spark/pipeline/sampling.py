@@ -419,13 +419,15 @@ def dsir_weights(
     occurrences, rounded to 4 decimals (engine-portable, same convention
     as lm_quality_score).
 
-    Scale shape: two passes over raw (bucket distribution; per-doc
-    bucket counts) and one over target, every one ending in a map-side-
-    combined aggregate keyed on <= num_buckets values. The log-ratio
-    table is <= num_buckets rows, so the per-doc scoring join broadcasts
-    under any sane threshold (no hint forced — AQE handles it). Nothing
-    is ever all-pairs and no driver collect occurs; at 100 TB this is
-    three linear scans. Scoring crawls repeatedly against one fixed
+    Scale shape: ONE pass over raw (a grouping-sets aggregate emits the
+    per-doc bucket counts and the corpus bucket histogram together,
+    materialized via localCheckpoint and read back by both consumers)
+    and one over target, each map-side combined. The log-ratio table is
+    <= num_buckets rows, so the per-doc scoring join broadcasts under
+    any sane threshold (no hint forced — AQE handles it). Nothing is
+    ever all-pairs and no driver collect occurs; at 100 TB this is two
+    linear scans plus a per-(doc, bucket)-sized local materialization
+    (the same bytes the old second pass shuffled). Scoring crawls repeatedly against one fixed
     target? Build `dsir_target_profile` once and pass it as
     `target_profile` (instead of `target`) — the target scan drops out.
 
@@ -464,11 +466,30 @@ def _dsir_scored(
     if (target is None) == (target_profile is None):
         raise ValueError("dsir: pass exactly one of target / target_profile")
     gb_raw = _hashed_gram_buckets(raw, id_col, text_col, num_buckets)
-    qc = gb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    # ONE tokenize+hash pass serves both raw-side distributions: grouping
+    # sets compute the per-(doc, bucket) counts and the corpus bucket
+    # histogram in a single aggregation, materialized once so the
+    # log-ratio table and the scoring join read it back instead of each
+    # re-running the explode+md5 featurization over the corpus. gid
+    # (grouping_id) separates the two sets, so a NULL id in the data can
+    # never be confused with the aggregated-away marker.
+    counts = (
+        gb_raw.groupingSets([["b", "id"], ["b"]], "b", "id")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .localCheckpoint(eager=True)
+    )
+    docb = counts.where("gid = 0").select("id", "b", "n")
+    qc = counts.where("gid = 1").select("b", F.col("n").alias("cq"))
     if target_profile is not None:
         pc = target_profile.select("b", "cp")
     else:
-        pc = dsir_target_profile(target, text_col, num_buckets)
+        # pc feeds both the per-bucket join and the pt total; without a
+        # materialization each consumer re-tokenizes the target corpus
+        # (no common-subexpression reuse across subtrees). The profile is
+        # <= num_buckets rows, so checkpointing it is free.
+        pc = dsir_target_profile(target, text_col, num_buckets).localCheckpoint(
+            eager=True
+        )
     qt = qc.agg(F.sum("cq").cast("double").alias("__qt"))
     pt = pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).cast("double").alias("__pt"))
     kb = F.lit(add_k * num_buckets)
@@ -487,7 +508,6 @@ def _dsir_scored(
             ).alias("lr"),
         )
     )
-    docb = gb_raw.groupBy("id", "b").agg(F.count(F.lit(1)).alias("n"))
     return (
         docb.join(lr, "b")
         .groupBy("id")
