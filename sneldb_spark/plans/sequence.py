@@ -484,6 +484,13 @@ def funnel_report(
     labels = labels or [f"step{i}" for i in range(len(frames))]
 
     reached = [frames[0].count()]
+    # The report only ever counts chain rows, so matching needs nothing
+    # beyond the link key, the timestamp, and the tie-break id — project
+    # the steps down to those three before any link builds. Narrower
+    # frames shrink every union/window/persist in the chain AND the scan
+    # (column pruning reaches parquet); chain semantics are untouched
+    # because matching only reads these columns anyway.
+    frames = [f.select(link_field, ts, tie) for f in frames]
     persisted: list[DataFrame] = []
 
     def count_and_pin(chain: DataFrame, i: int) -> DataFrame:
