@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sneldb_spark.pipeline import cluster_parallelism, ensure_min_partitions
 
@@ -295,6 +296,7 @@ def dedup_clusters(
     id_col: str = "id",
     max_rounds: int = 50,
     max_driver_edges: int = 1_000_000,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Assign every doc a duplicate-cluster id: connected components over
     the similarity pair graph by iterative min-label propagation.
@@ -303,6 +305,15 @@ def dedup_clusters(
     any pairwise dedup (exact / Jaccard / MinHash / SimHash / embedding).
     Returns (id, cluster_id = min doc id in the component); the usual
     dedup decision is "keep id == cluster_id".
+
+    ``with_sizes=True`` appends a ``cluster_size`` column. It is computed
+    on the MEMBER set (ids that appear in some pair — bounded by the edge
+    list, never corpus-sized): driver-side from the union-find roots on
+    the small-graph path, a members-only aggregate on the distributed
+    path; singletons take the literal 1. A corpus-wide
+    ``groupBy(cluster_id)`` + self-join would evaluate the full cluster
+    frame twice and shuffle every id — this shape touches the corpus
+    exactly once (the singleton anti-join that assignment needs anyway).
 
     Scale shape: each round is one shuffle (edge join + min-aggregate);
     rounds needed = graph diameter, and near-dup graphs are dense clumps
@@ -358,13 +369,25 @@ def dedup_clusters(
         edges.unpersist()
         pairs.unpersist()
         if not label_rows:  # no edges at all: everyone is a singleton
-            return all_ids.withColumn("cluster_id", F.col("id"))
-        labels = ids.sparkSession.createDataFrame(
-            label_rows, all_ids.select("id", F.col("id").alias("cluster_id")).schema
-        )
+            out = all_ids.withColumn("cluster_id", F.col("id"))
+            if with_sizes:
+                out = out.withColumn("cluster_size", F.lit(1).cast("long"))
+            return out
+        base_schema = all_ids.select("id", F.col("id").alias("cluster_id")).schema
+        if with_sizes:
+            from collections import Counter
+
+            root_sizes = Counter(root for _, root in label_rows)
+            label_rows = [(n, root, root_sizes[root]) for n, root in label_rows]
+            base_schema = base_schema.add("cluster_size", T.LongType())
+        labels = ids.sparkSession.createDataFrame(label_rows, base_schema)
         singletons = all_ids.join(
             labels.select("id"), "id", "left_anti"
         ).withColumn("cluster_id", F.col("id"))
+        if with_sizes:
+            singletons = singletons.withColumn(
+                "cluster_size", F.lit(1).cast("long")
+            )
         return labels.unionByName(singletons)
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -401,6 +424,21 @@ def dedup_clusters(
     singletons = all_ids.join(labels.select("id"), "id", "left_anti").withColumn(
         "cluster_id", F.col("id")
     )
+    if with_sizes:
+        # Members-only: `labels` is the checkpointed member label set
+        # (bounded by the edge list), so both the aggregate and the join
+        # probe re-read a checkpoint scan, never the corpus. A member's
+        # cluster_id is always a member id and a singleton's is its own
+        # id, so the two size sources can never name the same cluster.
+        sizes = labels.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        labels = labels.join(sizes, "cluster_id").select(
+            "id", "cluster_id", "cluster_size"
+        )
+        singletons = singletons.withColumn(
+            "cluster_size", F.lit(1).cast("long")
+        )
     return labels.unionByName(singletons)
 
 

@@ -831,19 +831,16 @@ def semantic_dedup(
         df, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
     )
     clusters = dedup_clusters(
-        df.select(id_col), pairs.select("id1", "id2"), id_col=id_col
+        df.select(id_col),
+        pairs.select("id1", "id2"),
+        id_col=id_col,
+        with_sizes=True,
     )
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        clusters.join(sizes, "cluster_id")
-        .select(
-            F.col("id").alias(id_col),
-            "cluster_id",
-            "cluster_size",
-            (F.col("id") == F.col("cluster_id")).alias("is_representative"),
-        )
+    return clusters.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
     )
 
 

@@ -882,6 +882,28 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     assert out == {i: i for i in range(12)}
 
 
+def test_dedup_clusters_with_sizes_both_paths(spark):
+    from sneldb_spark.pipeline.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (5, 6)], "id1 long, id2 long"
+    )
+    expect = {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4), 4: (4, 1),
+              5: (5, 2), 6: (5, 2), 7: (7, 1), 8: (8, 1), 9: (9, 1),
+              10: (10, 1), 11: (11, 1)}
+    for kwargs in ({}, {"max_driver_edges": 0}):
+        out = {r["id"]: (r["cluster_id"], r["cluster_size"])
+               for r in dedup_clusters(
+                   ids, pairs, "id", with_sizes=True, **kwargs).collect()}
+        assert out == expect, kwargs
+    # no edges at all: every row a size-1 singleton
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    out = {r["id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup_clusters(ids, empty, "id", with_sizes=True).collect()}
+    assert out == {i: (i, 1) for i in range(12)}
+
+
 def test_leakage_safe_split_keeps_duplicates_together(spark):
     from sneldb_spark.pipeline.sampling import deterministic_split, leakage_safe_split
 
