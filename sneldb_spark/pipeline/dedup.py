@@ -381,8 +381,13 @@ def dedup_clusters(
             label_rows = [(n, root, root_sizes[root]) for n, root in label_rows]
             base_schema = base_schema.add("cluster_size", T.LongType())
         labels = ids.sparkSession.createDataFrame(label_rows, base_schema)
+        # The subtract side is the member set that just came FROM the
+        # driver (<= 2*max_driver_edges longs by construction), so it
+        # always fits a broadcast — without the hint the ExistingRDD has
+        # no size statistics and the anti-join sort-merges, shuffling the
+        # ENTIRE corpus id column just to subtract a bounded set.
         singletons = all_ids.join(
-            labels.select("id"), "id", "left_anti"
+            F.broadcast(labels.select("id")), "id", "left_anti"
         ).withColumn("cluster_id", F.col("id"))
         if with_sizes:
             singletons = singletons.withColumn(
