@@ -897,17 +897,11 @@ def duplicated_span_removal(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
     )
     # (id, pos, gram) for every n-token window; docs shorter than n emit none
+    from sneldb_spark.pipeline.text import token_ngrams
+
     grams = toks.select(
         "id",
-        F.posexplode(
-            F.when(
-                F.size("w") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
-                    lambda i: F.array_join(F.slice("w", i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "gram"),
+        F.posexplode(token_ngrams(F.col("w"), n)).alias("pos0", "gram"),
     ).select(
         "id", (F.col("pos0") + 1).alias("pos"), "gram"  # 1-based span start
     )

