@@ -819,6 +819,11 @@ def simhash_near_pairs(
     (32-bit keys, max_hamming<=1) keep the candidate set near-linear."""
     width = 64 // blocks
     mask = (1 << width) - 1
+    # Both sides of the self-join read `fps` — persist it so the
+    # fingerprint pipeline upstream (a full Python-kernel pass over the
+    # corpus text when fed from simhash_fingerprints) runs once, not once
+    # per join side. Same contract as minhash_dedup_pairs' sigs persist.
+    fps = fps.persist()
     banded = fps.select(
         "id",
         "simhash",

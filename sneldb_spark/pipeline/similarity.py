@@ -145,13 +145,7 @@ def lsh_signatures(
     previous pure-expression form expanded to planes*dim literal terms,
     blowing past the JVM's JIT/codegen method limits into interpreted
     evaluation — the Arrow kernel is ~5x faster and scale-independent."""
-    import random
-
-    rng = random.Random(seed)
-    pl = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)],
-        dtype=np.float64,
-    )
+    pl = _lsh_planes(planes, dim, seed)
     out = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -168,13 +162,31 @@ def lsh_signatures(
             if not len(pdf):
                 continue
             mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            acc = np.zeros((len(mat), planes), dtype=np.float64)
-            for j in range(dim):  # left-associated: matches the SQL fold exactly
-                acc += mat[:, j : j + 1] * pl[:, j]
-            bits = (acc > 0) @ (1 << np.arange(planes, dtype=np.int64))
+            bits = _lsh_bits(mat, pl)
             yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "sig": bits})
 
     return out.mapInPandas(kernel, schema=sig_schema)
+
+
+def _lsh_planes(planes: int, dim: int, seed: int) -> np.ndarray:
+    import random
+
+    rng = random.Random(seed)
+    return np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)],
+        dtype=np.float64,
+    )
+
+
+def _lsh_bits(mat: np.ndarray, pl: np.ndarray) -> np.ndarray:
+    """Signature bits for a (rows x dim) float64 matrix — the exact
+    arithmetic of the `lsh_signatures` kernel (left-associated float64
+    accumulation; see its docstring), shared so a driver-side caller
+    computes bit-identical signatures."""
+    acc = np.zeros((len(mat), pl.shape[0]), dtype=np.float64)
+    for j in range(pl.shape[1]):  # left-associated: matches the SQL fold exactly
+        acc += mat[:, j : j + 1] * pl[:, j]
+    return (acc > 0) @ (1 << np.arange(pl.shape[0], dtype=np.int64))
 
 
 def lsh_topk(
@@ -221,13 +233,32 @@ def lsh_topk(
         ).select(*df.columns, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
 
     c = banded(lsh_signatures(corpus, id_col, vec_col, planes, dim), "sig")
+    # The query side is the small side by contract and scoring already
+    # collects it — so ONE driver pass now serves both: raw vectors are
+    # collected once, signatures computed with the kernel's exact numpy
+    # arithmetic (_lsh_bits, bit-identical), the banded (band, key) rows
+    # shipped back as a broadcast local relation, and the normalized
+    # scoring matrix falls out of the same collect. This replaces a
+    # second queries scan + a signature kernel pass + its banding explode
+    # with zero extra jobs.
+    pl = _lsh_planes(planes, dim, seed=42)
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    if len(q_pdf):
+        q_raw = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+        qsigs = _lsh_bits(q_raw, pl)
+    else:
+        q_raw, qsigs = np.zeros((0, dim)), np.array([], dtype=np.int64)
+    q_rows = []
+    for qid, sig in zip(q_ids, qsigs):
+        for b in range(n_bands):
+            lo, hi = bounds[b], bounds[b + 1]
+            q_rows.append(
+                (int(qid), int(sig), b, (int(sig) >> lo) & ((1 << (hi - lo)) - 1))
+            )
     q = F.broadcast(
-        banded(
-            lsh_signatures(queries, id_col, vec_col, planes, dim)
-            .withColumnRenamed("id", "query_id")
-            .withColumnRenamed("sig", "qsig")
-            .drop("v"),
-            "qsig",
+        queries.sparkSession.createDataFrame(
+            q_rows, "query_id long, qsig long, band int, key long"
         )
     )
     cand = (
@@ -236,17 +267,22 @@ def lsh_topk(
             (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_probe_hamming)
             & (F.col("id") != F.col("query_id"))
         )
-        .drop("band", "key")
-        .dropDuplicates(["id", "query_id"])
+        .select("query_id", "id", "v")
     )
     # Exact scoring of the banded candidates runs through the same
     # Arrow-GEMM shape as `brute_force_topk`: one float64 vectorized dot
     # per Arrow batch instead of a Catalyst per-element fold per pair
-    # (~100x — see module docstring). The query matrix is collected and
-    # normalized once on the driver (queries are the small side by
-    # contract) and shipped in the closure, so candidate rows only carry
-    # (query_id, id, v) through the shuffle — no qv duplication.
-    q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    # (~100x — see module docstring). Pairs matching in several bands are
+    # scored up to n_bands times (cheap vectorized dots) and deduplicated
+    # AFTER scoring on the narrow (query_id, neighbor_id) rows — a
+    # map-side-combinable HashAggregate — instead of before it, where the
+    # distinct had to sort-aggregate rows carrying the full `v` arrays.
+    norms = np.linalg.norm(q_raw, axis=1, keepdims=True) if len(q_raw) else q_raw
+    if len(q_raw):
+        norms[norms == 0] = 1.0
+        q_mat = q_raw / norms
+    else:
+        q_mat = q_raw
     q_index = {int(qid): i for i, qid in enumerate(q_ids)}
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,7 +304,9 @@ def lsh_topk(
                 }
             )
 
-    scored = cand.select("query_id", "id", "v").mapInPandas(score, schema=_SIM_SCHEMA)
+    scored = cand.mapInPandas(score, schema=_SIM_SCHEMA).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
