@@ -62,6 +62,10 @@ ALLOWED_CLASSIC = {
                             "getLocalProperty, wrapped in a Connect-safe "
                             "fallback (pools are classic-only; workers "
                             "then run in the server default pool)",
+    "store/materialize.py": "_parallel_writes state-write workers inherit "
+                            "the caller's scheduler pool via sparkContext."
+                            "getLocalProperty, wrapped in the same "
+                            "Connect-safe fallback as event_store.py",
     "tools/soak.py": "soak harness is classic-local by definition (it "
                      "boots its own server + local session); the cached-"
                      "RDD-bytes metric reads the JVM RDDStorageInfo via "
