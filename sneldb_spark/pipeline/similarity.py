@@ -256,11 +256,34 @@ def lsh_topk(
             q_rows.append(
                 (int(qid), int(sig), b, (int(sig) >> lo) & ((1 << (hi - lo)) - 1))
             )
-    q = F.broadcast(
-        queries.sparkSession.createDataFrame(
+    spark = queries.sparkSession
+    if 0 < len(q_rows) <= 4096:
+        # Ship the banded rows as a pure-JVM literal relation. A
+        # createDataFrame local frame is a PYTHON-RDD scan with
+        # defaultParallelism partitions — executed inside the broadcast
+        # it launches one pickle-worker task per core, and in a
+        # long-lived session whose plain-pickle worker pool has gone
+        # cold that measured as ~2.4 s of blocked (zero-CPU) time per
+        # task: 9.6 s on the gate vs 1.6 s fresh. The literal explode is
+        # one JVM task, no Python boundary at all (guide §4).
+        q_local = spark.range(1).select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(qid).cast("long").alias("query_id"),
+                        F.lit(sig).cast("long").alias("qsig"),
+                        F.lit(b).alias("band"),
+                        F.lit(key).cast("long").alias("key"),
+                    )
+                    for qid, sig, b, key in q_rows
+                ])
+            ).alias("qq")
+        ).select("qq.*")
+    else:  # very wide query batches: literal plan size would dominate
+        q_local = spark.createDataFrame(
             q_rows, "query_id long, qsig long, band int, key long"
         )
-    )
+    q = F.broadcast(q_local)
     cand = (
         c.join(q, ["band", "key"])
         .where(
