@@ -232,7 +232,16 @@ def lsh_topk(
             "*", F.explode(F.array(*blocks)).alias("bb")
         ).select(*df.columns, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
 
-    c = banded(lsh_signatures(corpus, id_col, vec_col, planes, dim), "sig")
+    # Persist the signature table: banding reads it narrow (no vectors
+    # through the explode) and the verify fetches vectors back from the
+    # cache — so the signature kernel runs once AND each stage carries
+    # exactly ONE Python eval. (Fusing the signature and scoring kernels
+    # into one stage — two chained Python evals per task — measured
+    # 6–13 s on the gate in a long-lived session vs 1.6 s fresh: every
+    # task needs two simultaneous Python workers, and the doubled pool
+    # demand stalls cold-forked workers behind pandas imports.)
+    sigs = lsh_signatures(corpus, id_col, vec_col, planes, dim).persist()
+    c = banded(sigs.drop("v"), "sig")
     # The query side is the small side by contract and scoring already
     # collects it — so ONE driver pass now serves both: raw vectors are
     # collected once, signatures computed with the kernel's exact numpy
@@ -284,22 +293,25 @@ def lsh_topk(
             q_rows, "query_id long, qsig long, band int, key long"
         )
     q = F.broadcast(q_local)
+    # Dedup the candidate PAIRS while they are narrow (query_id, id)
+    # longs — a map-side-combinable HashAggregate — then fetch each
+    # candidate's vector from the signature cache. The r10 form
+    # deduplicated rows already carrying the full `v` arrays (a
+    # SortAggregate over vectors).
     cand = (
         c.join(q, ["band", "key"])
         .where(
             (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_probe_hamming)
             & (F.col("id") != F.col("query_id"))
         )
-        .select("query_id", "id", "v")
+        .select("query_id", "id")
+        .dropDuplicates(["query_id", "id"])
+        .join(sigs.select("id", "v"), "id")
     )
     # Exact scoring of the banded candidates runs through the same
     # Arrow-GEMM shape as `brute_force_topk`: one float64 vectorized dot
     # per Arrow batch instead of a Catalyst per-element fold per pair
-    # (~100x — see module docstring). Pairs matching in several bands are
-    # scored up to n_bands times (cheap vectorized dots) and deduplicated
-    # AFTER scoring on the narrow (query_id, neighbor_id) rows — a
-    # map-side-combinable HashAggregate — instead of before it, where the
-    # distinct had to sort-aggregate rows carrying the full `v` arrays.
+    # (~100x — see module docstring).
     norms = np.linalg.norm(q_raw, axis=1, keepdims=True) if len(q_raw) else q_raw
     if len(q_raw):
         norms[norms == 0] = 1.0
@@ -327,9 +339,7 @@ def lsh_topk(
                 }
             )
 
-    scored = cand.mapInPandas(score, schema=_SIM_SCHEMA).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
+    scored = cand.select("query_id", "id", "v").mapInPandas(score, schema=_SIM_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
