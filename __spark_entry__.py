@@ -134,6 +134,46 @@ def _parallel_ingest(db, frame: DataFrame, types, pred, cols,
         raise first
 
 
+def _remember_with_ingest(db, remember_text: str, ingest_fn) -> None:
+    """Run REMEMBER and the follow-up ingest CONCURRENTLY, in the order
+    the delta discipline requires: the ingest starts only after the
+    materializer pins the bootstrap's read mark (the `on_snapshot`
+    hook), so every ingested row commits strictly above the mark and the
+    next SHOW folds it exactly once. Rows, carried state shapes and the
+    SHOW result are identical to the sequential phases — the bootstrap
+    reads a slice closed at the mark either way; only the bootstrap's
+    Spark jobs and the ingest's overlap (they are independent once the
+    mark is pinned). Waiting on the hook is what makes this exact: with
+    timestamps carried from the source data, an ingest racing the probe
+    itself could raise the mark above rows it had not committed yet."""
+    import threading
+
+    pinned = threading.Event()
+    db.materializer.on_snapshot = pinned.set
+    try:
+        err: list[BaseException] = []
+
+        def run():
+            try:
+                db.execute(remember_text)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                err.append(e)
+            finally:
+                pinned.set()  # never leave the caller waiting
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        pinned.wait()
+        try:
+            ingest_fn()
+        finally:
+            t.join()  # REMEMBER must not outlive the gate's tmpdir
+        if err:
+            raise err[0]
+    finally:
+        db.materializer.on_snapshot = None
+
+
 def _events_frame(
     spark: SparkSession, sf_dir: str, pre_since: int | None = None
 ) -> DataFrame:
@@ -3513,8 +3553,12 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
                 "value", "value_cents"]
         db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
-        db.execute("REMEMBER QUERY purchase WHERE value >= 250 AS big_purchases")
-        db.store.append_dataframe("purchase", frame.where(F.col("event_id") > mid).select(cols))
+        _remember_with_ingest(
+            db, "REMEMBER QUERY purchase WHERE value >= 250 AS big_purchases",
+            lambda: db.store.append_dataframe(
+                "purchase", frame.where(F.col("event_id") > mid).select(cols)
+            ),
+        )
         out = db.execute("SHOW big_purchases").df
         # materialize before the tmpdir disappears
         rows = out.collect()
@@ -3565,12 +3609,13 @@ def q_remember_show_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _parallel_ingest(db, frame, ("signup", "purchase"),
                          F.col("timestamp") <= mid_ts, cols)
-        db.execute(
+        _remember_with_ingest(
+            db,
             "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id "
-            "AS funnel_mat"
+            "AS funnel_mat",
+            lambda: _parallel_ingest(db, frame, ("signup", "purchase"),
+                                     F.col("timestamp") > mid_ts, cols),
         )
-        _parallel_ingest(db, frame, ("signup", "purchase"),
-                         F.col("timestamp") > mid_ts, cols)
         out = db.execute("SHOW funnel_mat").df.select(
             "a_event_id", "a_context_id", "a_timestamp", "a_k",
             "b_event_id", "b_timestamp", "b_value_cents",
@@ -3618,12 +3663,14 @@ def q_remember_show_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _parallel_ingest(db, frame, types, F.col("timestamp") <= mid_ts,
                          cols, coalesce=2)
-        db.execute(
+        _remember_with_ingest(
+            db,
             "REMEMBER QUERY signup FOLLOWED BY purchase FOLLOWED BY click "
-            "LINKED BY context_id AS chain_mat"
+            "LINKED BY context_id AS chain_mat",
+            lambda: _parallel_ingest(db, frame, types,
+                                     F.col("timestamp") > mid_ts,
+                                     cols, coalesce=2),
         )
-        _parallel_ingest(db, frame, types, F.col("timestamp") > mid_ts,
-                         cols, coalesce=2)
         out = db.execute("SHOW chain_mat").df.select(
             "s0_context_id", "s0_event_id", "s1_event_id", "s2_event_id",
             "s0_timestamp", "s1_timestamp", "s2_timestamp",
@@ -3704,15 +3751,16 @@ def q_remember_show_seq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _parallel_ingest(db, frame, ("signup", "purchase"),
                          F.col("timestamp") <= mid_ts, cols)
-        db.execute(
+        _remember_with_ingest(
+            db,
             # unqualified fields resolve to the HEAD (signup) side,
             # matching the oracle's a.* aggregates
             "REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id "
             "COUNT, COUNT UNIQUE context_id, TOTAL value_cents, "
-            "MIN value_cents, MAX value_cents BY k AS funnel_stats"
+            "MIN value_cents, MAX value_cents BY k AS funnel_stats",
+            lambda: _parallel_ingest(db, frame, ("signup", "purchase"),
+                                     F.col("timestamp") > mid_ts, cols),
         )
-        _parallel_ingest(db, frame, ("signup", "purchase"),
-                         F.col("timestamp") > mid_ts, cols)
         out = db.execute("SHOW funnel_stats").df
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
@@ -3799,13 +3847,16 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
                 "value", "value_cents"]
         db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
-        db.execute(
+        _remember_with_ingest(
+            db,
             "REMEMBER QUERY purchase COUNT, TOTAL value_cents, "
             "AVG value_cents, MIN value, MAX value, "
             "COUNT UNIQUE context_id, MEDIAN value_cents "
-            "BY k AS purchase_stats"
+            "BY k AS purchase_stats",
+            lambda: db.store.append_dataframe(
+                "purchase", frame.where(F.col("event_id") > mid).select(cols)
+            ),
         )
-        db.store.append_dataframe("purchase", frame.where(F.col("event_id") > mid).select(cols))
         out = db.execute("SHOW purchase_stats").df.withColumn(
             "median_value_cents", F.round(F.col("median_value_cents"), 6)
         )
@@ -3858,12 +3909,13 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             db.store.registry.define(et, dict(fields))
         _parallel_ingest(db, frame, ("purchase", "click"),
                          F.col("event_id") <= mid, cols)
-        db.execute(
+        _remember_with_ingest(
+            db,
             "REMEMBER PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
-            "OVER day(timestamp) AS daily_board"
+            "OVER day(timestamp) AS daily_board",
+            lambda: _parallel_ingest(db, frame, ("purchase", "click"),
+                                     F.col("event_id") > mid, cols),
         )
-        _parallel_ingest(db, frame, ("purchase", "click"),
-                         F.col("event_id") > mid, cols)
         out = db.execute("SHOW daily_board").df
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)

@@ -79,6 +79,11 @@ class Materializer:
         # the live frames' pinned copies as keep_live so compaction can
         # run on cadence while GC spares what a slow reader still needs.
         self._serve_frames: dict[str, weakref.WeakSet] = {}
+        # Optional snapshot-pinned hook (see _pin_snapshot): called once
+        # per REMEMBER, right after the bootstrap's read mark is probed.
+        # Lets a bulk loader that carries its own event timestamps resume
+        # appending DURING the bootstrap instead of serializing around it.
+        self.on_snapshot = None
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -255,6 +260,25 @@ class Materializer:
         return drained
 
     # -- helpers ----------------------------------------------------------
+    def _pin_snapshot(self, q) -> tuple[int, int]:
+        """REMEMBER-bootstrap probe: take the source high-water mark and
+        fire `on_snapshot`. Once this returns, the bootstrap's read is
+        CLOSED at the mark — every later-committed row lands in the next
+        delta exactly once — so a loader may resume appends immediately
+        and its jobs overlap the bootstrap's (they are independent from
+        here on). Without the hook a loader carrying its own event
+        timestamps must serialize around the WHOLE bootstrap: if its
+        early rows committed before this probe, the mark could rise
+        above rows it had not committed yet, silently dropping them from
+        every delta. Fired only here (after the FULL probe — all sides
+        of a COMPARE), never on refresh probes, where no such ordering
+        contract exists."""
+        hwm = self._source_hwm(q)
+        cb = self.on_snapshot
+        if cb is not None:
+            cb()
+        return hwm
+
     def _source_hwm(self, q) -> tuple[int, int]:
         """(max timestamp, max event_id) over the query's source types.
         Footer-stats + memtable probe (no Spark job) when available —
@@ -528,7 +552,7 @@ class Materializer:
         frames off the persisted chain steps) — callers invoke it after
         their own result write has materialized the persisted chains, so
         the parallel writes are pure cached-read jobs."""
-        hwm_ts, hwm_id = self._source_hwm(q)
+        hwm_ts, hwm_id = self._pin_snapshot(q)
         frames, types, kinds, link = self.engine.compiler.chain_parts(
             q, upper=(hwm_ts, hwm_id)
         )
@@ -964,7 +988,7 @@ class Materializer:
                 # this result and lands in the next refresh exactly once —
                 # probing after the write would record it as consumed
                 # while it is absent from the stored rows.
-                hwm_ts, hwm_id = self._source_hwm(q)
+                hwm_ts, hwm_id = self._pin_snapshot(q)
                 self._apply_retention(
                     self.engine.compiler.compile(q, upper=(hwm_ts, hwm_id)),
                     manifest,
@@ -982,7 +1006,7 @@ class Materializer:
             from sneldb_spark.plans.aggregates import finalize_partial_state
 
             approx = self.engine.compiler.approx_count_unique
-            hwm = self._source_hwm(q)
+            hwm = self._pin_snapshot(q)
             # read closed at the probed mark: a row racing in lands in
             # the next delta exactly once, never in both
             state, keys = self.engine.compiler.compile_aggregate_partial(
@@ -1021,7 +1045,7 @@ class Materializer:
             # consumed hwm (no multi-part state, so no swap machinery).
             from sneldb_spark.plans.filters import hwm_at_or_before
 
-            hwm_ts, hwm_id = self._source_hwm(q)
+            hwm_ts, hwm_id = self._pin_snapshot(q)
             base = self.engine.compiler.compile_query(q).where(
                 hwm_at_or_before(hwm_ts, hwm_id)
             )
@@ -1059,7 +1083,7 @@ class Materializer:
             return self._read_segments(path).count()
         else:
             # same probe-then-closed-read ordering as the COMPARE branch
-            hwm_ts, hwm_id = self._source_hwm(q)
+            hwm_ts, hwm_id = self._pin_snapshot(q)
             df = self._apply_retention(
                 self.engine.compiler.compile_query(q, upper=(hwm_ts, hwm_id)),
                 manifest,
@@ -1081,7 +1105,7 @@ class Materializer:
         dedup — the bounded slices are what keep pairs unique)."""
         from sneldb_spark.plans.sequence import sequence_match
 
-        hwm_ts, hwm_id = self._source_hwm(q)
+        hwm_ts, hwm_id = self._pin_snapshot(q)
         a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
         # UNFILTERED match: WITHIN applies to the emitted pairs only;
         # carry state needs the raw match (window-missed A's are consumed)
@@ -1114,7 +1138,7 @@ class Materializer:
         from sneldb_spark.plans.sequence import sequence_match
 
         approx = self.engine.compiler.approx_count_unique
-        hwm_ts, hwm_id = self._source_hwm(q)
+        hwm_ts, hwm_id = self._pin_snapshot(q)
         a, b, kind, link, ts_a, ts_b = self._seq_sides(q, upper=(hwm_ts, hwm_id))
         pairs = sequence_match(a, b, link, kind, ts_a=ts_a, ts_b=ts_b).persist()
         try:
@@ -1458,7 +1482,7 @@ class Materializer:
 
         approx = self.engine.compiler.approx_count_unique
         labels = side_labels(c.queries, c.labels)
-        hwm = self._source_hwm(c)
+        hwm = self._pin_snapshot(c)
         keys_list, sps, writes = [], [], []
         for i, s in enumerate(c.queries):
             state, keys = self.engine.compiler.compile_aggregate_partial(
