@@ -1383,11 +1383,17 @@ def fasttext_train(
       iteration is bit-reproducible (the same dyadic-quantization move
       that fixed fasttext_classify's sf1 sum-order boundary)
 
-    Scale: each pass is one broadcast join (weights ≤ num_buckets rows)
-    plus one bucket-keyed aggregation with map-side partial combine —
-    the shuffle is partitions×buckets bounded, never corpus-sized; the
-    weight table is localCheckpointed per pass so plans stay flat.
-    Nothing is collected to the driver.
+    Scale: each pass is one broadcast join (weights ≤ num_buckets rows),
+    ONE doc-keyed exchange that co-locates each doc's rows for the
+    margin window (narrow (doc, bucket, cnt, w, y) rows — the only
+    corpus-sized movement), and one bucket-keyed aggregation with
+    map-side partial combine (partitions×buckets bounded). The margin
+    used to be a groupBy(doc) + join-back, which moves the same rows
+    TWICE by doc once the per-doc margin table outgrows the broadcast
+    threshold (i.e. at any real corpus size); the window pays the
+    exchange once, and its sort is what the join's sort-merge would
+    have done anyway. Weight tables are localCheckpointed per pass so
+    plans stay flat. Nothing is collected to the driver.
 
     `labels` is a (id_col, label_col∈{0,1}) frame. Returns the weight
     table (bucket, w) for buckets seen in training (w may be 0.0).
@@ -1429,18 +1435,34 @@ def fasttext_train(
         weights = quantize(grad1.select(
             "bucket", (F.lit(0.0) - F.lit(lr) * F.col("__g") / m).alias("__w")
         ))
+        from pyspark.sql import Window
+
         for _ in range(int(iters) - 1):
-            margin = (
+            # Per-doc margin as ONE window over the weighted rows instead
+            # of groupBy(id) + join-back: the join re-shuffled the whole
+            # (doc, bucket) feature table by id a second time per pass —
+            # the window computes s on the single id-exchange it needs
+            # (guide-style shuffle removal). Values are bit-identical:
+            # w·cnt terms are dyadic rationals, so the float64 sum is
+            # exact under ANY accumulation order (the same argument that
+            # makes the whole iteration engine-reproducible). The inner
+            # weights join is lossless here — pass-1's gradient emits a
+            # weight row for EVERY bucket present in feats.
+            scored = (
                 feats.join(F.broadcast(weights), "bucket")
-                .groupBy(id_col)
-                .agg(F.sum(F.col("w") * F.col("cnt")).alias("__s"))
-            )
-            scored = feats.join(margin, id_col).withColumn(
-                "__p",
-                F.greatest(
-                    F.lit(0.0),
-                    F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
-                ),
+                .withColumn(
+                    "__s",
+                    F.sum(F.col("w") * F.col("cnt")).over(
+                        Window.partitionBy(id_col)
+                    ),
+                )
+                .withColumn(
+                    "__p",
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(F.lit(1.0), F.lit(0.5) + F.col("__s") / 4),
+                    ),
+                )
             )
             grad = scored.groupBy("bucket").agg(
                 F.sum((F.col("__p") - F.col("__y")) * F.col("cnt")).alias("__g")
