@@ -102,6 +102,17 @@ class StreamingIngest:
         self._query = None
 
     # -- batch transform (also unit-testable without a stream) -------------
+    def _validity_expr(self, event_type: str) -> F.Column:
+        """The row-validity predicate for one type — shared by the
+        per-type split below and the whole-batch presence scan, so both
+        agree bit-for-bit on what counts as rejected."""
+        schema = self.registry.get(event_type)
+        valid = F.col("context_id").isNotNull()
+        for fname, ft in schema.fields.items():
+            raw_col = F.get_json_object(F.col("payload"), f"$.{fname}")
+            valid = valid & _valid_predicate(ft, raw_col, _payload_column(ft, raw_col))
+        return valid
+
     def validate_and_type(self, raw: DataFrame, event_type: str) -> tuple[DataFrame, DataFrame]:
         """Split a raw micro-batch into (typed valid rows, rejected rows)."""
         schema = self.registry.get(event_type)
@@ -129,14 +140,36 @@ class StreamingIngest:
             # One presence scan for the whole batch instead of per-type
             # take(1) probes — each probe was a full extra job per type.
             # Counting per (type, partition) in the same job also gives the
-            # offsets that make bulk event_ids globally unique below.
+            # offsets that make bulk event_ids globally unique below, and
+            # (r11) a validity count per type so the quarantine decision
+            # costs no further job: the old `bad.limit(1).count()` probe
+            # re-scanned the persisted batch once PER TYPE per micro-batch.
+            # The CASE chain evaluates exactly one type's predicate per row
+            # (the same expression validate_and_type filters on later).
+            valid_case = None
+            for et in self.registry.event_types():
+                cond = F.col("event_type") == et
+                v = self._validity_expr(et)
+                valid_case = (
+                    F.when(cond, v) if valid_case is None
+                    else valid_case.when(cond, v)
+                )
+            n_ok = (
+                F.sum(valid_case.otherwise(F.lit(False)).cast("long")).alias("__ok")
+                if valid_case is not None
+                else F.lit(0).alias("__ok")
+            )
             present: dict[str, dict[int, int]] = {}
+            n_bad: dict[str, int] = {}
             for r in (
                 batch.groupBy("event_type", F.spark_partition_id().alias("__pid"))
-                .count()
+                .agg(F.count(F.lit(1)).alias("count"), n_ok)
                 .collect()
             ):
                 present.setdefault(r["event_type"], {})[r["__pid"]] = r["count"]
+                n_bad[r["event_type"]] = (
+                    n_bad.get(r["event_type"], 0) + r["count"] - r["__ok"]
+                )
             for event_type in self.registry.event_types():
                 pid_counts = present.get(event_type)
                 if not pid_counts:
@@ -155,8 +188,9 @@ class StreamingIngest:
                         n = 0
                     self._commits_since_compact[event_type] = n
                 # Quarantine write is skipped entirely when the type's rows
-                # all validated: cheap count on the persisted batch.
-                if bad.limit(1).count():
+                # all validated — known from the presence scan's validity
+                # count, no per-type probe job.
+                if n_bad.get(event_type, 0):
                     bad.withColumn("reject_batch", F.lit(batch_id)).write.mode(
                         "append"
                     ).json(os.path.join(self.quarantine_dir, event_type))
