@@ -323,30 +323,30 @@ def dedup_clusters(
     checkpointed (lineage truncation, not just caching), so the plan stays
     O(1)-deep however many rounds run.
     """
-    # The symmetrized edge list reads `pairs` twice — persist it so an
-    # expensive upstream pair pipeline (LSH join, Jaccard verify) runs once.
+    # Persist `pairs`: consumed by the bounded collect below and, on
+    # overflow, again by the distributed loop's edge build — an expensive
+    # upstream pair pipeline (LSH join, Jaccard verify) must run once.
     pairs = pairs.persist()
-    edges = (
-        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-        .distinct()
-        .persist()
-    )
     # Only nodes that appear in some pair can ever change label — iterate
     # over that (typically much smaller) vertex set and stitch the
     # untouched ids back as their own singleton clusters at the end.
     all_ids = ids.select(F.col(id_col).alias("id"))
     # Adaptive strategy, same trick as Spark's own broadcast-join
-    # threshold: the EDGE LIST (not the corpus) is usually tiny relative
+    # threshold: the PAIR LIST (not the corpus) is usually tiny relative
     # to the data — duplicate pairs, not documents. Under the bound, a
     # driver union-find replaces `diameter` shuffle+checkpoint rounds with
-    # one collect of O(edges) longs; past it, the distributed loop below
+    # one collect of O(pairs) longs; past it, the distributed loop below
     # is the unbounded-scale path (both paths oracle- and unit-tested).
-    # One bounded collect decides the path AND fetches the edges: take
-    # max_driver_edges+1 rows — short means the whole edge list is now
-    # on the driver (no separate count() job/pass), overflow falls
-    # through to the distributed loop.
-    edge_rows = edges.limit(max_driver_edges + 1).collect()
+    # One bounded collect decides the path AND fetches the graph: take
+    # max_driver_edges+1 RAW pair rows — union-find needs neither the
+    # symmetrized orientation nor de-duplication (union(a,b) is
+    # direction- and repeat-insensitive), so the old symmetrize+distinct
+    # exchange before the collect was a pure extra shuffle+job on the
+    # path that exists to avoid shuffles. Overflow falls through to the
+    # distributed loop, which builds the distinct edge list it iterates.
+    edge_rows = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).limit(max_driver_edges + 1).collect()
     if len(edge_rows) <= max_driver_edges:
         parent: dict = {}
 
@@ -366,7 +366,6 @@ def dedup_clusters(
                 parent[hi] = lo
         members = {n for r in edge_rows for n in (r["src"], r["dst"])}
         label_rows = [(n, find(n)) for n in members]
-        edges.unpersist()
         pairs.unpersist()
         if not label_rows:  # no edges at all: everyone is a singleton
             out = all_ids.withColumn("cluster_id", F.col("id"))
@@ -394,6 +393,16 @@ def dedup_clusters(
                 "cluster_size", F.lit(1).cast("long")
             )
         return labels.unionByName(singletons)
+    # Distributed path: the min-label loop propagates along BOTH edge
+    # orientations, so symmetrize (+distinct — repeated messages are
+    # wasted shuffle volume in every round) once here, where the list is
+    # re-read `diameter` times.
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
