@@ -11,7 +11,9 @@ with zero code delta. Two counters:
 - every entry whose first run finishes under ``_RERUN_UNDER_SEC`` is run a
   second time and reported as the MIN of the two (first-run values are kept
   in ``bench_full.json`` under ``first_run``); the heavy lifecycle gates
-  stay single-shot.
+  stay single-shot UNLESS the first run exceeds ``_SPIKE_FACTOR`` x the
+  entry's committed ``bench_full.json`` reference, in which case it is
+  rerun once as a contention spike (round 12; VERDICT r11 what's-wrong #2).
 - host telemetry rides along under ``"host"``: 1/5/15-min load averages at
   start and end, CPU steal%% over the bench window (/proc/stat), and the
   gate scratch medium (disk by default; SNELDB_GATE_SCRATCH=tmpfs opt-in).
@@ -22,9 +24,11 @@ longer fits; the complete per-query result is always written to
 ``bench_full.json`` — in the system temp dir by default (so a driver run
 never dirties the repo; round hygiene), or at ``$SPARK_GRAFT_BENCH_FULL``
 when a quiet run's copy should be committed — and the stdout line keeps the
-full-suite total while dropping the *smallest* per-query values (the
-near-zero entries carry no grading signal) until it fits, recording how many
-were omitted under ``"omitted"`` and pointing at the full file.
+full-suite total while dropping per-query values in a FIXED priority order
+(``_STDOUT_KEEP_PRIORITY``; round 12 — dropping by current-run value made
+the omitted set shift run-to-run and manufactured phantom drops in the
+round-over-round comparison) until it fits, recording how many were omitted
+under ``"omitted"`` and pointing at the full file.
 """
 
 from __future__ import annotations
@@ -205,8 +209,35 @@ def _bench_streaming_ingest(spark, n_events: int) -> float:
 
 
 # Entries faster than this get one rerun; the reported value is the min of
-# the two runs. Heavy entries (full engine lifecycles) stay single-shot.
+# the two runs. Heavy entries (full engine lifecycles) stay single-shot —
+# UNLESS the first run blows past the committed reference (see
+# _SPIKE_FACTOR): round 11 proved that a single contended first run >= 5 s
+# is kept single-shot exactly when a rerun is most needed (text_bpe_pairs
+# printed 43.4 s against a 0.5 s quiet number because best-of-2 never fired).
 _RERUN_UNDER_SEC = 5.0
+
+# A first run slower than max(_RERUN_UNDER_SEC, _SPIKE_FACTOR x its committed
+# bench_full.json reference) is treated as a contention spike and rerun once;
+# the reported value is the min and the first-run number is kept in
+# bench_full.json under "first_run". In a quiet window this never fires.
+_SPIKE_FACTOR = 2.0
+
+
+def _reference_timings() -> dict[str, float]:
+    """Per-query reference seconds from the committed bench_full.json (repo
+    root), used only to detect first-run contention spikes. Missing or
+    unreadable reference disables spike detection (never the bench)."""
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(ref_path) as f:
+            data = json.load(f)
+        return {
+            k: float(v)
+            for k, v in data.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v == v
+        }
+    except (OSError, ValueError, KeyError):
+        return {}
 
 
 def _cpu_times() -> tuple[int, int] | None:
@@ -258,6 +289,7 @@ def main():
     bench_t0 = time.perf_counter()
 
     qs = entrymod.queries()
+    reference = _reference_timings()
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -272,9 +304,19 @@ def main():
             continue
         dt = time.perf_counter() - t0
         first_run[name] = round(dt, 3)
-        if dt < _RERUN_UNDER_SEC:
+        ref = reference.get(name)
+        spike = ref is not None and dt > max(_RERUN_UNDER_SEC, _SPIKE_FACTOR * ref)
+        if dt < _RERUN_UNDER_SEC or spike:
             # best-of-2: a contended scheduler slice shows up as a one-run
-            # spike; the min of two runs is the code's number
+            # spike; the min of two runs is the code's number. Heavy entries
+            # are single-shot unless the first run reads as a spike against
+            # the committed reference.
+            if spike:
+                print(
+                    f"bench {name}: first run {dt:.3f}s > "
+                    f"{_SPIKE_FACTOR:g}x reference {ref:.3f}s, rerunning",
+                    file=sys.stderr,
+                )
             t1 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
@@ -285,8 +327,19 @@ def main():
         print(f"bench {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # streaming ingest throughput: 50k JSON-lines events through the
-    # Structured Streaming path into partitioned Parquet
-    timings["streaming_ingest_50k"] = round(_bench_streaming_ingest(spark, 50_000), 3)
+    # Structured Streaming path into partitioned Parquet (same spike-rerun
+    # rule as the query entries; each invocation stages its own tmpdir)
+    ing_dt = _bench_streaming_ingest(spark, 50_000)
+    first_run["streaming_ingest_50k"] = round(ing_dt, 3)
+    ing_ref = reference.get("streaming_ingest_50k")
+    if ing_ref is not None and ing_dt > max(_RERUN_UNDER_SEC, _SPIKE_FACTOR * ing_ref):
+        print(
+            f"bench streaming_ingest_50k: first run {ing_dt:.3f}s > "
+            f"{_SPIKE_FACTOR:g}x reference {ing_ref:.3f}s, rerunning",
+            file=sys.stderr,
+        )
+        ing_dt = min(ing_dt, _bench_streaming_ingest(spark, 50_000))
+    timings["streaming_ingest_50k"] = round(ing_dt, 3)
     print(f"bench streaming_ingest_50k: {timings['streaming_ingest_50k']}s", file=sys.stderr)
 
     load_end = os.getloadavg()
@@ -335,20 +388,86 @@ def main():
 # headroom for a trailing newline and any stray log line.
 _STDOUT_BUDGET = 1900
 
+# Which entries stay visible when the one-line JSON must shed entries to fit
+# the consumer's tail window. Round 11 dropped the smallest CURRENT-RUN
+# timings, which made the omitted set shift run-to-run and manufactured
+# phantom "dropped_from_bench" rows in the round-over-round comparison
+# (VERDICT r11 what's-wrong #1). The priority is now FIXED: first every name
+# that was visible in the round-11 driver stdout (so the driver's trend lines
+# never lose an entry), then the remaining suite in descending committed
+# reference time (biggest signal kept first). Trimming drops from the END of
+# this list; failed queries (null) are never dropped.
+_STDOUT_KEEP_PRIORITY = [
+    # round-11 driver-visible set (BENCH_r11.json stdout order)
+    "seq_followed_by", "seq_preceded_by", "seq_agg", "compare_daily",
+    "plot_breakdown", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q21",
+    "tpch_q2", "tpch_q20", "events_experiment", "seq_chain",
+    "seq_funnel_report", "seq_within_window", "streaming_window_agg",
+    "streaming_dedup", "streaming_seq_followed_by",
+    "streaming_seq_preceded_by", "streaming_seq_chain", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_keep_best", "dedup_minhash_lsh",
+    "dedup_minhash_clusters", "dedup_minhash_cross", "dedup_minhash_assign",
+    "dedup_simhash", "dedup_span_removal", "dedup_line_boilerplate",
+    "text_bpe_pairs", "text_bpe_encode", "text_unigram_encode",
+    "decontaminate", "semantic_dedup", "semantic_dedup_cross",
+    "text_fasttext_classify", "text_fasttext_train",
+    "sampling_cluster_balanced", "multimodal_features", "multimodal_resize",
+    "sampling_dsir", "corpus_upsample", "corpus_curation",
+    "remember_show_agg", "remember_show_compare", "remember_show_seq",
+    "remember_show_chain", "remember_show_seq_agg", "similarity_lsh_topk",
+    "similarity_ivf_topk", "similarity_ivf_indexed", "embedding_covariance",
+    "embedding_kmeans", "similarity_knn_graph", "text_tfidf",
+    "streaming_ingest_50k",
+    # rest of the suite, descending committed reference time (r11 close run)
+    "similarity_topk", "embedding_near_pairs", "tpch_q15", "text_winnow",
+    "filter_where", "agg_multi", "text_ngram_counts", "events_sessionize",
+    "agg_count_by", "events_cohort_retention", "agg_per_hour_by",
+    "agg_count_unique", "events_active_users", "agg_percentile",
+    "agg_per_day", "since_bound", "tpch_q22", "text_repetition",
+    "order_multi", "text_langid", "text_novelty", "sampling_leakage_safe",
+    "order_limit_offset", "text_chunk", "corpus_report",
+    "sampling_token_budget", "text_quality", "sampling_group_cap",
+    "text_lm_score", "multimodal_audio", "corpus_mix", "tpch_q6",
+    "pack_sequences", "dedup_exact", "text_blocklist", "sampling_weighted",
+    "text_pii_redact", "corpus_stats", "multimodal_dedup",
+    "embedding_quantize", "events_json_extract", "sampling_training_shuffle",
+    "text_tokens_fingerprint", "sampling_split",
+]
+
 
 def _fit_stdout_line(result: dict) -> str:
-    """Compact-encode `result`, dropping the smallest per-query timings
-    (null = failed query sorts last so failures are never dropped) until the
-    line fits the consumer's 2000-char tail window.  `value` stays the
-    full-suite total regardless of omissions."""
+    """Compact-encode `result`, dropping per-query timings in FIXED reverse
+    priority order (deterministic run-to-run; failed queries — null — are
+    never dropped) until the line fits the consumer's 2000-char tail window.
+    `value` stays the full-suite total regardless of omissions."""
     out = dict(result)
     out["metric"] = "suite wall sec"  # shorter; full string lives in bench_full.json
     queries = dict(result["queries"])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) <= _STDOUT_BUDGET:
         return line
-    # cheapest first; keep failures (null) visible by sorting them last
-    order = sorted(queries, key=lambda k: queries[k] if queries[k] is not None else float("inf"))
+    # 2-decimal stdout values buy ~70 chars of headroom so the keep-priority
+    # prefix fits even when several entries read in the tens of seconds;
+    # 3-decimal precision is preserved in bench_full.json.
+    queries = {
+        k: (round(v, 2) if isinstance(v, float) else v) for k, v in queries.items()
+    }
+    out["queries"] = queries
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= _STDOUT_BUDGET:
+        return line
+    prio = {name: i for i, name in enumerate(_STDOUT_KEEP_PRIORITY)}
+    # drop order: names absent from the priority list first (smallest value
+    # first among them — they carry the least signal), then listed names in
+    # reverse priority; failures (null) are excluded — never dropped
+    def _drop_key(k):
+        if k in prio:
+            return (1, -prio[k])
+        return (0, queries[k])
+
+    order = sorted((k for k in queries if queries[k] is not None), key=_drop_key)
     omitted = 0
     for name in order:
         del queries[name]
@@ -356,6 +475,17 @@ def _fit_stdout_line(result: dict) -> str:
         out["queries"] = queries
         out["omitted"] = omitted
         out["full"] = "bench_full.json"
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= _STDOUT_BUDGET:
+            return line
+    # last resort (mass failure): an over-budget line is unparseable once the
+    # consumer trims its tail window, so shed failures too, lowest priority
+    # first — a short parseable line beats a long truncated one.
+    for name in sorted(queries, key=lambda k: (1, -prio[k]) if k in prio else (0, 0)):
+        del queries[name]
+        omitted += 1
+        out["queries"] = queries
+        out["omitted"] = omitted
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= _STDOUT_BUDGET:
             return line
