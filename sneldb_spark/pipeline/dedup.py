@@ -211,7 +211,13 @@ def ngram_jaccard_pairs(
     is not discriminative anyway). Candidates are then verified exactly,
     JVM-side, so both orders return identical pairs.
     """
-    docs = shingle_hash_arrays(df, id_col, text_col, n).persist()
+    # localCheckpoint, not persist: the shingle table feeds the stop-shingle
+    # scan and BOTH join sides, but the returned pair frame is lazy, so a
+    # persist would outlive the call (session-lifetime cached blocks, and the
+    # CacheManager's plan-matching would let a repeat invocation silently hit
+    # the previous run's cache). Checkpoint blocks are owned by the returned
+    # lineage and reclaimed by the ContextCleaner once it is dropped.
+    docs = shingle_hash_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     prefix_len = (
         F.col("n_shingles")
         - F.ceil(F.lit(threshold) * F.col("n_shingles")).cast("int")
@@ -605,9 +611,14 @@ def minhash_dedup_pairs(
     (fraction of agreeing minhashes)."""
     rows_per_band = num_hashes // bands
     # The signature table feeds banding AND both sides of the verify join;
-    # persist so the shingle explode + 64 min-aggs run once, not three times
-    # (at cluster scale this would be a checkpoint/table instead).
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n).persist()
+    # localCheckpoint so the shingle pass + minwise kernel run once, not three
+    # times (at cluster scale this would be a checkpoint/table instead).
+    # Checkpoint, not persist: the returned pair frame is lazy, so a persist
+    # would leak cached blocks across calls and let a repeat invocation hit
+    # the previous run's cache via CacheManager plan-matching.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n).localCheckpoint(
+        eager=True
+    )
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     s1 = sigs.withColumnRenamed("id", "id1").withColumnRenamed("sig", "sig1")
     s2 = sigs.withColumnRenamed("id", "id2").withColumnRenamed("sig", "sig2")
@@ -717,8 +728,14 @@ def minhash_cross_pairs(
     (est 1.0) — filter `new_id != ref_id` when id spaces overlap.
     """
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes, n).persist()
-    sig_ref = minhash_signatures(ref_df, id_col, text_col, num_hashes, n).persist()
+    # localCheckpoint (not persist): each signature table feeds its banding
+    # AND the verify join of a LAZY result — see minhash_dedup_pairs.
+    sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes, n).localCheckpoint(
+        eager=True
+    )
+    sig_ref = minhash_signatures(ref_df, id_col, text_col, num_hashes, n).localCheckpoint(
+        eager=True
+    )
     l = _banded(sig_new, bands, rows_per_band).alias("l")
     r = _banded(sig_ref, bands, rows_per_band).alias("r")
     cand = (
@@ -828,11 +845,13 @@ def simhash_near_pairs(
     (32-bit keys, max_hamming<=1) keep the candidate set near-linear."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    # Both sides of the self-join read `fps` — persist it so the
+    # Both sides of the self-join read `fps` — localCheckpoint it so the
     # fingerprint pipeline upstream (a full Python-kernel pass over the
     # corpus text when fed from simhash_fingerprints) runs once, not once
-    # per join side. Same contract as minhash_dedup_pairs' sigs persist.
-    fps = fps.persist()
+    # per join side. Checkpoint, not persist: the returned pair frame is
+    # lazy, so a persist would leak across calls (same contract as
+    # minhash_dedup_pairs' sigs checkpoint).
+    fps = fps.localCheckpoint(eager=True)
     banded = fps.select(
         "id",
         "simhash",

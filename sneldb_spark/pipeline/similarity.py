@@ -60,9 +60,29 @@ _SIM_SCHEMA = T.StructType(
 )
 
 
+# Hard cap on the rows any "small by contract" query side may collect to the
+# driver: 100k rows x 64 float64 dims is ~51 MB — comfortably inside driver
+# memory, far below spark.driver.maxResultSize. A caller passing a larger
+# frame gets a clear error instead of a driver OOM (the bounded limit(N+1)
+# probe costs nothing extra: it is the same collect, capped).
+MAX_DRIVER_QUERY_ROWS = 100_000
+
+
+def _collect_query_side(rows_df: DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Bounded driver collect of a contractually-small query side."""
+    pdf = rows_df.select(*cols).limit(MAX_DRIVER_QUERY_ROWS + 1).toPandas()
+    if len(pdf) > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query side exceeds MAX_DRIVER_QUERY_ROWS={MAX_DRIVER_QUERY_ROWS:,}: "
+            "this operator collects the query side to the driver by contract; "
+            "split the query batch or use a distributed join form."
+        )
+    return pdf
+
+
 def _normalized_matrix(rows_df: DataFrame, id_col: str, vec_col: str):
     """Collect (ids, row-normalized float64 matrix) — for the broadcast side."""
-    pdf = rows_df.select(id_col, vec_col).toPandas()
+    pdf = _collect_query_side(rows_df, [id_col, vec_col])
     ids = pdf[id_col].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -232,15 +252,20 @@ def lsh_topk(
             "*", F.explode(F.array(*blocks)).alias("bb")
         ).select(*df.columns, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
 
-    # Persist the signature table: banding reads it narrow (no vectors
-    # through the explode) and the verify fetches vectors back from the
-    # cache — so the signature kernel runs once AND each stage carries
-    # exactly ONE Python eval. (Fusing the signature and scoring kernels
-    # into one stage — two chained Python evals per task — measured
+    # localCheckpoint the signature table: banding reads it narrow (no
+    # vectors through the explode) and the verify fetches vectors back from
+    # the checkpoint — so the signature kernel runs once AND each stage
+    # carries exactly ONE Python eval. (Fusing the signature and scoring
+    # kernels into one stage — two chained Python evals per task — measured
     # 6–13 s on the gate in a long-lived session vs 1.6 s fresh: every
     # task needs two simultaneous Python workers, and the doubled pool
     # demand stalls cold-forked workers behind pandas imports.)
-    sigs = lsh_signatures(corpus, id_col, vec_col, planes, dim).persist()
+    # Checkpoint, not persist: the returned frame is lazy, so a persist
+    # would leak cached blocks across calls and let a repeat invocation hit
+    # the previous run's cache via CacheManager plan-matching.
+    sigs = lsh_signatures(corpus, id_col, vec_col, planes, dim).localCheckpoint(
+        eager=True
+    )
     c = banded(sigs.drop("v"), "sig")
     # The query side is the small side by contract and scoring already
     # collects it — so ONE driver pass now serves both: raw vectors are
@@ -251,7 +276,7 @@ def lsh_topk(
     # second queries scan + a signature kernel pass + its banding explode
     # with zero extra jobs.
     pl = _lsh_planes(planes, dim, seed=42)
-    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_pdf = _collect_query_side(queries, [id_col, vec_col])
     q_ids = q_pdf[id_col].to_numpy()
     if len(q_pdf):
         q_raw = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])

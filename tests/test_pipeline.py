@@ -2600,3 +2600,68 @@ def test_cluster_balanced_sample_caps_each_cluster(spark):
         for r in cluster_balanced_sample(df, k=2, iters=2, cap=2).collect()
     )
     assert again == sorted((r["cluster"], r["vec_id"], r["group_rank"]) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 cache hygiene: no CacheManager entry (InMemoryRelation) may
+# survive an operator invocation — a leaked persist lets a repeat call
+# silently reuse the previous run's cache (plan-matching) and accumulates
+# session-lifetime cached blocks. The intra-call sharing these operators
+# need now goes through localCheckpoint, which the CacheManager never sees.
+# ---------------------------------------------------------------------------
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dedup_operators_leave_no_session_cache(spark):
+    from sneldb_spark.pipeline.dedup import (
+        minhash_cross_pairs,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    minhash_dedup_pairs(docs).count()
+    assert _cache_manager_empty(spark)
+    minhash_cross_pairs(docs, docs).count()
+    assert _cache_manager_empty(spark)
+    ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert _cache_manager_empty(spark)
+    simhash_near_pairs(simhash_fingerprints(docs), 3).count()
+    assert _cache_manager_empty(spark)
+
+
+def test_lsh_topk_leaves_no_session_cache(spark):
+    from sneldb_spark.pipeline.similarity import lsh_topk
+
+    spark.catalog.clearCache()
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    lsh_topk(emb, emb.where("vec_id < 3"), k=2, planes=16, dim=8).count()
+    assert _cache_manager_empty(spark)
+
+
+def test_bounded_query_side_collect_raises_above_cap(spark, monkeypatch):
+    from sneldb_spark.pipeline import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERY_ROWS", 4)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        similarity.lsh_topk(emb, emb, k=2, planes=16, dim=8).count()
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERY_ROWS", 100)
+    assert similarity.lsh_topk(
+        emb, emb.where("vec_id < 3"), k=2, planes=16, dim=8
+    ).count() > 0
