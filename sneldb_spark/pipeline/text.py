@@ -368,19 +368,24 @@ def bpe_pair_counts(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    # Adjacent pairs via one char split + a zip_with over shifted slices —
+    # the same fix family as token_ngrams: the old per-index form evaluated
+    # an interpreted substr PER CHARACTER PAIR (two per index); splitting
+    # the word into its character array once and zipping two shifted slices
+    # cuts each word exactly once (guide §1.2 per-row work).
+    chars = F.split(F.col("w"), "")
+    L = F.length("w") - 1
+    pair_arr = F.zip_with(
+        F.slice(chars, 1, L),
+        F.slice(chars, 2, L),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
     pairs = words.select(
         "wc",
         F.explode(
-            F.when(
-                F.length("w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w") - 1),
-                    lambda i: F.struct(
-                        F.col("w").substr(i, F.lit(1)).alias("left"),
-                        F.col("w").substr(i + 1, F.lit(1)).alias("right"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+            F.when(F.length("w") >= 2, pair_arr).otherwise(
+                F.array().cast("array<struct<left:string,right:string>>")
+            )
         ).alias("p"),
     )
     return (
