@@ -215,6 +215,14 @@ class EventStore:
         self._compact_stop = False
         self._compact_inflight: str | None = None
         self._compact_errors: list[tuple[str, Exception]] = []
+        # Readers whose in-flight Spark jobs read LIVE source files (the
+        # REMEMBER bootstrap, whose ingest may overlap it via on_snapshot)
+        # take hold_compaction(): the local publish deletes the superseded
+        # copy outright (keep_live is warned-and-ignored there), so a
+        # rewrite publishing mid-bootstrap would fail those reads with
+        # missing files. While held, the worker defers rewrites (the queue
+        # keeps accumulating); the hold waits out an in-flight rewrite.
+        self._compact_hold_count = 0
         # Memtable capacity (reference [engine] fill_factor *
         # event_per_zone, src/engine/store/insert.rs insert_and_maybe_
         # flush): when the pending buffer crosses this many rows, an
@@ -598,6 +606,39 @@ class EventStore:
                 self._compact_thread.start()
             self._compact_cond.notify_all()
 
+    def hold_compaction(self):
+        """Context manager: defer background compaction publishes while a
+        reader's in-flight Spark jobs read LIVE source files.
+
+        The REMEMBER bootstrap is the canonical holder: `on_snapshot` lets
+        a loader resume appends the moment the read mark is pinned, and an
+        overlapped append can cross a compaction threshold — but the local
+        backend's publish deletes the superseded copy outright (keep_live
+        is warned-and-ignored there), which would fail the bootstrap's
+        source reads with missing files. While held, the worker starts no
+        new rewrite (enqueues keep accumulating and run on release), and
+        entry waits out any rewrite already in flight so no publish can
+        land during the hold. Explicit compact() is NOT deferred — it is a
+        foreground admin command whose caller owns the timing."""
+        import contextlib
+
+        store = self
+
+        @contextlib.contextmanager
+        def _hold():
+            with store._compact_cond:
+                store._compact_hold_count += 1
+                while store._compact_inflight is not None:
+                    store._compact_cond.wait()
+            try:
+                yield
+            finally:
+                with store._compact_cond:
+                    store._compact_hold_count -= 1
+                    store._compact_cond.notify_all()
+
+        return _hold()
+
     def _compact_worker(self):
         from sneldb_spark.session import set_scheduler_pool
 
@@ -605,7 +646,9 @@ class EventStore:
         set_scheduler_pool(self.spark, "sneldb-bulk")
         while True:
             with self._compact_cond:
-                while not self._compact_queue and not self._compact_stop:
+                while not self._compact_stop and (
+                    not self._compact_queue or self._compact_hold_count
+                ):
                     self._compact_cond.wait()
                 if self._compact_stop:
                     self._compact_queue.clear()

@@ -266,7 +266,10 @@ class Materializer:
         CLOSED at the mark — every later-committed row lands in the next
         delta exactly once — so a loader may resume appends immediately
         and its jobs overlap the bootstrap's (they are independent from
-        here on). Without the hook a loader carrying its own event
+        here on; remember() additionally holds background compaction for
+        the bootstrap's duration, so an overlapped append crossing a
+        compaction threshold can never GC source files the bootstrap's
+        in-flight jobs still read). Without the hook a loader carrying its own event
         timestamps must serialize around the WHOLE bootstrap: if its
         early rows committed before this probe, the mark could rise
         above rows it had not committed yet, silently dropping them from
@@ -958,6 +961,32 @@ class Materializer:
 
     # -- REMEMBER ---------------------------------------------------------
     def remember(
+        self,
+        name: str,
+        q: ast.QueryCommand,
+        max_rows: int | None = None,
+        max_age_seconds: int | None = None,
+    ):
+        """REMEMBER bootstrap. Runs under the store's compaction hold: the
+        on_snapshot hook lets a loader overlap appends with the bootstrap,
+        and an overlapped append can cross a compaction threshold — but a
+        compaction publish deletes the superseded live copy (keep_live is
+        ignored by the local backend), which would fail the bootstrap's
+        in-flight source reads with missing files. The hold defers
+        background rewrites until the bootstrap's last source read is
+        done; deferred types compact right after."""
+        import contextlib
+
+        store = getattr(self.engine, "store", None)
+        hold = (
+            store.hold_compaction()
+            if store is not None and hasattr(store, "hold_compaction")
+            else contextlib.nullcontext()
+        )
+        with hold:
+            return self._remember_impl(name, q, max_rows, max_age_seconds)
+
+    def _remember_impl(
         self,
         name: str,
         q: ast.QueryCommand,

@@ -157,3 +157,65 @@ def test_periodic_compaction_config_key(tmp_path):
         {"engine": {"data_dir": str(tmp_path), "compaction_interval": 0}}
     )
     assert cfg0.compaction_interval is None
+
+
+def test_hold_compaction_defers_background_rewrites(spark, tmp_path):
+    """While a hold is active (the REMEMBER bootstrap takes one), the
+    background worker must start no rewrite; release lets the deferred
+    queue run. Guards the on_snapshot-overlap contract: a compaction
+    publish deletes the superseded live copy, which would fail the
+    bootstrap's in-flight source reads."""
+    import time
+
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"), auto_compact_files=2)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    with db.store.hold_compaction():
+        for i in range(5):
+            db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
+            db.execute("FLUSH")  # one file per flush; enqueues past 2
+        # the worker must not converge the directory while held
+        deadline = time.time() + 3
+        while time.time() < deadline and not db.store._compact_queue:
+            time.sleep(0.05)  # enqueue is synchronous on FLUSH, settle
+        assert _n_files(db.store, "t") >= 5
+        assert db.store._compact_inflight is None
+    # release: the deferred rewrite runs and converges
+    assert db.store.quiesce_compaction() == []
+    assert _n_files(db.store, "t") <= 2
+    rows = db.query("QUERY t ORDER BY v").collect()
+    assert [r["v"] for r in rows] == list(range(5))
+
+
+def test_remember_bootstrap_overlap_with_compaction_is_exact(spark, tmp_path):
+    """End-to-end: an on_snapshot-overlapped ingest that crosses the
+    compaction threshold mid-bootstrap must neither fail the bootstrap's
+    reads nor change the result: REMEMBER reflects rows at-or-below its
+    mark, the overlapped rows fold into the next SHOW exactly once."""
+    import threading
+
+    from sneldb_spark.engine import SnelDB
+
+    db = SnelDB(spark, str(tmp_path / "db"), auto_compact_files=2)
+    db.execute('DEFINE t FIELDS { "v": "int" }')
+    for i in range(4):  # above the threshold already: bootstrap reads many files
+        db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
+        db.execute("FLUSH")
+
+    def overlapped():
+        for i in range(4, 8):
+            db.execute(f'STORE t FOR c{i} PAYLOAD {{"v": {i}}}')
+            db.execute("FLUSH")  # enqueues compaction mid-bootstrap
+
+    t = threading.Thread(target=overlapped)
+    db.materializer.on_snapshot = t.start
+    try:
+        db.execute("REMEMBER QUERY t WHERE v >= 0 AS all_t")
+        t.join()
+    finally:
+        db.materializer.on_snapshot = None
+    out = sorted(r["v"] for r in db.execute("SHOW all_t").df.collect())
+    assert out == list(range(8))
+    assert db.store.quiesce_compaction() == []
+    assert db.materializer.quiesce() == []
