@@ -163,13 +163,28 @@ def _remember_with_ingest(db, remember_text: str, ingest_fn) -> None:
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        pinned.wait()
+        # bounded: a bootstrap hanging before its probe must fail loudly
+        # with a diagnostic, not hang the harness forever
+        if not pinned.wait(timeout=600):
+            raise RuntimeError(
+                "REMEMBER bootstrap did not reach its snapshot probe "
+                "within 600s; see the materializer fold/driver logs"
+            )
+        ing_err: BaseException | None = None
         try:
             ingest_fn()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            ing_err = e
         finally:
             t.join()  # REMEMBER must not outlive the gate's tmpdir
+        # never mask a concurrent REMEMBER failure behind the ingest's:
+        # surface both (chained) when both raced to an error
+        if err and ing_err is not None:
+            raise ing_err from err[0]
         if err:
             raise err[0]
+        if ing_err is not None:
+            raise ing_err
     finally:
         db.materializer.on_snapshot = None
 
@@ -3540,7 +3555,12 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type") == "purchase"
     ).persist()
-    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    # ts split (not event_id): the pinned mark is (timestamp, event_id)-
+    # lexicographic, so exactness of the overlapped ingest needs every
+    # overlapped row strictly above the mark — guaranteed by ts > mid_ts
+    # for ANY data, monotone event_ids or not (same split the seq/chain
+    # gates use)
+    mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = _gate_tmpdir()
     try:
@@ -3552,11 +3572,11 @@ def q_remember_show(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
                 "value", "value_cents"]
-        db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
+        db.store.append_dataframe("purchase", frame.where(F.col("timestamp") <= mid_ts).select(cols))
         _remember_with_ingest(
             db, "REMEMBER QUERY purchase WHERE value >= 250 AS big_purchases",
             lambda: db.store.append_dataframe(
-                "purchase", frame.where(F.col("event_id") > mid).select(cols)
+                "purchase", frame.where(F.col("timestamp") > mid_ts).select(cols)
             ),
         )
         out = db.execute("SHOW big_purchases").df
@@ -3834,7 +3854,12 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type") == "purchase"
     ).persist()
-    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    # ts split (not event_id): the pinned mark is (timestamp, event_id)-
+    # lexicographic, so exactness of the overlapped ingest needs every
+    # overlapped row strictly above the mark — guaranteed by ts > mid_ts
+    # for ANY data, monotone event_ids or not (same split the seq/chain
+    # gates use)
+    mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = _gate_tmpdir()
     try:
@@ -3846,7 +3871,7 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols = ["context_id", "event_type", "timestamp", "event_id", "k", "props",
                 "value", "value_cents"]
-        db.store.append_dataframe("purchase", frame.where(F.col("event_id") <= mid).select(cols))
+        db.store.append_dataframe("purchase", frame.where(F.col("timestamp") <= mid_ts).select(cols))
         _remember_with_ingest(
             db,
             "REMEMBER QUERY purchase COUNT, TOTAL value_cents, "
@@ -3854,7 +3879,7 @@ def q_remember_show_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT UNIQUE context_id, MEDIAN value_cents "
             "BY k AS purchase_stats",
             lambda: db.store.append_dataframe(
-                "purchase", frame.where(F.col("event_id") > mid).select(cols)
+                "purchase", frame.where(F.col("timestamp") > mid_ts).select(cols)
             ),
         )
         out = db.execute("SHOW purchase_stats").df.withColumn(
@@ -3896,7 +3921,12 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = _events_frame(spark, sf_dir).where(
         F.col("event_type").isin("purchase", "click")
     ).persist()
-    mid = frame.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    # ts split (not event_id): the pinned mark is (timestamp, event_id)-
+    # lexicographic, so exactness of the overlapped ingest needs every
+    # overlapped row strictly above the mark — guaranteed by ts > mid_ts
+    # for ANY data, monotone event_ids or not (same split the seq/chain
+    # gates use)
+    mid_ts = frame.agg(F.expr("percentile_approx(timestamp, 0.5)")).collect()[0][0]
 
     root = _gate_tmpdir()
     try:
@@ -3908,13 +3938,13 @@ def q_remember_show_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         for et in ("purchase", "click"):
             db.store.registry.define(et, dict(fields))
         _parallel_ingest(db, frame, ("purchase", "click"),
-                         F.col("event_id") <= mid, cols)
+                         F.col("timestamp") <= mid_ts, cols)
         _remember_with_ingest(
             db,
             "REMEMBER PLOT COUNT OF purchase VS TOTAL(value_cents) OF click "
             "OVER day(timestamp) AS daily_board",
             lambda: _parallel_ingest(db, frame, ("purchase", "click"),
-                                     F.col("event_id") > mid, cols),
+                                     F.col("timestamp") > mid_ts, cols),
         )
         out = db.execute("SHOW daily_board").df
         rows = out.collect()

@@ -1447,10 +1447,15 @@ def fasttext_train(
             # of groupBy(id) + join-back: the join re-shuffled the whole
             # (doc, bucket) feature table by id a second time per pass —
             # the window computes s on the single id-exchange it needs
-            # (guide-style shuffle removal). Values are bit-identical:
-            # w·cnt terms are dyadic rationals, so the float64 sum is
-            # exact under ANY accumulation order (the same argument that
-            # makes the whole iteration engine-reproducible). The inner
+            # (guide-style shuffle removal). Values are bit-identical
+            # while partial sums stay within float64's dyadic-exact range
+            # (|sum| < 2^53 / scale): w·cnt terms are dyadic rationals, so
+            # the sum is then exact under ANY accumulation order (the same
+            # argument that makes the iteration engine-reproducible);
+            # past that bound the window's accumulation order could drift
+            # from the old groupBy's — verified empirically at the gate's
+            # scale, and num_buckets x cnt x scale keeps real corpora far
+            # below it. The inner
             # weights join is lossless here — pass-1's gradient emits a
             # weight row for EVERY bucket present in feats.
             scored = (
