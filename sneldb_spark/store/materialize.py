@@ -486,12 +486,88 @@ class Materializer:
             *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in cols_next],
         )
 
-    def _chain_state_paths(self, name: str, n_steps: int):
-        d = self._live(self._state_path(name))
-        return (
-            [os.path.join(d, f"pending_s{i}") for i in range(n_steps - 1)],
-            [os.path.join(d, f"boundary_{j}") for j in range(n_steps)],
+    # -- batched multi-part state (round 12) --------------------------------
+    # The per-step carry frames (chain pending_s{i}/boundary_{j}, sequence
+    # pending_a/boundary_b) used to be one parquet directory — and one Spark
+    # job + commit — EACH. At tiny-delta scale the lifecycle cost IS that
+    # job count (guide §2.6/§6), so they now land in ONE partitioned write:
+    # state/parts/__part=<name>/... plus a sidecar recording each part's
+    # exact schema (parts may differ in schema — the union null-fills to the
+    # superset and readers select the original columns back; an EMPTY part
+    # writes no partition directory at all, so readers reconstruct it from
+    # the sidecar schema). Legacy per-directory layouts remain readable.
+    _PART_COL = "__part"
+    _PARTS_SUBDIR = "parts"
+    _PARTS_SIDECAR = "_state_parts.json"
+
+    def _write_state_parts(self, state_dir: str, parts: dict[str, DataFrame]):
+        """One Spark job + one commit for every carry-state part. Callers
+        guarantee the parts' shared inputs are already materialized (the
+        same contract the per-directory parallel writes had)."""
+        d = self._live(state_dir)
+        os.makedirs(d, exist_ok=True)
+        tagged = None
+        schemas: dict[str, dict] = {}
+        for part, df in parts.items():
+            schemas[part] = json.loads(df.schema.json())
+            t = df.select(F.lit(part).alias(self._PART_COL), "*")
+            tagged = (
+                t if tagged is None
+                else tagged.unionByName(t, allowMissingColumns=True)
+            )
+        tagged.write.mode("overwrite").partitionBy(self._PART_COL).parquet(
+            os.path.join(d, self._PARTS_SUBDIR)
         )
+        tmp = os.path.join(d, self._PARTS_SIDECAR + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(schemas, f)
+        os.replace(tmp, os.path.join(d, self._PARTS_SIDECAR))
+
+    def _state_part_schema_at(self, d: str, part: str):
+        p = os.path.join(d, self._PARTS_SIDECAR)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            schemas = json.load(f)
+        if part not in schemas:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(schemas[part])
+
+    def _state_part_exists_at(self, d: str, part: str) -> bool:
+        if os.path.isdir(
+            os.path.join(d, self._PARTS_SUBDIR, f"{self._PART_COL}={part}")
+        ):
+            return True
+        if self._state_part_schema_at(d, part) is not None:
+            return True  # written empty: no partition dir, sidecar only
+        return os.path.isdir(os.path.join(d, part))  # legacy layout
+
+    def _read_state_part_at(self, d: str, part: str) -> DataFrame:
+        """Read one carry-state part from a RESOLVED state dir: batched
+        layout first (original schema restored via the sidecar; an empty
+        part reconstructs as an empty local relation), then the legacy
+        per-directory layout."""
+        spark = self.engine.spark
+        pdir = os.path.join(d, self._PARTS_SUBDIR, f"{self._PART_COL}={part}")
+        schema = self._state_part_schema_at(d, part)
+        if os.path.isdir(pdir):
+            df = spark.read.parquet(pdir)
+            if schema is not None:
+                df = df.select(*[f.name for f in schema.fields])
+            return df
+        legacy = os.path.join(d, part)
+        if os.path.isdir(legacy):
+            return spark.read.parquet(legacy)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"state part {part!r} does not exist under {d}"
+        )
+
+    def _read_state_part(self, state_dir: str, part: str) -> DataFrame:
+        return self._read_state_part_at(self._live(state_dir), part)
 
     def _remember_chain(self, name: str, q, path: str) -> tuple[int, int]:
         """Initial chain materialization: stepwise match, store completed
@@ -569,10 +645,9 @@ class Materializer:
                 self._chain_step(chains[-1], frames[i + 1], link, i, cols[i + 1])
                 .persist()
             )
-        pend_ps, bound_ps = self._chain_state_paths(name, n)
         gap = q.sequence_within
 
-        def _write_pend(i: int):
+        def _pend(i: int) -> DataFrame:
             if i == 0:
                 pend = frames[0].join(
                     chains[0].select(F.col("s0_event_id").alias("event_id")),
@@ -588,18 +663,19 @@ class Materializer:
                 pend = pend.where(
                     F.col(cursor_ts).cast("long") >= F.lit(hwm_ts - int(gap))
                 )
-            pend.write.mode("overwrite").parquet(pend_ps[i])
-
-        def _write_bound(j: int):
-            frames[j].where(
-                F.col("timestamp").cast("long") == F.lit(hwm_ts)
-            ).write.mode("overwrite").parquet(bound_ps[j])
+            return pend
 
         def write_state():
-            self._parallel_writes(
-                *[(lambda i=i: _write_pend(i)) for i in range(n - 1)],
-                *[(lambda j=j: _write_bound(j)) for j in range(1, n)],
-            )
+            # every per-step carry frame in ONE partitioned write (one
+            # Spark job + one commit instead of 2n-2 of each)
+            parts: dict[str, DataFrame] = {
+                f"pending_s{i}": _pend(i) for i in range(n - 1)
+            }
+            for j in range(1, n):
+                parts[f"boundary_{j}"] = frames[j].where(
+                    F.col("timestamp").cast("long") == F.lit(hwm_ts)
+                )
+            self._write_state_parts(self._state_path(name), parts)
             self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
 
         def cleanup():
@@ -700,32 +776,25 @@ class Materializer:
 
     def _write_chain_next_state(self, nxt: str, q, new_pend, cands, n: int,
                                 cur: tuple[int, int]):
-        """The per-step pending/boundary writes are mutually independent
-        and their shared inputs (the stepwise advance checkpoints) were
-        materialized by the caller's segment write — run them
-        concurrently; the hwm marker lands after all of them."""
+        """Every per-step pending/boundary frame in ONE partitioned write
+        (their shared inputs — the stepwise advance checkpoints — were
+        materialized by the caller's segment write); the hwm marker lands
+        after it."""
         cur_ts = cur[0]
         gap = q.sequence_within
-
-        def _write_pend(i: int, p):
+        parts: dict[str, DataFrame] = {}
+        for i, p in enumerate(new_pend):
             if gap is not None:
                 cursor_ts = "timestamp" if i == 0 else f"s{i}_timestamp"
                 p = p.where(
                     F.col(cursor_ts).cast("long") >= F.lit(cur_ts - int(gap))
                 )
-            p.write.mode("overwrite").parquet(
-                os.path.join(nxt, f"pending_s{i}")
-            )
-
-        def _write_bound(j: int):
-            cands[j].where(
+            parts[f"pending_s{i}"] = p
+        for j in range(1, n):
+            parts[f"boundary_{j}"] = cands[j].where(
                 F.col("timestamp").cast("long") == F.lit(cur_ts)
-            ).write.mode("overwrite").parquet(os.path.join(nxt, f"boundary_{j}"))
-
-        self._parallel_writes(
-            *[(lambda i=i, p=p: _write_pend(i, p)) for i, p in enumerate(new_pend)],
-            *[(lambda j=j: _write_bound(j)) for j in range(1, n)],
-        )
+            )
+        self._write_state_parts(nxt, parts)
         self._write_state_hwm(nxt, cur[0], cur[1])
 
     def _chain_delta_match(self, name: str, q, manifest: dict,
@@ -743,13 +812,13 @@ class Materializer:
             lower = marker
         parts = self.engine.compiler.chain_parts(q, upper=cur)
         n = len(parts[0])
-        pend_ps, bound_ps = self._chain_state_paths(name, n)
+        sd = self._state_path(name)
         state = {
-            f"pending_s{i}": spark.read.parquet(pend_ps[i])
+            f"pending_s{i}": self._read_state_part(sd, f"pending_s{i}")
             for i in range(n - 1)
         }
         for j in range(1, n):
-            state[f"boundary_{j}"] = spark.read.parquet(bound_ps[j])
+            state[f"boundary_{j}"] = self._read_state_part(sd, f"boundary_{j}")
         completed, new_pend, cands, n = self._chain_delta_frames(
             q, cur, lower, state, parts
         )
@@ -814,12 +883,6 @@ class Materializer:
             .option("mergeSchema", "true")
             .parquet(self._live(path))
         )
-
-    def _seq_state_paths(self, name: str) -> tuple[str, str]:
-        # resolved: these name the LIVE state's sub-dirs (reads and the
-        # pre-pointer initial writes); refresh writes go under stage_path
-        d = self._live(self._state_path(name))
-        return os.path.join(d, "pending_a"), os.path.join(d, "boundary_b")
 
     def _seq_agg_state_path(self, name: str) -> str:
         return os.path.join(self._live(self._state_path(name)), "agg_state")
@@ -893,13 +956,12 @@ class Materializer:
         """(a_cand, b_cand, kind, link): carried state unioned with the
         (lower, upper]-bounded delta of each side — the full candidate
         set for an incremental re-match."""
-        spark = self.engine.spark
         a, b, kind, link, _ts_a, _ts_b = self._seq_sides(q, upper=upper)
-        pend_p, bound_p = self._seq_state_paths(name)
-        a_cand = spark.read.parquet(pend_p).unionByName(
+        sd = self._state_path(name)
+        a_cand = self._read_state_part(sd, "pending_a").unionByName(
             self._delta_slice(a, *lower), allowMissingColumns=True
         )
-        b_cand = spark.read.parquet(bound_p).unionByName(
+        b_cand = self._read_state_part(sd, "boundary_b").unionByName(
             self._delta_slice(b, *lower), allowMissingColumns=True
         )
         return a_cand, b_cand, kind, link
@@ -1142,15 +1204,14 @@ class Materializer:
         self._within_pairs(q, pairs).write.mode("overwrite").parquet(
             os.path.join(path, "base")
         )
-        pend_p, bound_p = self._seq_state_paths(name)
         pending, boundary = self._seq_carry_state(
             a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
         )
         # both carry frames read the persisted match (materialized by the
-        # base write above): independent cached-read jobs, run together
-        self._parallel_writes(
-            lambda: pending.write.mode("overwrite").parquet(pend_p),
-            lambda: boundary.write.mode("overwrite").parquet(bound_p),
+        # base write above): one partitioned write, one job + commit
+        self._write_state_parts(
+            self._state_path(name),
+            {"pending_a": pending, "boundary_b": boundary},
         )
         pairs.unpersist()
         self._write_state_hwm(self._state_path(name), hwm_ts, hwm_id)
@@ -1183,7 +1244,6 @@ class Materializer:
             # (one-estimator rule) without the write -> read-back leg.
             state_ck = state.localCheckpoint(eager=True)
             manifest["state_keys"] = keys
-            pend_p, bound_p = self._seq_state_paths(name)
             pending, boundary = self._seq_carry_state(
                 a, b, kind, link, pairs, hwm_ts, max_gap=q.sequence_within
             )
@@ -1197,8 +1257,10 @@ class Materializer:
                 lambda: finalize_partial_state(
                     state_ck, q.aggs, keys, approx_unique=approx
                 ).write.mode("overwrite").parquet(path),
-                lambda: pending.write.mode("overwrite").parquet(pend_p),
-                lambda: boundary.write.mode("overwrite").parquet(bound_p),
+                lambda: self._write_state_parts(
+                    self._state_path(name),
+                    {"pending_a": pending, "boundary_b": boundary},
+                ),
             )
         finally:
             pairs.unpersist()
@@ -1259,13 +1321,8 @@ class Materializer:
         # the same slice and overwrites this segment idempotently (it also
         # materializes the checkpointed match the carry writes read)
         self._within_pairs(q, new_pairs).write.mode("overwrite").parquet(seg)
-        self._parallel_writes(
-            lambda: new_pending.write.mode("overwrite").parquet(
-                os.path.join(nxt, "pending_a")
-            ),
-            lambda: new_boundary.write.mode("overwrite").parquet(
-                os.path.join(nxt, "boundary_b")
-            ),
+        self._write_state_parts(
+            nxt, {"pending_a": new_pending, "boundary_b": new_boundary}
         )
         self._write_state_hwm(nxt, cur[0], cur[1])
         # Publish the state as ONE unit (store/storage.py protocol — the
@@ -1341,18 +1398,16 @@ class Materializer:
                 merged_ck.write.mode("overwrite").parquet(nxt_agg)
                 self._write_state_hwm(nxt_agg, cur[0], cur[1])
 
-            # four independent staged writes (carry state off the
-            # persisted match, the merged state and its finalize both
-            # off the one materialized merge — same rows in the state
-            # dir and under the result, one-estimator rule intact);
-            # nothing is visible until the publishes below
+            # three independent staged writes (BOTH carry frames in one
+            # partitioned write off the persisted match; the merged state
+            # and its finalize both off the one materialized merge — same
+            # rows in the state dir and under the result, one-estimator
+            # rule intact); nothing is visible until the publishes below
             self._parallel_writes(
                 _write_merged,
-                lambda: new_pending.write.mode("overwrite").parquet(
-                    os.path.join(nxt, "pending_a")
-                ),
-                lambda: new_boundary.write.mode("overwrite").parquet(
-                    os.path.join(nxt, "boundary_b")
+                lambda: self._write_state_parts(
+                    nxt,
+                    {"pending_a": new_pending, "boundary_b": new_boundary},
                 ),
                 lambda: final.write.mode("overwrite").parquet(
                     self.storage.stage_path(path)
@@ -1684,9 +1739,48 @@ class Materializer:
             d = self._live(self._state_path(name))
             lower = self._published_lower(manifest, d)
             try:
-                # pin jobs are independent small reads — run them
-                # concurrently (each is a Spark job; serial pins were a
-                # measured second of serve-path latency under load)
+                parts_dir = os.path.join(d, self._PARTS_SUBDIR)
+                if os.path.isdir(parts_dir):
+                    # batched layout: ONE pinned read of the partitioned
+                    # state serves every part (one Spark job instead of
+                    # one per subdir); each part selects its sidecar
+                    # schema back off the checkpointed rows. A part that
+                    # was empty at write time has no partition dir (its
+                    # filter just matches nothing); if EVERY part was
+                    # empty there is nothing to read at all and each pin
+                    # reconstructs from the sidecar schema.
+                    has_files = any(
+                        e.startswith(f"{self._PART_COL}=")
+                        for e in os.listdir(parts_dir)
+                    )
+                    whole = (
+                        self.engine.spark.read.parquet(parts_dir).localCheckpoint(
+                            eager=True
+                        )
+                        if has_files
+                        else None
+                    )
+                    pins = {}
+                    for s in subdirs:
+                        schema = self._state_part_schema_at(d, s)
+                        if schema is None:
+                            raise FileNotFoundError(
+                                f"state part {s!r} does not exist under {d}"
+                            )
+                        if whole is None:
+                            pins[s] = self.engine.spark.createDataFrame(
+                                [], schema
+                            )
+                        else:
+                            pins[s] = whole.where(
+                                F.col(self._PART_COL) == s
+                            ).select(*[f.name for f in schema.fields])
+                    return d, lower, pins
+
+                # legacy per-directory layout: pin jobs are independent
+                # small reads — run them concurrently (each is a Spark
+                # job; serial pins were a measured second of serve-path
+                # latency under load)
                 def pin_in_pool(p: str):
                     # fresh thread: re-tag the serve pool (local
                     # properties are per-thread under pinned-thread mode)
@@ -1939,7 +2033,7 @@ class Materializer:
         if (
             self._chain_incrementable(q, manifest)
             and manifest.get("seq_state")
-            and os.path.exists(os.path.join(state_d, "pending_s0"))
+            and self._state_part_exists_at(state_d, "pending_s0")
         ):
             serve, bundle = self._serve_chain(name, q, manifest, path, cur)
             self._register_serve(name, serve)
@@ -1954,7 +2048,7 @@ class Materializer:
         if (
             self._seq_incrementable(q, manifest)
             and manifest.get("seq_state")
-            and os.path.exists(os.path.join(state_d, "pending_a"))
+            and self._state_part_exists_at(state_d, "pending_a")
         ):
             serve, bundle = self._serve_seq(name, q, manifest, path, cur)
             self._register_serve(name, serve)
@@ -2041,19 +2135,21 @@ class Materializer:
             "seq_state"
         ) and manifest.get("state_keys") is not None and os.path.exists(
             self._seq_agg_state_path(name)
-        ) and os.path.exists(
-            os.path.join(self._live(self._state_path(name)), "pending_s0")
+        ) and self._state_part_exists_at(
+            self._live(self._state_path(name)), "pending_s0"
         ):
             self._refresh_chain_agg(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._chain_incrementable(q, manifest) and manifest.get(
             "seq_state"
-        ) and os.path.exists(
-            os.path.join(self._live(self._state_path(name)), "pending_s0")
+        ) and self._state_part_exists_at(
+            self._live(self._state_path(name)), "pending_s0"
         ):
             self._refresh_chain(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._seq_incrementable(q, manifest) and manifest.get(
             "seq_state"
-        ) and os.path.exists(self._seq_state_paths(name)[0]):
+        ) and self._state_part_exists_at(
+            self._live(self._state_path(name)), "pending_a"
+        ):
             self._refresh_sequence(name, q, manifest, path, (cur_ts, cur_id))
         elif stale and self._agg_incrementable(q, manifest) and manifest.get(
             "state_keys"

@@ -819,7 +819,10 @@ def test_remember_show_sequence_incremental_followed_by(spark, tmp_path):
     db.execute(f"REMEMBER {q} AS funnel")
     assert pairs(db.execute("SHOW funnel").df) == pairs(db.query(q))
     state = tmp_path / "db" / "materialized" / "funnel" / "state"
-    assert (state / "pending_a").exists() and (state / "boundary_b").exists()
+    # round 12: carry parts land in ONE partitioned write + schema sidecar
+    live = db.materializer._live(str(state))
+    assert db.materializer._state_part_exists_at(live, "pending_a")
+    assert db.materializer._state_part_exists_at(live, "boundary_b")
 
     # prove SHOW goes through the delta path, never the full recompute
     refreshes = {"n": 0}
@@ -1664,7 +1667,9 @@ def test_chain_materialization_forget_and_redefine(spark, tmp_path):
     db.execute(f"REMEMBER {q} AS fm")
     assert db.execute("SHOW fm").df.count() == 1
     state = db.materializer._state_path("fm")
-    assert os.path.isdir(os.path.join(state, "pending_s0"))
+    assert db.materializer._state_part_exists_at(
+        db.materializer._live(state), "pending_s0"
+    )
     db.execute("FORGET fm")
     assert not os.path.exists(db.materializer._dir("fm"))
     db.execute(f"REMEMBER {q} AS fm")  # name reusable
