@@ -2665,3 +2665,22 @@ def test_bounded_query_side_collect_raises_above_cap(spark, monkeypatch):
     assert similarity.lsh_topk(
         emb, emb.where("vec_id < 3"), k=2, planes=16, dim=8
     ).count() > 0
+
+
+def test_tfidf_checkpoint_threshold_one_scan_same_result(spark, tmp_path):
+    """Above the size threshold the tf table materializes once (the lazy
+    tail re-scans the corpus zero times); results identical either way."""
+    from sneldb_spark.pipeline.text import tfidf_top_terms
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 4} beta") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+    lazy = tfidf_top_terms(d)
+    forced = tfidf_top_terms(d, checkpoint_threshold_bytes=0)
+    scans = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+    assert scans(lazy) == 3 and scans(forced) == 0
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, forced.collect()))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
