@@ -47,7 +47,57 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _start_python_pool_keepalive(spark)
+    return spark
+
+
+# Spark's PythonWorkerFactory evicts workers idle for > 1 minute
+# (IDLE_WORKER_TIMEOUT_NS — hardcoded, not a conf). After any >60 s
+# JVM-only stretch (a run of relational queries, a long shuffle), the NEXT
+# Python-eval stage pays a simultaneous cold fork of one worker per core,
+# each importing pandas/numpy before its first batch — measured ~1.1 s on a
+# quiet 32-core box and the amplifier behind multi-second Python-gate
+# stalls on a contended one. A tiny labeled pulse (one no-op Arrow batch
+# per core) under the eviction deadline keeps the pool warm. Opt out with
+# SNELDB_PYTHON_POOL_KEEPALIVE=0 (or any non-positive interval).
+_KEEPALIVE_DEFAULT_S = 45.0
+
+
+def _start_python_pool_keepalive(spark: SparkSession) -> None:
+    interval = float(
+        os.environ.get("SNELDB_PYTHON_POOL_KEEPALIVE", _KEEPALIVE_DEFAULT_S)
+    )
+    if interval <= 0 or getattr(spark, "_sneldb_keepalive", None) is not None:
+        return
+    try:
+        sc = spark.sparkContext  # classic only; Connect pools server-side
+        cores = max(1, sc.defaultParallelism)
+    except Exception:
+        return
+    import threading
+    import time as time_mod
+
+    def pulse():
+        while True:
+            time_mod.sleep(interval)
+            try:
+                if sc._jsc is None:  # session stopped
+                    return
+                sc.setLocalProperty("spark.scheduler.pool", "sneldb-bulk")
+                sc.setJobDescription("python-worker-pool keepalive")
+                spark.range(0, cores, 1, cores).mapInPandas(
+                    lambda it: (b for b in it), schema="id long"
+                ).count()
+                sc.setJobDescription(None)
+            except Exception:
+                return  # stopped session / teardown race: just exit
+
+    t = threading.Thread(
+        target=pulse, name="sneldb-python-pool-keepalive", daemon=True
+    )
+    spark._sneldb_keepalive = t
+    t.start()
 
 
 def set_scheduler_pool(spark: SparkSession, pool: str) -> None:

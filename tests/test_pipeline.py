@@ -2684,3 +2684,23 @@ def test_tfidf_checkpoint_threshold_one_scan_same_result(spark, tmp_path):
     assert scans(lazy) == 3 and scans(forced) == 0
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, forced.collect()))
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_python_pool_keepalive_thread_attached(spark):
+    """get_spark attaches the python-worker-pool keep-alive (Spark's
+    PythonWorkerFactory evicts workers idle >1 min — hardcoded — and the
+    next Python stage then pays a per-core cold fork burst)."""
+    import threading
+
+    t = getattr(spark, "_sneldb_keepalive", None)
+    assert t is not None and t.daemon
+    # idempotent: a second get_spark() must not start a second thread
+    from sneldb_spark.session import get_spark
+
+    s2 = get_spark()
+    assert getattr(s2, "_sneldb_keepalive", None) is t
+    n = sum(
+        1 for th in threading.enumerate()
+        if th.name == "sneldb-python-pool-keepalive"
+    )
+    assert n <= 1
