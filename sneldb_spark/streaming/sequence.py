@@ -297,7 +297,14 @@ def streaming_chain(
     no per-event Python). Pick buckets ~4-8x your parallelism. 0
     preserves the one-group-per-key layout (and its checkpoint state
     schema) unchanged, matched by the per-event loop — cheaper than the
-    vector setup on the tiny per-key groups that layout produces."""
+    vector setup on the tiny per-key groups that layout produces.
+
+    Scale rule (measured, r12, sf1 = 10x the harness SF): the per-key
+    layout's dispatch cost scales with DISTINCT LINK KEYS, not rows —
+    45.8 s per-key vs 2.95 s bucketed on identical output (183k chains),
+    with the batch matcher at 4.6 s. Above ~1e5 live link keys per
+    batch, key_buckets is the production layout; per-key is for small
+    key populations (BASELINE.md round-12 streaming decomposition)."""
     if len(step_types) < 2:
         raise ValueError("streaming_chain needs at least two step types")
     n_steps = len(step_types)
