@@ -453,15 +453,18 @@ class QueryCompiler:
         a = side_frame(head_type)
         b = side_frame(tail_type)
 
-        def side_ts(df: DataFrame):
+        def side_ts(df: DataFrame) -> str:
             # USING TIME <f> orders the sequence match; plain USING <f>
             # does NOT (it only moves SINCE/bucket time). Mirrors the
             # reference's sequence_time_field defaulting to "timestamp"
             # (src/command/handlers/query/orchestrator.rs:78-81).
+            # Returned as the FIELD NAME: the matcher casts it to long
+            # itself, and a string ts keeps the whole sided projection on
+            # the one-call selectExpr path (round-12 driver latency).
             stf = q.sequence_time_field
             if stf and stf in df.columns:
-                return F.col(stf).cast("long")
-            return F.col("timestamp").cast("long")
+                return stf
+            return "timestamp"
 
         self._check_link_field(q.link_field, head_type, a)
         self._check_link_field(q.link_field, tail_type, b)

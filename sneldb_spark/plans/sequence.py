@@ -121,10 +121,21 @@ def sequence_match(
         matched = matched.where(
             F.abs(F.col("__match.ts") - F.col("__ts")) <= F.lit(int(max_gap_s))
         )
-    out_cols = [F.col(A_PREFIX + c) for c in a_cols] + [
-        F.col("__match." + B_PREFIX + c).alias(B_PREFIX + c) for c in b_cols
-    ]
-    return matched.select(*out_cols)
+    # ONE selectExpr call instead of one py4j Column round trip per output
+    # column: on the materializer's delta-match paths the driver builds
+    # these plans on every SHOW, and per-column construction measured as
+    # ~2 s of py4j socket time per chain refresh (round 12).
+    return matched.selectExpr(
+        *[_bq(A_PREFIX + c) for c in a_cols],
+        *[f"__match.{_bq(B_PREFIX + c)} AS {_bq(B_PREFIX + c)}" for c in b_cols],
+    )
+
+
+def _bq(name: str) -> str:
+    """Backquote a column name for selectExpr (dots in a raw F.col name
+    would mean struct access; a quoted identifier stays one column —
+    engine field names are plain identifiers either way)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _sided_union(
@@ -135,24 +146,32 @@ def _sided_union(
     ts_b: Column | str,
     tie: str,
 ) -> tuple[DataFrame, list[str], list[str]]:
-    ts_a = F.col(ts_a) if isinstance(ts_a, str) else ts_a
-    ts_b = F.col(ts_b) if isinstance(ts_b, str) else ts_b
     a_cols = list(a.columns)
     b_cols = list(b.columns)
-    a_side = a.select(
-        F.col(link_field).alias("__link"),
-        ts_a.cast("long").alias("__ts"),
-        F.col(tie).cast("long").alias("__tie"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(A_PREFIX + c) for c in a_cols],
-    )
-    b_side = b.select(
-        F.col(link_field).alias("__link"),
-        ts_b.cast("long").alias("__ts"),
-        F.col(tie).cast("long").alias("__tie"),
-        F.lit(1).alias("__side"),
-        *[F.col(c).alias(B_PREFIX + c) for c in b_cols],
-    )
+
+    def side(df: DataFrame, ts: Column | str, side_lit: int, prefix: str,
+             cols: list[str]) -> DataFrame:
+        if isinstance(ts, str):
+            # all-string select: one selectExpr py4j call for the whole
+            # projection (the hot path — the materializer and the chain
+            # builder always pass field names)
+            return df.selectExpr(
+                f"{_bq(link_field)} AS `__link`",
+                f"CAST({_bq(ts)} AS BIGINT) AS `__ts`",
+                f"CAST({_bq(tie)} AS BIGINT) AS `__tie`",
+                f"{side_lit} AS `__side`",
+                *[f"{_bq(c)} AS {_bq(prefix + c)}" for c in cols],
+            )
+        return df.select(
+            F.col(link_field).alias("__link"),
+            ts.cast("long").alias("__ts"),
+            F.col(tie).cast("long").alias("__tie"),
+            F.lit(side_lit).alias("__side"),
+            *[F.col(c).alias(prefix + c) for c in cols],
+        )
+
+    a_side = side(a, ts_a, 0, A_PREFIX, a_cols)
+    b_side = side(b, ts_b, 1, B_PREFIX, b_cols)
     return a_side.unionByName(b_side, allowMissingColumns=True), a_cols, b_cols
 
 
@@ -414,30 +433,36 @@ def sequence_match_chain(
 
     step_cols = [list(f.columns) for f in frames]
     chain = match(frames[0], frames[1], kinds[0])
-    chain = chain.select(
-        *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in step_cols[0]],
-        *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in step_cols[1]],
+    # single-selectExpr renames: per-column F.col/alias construction is a
+    # py4j round trip each, and these wide chain projections rebuild on
+    # every incremental refresh (round 12 driver-latency fix)
+    chain = chain.selectExpr(
+        *[f"{_bq(A_PREFIX + c)} AS {_bq(f's0_{c}')}" for c in step_cols[0]],
+        *[f"{_bq(B_PREFIX + c)} AS {_bq(f's1_{c}')}" for c in step_cols[1]],
     )
     if step_hook is not None:
         chain = step_hook(chain, 1)
     for i, (kind, nxt) in enumerate(zip(kinds[1:], frames[2:]), start=1):
         # Cursor view: expose plain link/ts/tie names (s-prefixed chain
         # columns can't collide) so the pairwise matcher applies as-is.
-        cursor = chain.select(
-            F.col(f"s0_{link_field}").alias(link_field),
-            F.col(f"s{i}_{ts}").alias(ts),
-            F.col(f"s{i}_{tie}").alias(tie),
-            *[F.col(c) for c in chain.columns],
+        cursor = chain.selectExpr(
+            f"{_bq(f's0_{link_field}')} AS {_bq(link_field)}",
+            f"{_bq(f's{i}_{ts}')} AS {_bq(ts)}",
+            f"{_bq(f's{i}_{tie}')} AS {_bq(tie)}",
+            *[_bq(c) for c in chain.columns],
         )
         matched = match(cursor, nxt, kind, ts_a=ts, ts_b=ts, tie=tie)
         step_re = re.compile(r"^s\d+_")
-        chain = matched.select(
+        chain = matched.selectExpr(
             *[
-                F.col(A_PREFIX + c).alias(c)
+                f"{_bq(A_PREFIX + c)} AS {_bq(c)}"
                 for c in cursor.columns
                 if step_re.match(c)
             ],
-            *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in step_cols[i + 1]],
+            *[
+                f"{_bq(B_PREFIX + c)} AS {_bq(f's{i + 1}_{c}')}"
+                for c in step_cols[i + 1]
+            ],
         )
         if step_hook is not None:
             chain = step_hook(chain, i + 1)

@@ -450,10 +450,14 @@ class Materializer:
         from sneldb_spark.commands.ast import FOLLOWED_BY
         from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
 
+        from sneldb_spark.plans.sequence import _bq
+
         pairs = sequence_match(heads, nxt, link, FOLLOWED_BY)
-        return pairs.select(
-            *[F.col(A_PREFIX + c).alias(f"s0_{c}") for c in cols0],
-            *[F.col(B_PREFIX + c).alias(f"s1_{c}") for c in cols1],
+        # one selectExpr py4j call for the whole rename (round-12 driver
+        # latency: these wide projections rebuild on every refresh)
+        return pairs.selectExpr(
+            *[f"{_bq(A_PREFIX + c)} AS {_bq(f's0_{c}')}" for c in cols0],
+            *[f"{_bq(B_PREFIX + c)} AS {_bq(f's1_{c}')}" for c in cols1],
         )
 
     def _chain_step(self, chain: DataFrame, nxt: DataFrame, link: str,
@@ -466,24 +470,29 @@ class Materializer:
         from sneldb_spark.commands.ast import FOLLOWED_BY
         from sneldb_spark.plans.sequence import A_PREFIX, B_PREFIX, sequence_match
 
+        from sneldb_spark.plans.sequence import _bq
+
         ts, tie = "timestamp", "event_id"
-        cursor = chain.select(
-            F.col(f"s0_{link}").alias(link),
-            F.col(f"s{i}_{ts}").alias(ts),
-            F.col(f"s{i}_{tie}").alias(tie),
-            *[F.col(c) for c in chain.columns],
+        cursor = chain.selectExpr(
+            f"{_bq(f's0_{link}')} AS {_bq(link)}",
+            f"{_bq(f's{i}_{ts}')} AS {_bq(ts)}",
+            f"{_bq(f's{i}_{tie}')} AS {_bq(tie)}",
+            *[_bq(c) for c in chain.columns],
         )
         matched = sequence_match(
             cursor, nxt, link, FOLLOWED_BY, ts_a=ts, ts_b=ts, tie=tie
         )
         step_re = _re.compile(r"^s\d+_")
-        return matched.select(
+        return matched.selectExpr(
             *[
-                F.col(A_PREFIX + c).alias(c)
+                f"{_bq(A_PREFIX + c)} AS {_bq(c)}"
                 for c in cursor.columns
                 if step_re.match(c)
             ],
-            *[F.col(B_PREFIX + c).alias(f"s{i + 1}_{c}") for c in cols_next],
+            *[
+                f"{_bq(B_PREFIX + c)} AS {_bq(f's{i + 1}_{c}')}"
+                for c in cols_next
+            ],
         )
 
     # -- batched multi-part state (round 12) --------------------------------
